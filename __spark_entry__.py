@@ -1,38 +1,45 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Thin shim over chicago_crime_spark_ml_spark.queries — the engine's query
+catalog, where every SURVEY.md §2 operator is registered with a matching
+DuckDB oracle (or marked rows-only for non-SQL-expressible ops).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from chicago_crime_spark_ml_spark.queries import ORACLE, QUERIES
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return QUERIES["flagship_regional_revenue"](spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for each oracle-checkable query."""
+    return dict(ORACLE)
+
+
+if __name__ == "__main__":
+    from chicago_crime_spark_ml_spark import get_spark
+
+    spark = get_spark("entry-smoke")
+    df = entry(spark)
+    df.show(10, truncate=False)
+    print(f"{len(QUERIES)} queries, {len(ORACLE)} with oracles")
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", SMOKE_SF_DIR)
+    for name, fn in QUERIES.items():
+        n = fn(spark, sf).count()
+        print(f"  {name}: {n} rows")

@@ -1,0 +1,73 @@
+"""Benchmark harness — times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced through the noop sink (full JVM-side materialization,
+no driver collect — measures the plan, not Arrow transfer). One warm-up of
+the flagship query absorbs JVM/codegen startup so numbers reflect steady
+state, which is what matters for cluster extrapolation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from chicago_crime_spark_ml_spark import get_spark
+from chicago_crime_spark_ml_spark.queries import QUERIES
+
+HEADLINE = [
+    "flagship_regional_revenue",
+    "pricing_summary",
+    "rollup_returnflag_status",
+    "top3_orders_per_customer",
+    "customer_order_count_feature",
+    "events_hourly_profile",
+    "events_json_extract",
+    "dedup_documents_exact",
+    "lineitem_distinct_counts",
+    "top10_orders",
+]
+
+
+def run(sf_dir: str) -> dict:
+    spark = get_spark("bench")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_num = float(sf)
+    except ValueError:
+        sf_num = sf
+
+    def force(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    # Warm-up: JVM + codegen + parquet footer caches.
+    force(QUERIES["flagship_regional_revenue"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in QUERIES:
+            continue
+        t0 = time.perf_counter()
+        force(QUERIES[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_num,
+    }
+
+
+if __name__ == "__main__":
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    print(json.dumps(run(sf_dir)))

@@ -1,0 +1,90 @@
+"""Scalar column expressions — the reference's §2.6 function surface.
+
+All pure Column compositions (codegen-friendly, no UDFs). Reference call
+sites cited per function for parity checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def cyclical_sin(col: Column | str, period: float) -> Column:
+    """sin component of a cyclical encoding.
+
+    Generalizes the reference's hour encoding
+    ``sin(radians(Hour*15))`` (/root/reference/XGBoost.py:119) — 15° = 360/24,
+    i.e. sin(2π·hour/24). ``cyclical_sin(col, 24)`` reproduces it exactly.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sin(c * (2.0 * 3.141592653589793 / period))
+
+
+def cyclical_cos(col: Column | str, period: float) -> Column:
+    """cos twin of cyclical_sin (/root/reference/XGBoost.py:120)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.cos(c * (2.0 * 3.141592653589793 / period))
+
+
+def distance_from_km(
+    lat: Column | str,
+    lon: Column | str,
+    point: tuple[float, float],
+    km_per_degree: float = 111.0,
+) -> Column:
+    """Equirectangular-ish distance from a fixed point, in km.
+
+    Exactly the reference's formula
+    ``sqrt((lat-φ)² + (lon-λ)²) * 111`` from Chicago's center
+    (/root/reference/XGBoost.py:124-132; NumPy twin Stramlit_app.py:127).
+    Deliberately NOT haversine — parity with the reference's trained model
+    requires the same (crude) metric; a proper haversine lives in
+    ``haversine_km`` below for new pipelines.
+    """
+    la = F.col(lat) if isinstance(lat, str) else lat
+    lo = F.col(lon) if isinstance(lon, str) else lon
+    return F.sqrt(F.pow(la - point[0], 2) + F.pow(lo - point[1], 2)) * km_per_degree
+
+
+def haversine_km(
+    lat: Column | str, lon: Column | str, point: tuple[float, float]
+) -> Column:
+    """Great-circle distance (km) — the correct metric the reference skips."""
+    la = F.radians(F.col(lat) if isinstance(lat, str) else lat)
+    lo = F.radians(F.col(lon) if isinstance(lon, str) else lon)
+    p_la, p_lo = F.radians(F.lit(point[0])), F.radians(F.lit(point[1]))
+    h = (
+        F.pow(F.sin((la - p_la) / 2), 2)
+        + F.cos(la) * F.cos(p_la) * F.pow(F.sin((lo - p_lo) / 2), 2)
+    )
+    return F.lit(6371.0) * 2 * F.asin(F.sqrt(h))
+
+
+def is_weekend(dayofweek_col: Column | str) -> Column:
+    """1.0 when Spark dayofweek ∈ {1=Sunday, 7=Saturday} else 0.0
+    (/root/reference/XGBoost.py:121-122). Spark's 1=Sunday convention is a
+    documented trap — the reference converts Python weekday to it by hand at
+    Stramlit_app.py:126; centralizing here kills that drift-prone twin."""
+    c = F.col(dayofweek_col) if isinstance(dayofweek_col, str) else dayofweek_col
+    return F.when(c.isin(1, 7), 1.0).otherwise(0.0)
+
+
+def temporal_parts(ts: Column | str) -> dict[str, Column]:
+    """Year/Month/Hour/DayOfWeek extraction bundle
+    (/root/reference/Preprocessing.py:234-237, XGBoost.py:83-86)."""
+    c = F.col(ts) if isinstance(ts, str) else ts
+    return {
+        "year": F.year(c),
+        "month": F.month(c),
+        "hour": F.hour(c),
+        "dayofweek": F.dayofweek(c),
+    }
+
+
+def json_get(col: Column | str, field: str) -> Column:
+    """Extract a top-level string field from a JSON string column
+    (events.props). get_json_object is JVM-side; for typed extraction use
+    from_json with a schema at the call site."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.get_json_object(c, f"$.{field}")

@@ -1,0 +1,169 @@
+"""Core relational operators — SURVEY.md §2.2–§2.5 as named, reusable ops.
+
+Everything here is a thin, *tested* composition of DataFrame primitives;
+Catalyst keeps pushdown/pruning/partial-agg because the plans stay
+declarative. Scale notes per operator where they matter.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def categorize(
+    df: DataFrame,
+    col: str,
+    mapping: Mapping[str, Sequence[str]],
+    default: str,
+    out_col: str,
+) -> DataFrame:
+    """CASE-chain categorization: {category: [values...]} → new column.
+
+    Generalizes the reference's 4-way Crime_Category
+    (/root/reference/XGBoost.py:101-114) and 7-way crime grouping
+    (Preprocessing.py:807-817). Pure when/otherwise — constant-folded by
+    Catalyst, stays in codegen.
+    """
+    expr: Column | None = None
+    for category, values in mapping.items():
+        cond = F.col(col).isin(list(values))
+        expr = F.when(cond, category) if expr is None else expr.when(cond, category)
+    assert expr is not None, "mapping must be non-empty"
+    return df.withColumn(out_col, expr.otherwise(default))
+
+
+def dedup_exact(df: DataFrame, keys: Sequence[str] | None = None) -> DataFrame:
+    """Exact dedup ≡ dropDuplicates (/root/reference/Preprocessing.py:53,
+    XGBoost.py:51). One hash-shuffle on the key columns; at 100 TB prefer
+    key-subset dedup (shuffles only keys+firsts, not all columns)."""
+    return df.dropDuplicates(list(keys)) if keys else df.dropDuplicates()
+
+
+def time_split(df: DataFrame, col: str, cutoff) -> tuple[DataFrame, DataFrame]:
+    """Leakage-aware train/test time split — filter, not random split
+    (/root/reference/XGBoost.py:139-140: Year<=2003 vs Year==2004).
+    Both filters push down to the parquet scan (partition pruning when the
+    data is partitioned on the split column — the 100 TB layout)."""
+    c = F.col(col)
+    return df.filter(c <= F.lit(cutoff)), df.filter(c > F.lit(cutoff))
+
+
+def top_k(df: DataFrame, order_col: str, k: int, ascending: bool = False) -> DataFrame:
+    """orderBy+limit top-k (/root/reference/Preprocessing.py:399,546,608).
+    Spark plans this as TakeOrderedAndProject — per-partition heap + driver
+    merge, no full sort: exactly what you want at scale."""
+    order = F.asc(order_col) if ascending else F.desc(order_col)
+    return df.orderBy(order).limit(k)
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    k: int,
+    ascending: bool = False,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Top-k per group via window row_number — the distributed form of the
+    reference's collect-then-pandas slicing. One shuffle on group_cols."""
+    order = F.asc(order_col) if ascending else F.desc(order_col)
+    w = Window.partitionBy(*group_cols).orderBy(order)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+        .drop(rank_col)
+    )
+
+
+def pivot_count(
+    df: DataFrame,
+    index: str,
+    columns: str,
+    values: Sequence[str] | None = None,
+) -> DataFrame:
+    """Native Spark pivot replacing the reference's collect-then-pandas
+    pivot (/root/reference/Preprocessing.py:618-619,645-646,699-700).
+    Pass ``values`` (the distinct pivot keys) when known: skips the extra
+    distinct-collect job AND fixes output schema — mandatory at scale."""
+    piv = df.groupBy(index).pivot(columns, list(values) if values else None)
+    return piv.count()
+
+
+def stratified_sample(
+    df: DataFrame, col: str, fractions: Mapping[str, float], seed: int = 42
+) -> DataFrame:
+    """True stratified sample in ONE job via sampleBy, replacing the
+    reference's per-stratum sample loop + pandas concat
+    (/root/reference/Preprocessing.py:424-429)."""
+    return df.sampleBy(col, dict(fractions), seed)
+
+
+def union_all(dfs: Sequence[DataFrame]) -> DataFrame:
+    """unionByName fold — the Spark-native form of the reference's
+    pd.concat (/root/reference/Preprocessing.py:429). Name-based so column
+    order never silently corrupts data."""
+    return reduce(lambda a, b: a.unionByName(b), dfs)
+
+
+def add_group_count_feature(
+    df: DataFrame,
+    source: DataFrame,
+    key: str,
+    out_col: str,
+    fill: int = 0,
+    hint_broadcast: bool = True,
+) -> DataFrame:
+    """Join per-group counts from ``source`` onto ``df`` as a feature —
+    the reference's density features (/root/reference/XGBoost.py:168-187:
+    groupBy→agg count→left join→fillna, ×3 for District/Beat/CommunityArea).
+
+    Counts are computed on ``source`` (train only — no test leakage) and
+    LEFT-joined; unmatched keys fill 0. The count table's cardinality is
+    the key's distinct count — small — so we hint broadcast() explicitly
+    rather than trusting the 10MB auto-threshold; tests assert the plan
+    contains BroadcastHashJoin. At 100 TB this join is shuffle-free.
+    """
+    counts = source.groupBy(key).agg(F.count(F.lit(1)).alias(out_col))
+    if hint_broadcast:
+        counts = F.broadcast(counts)
+    return df.join(counts, on=key, how="left").fillna({out_col: fill})
+
+
+def null_profile(df: DataFrame, dirty_tokens: Sequence[str] = ("NULL", "")) -> DataFrame:
+    """Single-pass per-column dirty/null counts — one job over all columns
+    (conditional sum per column), replacing the reference's 22-scan
+    per-column loop (/root/reference/Preprocessing.py:43-46) with its own
+    single-pass pattern (Preprocessing.py:32-36). Returns one row."""
+    toks = [t for t in dirty_tokens]
+    exprs = []
+    for c in df.columns:
+        dirty = F.col(c).isNull()
+        if toks:
+            dirty = dirty | F.col(c).cast("string").isin(toks)
+        exprs.append(F.sum(F.when(dirty, 1).otherwise(0)).alias(c))
+    return df.select(exprs)
+
+
+def describe_stats(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Tidy summary statistics (one ROW per column: count/mean/stddev/min/
+    max) — the reference's describe() (/root/reference/Preprocessing.py:209)
+    reshaped so the output has a stable typed schema (describe() returns
+    all-string columns, hostile to downstream use)."""
+    pieces = []
+    for c in cols:
+        pieces.append(
+            df.select(
+                F.lit(c).alias("column"),
+                F.count(c).cast("long").alias("n"),
+                F.avg(c).alias("mean"),
+                F.stddev(c).alias("stddev"),
+                F.min(c).cast("double").alias("min"),
+                F.max(c).cast("double").alias("max"),
+            )
+        )
+    return union_all(pieces)

@@ -1,0 +1,713 @@
+"""Query catalog: every operator from SURVEY.md §2 exposed as a named
+query with a DuckDB-checkable ANSI-SQL oracle.
+
+Each entry registers (a) a Spark callable ``(spark, sf_dir) -> DataFrame``
+built from the engine's operators, and (b) equivalent SQL the driver runs
+in DuckDB over the same parquet (views: region nation customer supplier
+part orders lineitem events documents embeddings). Aliases match EXACTLY
+between both sides (the driver sorts columns by name before hashing).
+
+Float discipline: aggregates that accumulate floating point are rounded
+on BOTH sides (sums → 2 decimals, avgs/ratios → 4) so summation-order
+differences between engines can't flip the value hash. min/max/raw
+columns are bit-identical and stay unrounded.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from chicago_crime_spark_ml_spark.functions.scalar import cyclical_cos, cyclical_sin
+from chicago_crime_spark_ml_spark.operators.relational import (
+    add_group_count_feature,
+    categorize,
+    describe_stats,
+    pivot_count,
+    stratified_sample,
+    time_split,
+    top_k,
+    top_k_per_group,
+    union_all,
+)
+from chicago_crime_spark_ml_spark.sources.io import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, sql: str | None = None):
+    """Register a query; ``sql=None`` marks a non-SQL-expressible op
+    (driver falls back to a rows-only check)."""
+
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Flagship + core aggregations (SURVEY §2.4 A3-A8, §2.3 joins)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "flagship_regional_revenue",
+    """
+    SELECT r.r_name,
+           CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           count(*) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue,
+           round(avg(o.o_totalprice), 4) AS avg_order_value
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+    """,
+)
+def flagship_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: fact⋈dim⋈dim⋈dim star join + 2-key agg — the reference's
+    core shape (multi-key groupBy-count/avg, Preprocessing.py:324-327,
+    500-503) over the star schema. nation/region are broadcast (fixed tiny
+    cardinality); customer⋈orders shuffles on the key — at 100 TB both
+    sides bucket on custkey and the shuffle disappears."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    region = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_order_value"),
+        )
+    )
+
+
+@query(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: filter → 2-key hash agg with 8 aggregates.
+    Single shuffle after map-side partial agg; the shipdate predicate
+    pushes to the parquet scan (row-group pruning at scale)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "mktsegment_stats",
+    """
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           round(sum(c_acctbal), 2) AS total_balance,
+           round(avg(c_acctbal), 4) AS avg_balance,
+           min(c_acctbal) AS min_balance,
+           max(c_acctbal) AS max_balance
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def mktsegment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-key group agg bundle (SURVEY A3/A7: the reference's per-group
+    count + avg patterns, Preprocessing.py:296,500-503)."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_balance"),
+            F.min("c_acctbal").alias("min_balance"),
+            F.max("c_acctbal").alias("max_balance"),
+        )
+    )
+
+
+@query(
+    "orders_by_year_priority",
+    """
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           o_orderpriority,
+           count(*) AS n
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def orders_by_year_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal extraction (F2) + 2-key group-by count (A4) — the
+    reference's District×Year pattern (Preprocessing.py:316-319)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.year("o_orderdate").alias("o_year"), "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "rollup_returnflag_status",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals via rollup (absent from the reference —
+    SURVEY §2.4 'Absent' row). Same single-shuffle partial-agg plan as a
+    plain group-by, with grouping-set expansion map-side."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "lineitem_distinct_counts",
+    """
+    SELECT count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_suppliers,
+           count(DISTINCT l_orderkey) AS n_orders,
+           count(*) AS n_rows
+    FROM lineitem
+    """,
+)
+def lineitem_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregates (absent in reference). Spark expands
+    multi-distinct into a grouping-set plan automatically; for 100 TB
+    dashboards use approx_distinct_counts (HLL, one pass) instead."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query("approx_distinct_counts")  # approximate — no exact oracle; rows-only check
+def approx_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimates — the scale path for distinct
+    counting (single pass, no shuffle of raw values)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("n_parts_approx"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("n_orders_approx"),
+    )
+
+
+@query(
+    "median_balance_by_segment",
+    """
+    SELECT c_mktsegment,
+           round(quantile_cont(c_acctbal, 0.5), 4) AS median_balance,
+           round(quantile_cont(c_acctbal, 0.9), 4) AS p90_balance
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def median_balance_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation — matches quantile_cont).
+    The reference uses approxQuantile for median imputation
+    (Preprocessing.py:145-160); engine exposes exact for oracle parity and
+    percentile_approx (Greenwald-Khanna, mergeable) for the 100 TB path."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.percentile("c_acctbal", F.lit(0.5)), 4).alias("median_balance"),
+            F.round(F.percentile("c_acctbal", F.lit(0.9)), 4).alias("p90_balance"),
+        )
+    )
+
+
+@query(
+    "part_describe_stats",
+    """
+    SELECT 'p_retailprice' AS column, count(p_retailprice) AS n,
+           round(avg(p_retailprice), 4) AS mean,
+           round(stddev(p_retailprice), 4) AS stddev,
+           min(p_retailprice) AS min, max(p_retailprice) AS max
+    FROM part
+    UNION ALL
+    SELECT 'p_size', count(p_size), round(avg(p_size), 4),
+           round(stddev(p_size), 4),
+           CAST(min(p_size) AS DOUBLE), CAST(max(p_size) AS DOUBLE)
+    FROM part
+    """,
+)
+def part_describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed describe() replacement (SURVEY A8, Preprocessing.py:209)."""
+    df = describe_stats(_t(spark, sf_dir, "part"), ["p_retailprice", "p_size"])
+    return df.select(
+        "column",
+        "n",
+        F.round("mean", 4).alias("mean"),
+        F.round("stddev", 4).alias("stddev"),
+        "min",
+        "max",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filters / projections / CASE (SURVEY §2.2)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "parts_brand_filter",
+    """
+    SELECT p_partkey, p_brand, p_type, p_size
+    FROM part
+    WHERE p_brand IN ('Brand#11', 'Brand#22', 'Brand#33')
+      AND p_size BETWEEN 10 AND 40
+      AND p_type <> 'PROMO'
+    """,
+)
+def parts_brand_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-list + range + inequality predicates (P4/P6/P8) — all pushed to
+    the parquet scan (PushedFilters in explain; asserted in tests)."""
+    p = _t(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_brand").isin("Brand#11", "Brand#22", "Brand#33")
+        & F.col("p_size").between(10, 40)
+        & (F.col("p_type") != "PROMO")
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+
+
+@query(
+    "events_categorized",
+    """
+    SELECT CASE WHEN event_type IN ('purchase', 'signup') THEN 'conversion'
+                WHEN event_type IN ('click', 'view') THEN 'engagement'
+                ELSE 'other' END AS event_category,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def events_categorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE-chain categorization (P10) — the reference's Crime_Category
+    mapping (XGBoost.py:101-114) as the reusable categorize() operator."""
+    ev = categorize(
+        _t(spark, sf_dir, "events"),
+        "event_type",
+        {"conversion": ["purchase", "signup"], "engagement": ["click", "view"]},
+        default="other",
+        out_col="event_category",
+    )
+    return ev.groupBy("event_category").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@query(
+    "orders_time_split_counts",
+    """
+    SELECT CASE WHEN year(o_orderdate) <= 1998 THEN 'train' ELSE 'test' END AS split,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY 1
+    """,
+)
+def orders_time_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-aware time split (M3/P8, XGBoost.py:139-140) as the
+    time_split operator; summarized per side for the oracle."""
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    train, test = time_split(orders, "o_year", 1998)
+    agg = lambda df, label: df.agg(  # noqa: E731
+        F.lit(label).alias("split"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    ).select("split", "n", "total")
+    return union_all([agg(train, "train"), agg(test, "test")])
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "customers_with_orders",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (absent from reference; SURVEY §2.3 'Absent')."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join — the 'orphans' query."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@query(
+    "customer_order_count_feature",
+    """
+    SELECT c.c_custkey, c.c_mktsegment,
+           CAST(coalesce(oc.n_orders, 0) AS BIGINT) AS n_orders
+    FROM customer c
+    LEFT JOIN (SELECT o_custkey, count(*) AS n_orders
+               FROM orders GROUP BY o_custkey) oc
+      ON c.c_custkey = oc.o_custkey
+    """,
+)
+def customer_order_count_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-feature join: groupBy-count → broadcast left join → fillna 0
+    — exactly the reference's XGBoost.py:168-187 pattern as the
+    add_group_count_feature operator (broadcast asserted in tests)."""
+    c = _t(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    o = _t(spark, sf_dir, "orders")
+    out = add_group_count_feature(c, o, key="o_custkey", out_col="n_orders")
+    return out.select(
+        F.col("o_custkey").alias("c_custkey"), "c_mktsegment", "n_orders"
+    )
+
+
+@query(
+    "supplier_nation_inner",
+    """
+    SELECT n.n_name, count(*) AS n_suppliers,
+           round(avg(s.s_acctbal), 4) AS avg_balance
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def supplier_nation_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join with broadcast dim + group agg."""
+    s = _t(spark, sf_dir, "supplier")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.avg("s_acctbal"), 4).alias("avg_balance"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / top-k / window / pivot / sets (SURVEY §2.5, A12)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "top10_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def top10_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k (O4, Preprocessing.py:399) — TakeOrderedAndProject, no full
+    sort. Secondary key makes the result set deterministic under ties."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    return o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(10)
+
+
+@query(
+    "top3_orders_per_customer",
+    """
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via window row_number — one shuffle on the group
+    key; the distributed form of collect-then-slice."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+
+
+@query(
+    "returnflag_pivot",
+    """
+    SELECT l_returnflag,
+           count(*) FILTER (WHERE l_linestatus = 'F') AS F,
+           count(*) FILTER (WHERE l_linestatus = 'O') AS O
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def returnflag_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native pivot (A12) replacing the reference's collect-then-pandas
+    pivot (Preprocessing.py:618-619). Explicit pivot values: no extra
+    distinct job, fixed schema — required at scale."""
+    out = pivot_count(
+        _t(spark, sf_dir, "lineitem"), "l_returnflag", "l_linestatus", ["F", "O"]
+    )
+    return out.na.fill(0, ["F", "O"])
+
+
+@query(
+    "repeat_buyer_keys",
+    """
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+)
+def repeat_buyer_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops (absent in reference, SURVEY §2.9): customers active in
+    both 1995 and 1996 via INTERSECT (distinct semantics both engines)."""
+    o = _t(spark, sf_dir, "orders")
+    y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    return y95.intersect(y96)
+
+
+@query(
+    "churned_buyer_keys",
+    """
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+)
+def churned_buyer_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: active in 1995 but not 1996."""
+    o = _t(spark, sf_dir, "orders")
+    y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    return y95.subtract(y96)  # EXCEPT (distinct) — matches SQL EXCEPT
+
+
+@query("stratified_sample_lineitem")  # sampling is engine-specific — rows-only
+def stratified_sample_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded stratified sample via sampleBy (O6) — one job, replacing the
+    reference's per-stratum loop (Preprocessing.py:424-429). Sampling RNG
+    differs across engines, so no value oracle."""
+    li = _t(spark, sf_dir, "lineitem")
+    fractions = {"A": 0.1, "N": 0.1, "R": 0.1}
+    return stratified_sample(li, "l_returnflag", fractions, seed=42).select(
+        "l_orderkey", "l_linenumber", "l_returnflag"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions / temporal / JSON (SURVEY §2.6 + events table)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_hourly_profile",
+    """
+    SELECT CAST(hour(ts) AS INTEGER) AS h,
+           CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+           count(*) AS n,
+           round(avg(value), 4) AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal extraction (F2) with Spark's 1=Sunday dayofweek convention
+    — the trap the reference hand-converts at Stramlit_app.py:126; the
+    oracle shows the explicit DuckDB dow+1 mapping."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.hour("ts").alias("h"), F.dayofweek("ts").alias("dow")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+@query(
+    "cyclical_hour_encoding",
+    """
+    SELECT event_id,
+           round(sin(2 * pi() * hour(ts) / 24), 4) + 0.0 AS hour_sin,
+           round(cos(2 * pi() * hour(ts) / 24), 4) + 0.0 AS hour_cos
+    FROM events
+    """,
+)
+def cyclical_hour_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cyclical encoding (F3) — generalizes sin(radians(Hour*15))
+    (XGBoost.py:119-120) via cyclical_sin/cos(col, period=24)."""
+    ev = _t(spark, sf_dir, "events")
+    h = F.hour("ts")
+    # +0.0 collapses IEEE -0.0 → +0.0 (sin(π) rounds to a signed zero
+    # whose sign differs between engines' libm).
+    return ev.select(
+        "event_id",
+        (F.round(cyclical_sin(h, 24), 4) + F.lit(0.0)).alias("hour_sin"),
+        (F.round(cyclical_cos(h, 24), 4) + F.lit(0.0)).alias("hour_cos"),
+    )
+
+
+@query(
+    "events_json_extract",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON extraction from events.props via from_json (JVM-side,
+    no UDF) — SURVEY §2.6 'Absent' row closed."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.from_json("props", "k INT").getField("k")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@query(
+    "math_distance_expr",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(sqrt(pow(l_quantity - 25.0, 2) + pow(l_discount * 100 - 5.0, 2)) * 111.0, 4)
+             AS pseudo_distance
+    FROM lineitem WHERE l_linenumber = 1
+    """,
+)
+def math_distance_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic + sqrt/pow composition (F4) — the reference's
+    equirectangular distance formula shape (XGBoost.py:124-132) applied to
+    available numeric columns; distance_from_km uses the identical
+    expression tree on real lat/lon."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    dist = (
+        F.sqrt(
+            F.pow(F.col("l_quantity") - 25.0, 2)
+            + F.pow(F.col("l_discount") * 100 - 5.0, 2)
+        )
+        * 111.0
+    )
+    return li.select(
+        "l_orderkey", "l_linenumber", F.round(dist, 4).alias("pseudo_distance")
+    )
+
+
+@query(
+    "string_functions",
+    """
+    SELECT doc_id,
+           upper(lang) AS lang_upper,
+           substring(text, 1, 12) AS prefix,
+           CAST(length(text) AS INTEGER) AS text_len,
+           concat(source, ':', lang) AS source_lang
+    FROM documents
+    """,
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function surface (SURVEY §2.6 'Absent': concat/substring/
+    upper/length) over documents."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.upper("lang").alias("lang_upper"),
+        F.substring("text", 1, 12).alias("prefix"),
+        F.length("text").alias("text_len"),
+        F.concat_ws(":", "source", "lang").alias("source_lang"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup / text / embeddings (north-star; more in operators.{dedup,text,similarity})
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_documents_exact",
+    """
+    SELECT md5(text) AS fp, min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_documents_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: group on the content hash (md5 — shuffles
+    16-byte keys instead of whole documents: the 100 TB-friendly form),
+    keep the minimum id as the deterministic winner."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("fp")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )

@@ -1,0 +1,86 @@
+"""Parquet-first table IO over the driver's testdata layout.
+
+One parquet file (or directory) per table under a scale-factor dir
+(TESTDATA.md). At cluster scale the same helpers point at partitioned
+parquet datasets on object storage; nothing here assumes local paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any realistic scale factor
+# (region=5 rows, nation=25 — fixed cardinality like TPC-H dims).
+BROADCAST_TABLES = frozenset({"region", "nation"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one table. Plain ``spark.read.parquet`` so Catalyst keeps
+    pushdown/pruning; callers add filters lazily.
+
+    events.ts is TIMESTAMP(NANOS) in the testdata parquet — Spark reads it
+    as long ns (legacy.parquet.nanosAsLong); we convert to TimestampType
+    via integer division (ts DIV 1000 → micros: truncation, bit-exact with
+    DuckDB's ns→µs fetch behavior; float division would lose precision on
+    ~1.7e18 ns values).
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Load several tables as a dict (all of TABLES when no names given)."""
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def read_csv_raw(
+    spark: SparkSession,
+    path: str,
+    drop_index_col: str | None = "_c0",
+) -> DataFrame:
+    """Raw-ingest CSV mode: header on, NO schema inference — every column
+    StringType — and drop the pandas index column.
+
+    Mirrors the reference's ingest (/root/reference/Preprocessing.py:20)
+    which deliberately defers typing until after cleaning, because the data
+    contains literal "NULL" strings, empty strings, and embedded header
+    rows that would corrupt inference. Typing happens in
+    operators.cleaning.cast_columns.
+    """
+    df = spark.read.csv(path, header=True, inferSchema=False)
+    if drop_index_col and drop_index_col in df.columns:
+        df = df.drop(drop_index_col)
+    return df
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Partitioned parquet sink — the scale-safe default (partition pruning
+    on read). The reference writes only driver-side JSON/PNG sidecars
+    (/root/reference/XGBoost.py:160-163,325)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

@@ -1,0 +1,87 @@
+"""Oracle-differential tests — replicates the driver's correctness gate.
+
+For every query in the catalog with an oracle, run the Spark DataFrame AND
+the DuckDB SQL over the same parquet tables and compare: row count, sorted
+column names, and order-insensitive values (exact for non-floats, tiny
+tolerance for floats — the catalog already rounds accumulated floats on
+both sides, so mismatches here mean a real semantic bug).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from chicago_crime_spark_ml_spark.queries import ORACLE, QUERIES
+
+SF = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def duck_con():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return con
+
+
+def normalize(rows, colnames):
+    """Sort columns by name, then rows; stringify with float rounding."""
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    vals.append("nan")
+                else:
+                    vals.append(f"{v + 0.0 if v != 0 else 0.0:.6f}")
+            else:
+                vals.append(repr(v))
+        out.append(tuple(vals))
+    out.sort()
+    return [colnames[i] for i in order], out
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE))
+def test_oracle_match(spark, name):
+    sdf = QUERIES[name](spark, SF)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    con = duck_con()
+    res = con.execute(ORACLE[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    con.close()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    _, s_norm = normalize(spark_rows, spark_cols)
+    _, d_norm = normalize(duck_rows, duck_cols)
+    mism = [i for i, (a, b) in enumerate(zip(s_norm, d_norm)) if a != b]
+    assert not mism, (
+        f"{name}: {len(mism)} mismatched rows; first: "
+        f"spark={s_norm[mism[0]]} duck={d_norm[mism[0]]}"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLE)))
+def test_rows_only_queries_run(spark, name):
+    """Non-SQL-expressible ops at least run and return a stable schema."""
+    df = QUERIES[name](spark, SF)
+    assert df.columns
+    assert df.count() >= 0
