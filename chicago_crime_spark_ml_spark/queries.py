@@ -691,6 +691,66 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Cleaning layer (SURVEY §2.2 A2/A9/A10 — nulls derived from testdata values
+# since the driver tables are null-free)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "null_profile_customers",
+    """
+    SELECT CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_custkey,
+           CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_name,
+           CAST(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_nationkey,
+           CAST(sum(CASE WHEN c_acctbal < 0 OR c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_acctbal,
+           CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_mktsegment
+    FROM customer
+    """,
+)
+def null_profile_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass per-column null profile (A2) — one job over all
+    columns, vs the reference's one-scan-per-column loop
+    (Preprocessing.py:43-46). Nulls injected: negative balances → NULL."""
+    c = _t(spark, sf_dir, "customer").withColumn(
+        "c_acctbal", F.when(F.col("c_acctbal") >= 0, F.col("c_acctbal"))
+    )
+    from chicago_crime_spark_ml_spark.operators.relational import null_profile
+
+    return null_profile(c, dirty_tokens=())
+
+
+@query(
+    "impute_median_acctbal",
+    """
+    WITH withnull AS (
+      SELECT c_custkey,
+             CASE WHEN c_acctbal >= 0 THEN c_acctbal END AS acctbal
+      FROM customer),
+    m AS (SELECT quantile_cont(acctbal, 0.5) AS med FROM withnull)
+    SELECT c_custkey, round(coalesce(acctbal, med), 4) AS acctbal_imputed
+    FROM withnull, m
+    """,
+)
+def impute_median_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median imputation (A9/A10, Preprocessing.py:145-168) with exact
+    percentile for oracle parity; production path uses approxQuantile
+    (single-pass GK sketch) via impute_median(exact=False)."""
+    from chicago_crime_spark_ml_spark.operators.cleaning import impute_median
+
+    c = (
+        _t(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            F.when(F.col("c_acctbal") >= 0, F.col("c_acctbal")).alias("acctbal"),
+        )
+    )
+    out = impute_median(c, ["acctbal"], exact=True)
+    return out.select(
+        "c_custkey", F.round("acctbal", 4).alias("acctbal_imputed")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Dedup / text / embeddings (north-star; more in operators.{dedup,text,similarity})
 # ---------------------------------------------------------------------------
 
