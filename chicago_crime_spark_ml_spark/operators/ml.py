@@ -1,0 +1,208 @@
+"""Distributed ML pipeline — SURVEY.md §2.7 rebuilt on pyspark.ml.
+
+The reference trains driver-side XGBoost after a 1.4M-row toPandas()
+(/root/reference/XGBoost.py:225-298) — the single biggest scale-breaker in
+the codebase (maxResultSize=4g exists only to survive that collect). Here
+training is distributed end-to-end: indexers + VectorAssembler + a
+cluster-native trainer, class weights computed as a DataFrame job and fed
+via weightCol, evaluation via MulticlassClassificationEvaluator. Serving
+reuses the SAME fitted PipelineModel on a 1-row DataFrame — no NumPy twin.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Sequence
+from dataclasses import dataclass
+
+from pyspark.ml import Pipeline, PipelineModel
+from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+from pyspark.ml.feature import StringIndexer, VectorAssembler
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def frequency_index_expr(df: DataFrame, col: str, index_col: str) -> DataFrame:
+    """Deterministic label→index mapping table: frequency-descending,
+    alphabetical tiebreak — exactly StringIndexer's `frequencyDesc` order
+    (/root/reference/XGBoost.py:151-163,207-214). SQL-expressible, so the
+    driver's DuckDB oracle can check it; a pytest asserts ml.StringIndexer
+    produces the identical mapping."""
+    w = Window.orderBy(F.desc("n"), F.asc(col))
+    return (
+        df.groupBy(col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(index_col, (F.row_number().over(w) - 1).cast("double"))
+    )
+
+
+def fit_string_indexers(
+    df: DataFrame, cols: Sequence[str], handle_invalid: str = "keep"
+) -> tuple[PipelineModel, dict[str, list[str]]]:
+    """Fit StringIndexers on train data only (leakage rule the reference
+    gets right — XGBoost.py:151-155), handleInvalid='keep' so unseen test
+    labels map to an extra bucket. Returns the fitted model and the
+    label→index mappings (index = position in list)."""
+    stages = [
+        StringIndexer(
+            inputCol=c,
+            outputCol=f"{c}_idx",
+            handleInvalid=handle_invalid,
+            stringOrderType="frequencyDesc",
+        )
+        for c in cols
+    ]
+    model = Pipeline(stages=stages).fit(df)
+    mappings = {
+        c: list(stage.labels) for c, stage in zip(cols, model.stages)
+    }
+    return model, mappings
+
+
+def save_indexer_mappings(mappings: dict[str, list[str]], path: str) -> None:
+    """JSON sidecar export of label maps — the reference's
+    indexer_mappings.json contract (/root/reference/XGBoost.py:160-163),
+    reloaded for serving (Stramlit_app.py:85-99)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(mappings, f, indent=2, sort_keys=True)
+
+
+def load_indexer_mappings(path: str) -> dict[str, list[str]]:
+    with open(path) as f:
+        return json.load(f)
+
+
+def class_weights(
+    df: DataFrame,
+    label_col: str,
+    clip: tuple[float, float] = (0.1, 5.0),
+) -> DataFrame:
+    """Per-class weight = total/(n_classes·count), clipped — the
+    reference's NumPy formula (/root/reference/XGBoost.py:247-257)
+    computed distributively: one group-by plus unbounded-window totals
+    over the (tiny) per-class table. Returns (label, n, weight)."""
+    counts = df.groupBy(label_col).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy()  # over the per-class table: k rows, trivial
+    lo, hi = clip
+    return counts.select(
+        label_col,
+        "n",
+        F.least(
+            F.lit(hi),
+            F.greatest(
+                F.lit(lo),
+                F.sum("n").over(w) / (F.count(F.lit(1)).over(w) * F.col("n")),
+            ),
+        ).alias("weight"),
+    )
+
+
+def with_sample_weights(
+    df: DataFrame, label_col: str, weight_col: str = "weight"
+) -> DataFrame:
+    """Broadcast-join the per-class weights onto the training rows
+    (replaces the reference's per-row NumPy expansion at XGBoost.py:255-257)."""
+    w = class_weights(df, label_col).drop("n")
+    return df.join(F.broadcast(w), on=label_col, how="left")
+
+
+def _make_classifier(features_col: str, label_col: str, weight_col: str | None, seed: int):
+    """Pick the best available distributed trainer.
+
+    Preference: xgboost.spark.SparkXGBClassifier (distributed XGBoost,
+    public API since XGBoost 1.7 — algorithmic parity with the reference's
+    driver-side XGBoost at XGBoost.py:266-298) when the library is
+    importable; otherwise MLlib RandomForestClassifier (always present).
+    Metric parity with the reference's 51.88% is NOT asserted — different
+    algorithm/data — pipeline determinism is (SURVEY §7 hard-part a).
+    """
+    try:  # pragma: no cover - depends on optional lib in the image
+        from xgboost.spark import SparkXGBClassifier  # type: ignore
+
+        kw = dict(
+            features_col=features_col,
+            label_col=label_col,
+            max_depth=7,
+            learning_rate=0.07,
+            subsample=0.85,
+            colsample_bytree=0.85,
+            min_child_weight=5,
+            reg_alpha=0.05,
+            reg_lambda=0.5,
+            random_state=seed,
+        )
+        if weight_col:
+            kw["weight_col"] = weight_col
+        return SparkXGBClassifier(**kw)
+    except ImportError:
+        from pyspark.ml.classification import RandomForestClassifier
+
+        kw = dict(
+            featuresCol=features_col,
+            labelCol=label_col,
+            numTrees=50,
+            maxDepth=8,
+            seed=seed,
+        )
+        if weight_col:
+            kw["weightCol"] = weight_col
+        return RandomForestClassifier(**kw)
+
+
+@dataclass
+class TrainResult:
+    model: PipelineModel
+    accuracy: float
+    f1_weighted: float
+    label_mapping: list[str]
+
+
+def train_multiclass(
+    train: DataFrame,
+    test: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str,
+    weighted: bool = True,
+    seed: int = 42,
+) -> TrainResult:
+    """End-to-end distributed training pipeline: label indexer (frequency
+    order, XGBoost.py:207-214) → VectorAssembler → weighted classifier →
+    accuracy/weighted-F1 on the held-out time split. All stages
+    distributed; nothing leaves the executors but metrics."""
+    label_indexer = StringIndexer(
+        inputCol=label_col,
+        outputCol="label",
+        handleInvalid="keep",
+        stringOrderType="frequencyDesc",
+    )
+    assembler = VectorAssembler(inputCols=list(feature_cols), outputCol="features")
+    weight_col = None
+    if weighted:
+        train = with_sample_weights(train, label_col)
+        weight_col = "weight"
+    clf = _make_classifier("features", "label", weight_col, seed)
+    pipe = Pipeline(stages=[label_indexer, assembler, clf])
+    model = pipe.fit(train)
+    preds = model.transform(test)
+    acc = MulticlassClassificationEvaluator(
+        labelCol="label", predictionCol="prediction", metricName="accuracy"
+    ).evaluate(preds)
+    f1 = MulticlassClassificationEvaluator(
+        labelCol="label", predictionCol="prediction", metricName="f1"
+    ).evaluate(preds)
+    return TrainResult(
+        model=model,
+        accuracy=acc,
+        f1_weighted=f1,
+        label_mapping=list(model.stages[0].labels),
+    )
+
+
+def predict_single(model: PipelineModel, spark, row: dict) -> DataFrame:
+    """Single-row serving through the SAME fitted pipeline — kills the
+    reference's hand-rolled NumPy re-implementation of its own feature
+    pipeline (/root/reference/Stramlit_app.py:123-136)."""
+    return model.transform(spark.createDataFrame([row]))

@@ -1,0 +1,50 @@
+"""Physical-plan inspection helpers.
+
+The engine's scale guarantees are properties of the PLAN, not the code:
+small-dim joins must be BroadcastHashJoin, filters must reach the parquet
+scan as PushedFilters, hot paths must stay inside WholeStageCodegen.
+These helpers make those properties assertable in tests (SURVEY.md §4:
+"assert via df.explain() in tests").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    """The explain() text as a string (explain() only prints)."""
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), mode
+    )
+
+
+def assert_broadcast_join(df: DataFrame) -> None:
+    """Assert the plan broadcasts at least one join side — the contract of
+    add_group_count_feature and every dim join at 100 TB (a sort-merge
+    join against a 25-row dim is a full shuffle of the fact table)."""
+    plan = explain_str(df, "simple")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, (
+        f"expected a broadcast join in plan:\n{plan}"
+    )
+
+
+def assert_no_shuffle(df: DataFrame) -> None:
+    """Assert the plan contains no exchange — for map-only pipelines
+    (per-row feature engineering must never shuffle)."""
+    plan = explain_str(df, "simple")
+    assert "Exchange" not in plan, f"unexpected shuffle in plan:\n{plan}"
+
+
+def assert_pushed_filters(df: DataFrame, fragment: str) -> None:
+    """Assert a predicate reached the parquet scan (PushedFilters: [...])."""
+    plan = explain_str(df, "formatted")
+    assert "PushedFilters" in plan and fragment in plan, (
+        f"filter '{fragment}' not pushed to scan:\n{plan}"
+    )
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    """Number of WholeStageCodegen spans — wider is better (fewer breaks
+    out of generated code)."""
+    return explain_str(df, "simple").count("WholeStageCodegen")

@@ -751,6 +751,87 @@ def impute_median_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ML-adjacent operators (SURVEY §2.7) — closed-form parts are oracled;
+# training itself is rows-only (stochastic, non-SQL)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "class_weights_by_lang",
+    """
+    WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang)
+    SELECT lang, n,
+           round(least(5.0, greatest(0.1,
+                 (SELECT sum(n) FROM counts)::DOUBLE /
+                 ((SELECT count(*) FROM counts) * n))), 4) AS weight
+    FROM counts
+    """,
+)
+def class_weights_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class weights total/(n_classes·count) clipped to [0.1, 5.0] —
+    the reference's NumPy formula (XGBoost.py:247-257) as a distributed
+    closed form (M4)."""
+    from chicago_crime_spark_ml_spark.operators.ml import class_weights
+
+    d = _t(spark, sf_dir, "documents")
+    out = class_weights(d, "lang")
+    return out.select("lang", "n", F.round("weight", 4).alias("weight"))
+
+
+@query(
+    "label_index_lang",
+    """
+    SELECT lang,
+           CAST(row_number() OVER (ORDER BY count(*) DESC, lang) - 1 AS DOUBLE)
+             AS label_index
+    FROM documents GROUP BY lang
+    """,
+)
+def label_index_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic frequency-ordered label indexing (M1/M2 —
+    StringIndexer frequencyDesc semantics, XGBoost.py:207-214). A pytest
+    asserts ml.StringIndexer yields this exact mapping."""
+    from chicago_crime_spark_ml_spark.operators.ml import frequency_index_expr
+
+    d = _t(spark, sf_dir, "documents")
+    return frequency_index_expr(d, "lang", "label_index").drop("n")
+
+
+@query("train_eval_embeddings")  # stochastic ML — rows-only check
+def train_eval_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed train+eval smoke (M5/M6): classify embeddings.label
+    from the 64-dim embedding via the engine's pipeline (indexer →
+    assembler → distributed trainer). Returns one metrics row. Replaces
+    the reference's driver-side XGBoost-after-toPandas (XGBoost.py:225-298)."""
+    from pyspark.ml.functions import array_to_vector
+
+    from chicago_crime_spark_ml_spark.operators.ml import train_multiclass
+    from chicago_crime_spark_ml_spark.operators.relational import time_split
+
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .withColumn(
+            "features_arr", array_to_vector(F.col("embedding").cast("array<double>"))
+        )
+        .withColumn("label_str", F.col("label").cast("string"))
+        .drop("label")  # the pipeline's indexer emits its own 'label' col
+    )
+    train, test = time_split(emb, "vec_id", 400)
+    res = train_multiclass(
+        train, test, ["features_arr"], "label_str", weighted=True, seed=42
+    )
+    return spark.createDataFrame(
+        [
+            {
+                "accuracy": float(res.accuracy),
+                "f1_weighted": float(res.f1_weighted),
+                "n_classes": len(res.label_mapping),
+            }
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
 # Dedup / text / embeddings (north-star; more in operators.{dedup,text,similarity})
 # ---------------------------------------------------------------------------
 

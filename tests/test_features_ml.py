@@ -1,0 +1,128 @@
+"""Feature + ML operator tests: correctness of the shared feature
+expressions, StringIndexer mapping determinism, class-weight closed form,
+plan-shape assertions (map-only features, broadcast weight join)."""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from chicago_crime_spark_ml_spark.operators.features import (
+    add_boolean_flag,
+    add_cyclical_features,
+    add_distance_feature,
+    add_temporal_features,
+    add_weekend_flag,
+)
+from chicago_crime_spark_ml_spark.operators.ml import (
+    class_weights,
+    fit_string_indexers,
+    frequency_index_expr,
+    load_indexer_mappings,
+    save_indexer_mappings,
+    with_sample_weights,
+)
+from chicago_crime_spark_ml_spark.plans import (
+    assert_broadcast_join,
+    assert_no_shuffle,
+)
+
+
+@pytest.fixture(scope="module")
+def labeled(spark):
+    # THEFT 4×, BATTERY 2×, ASSAULT 1× — deterministic frequency order
+    rows = [("THEFT",)] * 4 + [("BATTERY",)] * 2 + [("ASSAULT",)]
+    return spark.createDataFrame(rows, ["Primary_Type"])
+
+
+def test_temporal_features_known_timestamp(spark):
+    # 2003-07-15 was a Tuesday → Spark dayofweek=3 (1=Sunday)
+    df = spark.createDataFrame(
+        [Row(ts=datetime.datetime(2003, 7, 15, 23, 30))]
+    )
+    out = add_temporal_features(df, "ts").collect()[0]
+    assert (out.year, out.month, out.hour, out.dayofweek) == (2003, 7, 23, 3)
+
+
+def test_weekend_flag_spark_convention(spark):
+    df = spark.createDataFrame([(1,), (2,), (6,), (7,)], ["dow"])
+    out = {r.dow: r.is_weekend for r in add_weekend_flag(df, "dow").collect()}
+    assert out == {1: 1.0, 2: 0.0, 6: 0.0, 7: 1.0}
+
+
+def test_cyclical_matches_reference_formula(spark):
+    # reference: sin(radians(Hour*15)) ≡ sin(2π·h/24) (XGBoost.py:119)
+    df = spark.createDataFrame([(h,) for h in range(24)], ["hour"])
+    out = add_cyclical_features(df, "hour", 24).collect()
+    for r in out:
+        assert abs(r.hour_sin - math.sin(math.radians(r.hour * 15))) < 1e-12
+        assert abs(r.hour_cos - math.cos(math.radians(r.hour * 15))) < 1e-12
+
+
+def test_distance_reference_formula(spark):
+    df = spark.createDataFrame([Row(lat=41.9, lon=-87.7)])
+    out = add_distance_feature(
+        df, "lat", "lon", (41.8781, -87.6298), out_col="d"
+    ).collect()[0]
+    expected = math.sqrt((41.9 - 41.8781) ** 2 + (-87.7 + 87.6298) ** 2) * 111.0
+    assert abs(out.d - expected) < 1e-9
+
+
+def test_boolean_flag_casing(spark):
+    df = spark.createDataFrame([("true",), ("True",), ("false",), (None,)], ["a"])
+    out = [r.f for r in add_boolean_flag(df, "a", ["true"], "f").collect()]
+    assert out == [1.0, 0.0, 0.0, 0.0]  # exact reference semantics (XGBoost.py:92)
+
+
+def test_feature_pipeline_is_map_only(spark, sf_dir):
+    from chicago_crime_spark_ml_spark.sources.io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    feats = add_cyclical_features(
+        add_temporal_features(ev, "ts"), "hour", 24
+    )
+    assert_no_shuffle(feats)  # per-row features must never shuffle
+
+
+def test_string_indexer_matches_sql_mapping(labeled):
+    model, mappings = fit_string_indexers(labeled, ["Primary_Type"])
+    assert mappings["Primary_Type"] == ["THEFT", "BATTERY", "ASSAULT"]
+    sql_map = {
+        r.Primary_Type: r.idx
+        for r in frequency_index_expr(labeled, "Primary_Type", "idx").collect()
+    }
+    assert sql_map == {"THEFT": 0.0, "BATTERY": 1.0, "ASSAULT": 2.0}
+
+
+def test_indexer_mapping_json_roundtrip(tmp_path, labeled):
+    _, mappings = fit_string_indexers(labeled, ["Primary_Type"])
+    p = str(tmp_path / "indexer_mappings.json")
+    save_indexer_mappings(mappings, p)
+    assert load_indexer_mappings(p) == mappings
+
+
+def test_class_weights_closed_form(labeled):
+    w = {r.Primary_Type: r for r in class_weights(labeled, "Primary_Type").collect()}
+    # total=7, k=3: THEFT 7/(3·4)=0.583…, BATTERY 7/6=1.1667, ASSAULT 7/3=2.333
+    assert abs(w["THEFT"].weight - 7 / 12) < 1e-12
+    assert abs(w["BATTERY"].weight - 7 / 6) < 1e-12
+    assert abs(w["ASSAULT"].weight - 7 / 3) < 1e-12
+
+
+def test_class_weights_clipped(spark):
+    # 1 dominant class + 10 singletons: weight_A = 1010/(11·1000) ≈ 0.092
+    # → clipped to 0.1; singleton weight = 1010/11 ≈ 91.8 → clipped to 5.0
+    rows = [("A",)] * 1000 + [(c,) for c in "BCDEFGHIJK"]
+    df = spark.createDataFrame(rows, ["y"])
+    w = {r.y: r.weight for r in class_weights(df, "y").collect()}
+    assert w["A"] == 0.1 and w["B"] == 5.0
+
+
+def test_sample_weight_join_is_broadcast(labeled):
+    weighted = with_sample_weights(labeled, "Primary_Type")
+    assert_broadcast_join(weighted)
+    assert weighted.filter(F.col("weight").isNull()).count() == 0
