@@ -1,0 +1,229 @@
+"""Deduplication operators — exact, n-gram Jaccard, SimHash, MinHash-LSH.
+
+The training-data-pipeline dedup family (north star). Exact dedup is the
+reference's only variant (dropDuplicates — Preprocessing.py:53); the rest
+target near-duplicates at corpus scale:
+
+- exact: hash-groupBy on content digest (shuffle 16-byte keys, not docs)
+- n-gram Jaccard: shingle → inverted-index self-join → exact Jaccard.
+  Deterministic and SQL-expressible (oracle-checked); cost bounded by
+  shingle selectivity, the right tool up to ~10M docs per shard.
+- SimHash: 60-bit md5-derived signature, deterministic and oracle-
+  checkable cross-engine; near-dups = small Hamming distance.
+- MinHash-LSH: pyspark.ml MinHashLSH over shingle hash vectors —
+  the sublinear candidate-generation path for 100 TB (band-bucket
+  join instead of all-pairs); engine-specific hashes → rows-only check.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from chicago_crime_spark_ml_spark.operators.text import shingles_expr, tokens_expr
+
+SIMHASH_BITS = 60  # 15 hex chars of md5 → fits a signed 64-bit int
+
+
+def exact_dedup_by_content(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact content dedup via md5 digest group-by; min id wins
+    (deterministic). One shuffle keyed on the digest."""
+    return df.groupBy(F.md5(text_col).alias("fp")).agg(
+        F.min(id_col).alias(id_col),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def shingle_sets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, shingles array, n_shingles) per doc — map-only."""
+    sh = shingles_expr(tokens_expr(text_col), n)
+    return df.select(
+        F.col(id_col), sh.alias("shingles"), F.size(sh).alias("n_shingles")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (a<b) via inverted-index
+    self-join: explode shingles → join on shingle → |∩| per pair →
+    J = |∩| / (|A|+|B|−|∩|) ≥ threshold.
+
+    The join is keyed on shingles, so cost is Σ_t df_t² over shingle
+    document-frequencies — selective shingles keep it near-linear. At
+    100 TB: band with MinHash-LSH first (minhash_lsh_pairs) and feed the
+    candidate pairs through this exact scorer.
+    """
+    sets = shingle_sets(df, text_col, id_col, n).persist()
+    ex = sets.select(id_col, F.explode("shingles").alias("tok"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sets.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sets.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(jac >= threshold)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def simhash_expr(tokens: F.Column, bits: int = SIMHASH_BITS) -> F.Column:
+    """60-bit SimHash of a token array, as one Column expression.
+
+    Per token: h = int(md5[:15 hex]) (cross-engine reproducible — same
+    construction works in DuckDB: ('0x'||substr(md5(t),1,15))::BIGINT).
+    Per bit b: S_b = Σ_tokens (2·bit_b(h)−1); signature bit b = [S_b > 0].
+    Implemented with aggregate() over the array — no explode, no shuffle:
+    the whole signature is computed map-side per document.
+    """
+    h = lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")  # noqa: E731
+
+    def bit_sums(acc, t):
+        th = h(t)
+        return F.struct(
+            *[
+                (
+                    acc.getField(f"s{b}")
+                    + (F.shiftright(th, b).bitwiseAND(1) * 2 - 1)
+                ).alias(f"s{b}")
+                for b in range(bits)
+            ]
+        )
+
+    zero = F.struct(*[F.lit(0).cast("long").alias(f"s{b}") for b in range(bits)])
+    sums = F.aggregate(tokens, zero, bit_sums)
+    return reduce(
+        lambda a, b: a + b,
+        [
+            F.when(sums.getField(f"s{b}") > 0, F.lit(1 << b).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+            for b in range(bits)
+        ],
+    )
+
+
+def add_simhash(
+    df: DataFrame, text_col: str = "text", out_col: str = "simhash"
+) -> DataFrame:
+    """SimHash signature per document (distinct tokens, set semantics)."""
+    toks = F.array_distinct(tokens_expr(text_col))
+    return df.withColumn(out_col, simhash_expr(toks))
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    band_bits: int = 15,
+) -> DataFrame:
+    """Near-dup candidate pairs by SimHash Hamming distance ≤ k.
+
+    Banding trick to avoid all-pairs: split the 60-bit signature into 4
+    15-bit bands; any pair within Hamming ≤ 3 shares ≥1 exact band
+    (pigeonhole), so candidates = equi-join per band, then exact Hamming
+    filter via bit_count(xor). Join keys are (band_idx, band_value) —
+    fully shuffle-partitionable at scale.
+    """
+    n_bands = SIMHASH_BITS // band_bits
+    sh = add_simhash(df, text_col).select(id_col, "simhash")
+    bands = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("simhash", i * band_bits)
+                        .bitwiseAND((1 << band_bits) - 1)
+                        .alias("val"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select(id_col, "simhash", "bv.band", "bv.val")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    jaccard_threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash-LSH near-dup candidates via pyspark.ml MinHashLSH:
+    shingle → HashingTF binary vector → minhash band buckets →
+    approxSimilarityJoin at distance ≤ 1−threshold.
+
+    THE scale path: candidate generation is a bucket equi-join
+    (sublinear), not an all-pairs comparison. Hash functions are
+    engine-specific → rows-only driver check; property tests assert the
+    planted near-dup pairs are recovered.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    sets = shingle_sets(df, text_col, id_col, n).filter(F.col("n_shingles") > 0)
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
+    )
+    feats = tf.transform(sets)
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_hashes, seed=seed
+    )
+    model = lsh.fit(feats)
+    joined = model.approxSimilarityJoin(
+        feats, feats, 1.0 - jaccard_threshold, distCol="jaccard_dist"
+    )
+    return (
+        joined.filter(F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}"))
+        .select(
+            F.col(f"datasetA.{id_col}").alias("id_a"),
+            F.col(f"datasetB.{id_col}").alias("id_b"),
+            F.round(1.0 - F.col("jaccard_dist"), 4).alias("jaccard_est"),
+        )
+    )

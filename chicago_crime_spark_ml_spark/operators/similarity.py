@@ -1,0 +1,132 @@
+"""Similarity search over embedding columns (array<float>) — north star.
+
+Two tiers, same interface:
+- brute-force exact cosine top-k: zip_with/aggregate dot products —
+  JVM-side, no UDF; correct baseline, O(N·d) per query. Oracle-checked
+  against DuckDB list_cosine_similarity (both sides compute in float64).
+- LSH-bucketed ANN (BucketedRandomProjectionLSH on L2-normalized
+  vectors — Euclidean NN on the unit sphere ≡ cosine NN): sublinear
+  candidate generation, the 100 TB path. Engine-specific hashes →
+  rows-only driver check + recall property test vs brute force.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ via zip_with + aggregate — pure SQL, stays in codegen."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact brute-force cosine top-k for one query vector.
+
+    The query is a literal array baked into the plan (no join, no
+    broadcast needed); compute is float64 regardless of storage type.
+    TakeOrderedAndProject keeps the top-k per partition then merges on
+    the driver — no full sort at any scale.
+    """
+    q = F.array(*[F.lit(float(v)) for v in query_vec]).cast("array<double>")
+    v = F.col(vec_col).cast("array<double>")
+    score = cosine_expr(v, q)
+    return (
+        df.select(F.col(id_col), F.round(score, 4).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """All-pairs cosine ≥ threshold (a<b) — exact, via self-cross-join.
+
+    Quadratic: correct and oracle-checkable at test scale; the scale
+    path is ann_lsh_neighbors / MinHash banding to generate candidates
+    first. Norms are precomputed per side to halve the arithmetic.
+    """
+    withn = df.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("nrm", norm_expr(F.col("v")))
+    a, b = withn.alias("a"), withn.alias("b")
+    cos = dot_expr(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cos, 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def ann_lsh_neighbors(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bucket_length: float = 0.5,
+    num_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine NN via random-projection LSH on normalized
+    vectors (cosine ≡ Euclidean on the unit sphere). Sublinear lookups:
+    only buckets matching the query's hashes are scanned — at 100 TB the
+    index is computed once and the per-query cost is bucket-local."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
+    from pyspark.ml.functions import array_to_vector
+
+    import numpy as np
+
+    vecs = df.select(
+        F.col(id_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("raw"),
+    )
+    normed = Normalizer(inputCol="raw", outputCol="unit", p=2.0).transform(vecs)
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="unit",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_tables,
+        seed=seed,
+    )
+    model = lsh.fit(normed)
+    q = np.asarray(list(query_vec), dtype=float)
+    q = q / np.linalg.norm(q)
+    from pyspark.ml.linalg import Vectors
+
+    out = model.approxNearestNeighbors(normed, Vectors.dense(q), k, distCol="dist")
+    # Euclidean d on unit vectors → cosine = 1 − d²/2
+    return out.select(
+        F.col(id_col),
+        F.round(1.0 - F.col("dist") * F.col("dist") / 2.0, 4).alias("cosine_est"),
+    )

@@ -1,0 +1,111 @@
+"""Text-analysis operators over the documents table — the training-data
+pipeline surface (north star; absent from the reference, which never
+touches free text — SURVEY.md §2.6 'Absent' row).
+
+All JVM-side Column algebra (split/regexp/aggregate) — no Python UDFs:
+at 100 TB these run per-document in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_PATTERN = r"\s+"
+
+
+def tokens_expr(text_col: str, lowercase: bool = False) -> Column:
+    """Whitespace tokenization of trimmed text → array<string>."""
+    c = F.trim(F.col(text_col))
+    if lowercase:
+        c = F.lower(c)
+    return F.split(c, TOKEN_PATTERN)
+
+
+def shingles_expr(tokens: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (distinct) from a token array — the unit of
+    near-dup detection. Pure SQL transform/slice: no UDF, no shuffle.
+
+    Guarded for docs shorter than n tokens: Spark's sequence(0, -1) would
+    count DOWN (implicit step −1), so short docs must short-circuit to [].
+    """
+    return F.when(
+        F.size(tokens) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(tokens) - n),
+                lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def add_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting + lexical stats in one map-only select:
+    n_tokens, n_uniq_tokens, avg_token_len, type-token ratio."""
+    toks = tokens_expr(text_col)
+    n = F.size(toks)
+    charlen = F.length(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", ""))
+    return df.select(
+        "*",
+        n.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq_tokens"),
+        (charlen / n).alias("avg_token_len"),
+        (F.size(F.array_distinct(toks)) / n).alias("ttr"),
+    )
+
+
+def quality_score_expr(
+    n_tokens: Column, ttr: Column, target_len: int = 100
+) -> Column:
+    """Heuristic document quality ∈ [0,1]: length saturation × lexical
+    diversity — the scoring shape used by LLM-corpus filters (length /
+    repetition signals), kept SQL-expressible for the oracle."""
+    return 0.5 * F.least(F.lit(1.0), n_tokens / F.lit(float(target_len))) + 0.5 * ttr
+
+
+def add_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    out = add_token_stats(df, text_col)
+    return out.withColumn(
+        "quality_score", quality_score_expr(F.col("n_tokens"), F.col("ttr"))
+    )
+
+
+def lang_id_by_markers(
+    df: DataFrame,
+    text_col: str,
+    markers: Mapping[str, Sequence[str]],
+    out_col: str = "predicted_lang",
+) -> DataFrame:
+    """Marker-word language ID: score(lang) = # marker words present in
+    the token set; argmax with deterministic (alphabetical) tiebreak.
+
+    The classic stopword-profile heuristic (n-gram profiling à la
+    Cavnar-Trenkle reduces to this for word-unigrams). Pure CASE/array
+    algebra → SQL-expressible; real deployments feed real stopword lists
+    per language.
+    """
+    toks = F.array_distinct(tokens_expr(text_col, lowercase=True))
+    scores = {
+        lang: reduce(
+            lambda a, b: a + b,
+            [F.array_contains(toks, w).cast("int") for w in words],
+        )
+        for lang, words in markers.items()
+    }
+    # argmax, alphabetical-first tiebreak: walk langs in sorted order,
+    # pick the first whose score ≥ every other — identical CASE chain to
+    # the SQL oracle, so the two stay provably in lockstep.
+    langs = sorted(scores)
+    expr = None
+    for lang in langs:
+        cond = reduce(
+            lambda a, b: a & b,
+            [scores[lang] >= scores[o] for o in langs if o != lang],
+            F.lit(True),
+        )
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    return df.withColumn(out_col, expr.otherwise(langs[0]))

@@ -836,6 +836,271 @@ def train_eval_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+LANG_MARKERS = {
+    "de": ["data", "table"],
+    "en": ["the", "a"],
+    "es": ["fast", "slow"],
+    "fr": ["join", "merge"],
+    "zh": ["hash", "scan"],
+}
+
+
+def _lang_id_sql() -> str:
+    """CASE-chain argmax over marker-word scores — generated so the SQL
+    provably mirrors operators.text.lang_id_by_markers."""
+    score = {
+        lang: " + ".join(
+            f"CAST(list_contains(toks, '{w}') AS INT)" for w in words
+        )
+        for lang, words in LANG_MARKERS.items()
+    }
+    langs = sorted(score)
+    whens = []
+    for lang in langs:
+        conds = " AND ".join(
+            f"({score[lang]}) >= ({score[o]})" for o in langs if o != lang
+        )
+        whens.append(f"WHEN {conds} THEN '{lang}'")
+    chain = "\n           ".join(whens)
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS toks
+      FROM documents)
+    SELECT doc_id,
+           CASE {chain} ELSE '{langs[0]}' END AS predicted_lang
+    FROM t
+    """
+
+
+_SIMHASH_BITS = 60
+
+
+def _simhash_cte() -> str:
+    """Per-doc 60-bit SimHash as DuckDB SQL (CTE named ``sims``) — the
+    same md5[:15-hex] construction as operators.dedup.simhash_expr."""
+    bit_sums = ", ".join(
+        f"sum(((h >> {b}) & 1) * 2 - 1) AS s{b}" for b in range(_SIMHASH_BITS)
+    )
+    recombine = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END"
+        for b in range(_SIMHASH_BITS)
+    )
+    return f"""
+    toks AS (
+      SELECT doc_id,
+             unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS tok
+      FROM documents),
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+    sums AS (SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id),
+    sims AS (SELECT doc_id, CAST({recombine} AS BIGINT) AS simhash FROM sums)
+    """
+
+
+@query(
+    "doc_token_stats",
+    """
+    WITH t AS (
+      SELECT doc_id, lang,
+             string_split_regex(trim(text), '\\s+') AS toks,
+             length(regexp_replace(trim(text), '\\s+', '', 'g')) AS nchar
+      FROM documents)
+    SELECT doc_id, lang,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS INTEGER) AS n_uniq_tokens,
+           round(nchar / len(toks), 4) AS avg_token_len,
+           round(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 4) AS ttr
+    FROM t
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + lexical stats (north-star text analysis) — one
+    map-only select, no shuffle."""
+    from chicago_crime_spark_ml_spark.operators.text import add_token_stats
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    out = add_token_stats(d)
+    return out.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "n_uniq_tokens",
+        F.round("avg_token_len", 4).alias("avg_token_len"),
+        F.round("ttr", 4).alias("ttr"),
+    )
+
+
+@query(
+    "doc_quality_scores",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents)
+    SELECT doc_id,
+           round(0.5 * least(1.0, len(toks) / 100.0)
+                 + 0.5 * (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)),
+                 4) AS quality_score
+    FROM t
+    """,
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: length saturation × lexical diversity —
+    the LLM-corpus filter shape, SQL-expressible for the oracle."""
+    from chicago_crime_spark_ml_spark.operators.text import add_quality_score
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return add_quality_score(d).select(
+        "doc_id", F.round("quality_score", 4).alias("quality_score")
+    )
+
+
+@query("lang_id_markers", _lang_id_sql())
+def lang_id_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID (n-gram-profile heuristic). On the
+    synthetic shared-vocab corpus the prediction is linguistically
+    arbitrary but fully deterministic — the operator contract under test;
+    real deployments supply per-language stopword lists."""
+    from chicago_crime_spark_ml_spark.operators.text import lang_id_by_markers
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return lang_id_by_markers(d, "text", LANG_MARKERS).select(
+        "doc_id", "predicted_lang"
+    )
+
+
+@query(
+    "ngram_jaccard_near_dups",
+    """
+    WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+    sh AS (SELECT doc_id,
+                  list_distinct([array_to_string(w[i:i+2], ' ')
+                                 for i in range(1, len(w) - 1)]) AS s
+           FROM t WHERE len(w) >= 3),
+    ex AS (SELECT doc_id, unnest(s) AS tok FROM sh),
+    pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM ex a JOIN ex b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    sizes AS (SELECT doc_id, len(s) AS n FROM sh)
+    SELECT id_a, id_b,
+           round(inter / CAST(sa.n + sb.n - inter AS DOUBLE), 4) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE inter / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.8
+    """,
+)
+def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs at J ≥ 0.8 — recovers the
+    generator's planted near-duplicates. Inverted-index self-join keyed on
+    shingles (cost Σ df_t², near-linear when shingles are selective); at
+    100 TB, MinHash-LSH generates candidates first."""
+    from chicago_crime_spark_ml_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, threshold=0.8)
+
+
+@query(
+    "doc_simhash",
+    f"WITH {_simhash_cte()} SELECT doc_id, simhash FROM sims",
+)
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash fingerprint per document — md5-derived, so the
+    signature is bit-identical across engines (oracle-checked). Computed
+    map-side via array aggregate: no explode, no shuffle."""
+    from chicago_crime_spark_ml_spark.operators.dedup import add_simhash
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return add_simhash(d).select("doc_id", "simhash")
+
+
+@query(
+    "simhash_near_dups",
+    f"""
+    WITH {_simhash_cte()}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-≤3 near-dup pairs via 4×15-bit banding (pigeonhole
+    guarantees recall: ≤3 differing bits can't touch all 4 bands), so the
+    banded equi-join provably equals the oracle's all-pairs scan."""
+    from chicago_crime_spark_ml_spark.operators.dedup import simhash_hamming_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    out = simhash_hamming_pairs(d, max_hamming=3)
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+@query("minhash_lsh_near_dups")  # engine-specific hash functions — rows-only
+def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (the sublinear 100 TB dedup path).
+    A pytest asserts it recovers the exact-Jaccard planted pairs."""
+    from chicago_crime_spark_ml_spark.operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, jaccard_threshold=0.8)
+
+
+@query(
+    "ann_cosine_top10",
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           round(list_cosine_similarity(embedding::DOUBLE[], qe), 4) AS cosine
+    FROM embeddings, q
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+)
+def ann_cosine_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-10 for the vec_id=0 query vector —
+    the ANN baseline. float64 math on both sides; ordering on the ROUNDED
+    score + id keeps the top-k set deterministic."""
+    from chicago_crime_spark_ml_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return cosine_topk(emb, qvec, k=10)
+
+
+@query(
+    "embedding_near_dup_pairs",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.e, b.e), 4) AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.e, b.e), 4) >= 0.4
+    """,
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact all-pairs at test scale;
+    LSH candidates at 100 TB). Threshold applied to the rounded score so
+    both engines cut at identical values."""
+    from chicago_crime_spark_ml_spark.operators.similarity import (
+        embedding_near_dup_pairs as pairs_op,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pairs_op(emb, threshold=0.4)
+
+
+@query("ann_lsh_top10")  # engine-specific hash functions — rows-only
+def ann_lsh_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection LSH ANN for the vec_id=0 query (cosine via
+    normalized Euclidean). A pytest asserts recall vs brute force."""
+    from chicago_crime_spark_ml_spark.operators.similarity import ann_lsh_neighbors
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return ann_lsh_neighbors(emb, qvec, k=10)
+
+
 @query(
     "dedup_documents_exact",
     """

@@ -1,0 +1,98 @@
+"""Property tests for text/dedup/similarity operators — the checks that
+have no SQL oracle (LSH recall) plus invariants (self-similarity,
+planted-duplicate recovery). SURVEY.md §7 hard-part (c)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from chicago_crime_spark_ml_spark.operators.dedup import (
+    add_simhash,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_hamming_pairs,
+)
+from chicago_crime_spark_ml_spark.operators.similarity import (
+    ann_lsh_neighbors,
+    cosine_topk,
+)
+from chicago_crime_spark_ml_spark.operators.text import add_quality_score
+from chicago_crime_spark_ml_spark.sources.io import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").persist()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").persist()
+
+
+@pytest.fixture(scope="module")
+def exact_pairs(docs):
+    return {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+
+
+def test_planted_near_dups_found(exact_pairs):
+    # the generator plants near-duplicate docs (marked with a 'dup' token)
+    assert len(exact_pairs) >= 5
+
+
+def test_minhash_recovers_exact_pairs(docs, exact_pairs):
+    # LSH candidates must contain every true pair (recall), almost surely
+    # at J≈0.99 with 32 hash tables; we tolerate none missing.
+    lsh_pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, jaccard_threshold=0.8).collect()
+    }
+    assert exact_pairs <= lsh_pairs
+
+
+def test_simhash_identical_text_same_signature(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "the quick brown fox"), (3, "totally different words here")],
+        ["doc_id", "text"],
+    )
+    sigs = {r.doc_id: r.simhash for r in add_simhash(df).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
+
+
+def test_simhash_pairs_subset_of_banding(docs):
+    # banding (4×15 bits) must have perfect recall at hamming ≤ 3;
+    # planted dups should surface with small hamming distance
+    pairs = simhash_hamming_pairs(docs, max_hamming=3).collect()
+    assert all(r.hamming <= 3 for r in pairs)
+    assert len(pairs) >= 1
+
+
+def test_cosine_topk_self_first(emb):
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    top = cosine_topk(emb, qvec, k=5).collect()
+    assert top[0].vec_id == 0 and top[0].cosine == 1.0
+    # scores non-increasing
+    scores = [r.cosine for r in top]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_ann_lsh_finds_query_vector(emb):
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    res = ann_lsh_neighbors(emb, qvec, k=10).collect()
+    ids = {r.vec_id for r in res}
+    assert 0 in ids  # the query's own vector must be retrieved
+    self_row = next(r for r in res if r.vec_id == 0)
+    assert abs(self_row.cosine_est - 1.0) < 1e-6
+
+
+def test_quality_score_bounds(docs):
+    out = add_quality_score(docs.select("doc_id", "text"))
+    bad = out.filter(
+        (F.col("quality_score") < 0) | (F.col("quality_score") > 1)
+    ).count()
+    assert bad == 0
