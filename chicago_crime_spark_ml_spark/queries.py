@@ -836,6 +836,153 @@ def train_eval_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# Time-windowed / streaming-shaped (SURVEY §2.8 — batch-first with oracles;
+# the same expressions run under readStream, smoke-tested in pytest)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_tumbling_daily",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day windows (epoch-aligned ⇒ UTC midnight, exactly
+    date_trunc('day')). Identical expression runs under Structured
+    Streaming with a watermark."""
+    from chicago_crime_spark_ml_spark.streaming import tumbling_window_agg
+
+    ev = _t(spark, sf_dir, "events")
+    out = tumbling_window_agg(
+        ev,
+        "ts",
+        "1 day",
+        keys=["event_type"],
+        aggs=[
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        ],
+    )
+    return out.select("bucket_start", "event_type", "n", "total_value")
+
+
+@query(
+    "events_sliding_2d_1d",
+    """
+    SELECT bucket_start, event_type, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
+             event_type, value FROM events
+      UNION ALL
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) - INTERVAL 1 DAY,
+             event_type, value FROM events
+    ) GROUP BY 1, 2
+    """,
+)
+def events_sliding_2d_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2-day windows every 1 day — each event lands in exactly 2
+    windows (those starting at its day and the day before); the oracle
+    materializes that expansion explicitly via UNION ALL."""
+    from chicago_crime_spark_ml_spark.streaming import sliding_window_agg
+
+    ev = _t(spark, sf_dir, "events")
+    out = sliding_window_agg(
+        ev,
+        "ts",
+        "2 days",
+        "1 day",
+        keys=["event_type"],
+        aggs=[
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        ],
+    )
+    return out.select("bucket_start", "event_type", "n", "total_value")
+
+
+@query(
+    "events_sessionized",
+    """
+    WITH o AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      FROM events),
+    flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS news
+      FROM o),
+    numbered AS (
+      SELECT user_id,
+             sum(news) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged)
+    SELECT user_id,
+           count(DISTINCT sid) AS n_sessions,
+           count(*) AS n_events
+    FROM numbered GROUP BY user_id
+    """,
+)
+def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via session_window (gap 30 min) — the streaming-
+    native operator; its batch semantics equal the classic lag+cumsum
+    gaps-and-islands SQL, which is the oracle (new session iff gap ≥ 30m,
+    matching session_window's half-open [ts, ts+gap) merge rule)."""
+    from chicago_crime_spark_ml_spark.streaming import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    return sessionize(ev, "ts", "user_id", gap="30 minutes")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary-column plumbing (north star — blobs derived from text
+# bytes; real media decode is stubbed, Spark-side plumbing is real)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_blob_metadata",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           sha256(text) AS sha_hex
+    FROM documents
+    """,
+)
+def multimodal_blob_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over a binary column (byte length + content hash) —
+    the schema layer every multimodal corpus needs before any decode."""
+    from chicago_crime_spark_ml_spark.operators.multimodal import attach_blob
+
+    d = attach_blob(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return d.select(
+        "doc_id",
+        F.col("blob_meta.n_bytes").alias("n_bytes"),
+        F.col("blob_meta.sha256").alias("sha_hex"),
+    )
+
+
+@query("multimodal_feature_extract")  # Python-side stub decode — rows-only
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over blobs (decode
+    stubbed — deterministic byte-stat features; real pipelines drop in
+    PIL/ffmpeg per batch). Schema/batch plumbing is the operator under
+    test."""
+    from chicago_crime_spark_ml_spark.operators.multimodal import (
+        attach_blob,
+        extract_features,
+    )
+
+    d = attach_blob(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return extract_features(d)
+
+
 LANG_MARKERS = {
     "de": ["data", "table"],
     "en": ["the", "a"],

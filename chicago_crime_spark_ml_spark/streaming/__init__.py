@@ -1,0 +1,118 @@
+"""Time-windowed / streaming operators over the events table.
+
+The reference has no streaming at all (SURVEY.md §2.8). Strategy per
+SURVEY §7.6: every windowed operator is implemented BATCH-FIRST —
+tumbling/sliding/session windows are plain group-bys on time buckets,
+so they get full DuckDB oracle coverage — and the identical expressions
+run under Structured Streaming via ``readStream`` (stream_events +
+to_streaming smoke-tested with the memory sink). Watermarks bound state
+at scale; in batch they're a no-op.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def tumbling_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    keys: Sequence[str],
+    aggs: Sequence[Column],
+    bucket_col: str = "bucket_start",
+) -> DataFrame:
+    """Tumbling-window aggregation: F.window(ts, duration) + keys.
+    Epoch-aligned (day windows start at UTC midnight — matches
+    date_trunc in the oracle). One shuffle on (window, keys)."""
+    return (
+        df.groupBy(F.window(ts_col, duration).alias("w"), *keys)
+        .agg(*aggs)
+        .withColumn(bucket_col, F.col("w.start"))
+        .drop("w")
+    )
+
+
+def sliding_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    slide: str,
+    keys: Sequence[str],
+    aggs: Sequence[Column],
+    bucket_col: str = "bucket_start",
+) -> DataFrame:
+    """Sliding windows (duration > slide ⇒ each row lands in
+    duration/slide windows — Spark expands map-side, no extra scan)."""
+    return (
+        df.groupBy(F.window(ts_col, duration, slide).alias("w"), *keys)
+        .agg(*aggs)
+        .withColumn(bucket_col, F.col("w.start"))
+        .drop("w")
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Per-key session stats via session_window (gap-merged windows;
+    a new session starts when the inter-event gap ≥ ``gap``). Returns
+    (key, n_sessions, n_events). Works identically in batch and
+    streaming; the batch form equals the classic lag+cumsum
+    gaps-and-islands SQL, which is the oracle."""
+    per_session = df.groupBy(
+        key_col, F.session_window(ts_col, gap).alias("sw")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return per_session.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n").cast("long").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming wrappers
+# ---------------------------------------------------------------------------
+
+EVENTS_RAW_SCHEMA = (
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def stream_events(
+    spark: SparkSession, sf_dir: str, glob: str = "events.parquet"
+) -> DataFrame:
+    """readStream over the events parquet (ts stored as ns-int64 —
+    same conversion as the batch loader, so batch and stream plans share
+    expressions). The parquet streaming source wants a DIRECTORY, so we
+    point at the sf dir with a pathGlobFilter. In production the source
+    is Kafka/files-on-arrival; the transformation layer is identical."""
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", glob)
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+
+
+def run_stream_to_memory(
+    agg: DataFrame, query_name: str, output_mode: str = "complete"
+):
+    """Drive a streaming aggregation to completion against the memory
+    sink (synchronous — for tests/smoke; real sinks: kafka/parquet with
+    checkpointing + exactly-once via foreachBatch)."""
+    q = (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q

@@ -1,0 +1,85 @@
+"""Streaming + multimodal tests: the readStream path produces the same
+result as the batch path (same expressions, memory sink), and the
+mapInPandas feature plumbing preserves rows/schema/determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from chicago_crime_spark_ml_spark.operators.multimodal import (
+    attach_blob,
+    extract_features,
+)
+from chicago_crime_spark_ml_spark.sources.io import load_table
+from chicago_crime_spark_ml_spark.streaming import (
+    run_stream_to_memory,
+    sessionize,
+    stream_events,
+    tumbling_window_agg,
+)
+
+
+def test_stream_equals_batch_tumbling(spark, sf_dir):
+    batch = tumbling_window_agg(
+        load_table(spark, sf_dir, "events"),
+        "ts",
+        "1 day",
+        keys=["event_type"],
+        aggs=[F.count(F.lit(1)).alias("n")],
+    )
+    batch_rows = {
+        (r.bucket_start, r.event_type): r.n for r in batch.collect()
+    }
+
+    stream = stream_events(spark, sf_dir)
+    agg = tumbling_window_agg(
+        stream.withWatermark("ts", "1 day"),
+        "ts",
+        "1 day",
+        keys=["event_type"],
+        aggs=[F.count(F.lit(1)).alias("n")],
+    )
+    run_stream_to_memory(agg, "tumbling_smoke", output_mode="complete")
+    stream_rows = {
+        (r.bucket_start, r.event_type): r.n
+        for r in spark.sql("SELECT * FROM tumbling_smoke").collect()
+    }
+    assert stream_rows == batch_rows
+
+
+def test_sessionize_sanity(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    out = sessionize(ev, "ts", "user_id", gap="30 minutes")
+    rows = out.collect()
+    n_users = ev.select("user_id").distinct().count()
+    assert len(rows) == n_users
+    # sessions per user between 1 and n_events; totals add up
+    total_events = sum(r.n_events for r in rows)
+    assert total_events == ev.count()
+    assert all(1 <= r.n_sessions <= r.n_events for r in rows)
+
+
+def test_extract_features_plumbing(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    feats = extract_features(attach_blob(docs))
+    rows = feats.collect()
+    assert len(rows) == docs.count()  # row-preserving
+    assert all(len(r.features) == 4 for r in rows)
+    assert all(0.0 <= v <= 1.0 for r in rows for v in r.features)
+    # deterministic across runs (stub decode is byte-stat based)
+    again = {r.doc_id: r.features for r in feats.collect()}
+    assert all(again[r.doc_id] == r.features for r in rows)
+
+
+def test_extract_features_partitioned_batches(spark, sf_dir):
+    # plumbing must be partition-agnostic: same result at 1 and 8 partitions
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    one = {
+        r.doc_id: r.features
+        for r in extract_features(attach_blob(docs.coalesce(1))).collect()
+    }
+    many = {
+        r.doc_id: r.features
+        for r in extract_features(attach_blob(docs.repartition(8))).collect()
+    }
+    assert one == many
