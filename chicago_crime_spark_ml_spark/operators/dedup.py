@@ -99,10 +99,14 @@ def simhash_expr(tokens: F.Column, bits: int = SIMHASH_BITS) -> F.Column:
     Implemented with aggregate() over the array — no explode, no shuffle:
     the whole signature is computed map-side per document.
     """
-    h = lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")  # noqa: E731
+    # Hash ONCE per token (md5 is the expensive part — folding over raw
+    # tokens would re-evaluate it per bit, 60×), then fold bit-sums over
+    # the precomputed hash array.
+    hashes = F.transform(
+        tokens, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    )
 
-    def bit_sums(acc, t):
-        th = h(t)
+    def bit_sums(acc, th):
         return F.struct(
             *[
                 (
@@ -114,7 +118,7 @@ def simhash_expr(tokens: F.Column, bits: int = SIMHASH_BITS) -> F.Column:
         )
 
     zero = F.struct(*[F.lit(0).cast("long").alias(f"s{b}") for b in range(bits)])
-    sums = F.aggregate(tokens, zero, bit_sums)
+    sums = F.aggregate(hashes, zero, bit_sums)
     return reduce(
         lambda a, b: a + b,
         [
@@ -126,11 +130,43 @@ def simhash_expr(tokens: F.Column, bits: int = SIMHASH_BITS) -> F.Column:
 
 
 def add_simhash(
-    df: DataFrame, text_col: str = "text", out_col: str = "simhash"
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "simhash",
+    id_cols: tuple[str, ...] = ("doc_id",),
 ) -> DataFrame:
-    """SimHash signature per document (distinct tokens, set semantics)."""
+    """SimHash signature per document (distinct tokens, set semantics).
+
+    Explode + hash-aggregate formulation: one md5 per (doc, token), then
+    60 plain long-typed conditional sums — everything stays in
+    whole-stage codegen. (The no-shuffle array-fold variant,
+    simhash_expr, produces identical results but Spark evaluates big
+    struct folds interpreted — measured ~10× slower; the explode path's
+    doc_id shuffle is partial-aggregated map-side and scales linearly.)
+    Output: id_cols + out_col. Other columns are dropped — join back on
+    the id if needed.
+    """
     toks = F.array_distinct(tokens_expr(text_col))
-    return df.withColumn(out_col, simhash_expr(toks))
+    ex = df.select(*id_cols, F.explode(toks).alias("tok"))
+    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    hashed = ex.select(*id_cols, h.alias("h"))
+    sums = hashed.groupBy(*id_cols).agg(
+        *[
+            F.sum(
+                (F.shiftright("h", b).bitwiseAND(1) * 2 - 1).cast("long")
+            ).alias(f"s{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    sig = reduce(
+        lambda a, b: a + b,
+        [
+            F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+            for b in range(SIMHASH_BITS)
+        ],
+    )
+    return sums.select(*id_cols, sig.alias(out_col))
 
 
 def simhash_hamming_pairs(

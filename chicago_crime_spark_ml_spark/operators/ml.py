@@ -158,6 +158,7 @@ class TrainResult:
     accuracy: float
     f1_weighted: float
     label_mapping: list[str]
+    feature_importances: list[float] | None = None  # M7 (gain-style scores)
 
 
 def train_multiclass(
@@ -193,11 +194,16 @@ def train_multiclass(
     f1 = MulticlassClassificationEvaluator(
         labelCol="label", predictionCol="prediction", metricName="f1"
     ).evaluate(preds)
+    clf_model = model.stages[-1]
+    importances = None
+    if hasattr(clf_model, "featureImportances"):
+        importances = list(clf_model.featureImportances.toArray())
     return TrainResult(
         model=model,
         accuracy=acc,
         f1_weighted=f1,
         label_mapping=list(model.stages[0].labels),
+        feature_importances=importances,
     )
 
 

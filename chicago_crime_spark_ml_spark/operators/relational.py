@@ -134,6 +134,24 @@ def add_group_count_feature(
     return df.join(counts, on=key, how="left").fillna({out_col: fill})
 
 
+def dedup_keep_first(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+    rank_col: str = "__rn",
+) -> DataFrame:
+    """Deterministic key-dedup: keep the first row per key under an
+    explicit ordering. ``dropDuplicates(keys)`` keeps an ARBITRARY row —
+    fine for exact duplicates, a silent nondeterminism bug otherwise; this
+    is the reproducible form (one shuffle on keys, same as dropDuplicates)."""
+    w = Window.partitionBy(*keys).orderBy(*[F.asc(c) for c in order_by])
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) == 1)
+        .drop(rank_col)
+    )
+
+
 def null_profile(df: DataFrame, dirty_tokens: Sequence[str] = ("NULL", "")) -> DataFrame:
     """Single-pass per-column dirty/null counts — one job over all columns
     (conditional sum per column), replacing the reference's 22-scan

@@ -209,6 +209,53 @@ def rollup_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cube_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (absent from the reference — SURVEY §2.4
+    'Absent' row): all 4 grouping combinations in one shuffle with
+    map-side grouping-set expansion."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@query(
+    "dedup_events_keep_first",
+    """
+    SELECT user_id, event_type, event_id, value
+    FROM (SELECT user_id, event_type, event_id, value,
+                 row_number() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts, event_id) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+)
+def dedup_events_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic keep-first dedup: earliest event per
+    (user, event_type) under an explicit (ts, event_id) order —
+    the reproducible alternative to dropDuplicates(keys), which keeps an
+    arbitrary row."""
+    from chicago_crime_spark_ml_spark.operators.relational import dedup_keep_first
+
+    ev = _t(spark, sf_dir, "events")
+    out = dedup_keep_first(
+        ev, keys=["user_id", "event_type"], order_by=["ts", "event_id"]
+    )
+    return out.select("user_id", "event_type", "event_id", "value")
+
+
+@query(
     "lineitem_distinct_counts",
     """
     SELECT count(DISTINCT l_partkey) AS n_parts,
