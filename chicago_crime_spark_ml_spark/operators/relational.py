@@ -134,6 +134,88 @@ def add_group_count_feature(
     return df.join(counts, on=key, how="left").fillna({out_col: fill})
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+) -> DataFrame:
+    """As-of join (backward, inclusive): for each left row, attach the
+    right row with the greatest ``right_ts`` ≤ ``left_ts`` for the same
+    key. Spark has no native as-of join; this is the scalable formulation:
+
+        union(left, right) → window per key sorted by (ts, side) →
+        last(payload, ignoreNulls) → keep left rows
+
+    ONE shuffle on the key, sequential scan per key — no per-group
+    Python (pd.merge_asof via applyInPandas is the fallback only when
+    per-group state gets complex). Right rows sort before left rows at
+    equal ts, giving inclusive (≥) semantics — matching DuckDB
+    ``ASOF LEFT JOIN ... ON l.ts >= r.ts``, the oracle.
+
+    ``right`` must consist of ``key``, ``right_ts`` and payload columns
+    whose names don't collide with ``left``'s.
+    """
+    payload = [c for c in right.columns if c not in (key, right_ts)]
+    lcols = left.columns
+    collisions = set(payload) & set(lcols)
+    assert not collisions, f"asof_join payload collides with left: {collisions}"
+    l_tag = left.select(
+        *lcols,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(c)
+            for c in payload
+        ],
+    )
+    r_tag = right.select(
+        *[
+            F.col(key).alias(c)
+            if c == key
+            else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+        ],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        *payload,
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("__ts", "__is_left")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = l_tag.unionByName(r_tag).withColumns(
+        {c: F.last(c, ignorenulls=True).over(w) for c in payload}
+    )
+    return filled.filter(F.col("__is_left") == 1).drop("__ts", "__is_left")
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated equi-join: salt the (skewed) left side's key into
+    ``salt`` sub-keys and explode the right side across all salt values,
+    spreading a hot key over ``salt`` reducers.
+
+    AQE's skew-join splitting usually makes this unnecessary (it's on in
+    the engine session); manual salting remains for the cases AQE can't
+    rescue (skewed AGGREGATION keys, or joins below AQE's size
+    thresholds). Result is provably identical to the plain join (tested).
+    """
+    sl = left.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
+    sr = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    out = sl.join(sr, on=[key, "__salt"], how=how)
+    return out.drop("__salt")
+
+
 def dedup_keep_first(
     df: DataFrame,
     keys: Sequence[str],

@@ -56,6 +56,27 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _dsum(c, scale: int = 2):
+    """Order-independent cross-engine sum of doubles: cast each term to
+    DECIMAL(18,4) (exact, associative addition), round, back to double.
+    Plain double sums differ across engines by ~1ulp·n in the last bits —
+    enough to flip a value sitting on a rounding boundary (observed:
+    3918590.075 landing as .07 vs .08). SQL twin:
+    CAST(round(sum(CAST(x AS DECIMAL(18,4))), s) AS DOUBLE)."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.round(F.sum(c.cast("decimal(18,4)")), scale).cast("double")
+
+
+def _davg(c, scale: int = 4):
+    """Cross-engine avg built on the exact decimal sum: double division
+    of bit-identical operands. SQL twin:
+    round(CAST(sum(CAST(x AS DECIMAL(18,4))) AS DOUBLE) / count(x), s)."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.round(
+        F.sum(c.cast("decimal(18,4)")).cast("double") / F.count(c), scale
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship + core aggregations (SURVEY §2.4 A3-A8, §2.3 joins)
 # ---------------------------------------------------------------------------
@@ -67,8 +88,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     SELECT r.r_name,
            CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
            count(*) AS n_orders,
-           round(sum(o.o_totalprice), 2) AS revenue,
-           round(avg(o.o_totalprice), 4) AS avg_order_value
+           CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+           round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                 / count(o.o_totalprice), 4) AS avg_order_value
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
     JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -93,8 +115,8 @@ def flagship_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", F.year("o_orderdate").alias("o_year"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
-            F.round(F.avg("o_totalprice"), 4).alias("avg_order_value"),
+            _dsum("o_totalprice").alias("revenue"),
+            _davg("o_totalprice").alias("avg_order_value"),
         )
     )
 
@@ -103,13 +125,18 @@ def flagship_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           round(avg(l_quantity), 4) AS avg_qty,
-           round(avg(l_extendedprice), 4) AS avg_price,
-           round(avg(l_discount), 4) AS avg_disc,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(10,2))
+                          * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)
+             AS sum_disc_price,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(10,2))
+                          * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                          * (1 + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE)
+             AS sum_charge,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(l_quantity), 4) AS avg_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(l_extendedprice), 4) AS avg_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(l_discount), 4) AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
@@ -121,18 +148,29 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Single shuffle after map-side partial agg; the shipdate predicate
     pushes to the parquet scan (row-group pruning at scale)."""
     li = _t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # products computed in EXACT decimal (the 2-decimal source data casts
+    # losslessly; double products land on half-boundaries at 4dp and
+    # round differently across engines — decimal multiply is exact)
+    ep = F.col("l_extendedprice").cast("decimal(10,2)")
+    one_minus_d = F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast(
+        "decimal(4,2)"
+    )
+    one_plus_tax = F.lit(1).cast("decimal(3,2)") + F.col("l_tax").cast(
+        "decimal(4,2)"
+    )
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            F.round(F.sum(ep * one_minus_d), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(ep * one_minus_d * one_plus_tax), 2)
+            .cast("double")
+            .alias("sum_charge"),
+            _davg("l_quantity").alias("avg_qty"),
+            _davg("l_extendedprice").alias("avg_price"),
+            _davg("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -143,8 +181,8 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_mktsegment,
            count(*) AS n_customers,
-           round(sum(c_acctbal), 2) AS total_balance,
-           round(avg(c_acctbal), 4) AS avg_balance,
+           CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_balance,
+           round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(c_acctbal), 4) AS avg_balance,
            min(c_acctbal) AS min_balance,
            max(c_acctbal) AS max_balance
     FROM customer GROUP BY c_mktsegment
@@ -158,8 +196,8 @@ def mktsegment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
-            F.round(F.avg("c_acctbal"), 4).alias("avg_balance"),
+            _dsum("c_acctbal").alias("total_balance"),
+            _davg("c_acctbal").alias("avg_balance"),
             F.min("c_acctbal").alias("min_balance"),
             F.max("c_acctbal").alias("max_balance"),
         )
@@ -189,7 +227,7 @@ def orders_by_year_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_returnflag_status",
     """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
            count(*) AS n
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -202,7 +240,7 @@ def rollup_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            _dsum("l_quantity").alias("sum_qty"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -212,7 +250,8 @@ def rollup_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cube_status_priority",
     """
     SELECT o_orderstatus, o_orderpriority,
-           count(*) AS n, round(sum(o_totalprice), 2) AS total
+           count(*) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
     FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
 )
@@ -225,7 +264,7 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            _dsum("o_totalprice").alias("total"),
         )
     )
 
@@ -341,6 +380,176 @@ def part_describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "local_supplier_volume",
+    """
+    SELECT n.n_name,
+           CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(10,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)
+             AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped multi-way join: the big fact⋈fact shuffle join
+    (lineitem⋈orders on orderkey) plus broadcast dims (supplier/nation).
+    At 100 TB lineitem and orders are co-bucketed on orderkey so the
+    heavy join is shuffle-free; the dims always broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(10,2)")
+                    * (
+                        F.lit(1).cast("decimal(3,2)")
+                        - F.col("l_discount").cast("decimal(4,2)")
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "lineitem_correlations",
+    """
+    SELECT round(corr(l_quantity, l_extendedprice), 4) AS qty_price,
+           round(corr(l_quantity, l_discount), 4) AS qty_disc,
+           round(corr(l_extendedprice, l_tax), 4) AS price_tax,
+           round(corr(l_discount, l_tax), 4) AS disc_tax
+    FROM lineitem
+    """,
+)
+def lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Pearson correlation matrix (SURVEY A13) — pairwise
+    F.corr in ONE aggregation job, replacing the reference's
+    collect-14-columns-to-pandas corr (Preprocessing.py:774-788)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price"),
+        F.round(F.corr("l_quantity", "l_discount"), 4).alias("qty_disc"),
+        F.round(F.corr("l_extendedprice", "l_tax"), 4).alias("price_tax"),
+        F.round(F.corr("l_discount", "l_tax"), 4).alias("disc_tax"),
+    )
+
+
+@query(
+    "customer_running_revenue",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE) AS running_total,
+           round(o_totalprice - lag(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2)
+             AS delta_vs_prev
+    FROM orders
+    """,
+)
+def customer_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window analytics (cumsum + lag) per customer — the running-metric
+    shape (absent from the reference). One shuffle on the partition key."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(cum), 2)
+        .cast("double")
+        .alias("running_total"),
+        F.round(
+            F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2
+        ).alias("delta_vs_prev"),
+    )
+
+
+@query(
+    "part_price_unpivot",
+    """
+    SELECT p_partkey, metric, round(val, 4) AS val
+    FROM (
+      SELECT p_partkey, 'retail' AS metric, p_retailprice AS val FROM part
+      UNION ALL
+      SELECT p_partkey, 'discounted', p_retailprice * 0.9 FROM part
+      UNION ALL
+      SELECT p_partkey, 'size_as_double', CAST(p_size AS DOUBLE) FROM part)
+    """,
+)
+def part_price_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide→long) via DataFrame.unpivot — map-side row
+    expansion, no shuffle; the inverse of A12's pivot."""
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_retailprice").alias("retail"),
+        (F.col("p_retailprice") * 0.9).alias("discounted"),
+        F.col("p_size").cast("double").alias("size_as_double"),
+    )
+    out = p.unpivot("p_partkey", ["retail", "discounted", "size_as_double"], "metric", "val")
+    return out.select("p_partkey", "metric", F.round("val", 4).alias("val"))
+
+
+@query(
+    "events_asof_last_purchase",
+    """
+    SELECT e.event_id, e.user_id, e.ts,
+           p.event_id AS purchase_event_id,
+           round(p.value, 2) AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+)
+def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native one — SURVEY guide pattern): for
+    each error event, the user's most recent purchase at-or-before it.
+    Implemented scalably via union + partitioned sort + last() window
+    (one shuffle on the key, no per-group Python); DuckDB's native
+    ASOF JOIN is the oracle."""
+    from chicago_crime_spark_ml_spark.operators.relational import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "error")
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    out = asof_join(
+        left,
+        right,
+        key="user_id",
+        left_ts="ts",
+        right_ts="p_ts",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "purchase_event_id",
+        F.round("purchase_value", 2).alias("purchase_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Filters / projections / CASE (SURVEY §2.2)
 # ---------------------------------------------------------------------------
@@ -374,7 +583,7 @@ def parts_brand_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN event_type IN ('click', 'view') THEN 'engagement'
                 ELSE 'other' END AS event_category,
            count(*) AS n,
-           round(sum(value), 2) AS total_value
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
     FROM events GROUP BY 1
     """,
 )
@@ -390,7 +599,7 @@ def events_categorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ev.groupBy("event_category").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        _dsum("value").alias("total_value"),
     )
 
 
@@ -399,7 +608,7 @@ def events_categorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CASE WHEN year(o_orderdate) <= 1998 THEN 'train' ELSE 'test' END AS split,
            count(*) AS n,
-           round(sum(o_totalprice), 2) AS total
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
     FROM orders GROUP BY 1
     """,
 )
@@ -413,7 +622,7 @@ def orders_time_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = lambda df, label: df.agg(  # noqa: E731
         F.lit(label).alias("split"),
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        _dsum("o_totalprice").alias("total"),
     ).select("split", "n", "total")
     return union_all([agg(train, "train"), agg(test, "test")])
 
@@ -484,7 +693,8 @@ def customer_order_count_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
     "supplier_nation_inner",
     """
     SELECT n.n_name, count(*) AS n_suppliers,
-           round(avg(s.s_acctbal), 4) AS avg_balance
+           round(CAST(sum(CAST(s.s_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+                 / count(s.s_acctbal), 4) AS avg_balance
     FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
     GROUP BY n.n_name
     """,
@@ -498,7 +708,7 @@ def supplier_nation_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("n_suppliers"),
-            F.round(F.avg("s_acctbal"), 4).alias("avg_balance"),
+            _davg("s_acctbal").alias("avg_balance"),
         )
     )
 
@@ -618,7 +828,8 @@ def stratified_sample_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(hour(ts) AS INTEGER) AS h,
            CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
            count(*) AS n,
-           round(avg(value), 4) AS avg_value
+           round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                 / count(value), 4) AS avg_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -632,7 +843,7 @@ def events_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.hour("ts").alias("h"), F.dayofweek("ts").alias("dow")
         ).agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            _davg("value").alias("avg_value"),
         )
     )
 
@@ -895,7 +1106,7 @@ def train_eval_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
            event_type,
            count(*) AS n,
-           round(sum(value), 2) AS total_value
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -913,7 +1124,7 @@ def events_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["event_type"],
         aggs=[
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            _dsum("value").alias("total_value"),
         ],
     )
     return out.select("bucket_start", "event_type", "n", "total_value")
@@ -922,7 +1133,8 @@ def events_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_sliding_2d_1d",
     """
-    SELECT bucket_start, event_type, count(*) AS n, round(sum(value), 2) AS total_value
+    SELECT bucket_start, event_type, count(*) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
     FROM (
       SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
              event_type, value FROM events
@@ -947,7 +1159,7 @@ def events_sliding_2d_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["event_type"],
         aggs=[
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            _dsum("value").alias("total_value"),
         ],
     )
     return out.select("bucket_start", "event_type", "n", "total_value")
