@@ -192,6 +192,56 @@ def asof_join(
     return filled.filter(F.col("__is_left") == 1).drop("__ts", "__is_left")
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lower: float,
+    upper: float,
+) -> DataFrame:
+    """Range/interval join: pairs with equal ``key`` and
+    ``right_ts - left_ts`` in ``[lower, upper]`` seconds (inclusive).
+
+    Spark would plan the raw theta predicate as a per-key cross join
+    (every left × every right within the key). Instead we band time into
+    buckets of width ``w = upper - lower``: a left row's admission window
+    spans at most 2 buckets, so exploding left to its ≤2 covering buckets
+    and equi-joining on (key, bucket) gives a shuffle-partitionable join
+    whose output the exact predicate then filters. Each qualifying pair
+    appears exactly once (right rows own one bucket). Cost is
+    |left|·2 + |right| shuffled rows — linear, vs quadratic-per-key for
+    the naive plan.
+    """
+    collisions = (set(left.columns) & set(right.columns)) - {key}
+    assert not collisions, (
+        f"interval_join: rename overlapping columns first: {collisions}"
+    )
+    w = max(int(upper - lower), 1)
+    lsec = F.col(left_ts).cast("double")
+    rsec = F.col(right_ts).cast("double")
+    # Banding is approximate (double epoch-seconds, widened ±1 s so float
+    # rounding can never drop a boundary pair); the exact predicate below
+    # compares native timestamps, bit-identical with the SQL oracle.
+    l_b = left.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor((lsec + lower - 1) / w).cast("long"),
+                F.floor((lsec + upper + 1) / w).cast("long"),
+            )
+        ),
+    )
+    r_b = right.withColumn("__bucket", F.floor(rsec / w).cast("long"))
+    lo = F.col(left_ts) + F.make_interval(secs=F.lit(float(lower)))
+    hi = F.col(left_ts) + F.make_interval(secs=F.lit(float(upper)))
+    pair = l_b.join(r_b, on=[key, "__bucket"], how="inner").filter(
+        (F.col(right_ts) >= lo) & (F.col(right_ts) <= hi)
+    )
+    return pair.drop("__bucket")
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

@@ -550,6 +550,54 @@ def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_purchases_before_error",
+    """
+    SELECT e.event_id, e.user_id,
+           count(p.p_ts) AS n_purchases_1h,
+           CAST(round(coalesce(sum(CAST(p.p_value AS DECIMAL(18,4))), 0), 2)
+                AS DOUBLE) AS purchase_value_1h
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'error') e
+    LEFT JOIN (SELECT user_id, ts AS p_ts, value AS p_value FROM events
+               WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id
+     AND p.p_ts >= e.ts - INTERVAL 1 HOUR
+     AND p.p_ts <= e.ts
+    GROUP BY 1, 2
+    """,
+)
+def events_purchases_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join (absent from both the reference and native
+    Spark): purchases within the hour before each error event, per user.
+    Implemented via time-banded equi-join (operators.relational.
+    interval_join) — |L|·2+|R| shuffled rows instead of the per-key cross
+    join Spark plans for a raw theta predicate; the oracle is DuckDB's
+    inequality join."""
+    from chicago_crime_spark_ml_spark.operators.relational import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("value").alias("p_value")
+    )
+    pairs = interval_join(
+        err, pur, key="user_id", left_ts="ts", right_ts="p_ts",
+        lower=-3600.0, upper=0.0,
+    )
+    counts = pairs.groupBy("event_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases_1h"),
+        _dsum("p_value").alias("purchase_value_1h"),
+    )
+    return (
+        err.select("event_id", "user_id")
+        .join(counts, ["event_id", "user_id"], "left")
+        .fillna({"n_purchases_1h": 0, "purchase_value_1h": 0.0})
+    )
+
+
 # ---------------------------------------------------------------------------
 # Filters / projections / CASE (SURVEY §2.2)
 # ---------------------------------------------------------------------------

@@ -71,6 +71,30 @@ def read_csv_raw(
     return df
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (and optionally sorted) parquet table via saveAsTable —
+    the co-located-join layout for the 100 TB fact⋈fact case: two tables
+    bucketed on the same key with the same bucket count join with NO
+    exchange (and no sort, if sorted) — asserted in tests/test_plans.py.
+    The reference has no bucketing (its only sinks are driver-side JSON/
+    PNG sidecars); this is the engine's answer to its full-shuffle joins.
+    """
+    writer = df.write.mode(mode).option("path", path).bucketBy(
+        n_buckets, *bucket_cols
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table)
+
+
 def write_parquet(
     df: DataFrame,
     path: str,

@@ -4,6 +4,8 @@ the scan, top-k without full sort, partial aggregation)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from chicago_crime_spark_ml_spark.plans import (
     assert_broadcast_join,
     assert_pushed_filters,
@@ -41,6 +43,69 @@ def test_topk_avoids_full_sort(spark, sf_dir):
     plan = explain_str(QUERIES["top10_orders"](spark, sf_dir), "simple")
     assert "TakeOrderedAndProject" in plan
     assert "Sort " not in plan  # no global sort operator
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    # THE 100 TB fact⋈fact layout: orders and lineitem bucketed+sorted on
+    # the join key join with zero Exchange and zero Sort — co-located,
+    # co-ordered scan-side join (SortMergeJoin over pre-sorted buckets).
+    from chicago_crime_spark_ml_spark.sources.io import load_table, write_bucketed_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed_table(
+        o, "b_orders", str(tmp_path / "b_orders"), ["o_orderkey"], 4,
+        sort_cols=["o_orderkey"],
+    )
+    write_bucketed_table(
+        li, "b_lineitem", str(tmp_path / "b_lineitem"), ["l_orderkey"], 4,
+        sort_cols=["l_orderkey"],
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force SMJ so the assertion is about bucketing, not broadcast
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_orders").join(
+            spark.table("b_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = explain_str(joined, "simple")
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        n = joined.count()
+        plain = o.join(li, o.o_orderkey == li.l_orderkey).count()
+        assert n == plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_interval_join_matches_theta_join(spark, sf_dir):
+    # banded interval_join ≡ the naive theta join, at linear cost
+    from chicago_crime_spark_ml_spark.operators.relational import interval_join
+    from chicago_crime_spark_ml_spark.sources.io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id")
+    )
+    banded = interval_join(
+        err, pur, key="user_id", left_ts="ts", right_ts="p_ts",
+        lower=-3600.0, upper=0.0,
+    ).select("event_id", "p_id")
+    naive = err.join(
+        pur,
+        (err.user_id == pur.user_id)
+        & (pur.p_ts >= err.ts - F.expr("INTERVAL 1 HOUR"))
+        & (pur.p_ts <= err.ts),
+    ).select("event_id", "p_id")
+    assert banded.exceptAll(naive).count() == 0
+    assert naive.exceptAll(banded).count() == 0
+    assert banded.count() > 0  # non-vacuous
 
 
 def test_scan_prunes_columns(spark, sf_dir):
