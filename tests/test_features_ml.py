@@ -126,3 +126,46 @@ def test_sample_weight_join_is_broadcast(labeled):
     weighted = with_sample_weights(labeled, "Primary_Type")
     assert_broadcast_join(weighted)
     assert weighted.filter(F.col("weight").isNull()).count() == 0
+
+
+def test_train_eval_serving_parity(spark, sf_dir):
+    # M5-M8 in one pass: distributed train on the embeddings table, metrics
+    # from the evaluator, model-native importances, and single-row serving
+    # through the SAME fitted pipeline predicting identically to the batch
+    # transform — the property whose absence caused the reference's
+    # train/serve drift twin (Stramlit_app.py:123-136 vs XGBoost.py:119-132).
+    from pyspark.ml.functions import array_to_vector
+
+    from chicago_crime_spark_ml_spark.operators.ml import (
+        predict_single,
+        train_multiclass,
+    )
+    from chicago_crime_spark_ml_spark.operators.relational import time_split
+    from chicago_crime_spark_ml_spark.sources.io import load_table
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .withColumn(
+            "features_arr", array_to_vector(F.col("embedding").cast("array<double>"))
+        )
+        .withColumn("label_str", F.col("label").cast("string"))
+        .drop("label")
+    )
+    train, test = time_split(emb, "vec_id", 400)
+    res = train_multiclass(
+        train, test, ["features_arr"], "label_str", weighted=True, seed=42
+    )
+    assert 0.0 <= res.accuracy <= 1.0 and 0.0 <= res.f1_weighted <= 1.0
+    assert len(res.label_mapping) >= 2
+    assert res.feature_importances and len(res.feature_importances) >= 1
+
+    batch = res.model.transform(test).select("vec_id", "prediction")
+    sample = test.select("vec_id", "features_arr", "label_str").limit(3).collect()
+    for r in sample:
+        served = predict_single(
+            res.model,
+            spark,
+            {"features_arr": r.features_arr, "label_str": r.label_str},
+        ).select("prediction").collect()[0][0]
+        expected = [b.prediction for b in batch.collect() if b.vec_id == r.vec_id][0]
+        assert served == expected
