@@ -116,3 +116,40 @@ def run_stream_to_memory(
     q.processAllAvailable()
     q.stop()
     return q
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    running (n_events, total_value) maintained in keyed state across
+    micro-batches, re-emitted on every update. The shape Structured
+    Streaming can't express with built-in aggs once the per-key logic grows
+    custom (counters + TTL + arbitrary transition rules); state lives in the
+    state store (RocksDB at scale), partitioned by key — executors hold only
+    their keys' state. Arrow-batched: pandas per (key, micro-batch), never
+    per-row Python. Stream-equals-batch is the test contract: after all
+    input is consumed, the final state per key must equal the plain batch
+    groupBy totals.
+    """
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.state import GroupStateTimeout  # noqa: PLC0415
+
+    out_schema = "user_id BIGINT, n_events BIGINT, total_value DOUBLE"
+    state_schema = "n BIGINT, total DOUBLE"
+
+    def update(key, pdfs, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -83,3 +83,57 @@ def test_extract_features_partitioned_batches(spark, sf_dir):
         for r in extract_features(attach_blob(docs.repartition(8))).collect()
     }
     assert one == many
+
+
+def test_stateful_totals_equal_batch(spark, sf_dir):
+    # custom stateful op (applyInPandasWithState): after the stream drains,
+    # per-user running totals must equal the batch groupBy — the
+    # stream-equals-batch contract for arbitrary keyed state.
+    from chicago_crime_spark_ml_spark.sources.io import load_table
+    from chicago_crime_spark_ml_spark.streaming import (
+        run_stream_to_memory,
+        stateful_user_totals,
+        stream_events,
+    )
+
+    out = stateful_user_totals(stream_events(spark, sf_dir))
+    run_stream_to_memory(out, "stateful_totals", output_mode="update")
+    # update mode re-emits per micro-batch; the single-file source yields
+    # one batch, but be robust: keep the LAST emission per user
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in spark.sql(
+            "SELECT user_id, n_events, total_value FROM stateful_totals"
+        ).collect()
+    }
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce("value", F.lit(0.0))).alias("total"),
+        )
+        .collect()
+    )
+    assert len(got) == len(batch) > 0
+    for r in batch:
+        n, total = got[r.user_id]
+        assert n == r.n
+        assert abs(total - r.total) < 1e-6
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    # the 100 TB layout contract: a filter on the partition column must
+    # become a PartitionFilter (pruned directories), not a data filter
+    from chicago_crime_spark_ml_spark.plans import explain_str
+    from chicago_crime_spark_ml_spark.sources.io import load_table, write_parquet
+
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_by_year")
+    write_parquet(o, path, partition_by=["o_year"])
+    back = spark.read.parquet(path).filter(F.col("o_year") == 1995)
+    plan = explain_str(back, "formatted")
+    assert "PartitionFilters" in plan and "o_year" in plan.split("PartitionFilters", 1)[1][:200]
+    assert back.count() == o.filter(F.year("o_orderdate") == 1995).count()
