@@ -116,3 +116,49 @@ def test_scan_prunes_columns(spark, sf_dir):
     scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert scan, plan
     assert "o_orderkey" in scan[0] and "o_orderstatus" not in scan[0]
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from chicago_crime_spark_ml_spark.operators.relational import salted_join
+    from chicago_crime_spark_ml_spark.sources.io import load_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    salted = salted_join(o, c, "o_custkey", salt=4).select(
+        "o_orderkey", "c_mktsegment"
+    )
+    plain = o.join(c, "o_custkey").select("o_orderkey", "c_mktsegment")
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+    assert plain.count() > 0
+
+
+def test_asof_join_edges(spark):
+    import datetime as dt
+
+    from chicago_crime_spark_ml_spark.operators.relational import asof_join
+
+    ts = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01T10:00:00")),   # before any right row -> null
+         (1, ts("2024-01-01T12:00:00")),   # equal ts -> inclusive match
+         (1, ts("2024-01-01T13:00:00")),   # between -> latest prior
+         (2, ts("2024-01-01T12:00:00"))],  # key with no right rows at all
+        ["k", "ts"],
+    )
+    right = spark.createDataFrame(
+        [(1, ts("2024-01-01T12:00:00"), "a"),
+         (1, ts("2024-01-01T12:30:00"), "b")],
+        ["k", "rts", "payload"],
+    )
+    got = {
+        (r.k, r.ts.isoformat()): r.payload
+        for r in asof_join(left, right, "k", "ts", "rts").collect()
+    }
+    assert got[(1, "2024-01-01T10:00:00")] is None
+    assert got[(1, "2024-01-01T12:00:00")] == "a"   # inclusive at equality
+    assert got[(1, "2024-01-01T13:00:00")] == "b"
+    assert got[(2, "2024-01-01T12:00:00")] is None
+    assert len(got) == 4  # left rows preserved exactly once
