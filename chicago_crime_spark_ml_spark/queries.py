@@ -598,6 +598,97 @@ def events_purchases_before_error(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@query(
+    "grouping_sets_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+           CAST(grouping(o_orderpriority) AS INTEGER) AS g_priority,
+           count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping() indicators (the general form
+    of A12's cube/rollup) — one pass, Expand + single shuffle."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+               count(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "order_rank_analytics",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(rank()       OVER w AS INTEGER) AS rnk,
+           CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+           round(percent_rank() OVER w, 6) AS prnk,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def order_rank_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranking-function window family in one query (O1-O4 extension):
+    rank, dense_rank, percent_rank, ntile — one shuffle on the partition
+    key, identical frame on all four."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.dense_rank().over(w).cast("int").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
+
+
+@query(
+    "priority_bag_except",
+    """
+    SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT ALL
+    SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def priority_bag_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics EXCEPT ALL (multiplicity-aware set difference —
+    §2.9's missing multiset half; repeat/churned cover the distinct
+    half)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderpriority"
+    ).exceptAll(o.filter(F.col("o_orderstatus") == "F").select("o_orderpriority"))
+
+
+@query(
+    "priority_bag_intersect",
+    """
+    SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT ALL
+    SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def priority_bag_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics INTERSECT ALL (min-multiplicity intersection)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderpriority"
+    ).intersectAll(o.filter(F.col("o_orderstatus") == "F").select("o_orderpriority"))
+
+
 # ---------------------------------------------------------------------------
 # Filters / projections / CASE (SURVEY §2.2)
 # ---------------------------------------------------------------------------
