@@ -109,3 +109,39 @@ def lang_id_by_markers(
         )
         expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
     return df.withColumn(out_col, expr.otherwise(langs[0]))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): hash every character k-gram (md5[:15hex] → bigint,
+    the engine's cross-engine hash idiom), slide a w-window over the hash
+    sequence, keep each window's minimum, distinct per doc. Guarantees:
+    any shared substring of length ≥ k+w-1 yields a shared fingerprint.
+
+    Entirely JVM Column algebra (transform/slice/array_min) — map-only,
+    no shuffle until the caller aggregates. Output: (id_col, fp) exploded.
+    Short docs (< k chars) produce no fingerprints — guarded explicitly
+    because Spark's sequence(1, 0) counts DOWN instead of being empty.
+    """
+    hashes = F.when(
+        F.length(text_col) >= k,
+        F.expr(
+            f"transform(sequence(1, length({text_col}) - {k - 1}),"
+            f" i -> cast(conv(substr(md5(substr({text_col}, i, {k})), 1, 15),"
+            " 16, 10) AS BIGINT))"
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    out = df.select(F.col(id_col), hashes.alias("h")).filter(F.size("h") > 0)
+    mins = F.expr(
+        f"transform(sequence(1, greatest(size(h) - {w - 1}, 1)),"
+        f" j -> array_min(slice(h, j, {w})))"
+    )
+    return out.select(
+        id_col, F.explode(F.array_distinct(mins)).alias("fp")
+    )

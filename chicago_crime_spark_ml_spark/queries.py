@@ -205,6 +205,34 @@ def mktsegment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "balance_percentiles_by_segment",
+    """
+    SELECT c_mktsegment,
+           round(quantile_cont(c_acctbal, 0.5), 4) AS p50,
+           round(quantile_cont(c_acctbal, 0.9), 4) AS p90,
+           round(quantile_cont(c_acctbal, 0.99), 4) AS p99
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def balance_percentiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles per group (A8/A9 completion): Spark `percentile`
+    and DuckDB `quantile_cont` share linear interpolation, so values match
+    bit-for-bit. Exact percentile sorts within each group — at 100 TB use
+    approx_percentile (Greenwald-Khanna, mergeable) as impute_median does;
+    this query is the precision baseline the sketch is judged against."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            *[
+                F.round(F.expr(f"percentile(c_acctbal, {q})"), 4).alias(name)
+                for q, name in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]
+            ]
+        )
+    )
+
+
+@query(
     "orders_by_year_priority",
     """
     SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
@@ -1512,6 +1540,32 @@ def lang_id_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id_by_markers(d, "text", LANG_MARKERS).select(
         "doc_id", "predicted_lang"
     )
+
+
+@query(
+    "doc_winnow_fingerprints",
+    """
+    WITH hs AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(length(text)-7, 0)+1),
+               i -> ('0x' || substr(md5(text[i:i+7]), 1, 15))::BIGINT) AS h
+      FROM documents)
+    SELECT doc_id,
+           unnest(list_distinct(
+             list_transform(range(1, greatest(len(h)-3, 1)+1),
+               j -> list_min(h[j:j+3])))) AS fp
+    FROM hs WHERE len(h) > 0
+    """,
+)
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) rolling-hash fingerprints, k=8 char-grams /
+    window 4: any shared substring ≥ 11 chars yields a shared
+    fingerprint. Map-only Column algebra; md5-derived hashes keep the
+    fingerprints bit-identical with the DuckDB oracle."""
+    from chicago_crime_spark_ml_spark.operators.text import winnow_fingerprints
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return winnow_fingerprints(d, k=8, w=4)
 
 
 @query(
