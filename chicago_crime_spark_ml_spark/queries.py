@@ -204,6 +204,26 @@ def mktsegment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("sketch_distinct_customers")  # DataSketches HLL — engine-specific, rows-only
+def sketch_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL,
+    Spark 4 hll_sketch_agg): per-segment sketches, then ONE more
+    aggregation merges them into the global estimate — the two-level
+    pattern that lets 100 TB pre-aggregate per partition/day and combine
+    later without rescanning. A pytest bounds both estimates against
+    exact count_distinct."""
+    c = _t(spark, sf_dir, "customer")
+    seg = c.groupBy("c_mktsegment").agg(F.hll_sketch_agg("c_custkey").alias("sk"))
+    per = seg.select(
+        "c_mktsegment", F.hll_sketch_estimate("sk").alias("est_distinct")
+    )
+    total = seg.agg(
+        F.lit("_ALL_").alias("c_mktsegment"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_distinct"),
+    )
+    return union_all([per, total])
+
+
 @query(
     "balance_percentiles_by_segment",
     """

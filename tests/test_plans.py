@@ -162,3 +162,23 @@ def test_asof_join_edges(spark):
     assert got[(1, "2024-01-01T13:00:00")] == "b"
     assert got[(2, "2024-01-01T12:00:00")] is None
     assert len(got) == 4  # left rows preserved exactly once
+
+
+def test_hll_sketch_estimates_bounded(spark):
+    # mergeable-sketch contract: per-group estimates and the union-merged
+    # global estimate both land within HLL error of exact count_distinct
+    from chicago_crime_spark_ml_spark.queries import QUERIES
+    from chicago_crime_spark_ml_spark.sources.io import load_table
+
+    sf = "/root/testdata/sf0.01"
+    rows = {r.c_mktsegment: r.est_distinct
+            for r in QUERIES["sketch_distinct_customers"](spark, sf).collect()}
+    c = load_table(spark, sf, "customer")
+    exact_per = {r.c_mktsegment: r.n
+                 for r in c.groupBy("c_mktsegment")
+                 .agg(F.count_distinct("c_custkey").alias("n")).collect()}
+    exact_all = c.select("c_custkey").distinct().count()
+    assert set(rows) == set(exact_per) | {"_ALL_"}
+    for seg, exact in exact_per.items():
+        assert abs(rows[seg] - exact) / exact < 0.05, (seg, rows[seg], exact)
+    assert abs(rows["_ALL_"] - exact_all) / exact_all < 0.05
