@@ -96,3 +96,101 @@ def extract_features(
 
     narrow = df.select(F.col(id_col), F.col(blob_col))
     return narrow.mapInPandas(batches, schema=FEATURES_SCHEMA)
+
+
+RESIZE_SCHEMA = "doc_id BIGINT, width INT, height INT, n_out_bytes INT"
+
+FRAMES_SCHEMA = "doc_id BIGINT, frame_idx INT, frame_features ARRAY<DOUBLE>"
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Batch image resize over binary blobs (mapInPandas). The codec is
+    stubbed (no PIL in this container): deterministic byte-stride
+    downsample to width×height bytes stands in for decode→resize→encode.
+    The Spark side is the real contract: project only (id, blob) across
+    the Arrow boundary, one Python worker per partition, output schema
+    fixed so downstream pruning works."""
+
+    def batches(it):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        target = width * height
+        for pdf in it:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real resize requires image libs not in this container"
+                )
+            out = []
+            for buf in pdf[blob_col]:
+                arr = np.frombuffer(bytes(buf), dtype=np.uint8)
+                if arr.size == 0:
+                    out.append(0)
+                    continue
+                idx = np.linspace(0, arr.size - 1, num=target).astype(np.int64)
+                out.append(int(arr[idx].size))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": width,
+                    "height": height,
+                    "n_out_bytes": out,
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(
+        batches, schema=RESIZE_SCHEMA
+    )
+
+
+def sample_frames(
+    df: DataFrame,
+    n_frames: int,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Video frame sampling (mapInPandas, 1→N row explosion): each blob
+    ("video") yields ``n_frames`` evenly-spaced frame rows with per-frame
+    features. Variable output cardinality is the point — mapInPandas
+    yields as many rows as the batch produces, unlike a scalar UDF. The
+    decode is stubbed: equal byte-chunks stand in for ffmpeg frame
+    extraction; per-frame features are deterministic chunk stats."""
+
+    def batches(it):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in it:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real frame sampling requires ffmpeg, not in this container"
+                )
+            ids, idxs, feats = [], [], []
+            for doc_id, buf in zip(pdf[id_col], pdf[blob_col]):
+                arr = np.frombuffer(bytes(buf), dtype=np.uint8)
+                chunks = np.array_split(arr, n_frames) if arr.size else []
+                for i, ch in enumerate(chunks):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    feats.append(
+                        [
+                            float(ch.mean()) / 255.0 if ch.size else 0.0,
+                            float(ch.std()) / 255.0 if ch.size else 0.0,
+                            float(ch.size),
+                        ]
+                    )
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_features": feats}
+            )
+
+    return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(
+        batches, schema=FRAMES_SCHEMA
+    )

@@ -1429,6 +1429,40 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(d)
 
 
+@query("multimodal_resize")  # stubbed codec — rows-only check
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing (mapInPandas, stubbed codec): fixed 32x32
+    target, one output row per blob with the resized byte count."""
+    from chicago_crime_spark_ml_spark.operators.multimodal import (
+        attach_blob,
+        resize_images,
+    )
+
+    d = attach_blob(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return resize_images(d, width=32, height=32)
+
+
+@query("multimodal_frame_sample")  # stubbed codec — rows-only check
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (mapInPandas 1->N explosion, stubbed
+    codec): 4 evenly-spaced 'frames' per blob, deterministic per-frame
+    features rounded for stability."""
+    from chicago_crime_spark_ml_spark.operators.multimodal import (
+        attach_blob,
+        sample_frames,
+    )
+
+    d = attach_blob(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    out = sample_frames(d, n_frames=4)
+    return out.select(
+        "doc_id",
+        "frame_idx",
+        F.transform("frame_features", lambda x: F.round(x, 4)).alias(
+            "frame_features"
+        ),
+    )
+
+
 LANG_MARKERS = {
     "de": ["data", "table"],
     "en": ["the", "a"],

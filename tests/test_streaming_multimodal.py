@@ -137,3 +137,30 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     plan = explain_str(back, "formatted")
     assert "PartitionFilters" in plan and "o_year" in plan.split("PartitionFilters", 1)[1][:200]
     assert back.count() == o.filter(F.year("o_orderdate") == 1995).count()
+
+
+def test_resize_and_frame_sample_plumbing(spark, sf_dir):
+    from chicago_crime_spark_ml_spark.operators.multimodal import (
+        attach_blob,
+        resize_images,
+        sample_frames,
+    )
+    from chicago_crime_spark_ml_spark.sources.io import load_table
+
+    d = attach_blob(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    n_docs = d.count()
+
+    rs = resize_images(d, width=32, height=32)
+    assert rs.count() == n_docs                      # 1:1
+    assert rs.filter(F.col("n_out_bytes") != 32 * 32).count() == 0
+
+    fr = sample_frames(d, n_frames=4)
+    assert fr.count() == n_docs * 4                  # 1:N explosion
+    per_doc = fr.groupBy("doc_id").count().filter(F.col("count") != 4).count()
+    assert per_doc == 0
+    # deterministic across runs (stub decode is pure byte math)
+    a = sorted(map(tuple, sample_frames(d, n_frames=4)
+                   .select("doc_id", "frame_idx").collect()))
+    b = sorted(map(tuple, sample_frames(d, n_frames=4)
+                   .select("doc_id", "frame_idx").collect()))
+    assert a == b
