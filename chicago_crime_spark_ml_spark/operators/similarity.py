@@ -130,3 +130,56 @@ def ann_lsh_neighbors(
         F.col(id_col),
         F.round(1.0 - F.col("dist") * F.col("dist") / 2.0, 4).alias("cosine_est"),
     )
+
+
+def ann_ivf_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means coarse quantizer partitions the
+    corpus into ``n_clusters`` cells; a query scans only the ``n_probe``
+    cells whose centroids are most cosine-similar. The third ANN tier
+    (brute force = exact baseline, LSH = hash buckets, IVF = learned
+    partitions — the FAISS-style layout): at 100 TB the cell assignment
+    is also the PHYSICAL partitioning (write partitioned by cell id), so
+    a probe reads n_probe/n_clusters of the data — partition pruning does
+    the work. ``n_probe == n_clusters`` degenerates to exact brute force
+    (asserted in tests). Centroids are driver-side (n_clusters rows — a
+    bounded collect); assignment and scoring are distributed.
+    """
+    import numpy as np  # noqa: PLC0415
+    from pyspark.ml.clustering import KMeans  # noqa: PLC0415
+    from pyspark.ml.functions import array_to_vector  # noqa: PLC0415
+
+    vecs = df.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("feat", array_to_vector("v"))
+    km = KMeans(k=n_clusters, seed=seed, featuresCol="feat", predictionCol="cell")
+    model = km.fit(vecs)
+    assigned = model.transform(vecs)
+
+    q = np.asarray(list(query_vec), dtype=float)
+    centers = model.clusterCenters()
+    sims = [
+        float(np.dot(q, c) / (np.linalg.norm(q) * np.linalg.norm(c) + 1e-12))
+        for c in centers
+    ]
+    probes = [
+        int(i)
+        for i in sorted(range(len(sims)), key=lambda i: -sims[i])[:n_probe]
+    ]
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    score = cosine_expr(F.col("v"), qcol)
+    return (
+        assigned.filter(F.col("cell").isin(probes))
+        .select(F.col(id_col), F.round(score, 4).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

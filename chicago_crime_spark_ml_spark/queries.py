@@ -1754,6 +1754,20 @@ def ann_lsh_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_neighbors(emb, qvec, k=10)
 
 
+@query("ann_ivf_top10")  # KMeans quantizer is engine-specific — rows-only
+def ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (k-means cells, probe the 4 nearest of 16) for the
+    vec_id=0 query — the FAISS-style learned-partition tier; at 100 TB
+    the cell id doubles as the physical partition key so probing prunes
+    partitions. Pytests assert full-probe ≡ brute force and probed
+    recall."""
+    from chicago_crime_spark_ml_spark.operators.similarity import ann_ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return ann_ivf_topk(emb, qvec, k=10, n_clusters=16, n_probe=4)
+
+
 @query(
     "dedup_documents_exact",
     """

@@ -96,3 +96,24 @@ def test_quality_score_bounds(docs):
         (F.col("quality_score") < 0) | (F.col("quality_score") > 1)
     ).count()
     assert bad == 0
+
+
+def test_ann_ivf_exact_when_full_probe_and_recall_when_pruned(emb):
+    from chicago_crime_spark_ml_spark.operators.similarity import (
+        ann_ivf_topk,
+        cosine_topk,
+    )
+
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    exact = [r.vec_id for r in cosine_topk(emb, qvec, k=10).collect()]
+
+    # probing every cell degenerates to exact brute force
+    full = ann_ivf_topk(emb, qvec, k=10, n_clusters=8, n_probe=8)
+    assert [r.vec_id for r in full.collect()] == exact
+
+    # pruned probing keeps most of the true top-k (clustered testdata)
+    pruned = ann_ivf_topk(emb, qvec, k=10, n_clusters=8, n_probe=2)
+    got = {r.vec_id for r in pruned.collect()}
+    recall = len(got & set(exact)) / 10
+    assert 0 in got                 # query's own vector always lands
+    assert recall >= 0.5, recall    # its cell is probed first
