@@ -1,0 +1,114 @@
+"""Property-based tests (hypothesis): the engine's hand-built join
+operators cross-checked against independent pandas references on random
+inputs — the reference's test strategy has nothing like this
+(SURVEY.md §5); it's the engine's guard against boundary-condition bugs
+(ties, empty sides, duplicate timestamps, windows straddling buckets).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from chicago_crime_spark_ml_spark.operators.relational import (
+    asof_join,
+    interval_join,
+)
+
+BASE = dt.datetime(2024, 1, 1)
+
+events = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),          # key
+        st.integers(min_value=0, max_value=7200),       # seconds offset
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+def _ts(off: int) -> dt.datetime:
+    return BASE + dt.timedelta(seconds=off)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(left=events, right=events)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    ldf = spark.createDataFrame(
+        [(k, _ts(o), i) for i, (k, o) in enumerate(left)],
+        schema="k BIGINT, ts TIMESTAMP, lid BIGINT",
+    )
+    rdf = spark.createDataFrame(
+        [(k, _ts(o), i) for i, (k, o) in enumerate(right)],
+        schema="k BIGINT, rts TIMESTAMP, rid BIGINT",
+    )
+    got = {
+        (r.lid): r.rid
+        for r in asof_join(ldf, rdf, "k", "ts", "rts").collect()
+    }
+    # pandas reference: backward inclusive merge_asof per key; on ties in
+    # rts within a key, merge_asof takes the LAST right row — the window
+    # last() does the same (right rows at equal ts: latest in sort order)
+    lp = pd.DataFrame(
+        [(k, _ts(o), i) for i, (k, o) in enumerate(left)],
+        columns=["k", "ts", "lid"],
+    )
+    rp = pd.DataFrame(
+        [(k, _ts(o), i) for i, (k, o) in enumerate(right)],
+        columns=["k", "rts", "rid"],
+    )
+    if len(lp) == 0:
+        assert got == {}
+        return
+    if len(rp) == 0:
+        assert got == {lid: None for lid in lp["lid"]}
+        return
+    ref = pd.merge_asof(
+        lp.sort_values(["ts", "lid"]),
+        rp.sort_values(["rts", "rid"]),
+        left_on="ts",
+        right_on="rts",
+        by="k",
+        direction="backward",
+        allow_exact_matches=True,
+    )
+    want = {
+        int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
+        for r in ref.itertuples()
+    }
+    assert got == want
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(left=events, right=events,
+       lower=st.integers(min_value=-1800, max_value=0),
+       span=st.integers(min_value=1, max_value=1800))
+def test_interval_join_matches_pandas_filter(spark, left, right, lower, span):
+    upper = lower + span
+    ldf = spark.createDataFrame(
+        [(k, _ts(o), i) for i, (k, o) in enumerate(left)],
+        schema="k BIGINT, ts TIMESTAMP, lid BIGINT",
+    )
+    rdf = spark.createDataFrame(
+        [(k, _ts(o), i) for i, (k, o) in enumerate(right)],
+        schema="k BIGINT, rts TIMESTAMP, rid BIGINT",
+    )
+    got = {
+        (r.lid, r.rid)
+        for r in interval_join(
+            ldf, rdf, "k", "ts", "rts", float(lower), float(upper)
+        ).collect()
+    }
+    want = {
+        (li, ri)
+        for li, (lk, lo) in enumerate(left)
+        for ri, (rk, ro) in enumerate(right)
+        if lk == rk and lower <= ro - lo <= upper
+    }
+    assert got == want
