@@ -98,7 +98,9 @@ def extract_features(
     return narrow.mapInPandas(batches, schema=FEATURES_SCHEMA)
 
 
-RESIZE_SCHEMA = "doc_id BIGINT, width INT, height INT, n_out_bytes INT"
+RESIZE_SCHEMA = (
+    "doc_id BIGINT, width INT, height INT, n_out_bytes INT, mean_byte DOUBLE"
+)
 
 FRAMES_SCHEMA = "doc_id BIGINT, frame_idx INT, frame_features ARRAY<DOUBLE>"
 
@@ -128,20 +130,24 @@ def resize_images(
                 raise NotImplementedError(
                     "real resize requires image libs not in this container"
                 )
-            out = []
+            out, means = [], []
             for buf in pdf[blob_col]:
                 arr = np.frombuffer(bytes(buf), dtype=np.uint8)
                 if arr.size == 0:
                     out.append(0)
+                    means.append(0.0)
                     continue
                 idx = np.linspace(0, arr.size - 1, num=target).astype(np.int64)
-                out.append(int(arr[idx].size))
+                resized = arr[idx]
+                out.append(int(resized.size))
+                means.append(float(resized.mean()) / 255.0)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
                     "width": width,
                     "height": height,
                     "n_out_bytes": out,
+                    "mean_byte": means,
                 }
             )
 

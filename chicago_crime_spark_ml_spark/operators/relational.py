@@ -154,21 +154,31 @@ def asof_join(
     equal ts, giving inclusive (≥) semantics — matching DuckDB
     ``ASOF LEFT JOIN ... ON l.ts >= r.ts``, the oracle.
 
+    The payload travels as ONE struct so ``last(ignorenulls)`` picks the
+    matched right row atomically — per-column fill would backfill a NULL
+    payload field from an older right row, tearing values across columns.
+    Among right rows tied on ``right_ts``, the greatest payload struct
+    (lexicographic over ``payload`` columns in order) wins — a
+    deterministic rule matching pandas merge_asof's last-row-of-ties when
+    rows arrive in payload order.
+
     ``right`` must consist of ``key``, ``right_ts`` and payload columns
     whose names don't collide with ``left``'s.
     """
+    from pyspark.sql.types import StructField, StructType
+
     payload = [c for c in right.columns if c not in (key, right_ts)]
     lcols = left.columns
     collisions = set(payload) & set(lcols)
     assert not collisions, f"asof_join payload collides with left: {collisions}"
+    ptype = StructType(
+        [StructField(c, right.schema[c].dataType) for c in payload]
+    )
     l_tag = left.select(
         *lcols,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__is_left"),
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(c)
-            for c in payload
-        ],
+        F.lit(None).cast(ptype).alias("__payload"),
     )
     r_tag = right.select(
         *[
@@ -179,17 +189,20 @@ def asof_join(
         ],
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__is_left"),
-        *payload,
+        F.struct(*payload).alias("__payload"),
     )
     w = (
         Window.partitionBy(key)
-        .orderBy("__ts", "__is_left")
+        .orderBy("__ts", "__is_left", F.asc_nulls_first("__payload"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = l_tag.unionByName(r_tag).withColumns(
-        {c: F.last(c, ignorenulls=True).over(w) for c in payload}
+    filled = l_tag.unionByName(r_tag).withColumn(
+        "__match", F.last("__payload", ignorenulls=True).over(w)
     )
-    return filled.filter(F.col("__is_left") == 1).drop("__ts", "__is_left")
+    return (
+        filled.filter(F.col("__is_left") == 1)
+        .select(*lcols, *[F.col(f"__match.{c}").alias(c) for c in payload])
+    )
 
 
 def interval_join(
@@ -207,12 +220,12 @@ def interval_join(
     Spark would plan the raw theta predicate as a per-key cross join
     (every left × every right within the key). Instead we band time into
     buckets of width ``w = upper - lower``: a left row's admission window
-    spans at most 2 buckets, so exploding left to its ≤2 covering buckets
-    and equi-joining on (key, bucket) gives a shuffle-partitionable join
-    whose output the exact predicate then filters. Each qualifying pair
-    appears exactly once (right rows own one bucket). Cost is
-    |left|·2 + |right| shuffled rows — linear, vs quadratic-per-key for
-    the naive plan.
+    spans at most 2 buckets (≤4 after the ±1 s float-edge widening below),
+    so exploding left to its covering buckets and equi-joining on
+    (key, bucket) gives a shuffle-partitionable join whose output the
+    exact predicate then filters. Each qualifying pair appears exactly
+    once (right rows own one bucket). Cost is ≤ |left|·4 + |right|
+    shuffled rows — linear, vs quadratic-per-key for the naive plan.
     """
     collisions = (set(left.columns) & set(right.columns)) - {key}
     assert not collisions, (
@@ -256,8 +269,14 @@ def salted_join(
     AQE's skew-join splitting usually makes this unnecessary (it's on in
     the engine session); manual salting remains for the cases AQE can't
     rescue (skewed AGGREGATION keys, or joins below AQE's size
-    thresholds). Result is provably identical to the plain join (tested).
+    thresholds). Result is provably identical to the plain join (tested)
+    — for left-preserving joins only: a right/full outer join would emit
+    each unmatched right row once per salt value, so those are rejected.
     """
+    assert how in {"inner", "left", "left_outer", "left_semi", "left_anti"}, (
+        f"salted_join preserves equivalence only for left-preserving joins,"
+        f" got how={how!r}"
+    )
     sl = left.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
     sr = right.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))

@@ -213,7 +213,13 @@ def sketch_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     later without rescanning. A pytest bounds both estimates against
     exact count_distinct."""
     c = _t(spark, sf_dir, "customer")
-    seg = c.groupBy("c_mktsegment").agg(F.hll_sketch_agg("c_custkey").alias("sk"))
+    # persist: both branches (per-segment estimates + union merge) read
+    # seg — without it the scan and every sketch build run twice
+    seg = (
+        c.groupBy("c_mktsegment")
+        .agg(F.hll_sketch_agg("c_custkey").alias("sk"))
+        .persist()
+    )
     per = seg.select(
         "c_mktsegment", F.hll_sketch_estimate("sk").alias("est_distinct")
     )
@@ -1439,7 +1445,8 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = attach_blob(_t(spark, sf_dir, "documents").select("doc_id", "text"))
-    return resize_images(d, width=32, height=32)
+    out = resize_images(d, width=32, height=32)
+    return out.withColumn("mean_byte", F.round("mean_byte", 4))
 
 
 @query("multimodal_frame_sample")  # stubbed codec — rows-only check

@@ -159,7 +159,10 @@ def test_train_eval_serving_parity(spark, sf_dir):
     assert len(res.label_mapping) >= 2
     assert res.feature_importances and len(res.feature_importances) >= 1
 
-    batch = res.model.transform(test).select("vec_id", "prediction")
+    batch = {
+        b.vec_id: b.prediction
+        for b in res.model.transform(test).select("vec_id", "prediction").collect()
+    }
     sample = test.select("vec_id", "features_arr", "label_str").limit(3).collect()
     for r in sample:
         served = predict_single(
@@ -167,5 +170,5 @@ def test_train_eval_serving_parity(spark, sf_dir):
             spark,
             {"features_arr": r.features_arr, "label_str": r.label_str},
         ).select("prediction").collect()[0][0]
-        expected = [b.prediction for b in batch.collect() if b.vec_id == r.vec_id][0]
-        assert served == expected
+        assert r.vec_id in batch
+        assert served == batch[r.vec_id]

@@ -169,8 +169,9 @@ def test_hll_sketch_estimates_bounded(spark):
     # global estimate both land within HLL error of exact count_distinct
     from chicago_crime_spark_ml_spark.queries import QUERIES
     from chicago_crime_spark_ml_spark.sources.io import load_table
+    from tests.conftest import SF_DIR_MED
 
-    sf = "/root/testdata/sf0.01"
+    sf = SF_DIR_MED
     rows = {r.c_mktsegment: r.est_distinct
             for r in QUERIES["sketch_distinct_customers"](spark, sf).collect()}
     c = load_table(spark, sf, "customer")

@@ -153,6 +153,12 @@ def test_resize_and_frame_sample_plumbing(spark, sf_dir):
     rs = resize_images(d, width=32, height=32)
     assert rs.count() == n_docs                      # 1:1
     assert rs.filter(F.col("n_out_bytes") != 32 * 32).count() == 0
+    # mean_byte is a REAL stat of the resized bytes: printable-ASCII text
+    # blobs must land strictly inside (0, 1), not at the padding extremes
+    bad = rs.filter(
+        (F.col("mean_byte") <= 0.0) | (F.col("mean_byte") >= 1.0)
+    ).count()
+    assert bad == 0
 
     fr = sample_frames(d, n_frames=4)
     assert fr.count() == n_docs * 4                  # 1:N explosion
