@@ -231,6 +231,35 @@ def sketch_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "customer_order_history",
+    """
+    SELECT o_custkey,
+           list(o_orderkey ORDER BY o_orderdate, o_orderkey) AS order_keys,
+           CAST(len(list(o_orderkey)) AS INTEGER) AS n_orders
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def customer_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation done deterministically: bare collect_list order
+    is whatever the shuffle delivered — a silent nondeterminism bug at
+    scale. Collect (date, key) structs, array_sort, then project the key:
+    stable output, still one shuffle. Oracle: DuckDB's ordered list()."""
+    o = _t(spark, sf_dir, "orders")
+    pairs = F.collect_list(F.struct("o_orderdate", "o_orderkey"))
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.array_sort(pairs).alias("p"))
+        .select(
+            "o_custkey",
+            F.transform("p", lambda s: s.getField("o_orderkey")).alias(
+                "order_keys"
+            ),
+            F.size("p").alias("n_orders"),
+        )
+    )
+
+
+@query(
     "balance_percentiles_by_segment",
     """
     SELECT c_mktsegment,
