@@ -180,7 +180,12 @@ def asof_join(
         F.lit(1).alias("__is_left"),
         F.lit(None).cast(ptype).alias("__payload"),
     )
-    r_tag = right.select(
+    # NULL right_ts can never satisfy l.ts >= r.ts (SQL three-valued
+    # logic): drop those rows — otherwise NULLS FIRST ordering would make
+    # them the "earliest" right row and they'd match everything. NULL
+    # left_ts rows sort before all right rows (NULLS FIRST) and so
+    # correctly get a NULL payload.
+    r_tag = right.filter(F.col(right_ts).isNotNull()).select(
         *[
             F.col(key).alias(c)
             if c == key

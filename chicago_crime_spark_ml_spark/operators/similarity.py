@@ -14,7 +14,6 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-import pandas
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -162,6 +161,10 @@ def ann_ivf_topk(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("v"),
     ).withColumn("feat", array_to_vector("v"))
+    # KMeans.fit is iterative (maxIter scans); cache the projected input
+    # for the fit, release after — the returned (lazy) query re-reads the
+    # source once at execution instead of holding cache for the session
+    vecs = vecs.persist()
     km = KMeans(k=n_clusters, seed=seed, featuresCol="feat", predictionCol="cell")
     model = km.fit(vecs)
     assigned = model.transform(vecs)
@@ -176,6 +179,7 @@ def ann_ivf_topk(
         int(i)
         for i in sorted(range(len(sims)), key=lambda i: -sims[i])[:n_probe]
     ]
+    vecs.unpersist()  # fit is done; the lazy probe query rescans once
     qcol = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
     score = cosine_expr(F.col("v"), qcol)
     return (
@@ -201,7 +205,13 @@ def cosine_topk_pandas(
     (cosine_topk) remains the default — it needs no Python workers at
     all. A test asserts the two return identical top-k."""
     import numpy as np  # noqa: PLC0415
+    import pandas  # noqa: PLC0415
     from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    # pandas_udf resolves the closure's type hints against MODULE globals
+    # (typing.get_type_hints); inject lazily so the JVM-only paths in this
+    # module never require pandas at import time.
+    globals().setdefault("pandas", pandas)
 
     q = np.asarray(list(query_vec), dtype=np.float64)
 

@@ -77,6 +77,17 @@ def _davg(c, scale: int = 4):
     )
 
 
+def _disc_price():
+    """l_extendedprice·(1−l_discount) in EXACT decimal — the one
+    definition shared by every revenue query (a precision-width change
+    here changes all call sites together, preserving cross-engine
+    bit-identity). SQL twin: CAST(l_extendedprice AS DECIMAL(10,2)) *
+    (1 - CAST(l_discount AS DECIMAL(4,2)))."""
+    return F.col("l_extendedprice").cast("decimal(10,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship + core aggregations (SURVEY §2.4 A3-A8, §2.3 joins)
 # ---------------------------------------------------------------------------
@@ -151,10 +162,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # products computed in EXACT decimal (the 2-decimal source data casts
     # losslessly; double products land on half-boundaries at 4dp and
     # round differently across engines — decimal multiply is exact)
-    ep = F.col("l_extendedprice").cast("decimal(10,2)")
-    one_minus_d = F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast(
-        "decimal(4,2)"
-    )
+    disc_price = _disc_price()
     one_plus_tax = F.lit(1).cast("decimal(3,2)") + F.col("l_tax").cast(
         "decimal(4,2)"
     )
@@ -164,8 +172,8 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             _dsum("l_quantity").alias("sum_qty"),
             _dsum("l_extendedprice").alias("sum_base_price"),
-            F.round(F.sum(ep * one_minus_d), 2).cast("double").alias("sum_disc_price"),
-            F.round(F.sum(ep * one_minus_d * one_plus_tax), 2)
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(disc_price * one_plus_tax), 2)
             .cast("double")
             .alias("sum_charge"),
             _davg("l_quantity").alias("avg_qty"),
@@ -213,13 +221,10 @@ def sketch_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     later without rescanning. A pytest bounds both estimates against
     exact count_distinct."""
     c = _t(spark, sf_dir, "customer")
-    # persist: both branches (per-segment estimates + union merge) read
-    # seg — without it the scan and every sketch build run twice
-    seg = (
-        c.groupBy("c_mktsegment")
-        .agg(F.hll_sketch_agg("c_custkey").alias("sk"))
-        .persist()
-    )
+    # both union branches share this aggregation subtree; Spark's
+    # ReuseExchange dedupes the shuffle within the one job, so no persist
+    # (which would pin cache for the session) is needed
+    seg = c.groupBy("c_mktsegment").agg(F.hll_sketch_agg("c_custkey").alias("sk"))
     per = seg.select(
         "c_mktsegment", F.hll_sketch_estimate("sk").alias("est_distinct")
     )
@@ -494,18 +499,7 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(n, s.s_nationkey == n.n_nationkey)
         .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
         .agg(
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice").cast("decimal(10,2)")
-                    * (
-                        F.lit(1).cast("decimal(3,2)")
-                        - F.col("l_discount").cast("decimal(4,2)")
-                    )
-                ),
-                2,
-            )
-            .cast("double")
-            .alias("revenue"),
+            F.round(F.sum(_disc_price()), 2).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -597,7 +591,10 @@ def part_price_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
            p.event_id AS purchase_event_id,
            round(p.value, 2) AS purchase_value
     FROM (SELECT * FROM events WHERE event_type = 'error') e
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (
+      SELECT * FROM (SELECT * FROM events WHERE event_type = 'purchase')
+      QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                                 ORDER BY event_id) = 1) p
       ON e.user_id = p.user_id AND e.ts >= p.ts
     """,
 )
@@ -606,8 +603,13 @@ def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     each error event, the user's most recent purchase at-or-before it.
     Implemented scalably via union + partitioned sort + last() window
     (one shuffle on the key, no per-group Python); DuckDB's native
-    ASOF JOIN is the oracle."""
-    from chicago_crime_spark_ml_spark.operators.relational import asof_join
+    ASOF JOIN is the oracle. Purchases tied on (user_id, ts) are
+    pre-deduplicated to the min event_id in BOTH engines — DuckDB's ASOF
+    tie-breaking is unspecified, so ties must not reach it."""
+    from chicago_crime_spark_ml_spark.operators.relational import (
+        asof_join,
+        dedup_keep_first,
+    )
 
     ev = _t(spark, sf_dir, "events")
     left = ev.filter(F.col("event_type") == "error")
@@ -616,6 +618,9 @@ def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("p_ts"),
         F.col("event_id").alias("purchase_event_id"),
         F.col("value").alias("purchase_value"),
+    )
+    right = dedup_keep_first(
+        right, keys=["user_id", "p_ts"], order_by=["purchase_event_id"]
     )
     out = asof_join(
         left,

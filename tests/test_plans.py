@@ -164,6 +164,25 @@ def test_asof_join_edges(spark):
     assert len(got) == 4  # left rows preserved exactly once
 
 
+def test_asof_join_null_timestamps(spark):
+    # SQL three-valued logic: a NULL right_ts can never satisfy
+    # l.ts >= r.ts, and a NULL left_ts matches nothing
+    import datetime as dt
+
+    from chicago_crime_spark_ml_spark.operators.relational import asof_join
+
+    t = dt.datetime(2024, 1, 1, 12)
+    left = spark.createDataFrame(
+        [(1, t, 10), (1, None, 11)], "k BIGINT, ts TIMESTAMP, lid BIGINT"
+    )
+    right = spark.createDataFrame(
+        [(1, None, "null-ts"), (1, dt.datetime(2024, 1, 1, 11), "real")],
+        "k BIGINT, rts TIMESTAMP, payload STRING",
+    )
+    got = {r.lid: r.payload for r in asof_join(left, right, "k", "ts", "rts").collect()}
+    assert got == {10: "real", 11: None}
+
+
 def test_hll_sketch_estimates_bounded(spark):
     # mergeable-sketch contract: per-group estimates and the union-merged
     # global estimate both land within HLL error of exact count_distinct
