@@ -236,6 +236,43 @@ def sketch_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_token_positions",
+    """
+    SELECT doc_id, CAST(u.pos - 1 AS INTEGER) AS pos, u.tok FROM (
+      SELECT doc_id,
+             unnest(list_transform(string_split_regex(trim(text), '\\s+'),
+                    (x, i) -> {'tok': x, 'pos': i})) AS u
+      FROM documents WHERE length(trim(text)) > 0)
+    """,
+)
+def doc_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator/UDTF surface: posexplode tokens with their positions
+    (map-side row expansion, no shuffle). Oracle: DuckDB indexed-lambda
+    unnest (no WITH ORDINALITY there)."""
+    from chicago_crime_spark_ml_spark.operators.text import tokens_expr
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    return d.select(
+        "doc_id", F.posexplode(tokens_expr("text")).alias("pos", "tok")
+    )
+
+
+@query(
+    "region_nation_cross",
+    """
+    SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+    """,
+)
+def region_nation_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join (dim × dim only — 125 rows; Spark plans
+    BroadcastNestedLoopJoin). Completes the join-type surface; fact-side
+    cross joins are forbidden by construction in this engine."""
+    r = _t(spark, sf_dir, "region").select("r_name")
+    n = _t(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)
+
+
+@query(
     "customer_order_history",
     """
     SELECT o_custkey,
