@@ -323,6 +323,39 @@ def null_profile(df: DataFrame, dirty_tokens: Sequence[str] = ("NULL", "")) -> D
     return df.select(exprs)
 
 
+def key_skew_profile(df: DataFrame, key: str, k: int = 10) -> DataFrame:
+    """Heavy-hitter / skew diagnostic for a join or aggregation key: the
+    top-k keys by frequency with their share of all rows and their ratio
+    to the mean key frequency (``x_mean`` — the skew factor that decides
+    whether a shuffle on this key needs salting or AQE skew-join at
+    100 TB; a key at x_mean ≫ 10 concentrates a partition).
+
+    One keyed agg shuffle + a single-row global aggregate joined back by
+    broadcast (BroadcastNestedLoopJoin over 1 row) + TakeOrderedAndProject
+    for the top-k — no full sort, no collect. Ties broken by key value so
+    the output is deterministic (oracle-checkable).
+    """
+    counts = df.groupBy(F.col(key).alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    stats = counts.agg(
+        F.sum("n").alias("__total"), F.count(F.lit(1)).alias("__n_keys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .select(
+            "key",
+            "n",
+            F.round(F.col("n") / F.col("__total"), 6).alias("share"),
+            F.round(
+                F.col("n") * F.col("__n_keys") / F.col("__total").cast("double"), 4
+            ).alias("x_mean"),
+        )
+        .orderBy(F.desc("n"), F.asc("key"))
+        .limit(k)
+    )
+
+
 def describe_stats(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     """Tidy summary statistics (one ROW per column: count/mean/stddev/min/
     max) — the reference's describe() (/root/reference/Preprocessing.py:209)

@@ -1862,3 +1862,72 @@ def dedup_documents_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("doc_id"),
         F.count(F.lit(1)).alias("n_copies"),
     )
+
+
+@query(
+    "corpus_curation_funnel",
+    """
+    WITH t AS (
+      SELECT doc_id, text,
+             string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents),
+    q AS (
+      SELECT doc_id, text FROM t
+      WHERE round(0.5 * least(1.0, len(toks) / 100.0)
+                  + 0.5 * (len(list_distinct(toks))
+                           / CAST(len(toks) AS DOUBLE)), 4) >= 0.5)
+    SELECT 'raw' AS stage, count(*) AS n_docs FROM t
+    UNION ALL SELECT 'quality' AS stage, count(*) AS n_docs FROM q
+    UNION ALL SELECT 'dedup' AS stage,
+                     count(DISTINCT md5(text)) AS n_docs FROM q
+    """,
+)
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation funnel: raw corpus → quality
+    filter (round-4 score ≥ 0.5, the cross-engine-stable comparison) →
+    exact content dedup, reported as per-stage surviving-document counts.
+    Composes the north-star operators (add_quality_score,
+    exact_dedup_by_content); each stage is one bounded aggregate — the
+    funnel costs two scans and one 16-byte-key distinct at any scale."""
+    from chicago_crime_spark_ml_spark.operators.dedup import exact_dedup_by_content
+    from chicago_crime_spark_ml_spark.operators.text import add_quality_score
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    qual = (
+        add_quality_score(d)
+        .filter(F.round("quality_score", 4) >= 0.5)
+        .select("doc_id", "text")
+    )
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("long").alias("n_docs")).select(
+            F.lit(name).alias("stage"), "n_docs"
+        )
+
+    return union_all(
+        [stage("raw", d), stage("quality", qual),
+         stage("dedup", exact_dedup_by_content(qual))]
+    )
+
+
+@query(
+    "custkey_skew_profile",
+    """
+    WITH c AS (
+      SELECT o_custkey AS key, count(*) AS n FROM orders GROUP BY o_custkey),
+    s AS (SELECT sum(n) AS total, count(*) AS n_keys FROM c)
+    SELECT c.key, c.n,
+           round(c.n / CAST(s.total AS DOUBLE), 6) AS share,
+           round(c.n * s.n_keys / CAST(s.total AS DOUBLE), 4) AS x_mean
+    FROM c CROSS JOIN s
+    ORDER BY c.n DESC, c.key LIMIT 10
+    """,
+)
+def custkey_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter skew diagnostic on the orders⋈customer join key:
+    top-10 custkeys with row share and ratio-to-mean-frequency — the
+    x_mean column is the decision input for salting / AQE skew-join at
+    100 TB. One agg shuffle + broadcast single-row stats + TakeOrdered."""
+    from chicago_crime_spark_ml_spark.operators.relational import key_skew_profile
+
+    return key_skew_profile(_t(spark, sf_dir, "orders"), "o_custkey", k=10)
