@@ -1700,10 +1700,10 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(d, k=8, w=4)
 
 
-@query(
-    "ngram_jaccard_near_dups",
-    """
-    WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+# Word-3-gram Jaccard pair CTEs, shared by the pair query and the
+# cluster query's edge source (ends with `jac` = (id_a, id_b, jaccard)).
+_NGRAM_JACCARD_CTES = """
+    t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
     sh AS (SELECT doc_id,
                   list_distinct([array_to_string(w[i:i+2], ' ')
                                  for i in range(1, len(w) - 1)]) AS s
@@ -1712,14 +1712,19 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
               FROM ex a JOIN ex b ON a.tok = b.tok AND a.doc_id < b.doc_id
               GROUP BY 1, 2),
-    sizes AS (SELECT doc_id, len(s) AS n FROM sh)
-    SELECT id_a, id_b,
-           round(inter / CAST(sa.n + sb.n - inter AS DOUBLE), 4) AS jaccard
-    FROM pairs
-    JOIN sizes sa ON id_a = sa.doc_id
-    JOIN sizes sb ON id_b = sb.doc_id
-    WHERE inter / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.8
-    """,
+    sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+    jac AS (SELECT id_a, id_b,
+                   round(inter / CAST(sa.n + sb.n - inter AS DOUBLE), 4) AS jaccard
+            FROM pairs
+            JOIN sizes sa ON id_a = sa.doc_id
+            JOIN sizes sb ON id_b = sb.doc_id
+            WHERE inter / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.8)
+"""
+
+
+@query(
+    "ngram_jaccard_near_dups",
+    f"WITH {_NGRAM_JACCARD_CTES} SELECT id_a, id_b, jaccard FROM jac",
 )
 def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard near-dup pairs at J ≥ 0.8 — recovers the
@@ -1730,6 +1735,44 @@ def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(d, threshold=0.8)
+
+
+@query(
+    "near_dup_clusters",
+    f"""
+    WITH RECURSIVE {_NGRAM_JACCARD_CTES},
+    edges AS (SELECT id_a AS a, id_b AS b FROM jac
+              UNION ALL SELECT id_b, id_a FROM jac),
+    reach(src, dst) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+    comp AS (SELECT src AS node, least(src, min(dst)) AS label
+             FROM reach GROUP BY src)
+    SELECT d.doc_id,
+           CAST(coalesce(c.label, d.doc_id) AS BIGINT) AS cluster_id
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    """,
+)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER assignment: connected components over the exact
+    Jaccard≥0.8 pair graph — every document labeled with the min doc_id
+    reachable from it (the canonical representative to keep). The
+    pairs→components→representative chain is the complete corpus-dedup
+    pipeline at scale; the oracle computes the same components with a
+    DuckDB recursive CTE (transitive closure + min label)."""
+    from chicago_crime_spark_ml_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    comp = connected_components(ngram_jaccard_pairs(d, threshold=0.8))
+    return d.select("doc_id").join(
+        comp, d["doc_id"] == comp["node"], "left"
+    ).select(
+        "doc_id", F.coalesce("label", "doc_id").alias("cluster_id")
+    )
 
 
 @query(

@@ -130,3 +130,36 @@ def test_pandas_udf_cosine_equals_jvm_expression(emb):
     py = [(r.vec_id, r.cosine)
           for r in cosine_topk_pandas(emb, qvec, k=10).collect()]
     assert jvm == py
+
+
+def test_connected_components_crafted_graph(spark):
+    from chicago_crime_spark_ml_spark.operators.dedup import connected_components
+
+    # chain 1-2-3 (diameter 2), pair 10-11, triangle 20-21-22; 99 edge-free
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)],
+        ["id_a", "id_b"],
+    )
+    got = {r.node: r.label for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_no_edges(spark):
+    from chicago_crime_spark_ml_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame([], "id_a BIGINT, id_b BIGINT")
+    assert connected_components(edges).count() == 0
+
+
+def test_cluster_assignment_covers_pairs(spark, docs, exact_pairs):
+    from chicago_crime_spark_ml_spark.queries import QUERIES
+    import os
+
+    sf = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
+    labels = {
+        r.doc_id: r.cluster_id for r in QUERIES["near_dup_clusters"](spark, sf).collect()
+    }
+    # every near-dup pair must share a cluster; labels are min-ids
+    for a, b in exact_pairs:
+        assert labels[a] == labels[b] <= min(a, b)
+    assert all(lbl <= d for d, lbl in labels.items())
