@@ -1974,3 +1974,493 @@ def custkey_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chicago_crime_spark_ml_spark.operators.relational import key_skew_profile
 
     return key_skew_profile(_t(spark, sf_dir, "orders"), "o_custkey", k=10)
+
+
+# ---------------------------------------------------------------------------
+# Subquery surface: correlated scalar / EXISTS / NOT EXISTS / NOT IN.
+# The reference never writes a subquery; a complete engine must cover the
+# shapes Catalyst decorrelates into joins. Each Spark side is the explicit
+# decorrelated DataFrame plan (window or semi/anti join) — the plan you
+# WANT at 100 TB — while the oracle keeps the correlated SQL form.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_above_customer_avg",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+    WHERE CAST(o_totalprice AS DECIMAL(18,4))
+            * (SELECT count(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+          > 1.5 * (SELECT sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                   FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+    """,
+)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery ("orders 1.5x above this customer's
+    average"), decorrelated to a single window pass: price*count > 1.5*sum
+    in exact DECIMAL so the filter boundary cannot flip between engines.
+    One shuffle on o_custkey and NO self-join — the naive correlated form
+    re-scans orders per row; the window form reads the fact table once,
+    which is the difference between feasible and not at 100 TB."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    dec = F.col("o_totalprice").cast("decimal(18,4)")
+    return (
+        o.withColumn("_n", F.count(F.lit(1)).over(w))
+        .withColumn("_s", F.sum(dec).over(w))
+        .filter(dec * F.col("_n") > F.col("_s") * 1.5)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@query(
+    "customers_exists_big_urgent",
+    """
+    SELECT c_custkey, c_name, c_mktsegment FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT'
+                    AND o.o_totalprice > 450000)
+    """,
+)
+def customers_exists_big_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS as a left-semi join. The filter on the orders
+    side runs BEFORE the join (pushed to the parquet scan), so the semi
+    join's build input is only the qualifying orders — at scale the semi
+    join never materializes customer rows more than once and never
+    widens the row (no payload columns cross the shuffle)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") > 450000)
+    )
+    return c.join(
+        o, c["c_custkey"] == o["o_custkey"], "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@query(
+    "parts_never_bulk_ordered",
+    """
+    SELECT p_partkey, p_name, p_retailprice FROM part p
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 49)
+    """,
+)
+def parts_never_bulk_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated NOT EXISTS as a left-anti join (parts with no near-max-
+    quantity lineitem). Anti join on the equi-key with the quantity
+    predicate pre-filtering the probe side — the only scalable plan; a
+    NOT IN rewrite would need null-aware handling and a correlated loop
+    re-scans lineitem per part."""
+    p = _t(spark, sf_dir, "part")
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    return p.join(
+        l, p["p_partkey"] == l["l_partkey"], "left_anti"
+    ).select("p_partkey", "p_name", "p_retailprice")
+
+
+@query(
+    "custkeys_no_urgent_orders",
+    """
+    SELECT c_custkey, c_acctbal FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_orderpriority = '1-URGENT')
+    """,
+)
+def custkeys_no_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN subquery through the Spark SQL front-end (temp views +
+    spark.sql), exercising Catalyst's null-aware anti-join planning —
+    identical SQL text runs on both engines. NOT IN must return zero rows
+    if the subquery ever yields NULL; Catalyst plans a null-aware anti
+    join to preserve that three-valued logic, which the DataFrame
+    left_anti join would silently get wrong."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_acctbal FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                WHERE o_orderpriority = '1-URGENT')
+        """
+    )
+
+
+@query(
+    "orders_with_max_item",
+    """
+    SELECT o.o_orderkey, o.o_totalprice,
+           (SELECT max(l_extendedprice) FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey) AS max_item_price,
+           (SELECT count(*) FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey) AS n_items
+    FROM orders o
+    """,
+)
+def orders_with_max_item(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two correlated scalar subqueries per order, decorrelated to ONE
+    pre-aggregated left join: aggregate lineitem once on l_orderkey,
+    join back. Orders with no items keep max=NULL / count=0 (left-join
+    null semantics). The pre-agg shrinks the join's right side to one
+    row per key before the shuffle — partial aggregation happens
+    map-side, so the shuffle carries (key, max, count), not raw items."""
+    o = _t(spark, sf_dir, "orders")
+    agg = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.max("l_extendedprice").alias("max_item_price"),
+            F.count(F.lit(1)).alias("_cnt"),
+        )
+    )
+    return (
+        o.join(agg, o["o_orderkey"] == agg["l_orderkey"], "left")
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            "max_item_price",
+            F.coalesce("_cnt", F.lit(0)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window frames beyond cumsum/lag: ROWS moving average, RANGE (time-based)
+# frame, and positional first/last/nth. All one shuffle on the partition key.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "customer_moving_avg3",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / count(*) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS ma3
+    FROM orders
+    """,
+)
+def customer_moving_avg3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-order moving average per customer — a bounded ROWS frame
+    (2 PRECEDING..CURRENT) with a deterministic compound ordering
+    (date, then orderkey to break date ties identically in both engines).
+    Built as exact decimal sum / count so the 3-term summation order
+    can't wiggle the 4th decimal. Sliding frames evaluate incrementally
+    within a partition — no per-row rescans."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    dec = F.col("o_totalprice").cast("decimal(18,4)")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum(dec).over(w).cast("double") / F.count(F.lit(1)).over(w), 4
+        ).alias("ma3"),
+    )
+
+
+@query(
+    "customer_30d_spend",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+                  PARTITION BY o_custkey ORDER BY o_orderdate
+                  RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW),
+                2) AS DOUBLE) AS spend_30d
+    FROM orders
+    """,
+)
+def customer_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: each order's trailing-30-day spend for its
+    customer. Spark's rangeBetween needs a numeric ordering key, so the
+    engine orders by day-number (datediff from a fixed epoch) with frame
+    [-30, 0] — exactly DuckDB's RANGE INTERVAL 30 DAY on midnight
+    timestamps. RANGE frames include all ordering-key peers, so tied
+    dates get identical values — deterministic without a tiebreaker."""
+    o = _t(spark, sf_dir, "orders")
+    day = F.datediff("o_orderdate", F.lit("1990-01-01"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-30, Window.currentRow)
+    )
+    dec = F.col("o_totalprice").cast("decimal(18,4)")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum(dec).over(w), 2).cast("double").alias("spend_30d"),
+    )
+
+
+@query(
+    "customer_first_last_orders",
+    """
+    SELECT o_custkey, first_ok, last_ok, second_ok FROM (
+      SELECT o_custkey,
+             first_value(o_orderkey) OVER w AS first_ok,
+             last_value(o_orderkey)  OVER w AS last_ok,
+             nth_value(o_orderkey, 2) OVER w AS second_ok,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+    WHERE rn = 1
+    """,
+)
+def customer_first_last_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional window functions (first_value / last_value / nth_value)
+    over the full-partition frame — last_value is wrong under the default
+    frame (..CURRENT ROW), so the frame is explicit. One row per customer
+    via row_number()=1; second_ok is NULL for single-order customers.
+    All four functions share one window spec → one shuffle + one sort."""
+    o = _t(spark, sf_dir, "orders")
+    ord_w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    full = ord_w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        o.select(
+            "o_custkey",
+            F.first("o_orderkey").over(full).alias("first_ok"),
+            F.last("o_orderkey").over(full).alias("last_ok"),
+            F.nth_value("o_orderkey", 2).over(full).alias("second_ok"),
+            F.row_number().over(ord_w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Classic warehouse shapes adapted to the star schema (TPC-H Q7/Q12/Q14
+# analogues): OR-predicate multi-join, conditional aggregation, and a
+# conditional-revenue ratio.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "nations_trade_volume",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l.l_shipdate) AS l_year,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(10,2))
+                          * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+                AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey = c.c_custkey
+    JOIN nation n2   ON c.c_nationkey = n2.n_nationkey
+    JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1   ON s.s_nationkey = n1.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3
+    """,
+)
+def nations_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: bilateral trade volume between two nations, either
+    direction — a 6-table join with a disjunctive cross-table predicate.
+    supplier + both nation copies are broadcast (tiny dims); the only
+    shuffles are lineitem⋈orders⋈customer on their keys. The OR predicate
+    can only be applied after both nation names are attached — but each
+    nation join itself is pre-filtered to the two nations, so the fact
+    rows that survive the broadcast joins are already ~2/N of the table
+    before the disjunction runs."""
+    two = ["NATION_1", "NATION_2"]
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin(two))
+    s = _t(spark, sf_dir, "supplier")
+    n1 = F.broadcast(n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")))
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n2, c["c_nationkey"] == F.col("n2_key"))
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(n1, s["s_nationkey"] == F.col("n1_key"))
+        .filter(
+            ((F.col("supp_nation") == two[0]) & (F.col("cust_nation") == two[1]))
+            | ((F.col("supp_nation") == two[1]) & (F.col("cust_nation") == two[0]))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(_disc_price()), 2).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "late_shipment_priorities",
+    """
+    SELECT l_returnflag,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= o_orderdate + INTERVAL 90 DAY
+    GROUP BY l_returnflag
+    """,
+)
+def late_shipment_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: shipments ≥90 days after order date, counted by
+    priority class per return flag — conditional aggregation (CASE inside
+    SUM) over a fact⋈fact join with a cross-table date predicate. The
+    date filter is theta (l_shipdate vs o_orderdate+90) so it runs as a
+    post-join filter; the join itself stays on the equi-key and both
+    CASE sums fold into one partial+final hash aggregate."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "promo_revenue_by_month",
+    """
+    SELECT year(l_shipdate) AS l_year, month(l_shipdate) AS l_month,
+           round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(l_extendedprice AS DECIMAL(10,2))
+                              * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                         ELSE CAST(0 AS DECIMAL(16,4)) END) AS DOUBLE)
+                 / CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2))
+                            * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE),
+                 4) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1, 2
+    """,
+)
+def promo_revenue_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: monthly share of revenue from PROMO-type parts — a
+    conditional-revenue ratio. Both numerator and denominator accumulate
+    in exact decimal (ratio of two exact sums → one double division →
+    round 4). part joins via its key; at 100 TB part is bucketable or
+    broadcastable per-partition-pruned, and the two sums share one
+    aggregate pass."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    dp = _disc_price()
+    promo = F.when(F.col("p_type") == "PROMO", dp).otherwise(
+        F.lit(0).cast("decimal(16,4)")
+    )
+    return (
+        l.join(p, l["l_partkey"] == p["p_partkey"])
+        .groupBy(
+            F.year("l_shipdate").alias("l_year"),
+            F.month("l_shipdate").alias("l_month"),
+        )
+        .agg(
+            F.round(
+                F.lit(100.0) * F.sum(promo).cast("double")
+                / F.sum(dp).cast("double"),
+                4,
+            ).alias("promo_pct")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Array (higher-order function) surface over the embeddings table, and
+# string-distance fuzzy matching — all JVM-side Column algebra, no UDFs.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_vector_stats",
+    """
+    SELECT vec_id, len(embedding) AS dim,
+           CAST(round(list_sum(list_transform(embedding,
+                  x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(28,8)))), 6)
+                AS DOUBLE) AS elem_sum,
+           round(sqrt(CAST(list_sum(list_transform(embedding,
+                  x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                       AS DECIMAL(28,8)))) AS DOUBLE)), 4) AS l2_norm,
+           CAST(list_max(embedding) AS DOUBLE) AS max_elem
+    FROM embeddings
+    """,
+)
+def embedding_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector stats via higher-order functions — F.aggregate folds
+    the array inside codegen (no explode, no shuffle, no Python): element
+    sum and sum-of-squares accumulate in DECIMAL(28,8) (each term rounded
+    identically in both engines, then exact associative addition), so the
+    L2 norm is bit-stable cross-engine. Map-only plan: at 100 TB this is
+    a pure scan-side transform with zero exchanges."""
+    e = _t(spark, sf_dir, "embeddings")
+    zero = F.lit(0).cast("decimal(28,8)")
+
+    def dsum(term):
+        return F.aggregate(
+            "embedding", zero,
+            lambda acc, x: (acc + term(x.cast("double"))).cast("decimal(28,8)"),
+        )
+
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(dsum(lambda d: d.cast("decimal(28,8)")), 6)
+        .cast("double").alias("elem_sum"),
+        F.round(
+            F.sqrt(dsum(lambda d: (d * d).cast("decimal(28,8)")).cast("double")), 4
+        ).alias("l2_norm"),
+        F.array_max("embedding").cast("double").alias("max_elem"),
+    )
+
+
+@query(
+    "supplier_name_fuzzy_pairs",
+    """
+    SELECT a.s_nationkey, a.s_suppkey AS suppkey_a, b.s_suppkey AS suppkey_b,
+           levenshtein(a.s_name, b.s_name) AS edit_dist
+    FROM supplier a JOIN supplier b
+      ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+    WHERE levenshtein(a.s_name, b.s_name) <= 1
+    """,
+)
+def supplier_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching: supplier-name pairs within a nation at edit
+    distance ≤ 1 (one-character typos). The equi-part of the predicate
+    (same nation) is the join key — levenshtein runs only on within-
+    nation candidate pairs, not the full cross product. This blocking-key
+    pattern (exact key ⋈, expensive distance post-filter) is how fuzzy
+    joins stay feasible at scale; the dedup family's LSH operators are
+    the same idea with learned/hashed blocking keys."""
+    s = _t(spark, sf_dir, "supplier")
+    a = s.select(
+        "s_nationkey",
+        F.col("s_suppkey").alias("suppkey_a"),
+        F.col("s_name").alias("name_a"),
+    )
+    b = s.select(
+        F.col("s_nationkey").alias("nk_b"),
+        F.col("s_suppkey").alias("suppkey_b"),
+        F.col("s_name").alias("name_b"),
+    )
+    return (
+        a.join(
+            b,
+            (a["s_nationkey"] == b["nk_b"])
+            & (a["suppkey_a"] < b["suppkey_b"]),
+        )
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= 1)
+        .select("s_nationkey", "suppkey_a", "suppkey_b", "edit_dist")
+    )
