@@ -95,6 +95,50 @@ def write_bucketed_table(
     writer.format("parquet").saveAsTable(table)
 
 
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """JSON-lines sink (one JSON object per row, splittable per file).
+    The interchange format for corpus pipelines — downstream tokenizer /
+    training jobs read JSONL; the engine writes it distributed, never via
+    a driver-side dump (the reference's sidecar pattern,
+    /root/reference/XGBoost.py:160-163)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON-lines source. Pass an explicit ``schema`` (StructType or DDL
+    string) at scale — schema inference on JSON is a full extra pass over
+    the data and types drift per file; with a schema the read is one pass
+    and malformed rows land in the PERMISSIVE-mode corrupt-record column
+    instead of failing the job."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC sink — the engine treats columnar formats symmetrically
+    (parquet default, ORC for Hive-ecosystem consumers). Same pushdown/
+    pruning behavior on read as parquet."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def write_parquet(
     df: DataFrame,
     path: str,

@@ -1,0 +1,89 @@
+"""Source/sink breadth (JSONL, ORC) and event-time watermark semantics.
+
+JSONL/ORC: distributed write → read roundtrips preserve rows and types
+(JSONL with an explicit schema — the scale-safe single-pass read).
+Watermark: append-mode windowed aggregation finalizes a window once the
+watermark passes its end, and drops later-arriving rows for that window —
+the late-data contract a 100 TB streaming ingest relies on.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from chicago_crime_spark_ml_spark.sources.io import (
+    load_table,
+    read_jsonl,
+    write_jsonl,
+    write_orc,
+)
+
+
+def test_jsonl_roundtrip_with_schema(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, path)
+    back = read_jsonl(
+        spark,
+        path,
+        schema="doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    ).select(*docs.columns)
+    assert back.schema == docs.select(*docs.columns).schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, docs.collect()))
+
+
+def test_orc_roundtrip_partitioned(spark, sf_dir, tmp_path):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    path = str(tmp_path / "li_orc")
+    write_orc(li, path, partition_by=["l_returnflag"])
+    back = spark.read.orc(path).select(*li.columns)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, li.collect()))
+    # partition pruning: a returnflag filter must not scan other partitions
+    pruned = spark.read.orc(path).filter(F.col("l_returnflag") == "R")
+    assert pruned.count() == li.filter(F.col("l_returnflag") == "R").count()
+
+
+def test_watermark_drops_late_rows_append_mode(spark, tmp_path):
+    src = tmp_path / "wm_src"
+    src.mkdir()
+
+    def emit(name, rows):
+        spark.createDataFrame(rows, "ts TIMESTAMP, v DOUBLE").coalesce(
+            1
+        ).write.mode("append").parquet(str(src))
+
+    import datetime as dt
+
+    t = lambda d, h: dt.datetime(2026, 1, d, h)  # noqa: E731
+    # batch 1: Jan 1 + Jan 5 → watermark advances to Jan 4 10:00
+    emit("b1", [(t(1, 10), 1.0), (t(5, 10), 1.0)])
+
+    stream = spark.readStream.schema("ts TIMESTAMP, v DOUBLE").parquet(str(src))
+    agg = (
+        stream.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("day"), "n")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: a LATE row for Jan 1 (behind the Jan 4 watermark → must be
+        # dropped) plus a fresh Jan 10 row that closes the Jan 5 window too.
+        emit("b2", [(t(1, 11), 99.0), (t(10, 10), 1.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = {r.day: r.n for r in spark.sql("SELECT * FROM wm_test").collect()}
+    # Jan 1 window finalized with ONE row — the late arrival was dropped.
+    assert rows.get(dt.datetime(2026, 1, 1)) == 1
