@@ -54,6 +54,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
+    prune_unique_shingles: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (a<b) via inverted-index
     self-join: explode shingles → join on shingle → |∩| per pair →
@@ -65,7 +66,32 @@ def ngram_jaccard_pairs(
     candidate pairs through this exact scorer.
     """
     sets = shingle_sets(df, text_col, id_col, n).persist()
-    ex = sets.select(id_col, F.explode("shingles").alias("tok"))
+    # Join on xxhash64(shingle), not the shingle string: the inverted-index
+    # shuffle carries 8-byte keys instead of ~25-byte n-gram text (the
+    # dominant cost — this join's shuffle is the whole operator at scale).
+    # n_shingles stays string-exact; a 64-bit collision would need two
+    # distinct shingles co-occurring in the same doc pair (~2^-64 per pair).
+    ex = sets.select(
+        id_col, F.explode("shingles").alias("tok")
+    ).select(id_col, F.xxhash64("tok").alias("tok"))
+    if prune_unique_shingles:
+        # Prune df_t == 1 shingles before the self-join: a shingle seen in
+        # one document can't produce a pair, and in real corpora MOST
+        # shingles are unique — this cuts the join input (and its Σ df_t²
+        # output) without changing a single result row. The window shares
+        # the join's hash partitioning on tok (one exchange gets reused);
+        # measured cost when the corpus is dense (testdata sf0.1: df=1 is
+        # only 207 of 27k shingles) is ~10% — disable for corpora known to
+        # repeat nearly every shingle.
+        from pyspark.sql.window import Window  # noqa: PLC0415
+
+        ex = (
+            ex.withColumn(
+                "_df", F.count(F.lit(1)).over(Window.partitionBy("tok"))
+            )
+            .filter(F.col("_df") > 1)
+            .drop("_df")
+        )
     a = ex.alias("a")
     b = ex.alias("b")
     inter = (
