@@ -202,3 +202,44 @@ def test_hll_sketch_estimates_bounded(spark):
     for seg, exact in exact_per.items():
         assert abs(rows[seg] - exact) / exact < 0.05, (seg, rows[seg], exact)
     assert abs(rows["_ALL_"] - exact_all) / exact_all < 0.05
+
+
+def test_scalar_subquery_decorrelates_to_one_window_shuffle(spark, sf_dir):
+    # correlated scalar subquery → single window pass: 1 exchange, NO join
+    plan = explain_str(QUERIES["orders_above_customer_avg"](spark, sf_dir), "simple")
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+
+def test_exists_plans_semi_join_with_pushed_filter(spark, sf_dir):
+    df = QUERIES["customers_exists_big_urgent"](spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "LeftSemi" in plan
+    # the orders-side predicate must reach the parquet scan, not the join
+    assert_pushed_filters(df, "o_totalprice")
+
+
+def test_not_exists_plans_anti_join(spark, sf_dir):
+    plan = explain_str(QUERIES["parts_never_bulk_ordered"](spark, sf_dir), "simple")
+    assert "LeftAnti" in plan
+
+
+def test_not_in_plans_null_aware_anti_join(spark, sf_dir):
+    # Catalyst's isNullAwareAntiJoin flag is the trailing `true` in
+    # BroadcastHashJoin [...], LeftAnti, BuildRight, true — three-valued
+    # NOT IN semantics preserved in the physical plan
+    plan = explain_str(QUERIES["custkeys_no_urgent_orders"](spark, sf_dir), "simple")
+    assert "LeftAnti, BuildRight, true" in plan
+
+
+def test_embedding_stats_is_map_only(spark, sf_dir):
+    # higher-order-function fold: zero exchanges, pure scan-side transform
+    plan = explain_str(QUERIES["embedding_vector_stats"](spark, sf_dir), "simple")
+    assert plan.count("Exchange") == 0
+
+
+def test_window_frames_single_shuffle(spark, sf_dir):
+    for name in ("customer_moving_avg3", "customer_30d_spend"):
+        plan = explain_str(QUERIES[name](spark, sf_dir), "simple")
+        assert plan.count("Exchange") == 1, name
+        assert "Window" in plan, name
