@@ -87,3 +87,41 @@ def test_watermark_drops_late_rows_append_mode(spark, tmp_path):
     rows = {r.day: r.n for r in spark.sql("SELECT * FROM wm_test").collect()}
     # Jan 1 window finalized with ONE row — the late arrival was dropped.
     assert rows.get(dt.datetime(2026, 1, 1)) == 1
+
+
+def test_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Stop a streaming query, add more input, restart from the SAME
+    checkpoint: the file sink's manifest + source offsets in the
+    checkpoint must yield each input row exactly once across the two
+    runs — the recovery contract a production ingest depends on."""
+    src, sink, ckpt = (str(tmp_path / d) for d in ("src", "sink", "ckpt"))
+    (tmp_path / "src").mkdir()
+
+    def emit(rows):
+        spark.createDataFrame(rows, "k BIGINT, v DOUBLE").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    def run_until_drained():
+        q = (
+            spark.readStream.schema("k BIGINT, v DOUBLE")
+            .parquet(src)
+            .withColumn("v2", F.col("v") * 2)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    emit([(1, 1.0), (2, 2.0)])
+    run_until_drained()
+    emit([(3, 3.0)])
+    run_until_drained()  # restart from checkpoint
+
+    out = sorted(
+        (r.k, r.v, r.v2) for r in spark.read.parquet(sink).collect()
+    )
+    assert out == [(1, 1.0, 2.0), (2, 2.0, 4.0), (3, 3.0, 6.0)]
