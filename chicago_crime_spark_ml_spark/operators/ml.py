@@ -212,3 +212,31 @@ def predict_single(model: PipelineModel, spark, row: dict) -> DataFrame:
     reference's hand-rolled NumPy re-implementation of its own feature
     pipeline (/root/reference/Stramlit_app.py:123-136)."""
     return model.transform(spark.createDataFrame([row]))
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    splits: tuple[tuple[str, int], ...] = (("train", 80), ("val", 10), ("test", 10)),
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content-stable hash:
+    bucket = int(md5(id)[:15 hex]) % 100, split by cumulative weight.
+    Unlike randomSplit, membership is a pure function of the id — stable
+    across runs, cluster sizes, partitionings, and engine versions, and
+    reproducible row-by-row in any other system (the DuckDB oracle runs
+    the same expression). Map-only; no sampling pass, no state.
+    """
+    assert sum(w for _, w in splits) == 100
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 100
+    )
+    expr = None
+    acc = 0
+    for name, w in splits[:-1]:
+        acc += w
+        cond = F.col("bucket") < acc
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = expr.otherwise(splits[-1][0])
+    return df.withColumn("bucket", bucket).withColumn("split", expr)

@@ -145,3 +145,44 @@ def winnow_fingerprints(
     return out.select(
         id_col, F.explode(F.array_distinct(mins)).alias("fp")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Split documents into fixed-size token chunks with overlap
+    (chunk_size − stride tokens shared between neighbors) — the
+    context-window chunking step of a training-data pipeline, as pure
+    Column algebra: tokenize → explode chunk-start positions
+    (sequence with step=stride) → slice the token array per start.
+
+    Map-only (explode fans out rows inside the scan stage, no shuffle);
+    at 100 TB this runs at full scan throughput and the output lands
+    directly in the training-shard writer. Every doc yields ≥1 chunk
+    (greatest(1, n) guard covers docs shorter than one stride); the
+    final chunk is short rather than padded, n_tokens says how short.
+    """
+    toks = tokens_expr(text_col)
+    starts = F.explode(
+        F.sequence(
+            F.lit(1), F.greatest(F.lit(1), F.size("w")), F.lit(stride)
+        )
+    )
+    return (
+        df.select(F.col(id_col), toks.alias("w"))
+        .select(F.col(id_col), F.col("w"), starts.alias("start"))
+        .select(
+            id_col,
+            ((F.col("start") - 1) / stride).cast("int").alias("chunk_id"),
+            F.array_join(F.slice("w", F.col("start"), chunk_size), " ").alias(
+                "chunk_text"
+            ),
+            F.least(
+                F.lit(chunk_size), F.size("w") - F.col("start") + 1
+            ).alias("n_tokens"),
+        )
+    )

@@ -2464,3 +2464,81 @@ def supplier_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= 1)
         .select("s_nationkey", "suppkey_a", "suppkey_b", "edit_dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: context-window chunking, deterministic splits,
+# and MapType JSON entries.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_chunks",
+    """
+    WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+    starts AS (SELECT doc_id, w,
+                      CAST(unnest(range(1, greatest(1, len(w)) + 1, 24))
+                           AS INTEGER) AS start
+               FROM t)
+    SELECT doc_id, CAST((start - 1) / 24 AS INTEGER) AS chunk_id,
+           array_to_string(w[start:start+31], ' ') AS chunk_text,
+           least(32, len(w) - start + 1) AS n_tokens
+    FROM starts
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 32-token chunks, stride 24 (8-token
+    overlap), ≥1 chunk per doc. Map-only explode — the fan-out happens
+    inside the scan stage; chunk text and exact boundary semantics are
+    value-hashed against the DuckDB window."""
+    from chicago_crime_spark_ml_spark.operators.text import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_size=32, stride=24
+    )
+
+
+@query(
+    "doc_split_assignment",
+    """
+    SELECT doc_id,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+             AS bucket,
+           CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 80 THEN 'train'
+                WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def doc_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by md5-of-id bucket —
+    content-stable membership (same doc → same split on any run, any
+    cluster, any engine), checked row-by-row against DuckDB running the
+    identical hash expression. The scale-safe replacement for
+    randomSplit, whose assignment depends on partitioning."""
+    from chicago_crime_spark_ml_spark.operators.ml import hash_split
+
+    return hash_split(
+        _t(spark, sf_dir, "documents").select("doc_id"), "doc_id"
+    )
+
+
+@query(
+    "event_props_entries",
+    """
+    SELECT event_id, k AS key, json_extract_string(props, '$.' || k) AS value
+    FROM (SELECT event_id, props, unnest(json_keys(props)) AS k FROM events)
+    """,
+)
+def event_props_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props parsed to MapType and exploded to
+    (event_id, key, value) rows — from_json into map<string,string> keeps
+    the parse JVM-side and schema-free over heterogeneous keys; the
+    oracle is DuckDB's lateral json_each. Map-only fan-out."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.explode(F.from_json("props", "map<string,string>")).alias(
+            "key", "value"
+        ),
+    )

@@ -243,3 +243,24 @@ def test_window_frames_single_shuffle(spark, sf_dir):
         plan = explain_str(QUERIES[name](spark, sf_dir), "simple")
         assert plan.count("Exchange") == 1, name
         assert "Window" in plan, name
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    # Fact written partitioned on the join key's value column; joining to a
+    # FILTERED dim must plan a dynamicpruning PartitionFilter on the fact
+    # scan — only matching partitions are read. The 100 TB date-partition
+    # contract: a dim filter prunes fact partitions at runtime.
+    from chicago_crime_spark_ml_spark.sources.io import load_table, write_parquet
+
+    li = load_table(spark, sf_dir, "lineitem")
+    path = str(tmp_path / "li_part")
+    write_parquet(li, path, partition_by=["l_returnflag"])
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("R", "returned"), ("A", "accepted"), ("N", "none")], ["flag", "label"]
+    ).filter(F.col("label") == "returned")
+    joined = fact.join(dim, fact["l_returnflag"] == dim["flag"]).groupBy(
+        "label"
+    ).count()
+    plan = explain_str(joined, "formatted")
+    assert "dynamicpruning" in plan.lower()

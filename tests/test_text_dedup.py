@@ -163,3 +163,38 @@ def test_cluster_assignment_covers_pairs(spark, docs, exact_pairs):
     for a, b in exact_pairs:
         assert labels[a] == labels[b] <= min(a, b)
     assert all(lbl <= d for d, lbl in labels.items())
+
+
+def test_chunk_documents_boundaries(spark):
+    from chicago_crime_spark_ml_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(70))),  # 70 toks → starts 1,25,49
+         (2, "a b c"),                               # shorter than stride → 1 chunk
+         (3, "x")],
+        ["doc_id", "text"],
+    )
+    rows = {(r.doc_id, r.chunk_id): r for r in
+            chunk_documents(docs, chunk_size=32, stride=24).collect()}
+    assert {(d, c) for d, c in rows} == {(1, 0), (1, 1), (1, 2), (2, 0), (3, 0)}
+    assert rows[(1, 0)].n_tokens == 32 and rows[(1, 2)].n_tokens == 22
+    assert rows[(2, 0)].chunk_text == "a b c" and rows[(2, 0)].n_tokens == 3
+    # overlap: chunk 1 starts at token 25 (0-indexed 24)
+    assert rows[(1, 1)].chunk_text.split()[0] == "t24"
+
+
+def test_hash_split_partitions_and_ratios(spark, docs):
+    from chicago_crime_spark_ml_spark.operators.ml import hash_split
+
+    out = hash_split(docs.select("doc_id"), "doc_id")
+    counts = {r.split: r.n for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    n = sum(counts.values())
+    assert n == docs.count()
+    # deterministic: same assignment on re-run
+    again = {r.doc_id: r.split for r in hash_split(
+        docs.select("doc_id"), "doc_id").collect()}
+    first = {r.doc_id: r.split for r in out.collect()}
+    assert first == again
+    # rough ratio sanity (80/10/10 over 500 docs)
+    assert counts["train"] > counts.get("val", 0) + counts.get("test", 0)
