@@ -36,6 +36,10 @@ HEADLINE = [
     "doc_simhash",
     "ngram_jaccard_near_dups",
     "ann_cosine_top10",
+    "nations_trade_volume",
+    "orders_above_customer_avg",
+    "customer_30d_spend",
+    "doc_chunks",
 ]
 
 
