@@ -2542,3 +2542,57 @@ def event_props_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
             "key", "value"
         ),
     )
+
+
+@query(
+    "doc_bpe_token_counts",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                AS INTEGER) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS INTEGER) AS n_words,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_numbers,
+           CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS INTEGER)
+             AS n_punct
+    FROM documents
+    """,
+)
+def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenization counts: the GPT-2-ish split (letter
+    runs | digit runs | single punctuation) that budget estimators use to
+    size training corpora before running a real tokenizer. Pure
+    regexp_extract_all Column algebra — map-only, identical regex
+    semantics in both engines (value-hash-checked)."""
+    d = _t(spark, sf_dir, "documents")
+
+    def n(pat):
+        return F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0)))
+
+    return d.select(
+        "doc_id",
+        n(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]").alias("n_tokens"),
+        n(r"[A-Za-z]+").alias("n_words"),
+        n(r"[0-9]+").alias("n_numbers"),
+        n(r"[^A-Za-z0-9\s]").alias("n_punct"),
+    )
+
+
+@query(
+    "event_variant_extract",
+    """
+    SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k
+    FROM events
+    """,
+)
+def event_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction through Spark's VariantType (parse_json
+    → try_variant_get): variant parses the JSON once into a typed binary
+    encoding, so repeated path extractions don't re-parse text — the
+    Spark-4 answer to schema-drifting JSON at scale (vs from_json, which
+    needs a declared schema per shape). Row-level values hash-checked
+    against DuckDB json_extract."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.try_variant_get(F.parse_json("props"), "$.k", "int").alias("k"),
+    )
