@@ -186,3 +186,52 @@ def chunk_documents(
             ).alias("n_tokens"),
         )
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF
+    (idf = ln((N+1)/(df+1)) + 1, sklearn's smoothing — never zero, no
+    division hazards). Ranking uses the ROUNDED score with the term as
+    tiebreaker, so ordering is total and engine-independent.
+
+    Shuffle discipline: one shuffle keyed on (doc, term) for TF, one on
+    term for DF (tiny — vocabulary-sized), a broadcast join back (DF
+    table ≪ corpus; vocab grows sublinearly), and the per-doc top-k
+    window on the doc key. The corpus size N arrives via a broadcast
+    1-row cross join, not a driver-side count — the whole computation
+    stays one lazy plan.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_expr(text_col, lowercase=True)).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+                    + 1.0
+                ),
+                4,
+            ),
+        )
+    )
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "tfidf", "rank")
+    )

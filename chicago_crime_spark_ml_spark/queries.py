@@ -2596,3 +2596,32 @@ def event_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.try_variant_get(F.parse_json("props"), "$.k", "int").alias("k"),
     )
+
+
+@query(
+    "doc_tfidf_top_terms",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, term, tf,
+             round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 4) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+    SELECT doc_id, term, tf, tfidf, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                       ORDER BY tfidf DESC, term) AS INTEGER) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per doc by smoothed TF-IDF — the
+    text-analysis keyword extractor (SURVEY §7.6). Rank on the rounded
+    score + term tiebreak → total order, identical across engines."""
+    from chicago_crime_spark_ml_spark.operators.text import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=5)
