@@ -170,3 +170,47 @@ def test_resize_and_frame_sample_plumbing(spark, sf_dir):
     b = sorted(map(tuple, sample_frames(d, n_frames=4)
                    .select("doc_id", "frame_idx").collect()))
     assert a == b
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    """Stream-stream inner join (purchases ⋈ errors per user within 1h)
+    with watermarks on both sides — state-bounded two-stream correlation,
+    the Structured Streaming feature batch can't emulate incrementally.
+    Contract: after draining, emitted matches equal the batch join."""
+    from chicago_crime_spark_ml_spark.streaming import (
+        run_stream_to_memory,
+        stream_events,
+    )
+
+    def split(df):
+        p = df.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_id"),
+        )
+        e = df.filter(F.col("event_type") == "error").select(
+            F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts"),
+            F.col("event_id").alias("e_id"),
+        )
+        return p, e
+
+    cond = (
+        (F.col("p_user") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("p_ts"))
+        & (F.col("e_ts") <= F.col("p_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+
+    from chicago_crime_spark_ml_spark.sources.io import load_table
+
+    bp, be = split(load_table(spark, sf_dir, "events"))
+    batch = {(r.p_id, r.e_id) for r in bp.join(be, cond).collect()}
+
+    sp, se = split(stream_events(spark, sf_dir))
+    joined = sp.withWatermark("p_ts", "2 hours").join(
+        se.withWatermark("e_ts", "2 hours"), cond
+    )
+    run_stream_to_memory(joined, "ss_join", output_mode="append")
+    stream = {
+        (r.p_id, r.e_id)
+        for r in spark.sql("SELECT p_id, e_id FROM ss_join").collect()
+    }
+    assert stream == batch and len(batch) > 0
