@@ -151,13 +151,14 @@ def test_connected_components_no_edges(spark):
     assert connected_components(edges).count() == 0
 
 
-def test_cluster_assignment_covers_pairs(spark, docs, exact_pairs):
+def test_cluster_assignment_covers_pairs(spark, sf_dir, docs, exact_pairs):
+    # sf_dir must match the docs/exact_pairs fixtures — the oracle gate
+    # already covers other scale factors for this query
     from chicago_crime_spark_ml_spark.queries import QUERIES
-    import os
 
-    sf = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
     labels = {
-        r.doc_id: r.cluster_id for r in QUERIES["near_dup_clusters"](spark, sf).collect()
+        r.doc_id: r.cluster_id
+        for r in QUERIES["near_dup_clusters"](spark, sf_dir).collect()
     }
     # every near-dup pair must share a cluster; labels are min-ids
     for a, b in exact_pairs:
