@@ -53,12 +53,22 @@ def time_split(df: DataFrame, col: str, cutoff) -> tuple[DataFrame, DataFrame]:
     return df.filter(c <= F.lit(cutoff)), df.filter(c > F.lit(cutoff))
 
 
-def top_k(df: DataFrame, order_col: str, k: int, ascending: bool = False) -> DataFrame:
+def top_k(
+    df: DataFrame,
+    order_col: str,
+    k: int,
+    ascending: bool = False,
+    tiebreak: str | None = None,
+) -> DataFrame:
     """orderBy+limit top-k (/root/reference/Preprocessing.py:399,546,608).
     Spark plans this as TakeOrderedAndProject — per-partition heap + driver
-    merge, no full sort: exactly what you want at scale."""
-    order = F.asc(order_col) if ascending else F.desc(order_col)
-    return df.orderBy(order).limit(k)
+    merge, no full sort: exactly what you want at scale. ``tiebreak``
+    (ascending secondary key) makes the result set deterministic when
+    order_col has duplicates — required for cross-engine oracle checks."""
+    order = [F.asc(order_col) if ascending else F.desc(order_col)]
+    if tiebreak is not None:
+        order.append(F.asc(tiebreak))
+    return df.orderBy(*order).limit(k)
 
 
 def top_k_per_group(
@@ -68,16 +78,21 @@ def top_k_per_group(
     k: int,
     ascending: bool = False,
     rank_col: str = "rn",
+    tiebreak: str | None = None,
+    keep_rank: bool = False,
 ) -> DataFrame:
     """Top-k per group via window row_number — the distributed form of the
-    reference's collect-then-pandas slicing. One shuffle on group_cols."""
-    order = F.asc(order_col) if ascending else F.desc(order_col)
-    w = Window.partitionBy(*group_cols).orderBy(order)
-    return (
-        df.withColumn(rank_col, F.row_number().over(w))
-        .filter(F.col(rank_col) <= k)
-        .drop(rank_col)
+    reference's collect-then-pandas slicing. One shuffle on group_cols.
+    ``tiebreak`` (ascending secondary key) totalizes the order under ties;
+    ``keep_rank`` retains the rank column for callers that expose it."""
+    order = [F.asc(order_col) if ascending else F.desc(order_col)]
+    if tiebreak is not None:
+        order.append(F.asc(tiebreak))
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    out = df.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= k
     )
+    return out if keep_rank else out.drop(rank_col)
 
 
 def pivot_count(

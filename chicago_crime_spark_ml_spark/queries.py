@@ -993,7 +993,7 @@ def top10_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k (O4, Preprocessing.py:399) — TakeOrderedAndProject, no full
     sort. Secondary key makes the result set deterministic under ties."""
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
-    return o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(10)
+    return top_k(o, "o_totalprice", 10, tiebreak="o_orderkey")
 
 
 @query(
@@ -1011,10 +1011,10 @@ def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k per group via window row_number — one shuffle on the group
     key; the distributed form of collect-then-slice."""
     o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.desc("o_totalprice"), F.asc("o_orderkey")
+    return top_k_per_group(
+        o, ["o_custkey"], "o_totalprice", 3,
+        tiebreak="o_orderkey", keep_rank=True,
     )
-    return o.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
 
 
 @query(

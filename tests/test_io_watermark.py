@@ -9,7 +9,6 @@ the late-data contract a 100 TB streaming ingest relies on.
 
 from __future__ import annotations
 
-import time
 
 from pyspark.sql import functions as F
 

@@ -12,7 +12,6 @@ import datetime as dt
 import pandas as pd
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
-from pyspark.sql import functions as F
 
 from chicago_crime_spark_ml_spark.operators.relational import (
     asof_join,
