@@ -389,3 +389,67 @@ def describe_stats(df: DataFrame, cols: Sequence[str]) -> DataFrame:
             )
         )
     return union_all(pieces)
+
+
+def asof_join_cogroup(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+) -> DataFrame:
+    """As-of join via cogrouped applyInPandas — the Arrow-batched escape
+    hatch for when per-group join logic outgrows Column algebra (custom
+    tolerance rules, interpolation, per-key state). Both inputs cogroup
+    on the key (one shuffle each side); each group pair becomes a pandas
+    merge_asof on the driver-of-the-group — never the actual driver.
+
+    Semantics match :func:`asof_join` (backward, inclusive, NULL right
+    timestamps never match) and the cross-implementation equality is
+    asserted in tests — two independent constructions, one contract.
+    Prefer ``asof_join`` (pure JVM) in the hot path; this exists for the
+    cases SQL can't express, and as independent validation.
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    payload = [c for c in right.columns if c not in (key, right_ts)]
+    out_fields = (
+        [f"{f.name} {f.dataType.simpleString()}" for f in left.schema.fields]
+        + [f"{f.name} {f.dataType.simpleString()}"
+           for f in right.schema.fields if f.name in payload]
+    )
+    out_schema = ", ".join(out_fields)
+    lcols = list(left.columns)
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty:
+            return pd.DataFrame(columns=lcols + payload)
+        lpdf = lpdf.sort_values(left_ts, kind="mergesort")
+        rpdf = rpdf[rpdf[right_ts].notna()].sort_values(
+            [right_ts] + payload, kind="mergesort"
+        )
+        lnull = lpdf[lpdf[left_ts].isna()]
+        lval = lpdf[lpdf[left_ts].notna()]
+        if rpdf.empty or lval.empty:
+            merged = lpdf.copy()
+            for c in payload:
+                merged[c] = None
+            return merged[lcols + payload]
+        m = pd.merge_asof(
+            lval,
+            rpdf[[right_ts] + payload],
+            left_on=left_ts,
+            right_on=right_ts,
+            direction="backward",
+            allow_exact_matches=True,
+        ).drop(columns=[c for c in [right_ts] if c not in payload])
+        if not lnull.empty:
+            ln = lnull.copy()
+            for c in payload:
+                ln[c] = None
+            m = pd.concat([m, ln], ignore_index=True)
+        return m[lcols + payload]
+
+    return left.groupBy(key).cogroup(right.groupBy(key)).applyInPandas(
+        merge, out_schema
+    )

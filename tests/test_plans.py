@@ -264,3 +264,33 @@ def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
     ).count()
     plan = explain_str(joined, "formatted")
     assert "dynamicpruning" in plan.lower()
+
+
+def test_asof_cogroup_equals_relational(spark, sf_dir):
+    # two independent as-of constructions — pure-JVM window form vs
+    # cogrouped applyInPandas merge_asof — must agree row-for-row
+    from chicago_crime_spark_ml_spark.operators.relational import (
+        asof_join,
+        asof_join_cogroup,
+        dedup_keep_first,
+    )
+    from chicago_crime_spark_ml_spark.sources.io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_event_id"),
+    )
+    right = dedup_keep_first(
+        right, keys=["user_id", "p_ts"], order_by=["purchase_event_id"]
+    )
+    args = dict(key="user_id", left_ts="ts", right_ts="p_ts")
+    a = {(r.event_id, r.purchase_event_id)
+         for r in asof_join(left, right, **args).collect()}
+    b = {(r.event_id, r.purchase_event_id)
+         for r in asof_join_cogroup(left, right, **args).collect()}
+    assert a == b and len(a) > 0
