@@ -124,6 +124,36 @@ def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
     return reader.json(path)
 
 
+def read_jsonl_quarantine(
+    spark: SparkSession, path: str, schema: str
+) -> tuple[DataFrame, DataFrame]:
+    """JSONL read with corrupt-row quarantine: PERMISSIVE mode routes
+    malformed lines into a corrupt-record column instead of failing the
+    job (FAILFAST) or silently dropping them (DROPMALFORMED). Returns
+    (good_rows, quarantined_raw_lines) — same contract as the cleaning
+    layer's timestamp quarantine: at 100 TB you keep the bad 0.01% for
+    forensics, you don't kill a 6-hour job over it.
+    """
+    corrupt = "_corrupt_record"
+    full = f"{schema}, {corrupt} STRING"
+    df = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt)
+        .json(path)
+    )
+    # Spark disallows queries touching ONLY the corrupt column on the raw
+    # lazy plan (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — cache the parsed
+    # result first (the documented contract); both splits then share one
+    # parse pass instead of re-reading the files.
+    df = df.cache()
+    good = df.filter(F.col(corrupt).isNull()).drop(corrupt)
+    bad = df.filter(F.col(corrupt).isNotNull()).select(
+        F.col(corrupt).alias("raw_line")
+    )
+    return good, bad
+
+
 def write_orc(
     df: DataFrame,
     path: str,

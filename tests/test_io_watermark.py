@@ -124,3 +124,20 @@ def test_checkpoint_restart_exactly_once(spark, tmp_path):
         (r.k, r.v, r.v2) for r in spark.read.parquet(sink).collect()
     )
     assert out == [(1, 1.0, 2.0), (2, 2.0, 4.0), (3, 3.0, 6.0)]
+
+
+def test_jsonl_corrupt_record_quarantine(spark, tmp_path):
+    from chicago_crime_spark_ml_spark.sources.io import read_jsonl_quarantine
+
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"id": 1, "txt": "ok"}\n'
+        "this is not json\n"
+        '{"id": 2, "txt": "fine"}\n'
+        '{"id": "NaN-ish", "txt": 3}\n'   # type mismatch → quarantined
+    )
+    good, bad = read_jsonl_quarantine(spark, str(p), "id BIGINT, txt STRING")
+    assert sorted((r.id, r.txt) for r in good.collect()) == [(1, "ok"), (2, "fine")]
+    bad_lines = sorted(r.raw_line for r in bad.collect())
+    assert len(bad_lines) == 2
+    assert any("not json" in b for b in bad_lines)
