@@ -235,3 +235,60 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tf", "tfidf", "rank")
     )
+
+
+def bm25_search(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 ranked retrieval for a bag of query terms — the lexical
+    search scorer of a retrieval pipeline, as pure DataFrame algebra:
+
+        tokenize → explode → keep query terms only (pushed before the
+        TF shuffle, so the plan touches query-term postings, not the
+        whole index) → tf per (doc, term), df per term → BM25 formula →
+        per-doc sum → top-k.
+
+    idf uses the +1-inside-ln variant (always positive). Ranking is on
+    the ROUNDED score with id tiebreak → total, engine-independent
+    order. Corpus stats (N, avgdl) ride in on broadcast 1-row frames;
+    the df table is vocabulary-of-query-sized → broadcast join.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokens_expr(text_col, lowercase=True)).alias("term"),
+    )
+    doclen = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_dl"),
+    )
+    qtoks = toks.filter(F.col("term").isin([t.lower() for t in query_terms]))
+    tf = qtoks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    avgdl = F.col("total_dl") / F.col("n_docs")
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    per_term = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(doclen, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "score",
+            idf
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl)),
+        )
+    )
+    scored = per_term.groupBy(id_col).agg(
+        F.round(F.sum("score"), 4).alias("bm25")
+    )
+    return (
+        scored.orderBy(F.desc("bm25"), F.asc(id_col)).limit(k)
+    )

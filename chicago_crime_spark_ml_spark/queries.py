@@ -2625,3 +2625,40 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chicago_crime_spark_ml_spark.operators.text import tfidf_top_terms
 
     return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=5)
+
+
+@query(
+    "bm25_search_top10",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      FROM documents),
+    doclen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM doclen),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+           WHERE term IN ('spark', 'table', 'window') GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    per_term AS (
+      SELECT tf.doc_id,
+             ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * (tf * 2.2)
+               / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / (CAST(total_dl AS DOUBLE) / n_docs)))
+               AS score
+      FROM tf JOIN dfreq USING (term) JOIN doclen USING (doc_id)
+      CROSS JOIN stats)
+    SELECT doc_id, round(sum(score), 4) AS bm25
+    FROM per_term GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+)
+def bm25_search_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for the query {spark, table, window} — lexical ranked
+    retrieval (k1=1.2, b=0.75, +1-inside-ln idf). The query-term filter
+    runs BEFORE the TF shuffle, so cost scales with query-term postings,
+    not corpus size; ranking on the rounded score + id tiebreak is
+    engine-independent."""
+    from chicago_crime_spark_ml_spark.operators.text import bm25_search
+
+    return bm25_search(
+        _t(spark, sf_dir, "documents"), ["spark", "table", "window"], k=10
+    )
