@@ -48,3 +48,21 @@ def codegen_stage_count(df: DataFrame) -> int:
     """Number of WholeStageCodegen spans — wider is better (fewer breaks
     out of generated code)."""
     return explain_str(df, "simple").count("WholeStageCodegen")
+
+
+def observe_metrics(df: DataFrame, name: str, **aggs) -> tuple[DataFrame, "Observation"]:
+    """Attach zero-extra-pass metrics to a plan via ``df.observe``: the
+    aggregates are computed DURING the action that consumes ``df`` (no
+    second scan, unlike calling .count() for logging — the reference's
+    per-step count() anti-pattern re-executed the whole plan each time,
+    SURVEY §4). Returns (instrumented_df, observation); read
+    ``observation.get`` after the action completes. Works identically
+    under batch and foreachBatch streaming."""
+    from pyspark.sql import Observation  # noqa: PLC0415
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    obs = Observation(name)
+    exprs = [expr.alias(alias) for alias, expr in aggs.items()] or [
+        F.count(F.lit(1)).alias("rows")
+    ]
+    return df.observe(obs, *exprs), obs

@@ -182,3 +182,30 @@ def write_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_file_rows: int = 1_000_000,
+    sort_within_by: list[str] | None = None,
+) -> int:
+    """Small-files compaction: rewrite a parquet dataset into
+    ceil(rows/target_file_rows) files, optionally sorted within each file
+    (keeps row-group min/max stats tight → better data skipping on read).
+    The operational answer to streaming sinks and over-parallel writes
+    leaving thousands of KB-sized files — at 100 TB, listing and opening
+    small files dominates read cost long before bytes do. Returns the
+    file count written."""
+    df = spark.read.parquet(src_path)
+    n_rows = df.count()
+    n_files = max(1, -(-n_rows // target_file_rows))
+    out = df.repartition(n_files)
+    if sort_within_by:
+        out = out.sortWithinPartitions(*sort_within_by)
+    out.write.mode("overwrite").parquet(dst_path)
+    import glob as _glob  # noqa: PLC0415
+    import os as _os  # noqa: PLC0415
+
+    return len(_glob.glob(_os.path.join(dst_path, "part-*")))

@@ -141,3 +141,35 @@ def test_jsonl_corrupt_record_quarantine(spark, tmp_path):
     bad_lines = sorted(r.raw_line for r in bad.collect())
     assert len(bad_lines) == 2
     assert any("not json" in b for b in bad_lines)
+
+
+def test_observe_metrics_no_extra_pass(spark, sf_dir):
+    from chicago_crime_spark_ml_spark.plans import observe_metrics
+    from chicago_crime_spark_ml_spark.sources.io import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    inst, obs = observe_metrics(
+        li.filter(F.col("l_quantity") > 10), "scan_metrics",
+        rows=F.count(F.lit(1)), max_qty=F.max("l_quantity"),
+    )
+    out = inst.groupBy("l_returnflag").count()
+    out.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    expected = li.filter(F.col("l_quantity") > 10).count()
+    assert got["rows"] == expected and got["max_qty"] <= 50.0
+
+
+def test_compact_parquet_reduces_files(spark, sf_dir, tmp_path):
+    from chicago_crime_spark_ml_spark.sources.io import compact_parquet, load_table
+
+    src = str(tmp_path / "fragmented")
+    load_table(spark, sf_dir, "orders").repartition(37).write.parquet(src)
+    import glob
+    assert len(glob.glob(src + "/part-*")) == 37
+
+    dst = str(tmp_path / "compacted")
+    n = compact_parquet(spark, src, dst, target_file_rows=10_000,
+                        sort_within_by=["o_orderdate"])
+    assert n == len(glob.glob(dst + "/part-*")) and n <= 2
+    a = spark.read.parquet(src).count()
+    assert spark.read.parquet(dst).count() == a
