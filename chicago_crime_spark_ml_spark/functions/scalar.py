@@ -88,3 +88,27 @@ def json_get(col: Column | str, field: str) -> Column:
     from_json with a schema at the call site."""
     c = F.col(col) if isinstance(col, str) else col
     return F.get_json_object(c, f"$.{field}")
+
+
+def morton_code(col_a, col_b, bits: int = 16):
+    """Morton (Z-order) interleaving of two non-negative ints ≤ 2^bits —
+    pure Column bit algebra (JVM codegen, no UDF). Sorting a dataset by
+    this code clusters rows that are close in BOTH dimensions into the
+    same parquet row groups, so min/max stats prune 2-D range predicates
+    — the data-skipping layout trick for co-filtered columns (date ×
+    region, lat × lon) at 100 TB. Bit i of each input lands at output
+    positions 2i (a) and 2i+1 (b)."""
+    a = F.col(col_a) if isinstance(col_a, str) else col_a
+    b = F.col(col_b) if isinstance(col_b, str) else col_b
+    a = a.cast("long")
+    b = b.cast("long")
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        out = (
+            out
+            .bitwiseOR(F.shiftleft(F.shiftright(a, i).bitwiseAND(1), 2 * i))
+            .bitwiseOR(
+                F.shiftleft(F.shiftright(b, i).bitwiseAND(1), 2 * i + 1)
+            )
+        )
+    return out

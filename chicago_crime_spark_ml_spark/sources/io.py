@@ -209,3 +209,44 @@ def compact_parquet(
     import os as _os  # noqa: PLC0415
 
     return len(_glob.glob(_os.path.join(dst_path, "part-*")))
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    bits: int = 16,
+    n_files: int | None = None,
+) -> None:
+    """Z-order-clustered parquet: quantize two columns to 2^bits buckets
+    (min/max from a bounded 1-row stats collect), range-partition + sort
+    by the Morton code, write. Readers filtering on EITHER OR BOTH
+    columns skip row groups via min/max stats — the multi-dimensional
+    generalization of sort-by-one-column layouts."""
+    from chicago_crime_spark_ml_spark.functions.scalar import morton_code
+
+    stats = df.agg(
+        F.min(col_a).alias("a_min"), F.max(col_a).alias("a_max"),
+        F.min(col_b).alias("b_min"), F.max(col_b).alias("b_max"),
+    ).first()
+    span = (1 << bits) - 1
+
+    def q(col, lo, hi):
+        rng = (hi - lo) or 1
+        return F.least(
+            F.lit(span),
+            ((F.col(col) - F.lit(lo)) / F.lit(rng) * span).cast("long"),
+        )
+
+    z = morton_code(
+        q(col_a, stats["a_min"], stats["a_max"]),
+        q(col_b, stats["b_min"], stats["b_max"]),
+        bits,
+    )
+    out = df.withColumn("__z", z)
+    if n_files:
+        out = out.repartitionByRange(n_files, "__z")
+    out.sortWithinPartitions("__z").drop("__z").write.mode(
+        "overwrite"
+    ).parquet(path)

@@ -173,3 +173,46 @@ def test_compact_parquet_reduces_files(spark, sf_dir, tmp_path):
     assert n == len(glob.glob(dst + "/part-*")) and n <= 2
     a = spark.read.parquet(src).count()
     assert spark.read.parquet(dst).count() == a
+
+
+def test_morton_code_known_values(spark):
+    from chicago_crime_spark_ml_spark.functions.scalar import morton_code
+
+    df = spark.createDataFrame(
+        [(0, 0), (3, 0), (0, 3), (1, 1), (2, 3)], ["a", "b"]
+    ).select("a", "b", morton_code("a", "b", bits=4).alias("z"))
+    got = {(r.a, r.b): r.z for r in df.collect()}
+    # bit i of a → position 2i; bit i of b → position 2i+1
+    assert got == {(0, 0): 0, (3, 0): 0b0101, (0, 3): 0b1010,
+                   (1, 1): 0b11, (2, 3): 0b1110}
+
+
+def test_zordered_write_clusters_both_dims(spark, sf_dir, tmp_path):
+    from chicago_crime_spark_ml_spark.sources.io import load_table, write_zordered
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    path = str(tmp_path / "li_z")
+    write_zordered(li, path, "l_partkey", "l_suppkey", bits=8, n_files=4)
+    back = spark.read.parquet(path)
+    assert back.count() == li.count()
+    # locality: each output file covers a bounded sub-rectangle of the
+    # (partkey, suppkey) space — its per-file spans must be (on average)
+    # much tighter than the global span
+    import pyspark.sql.functions as sf
+    spans = (
+        back.withColumn("f", sf.input_file_name())
+        .groupBy("f")
+        .agg(
+            (sf.max("l_partkey") - sf.min("l_partkey")).alias("pa"),
+            (sf.max("l_suppkey") - sf.min("l_suppkey")).alias("sa"),
+        )
+        .agg(sf.avg("pa").alias("pa"), sf.avg("sa").alias("sa"))
+        .first()
+    )
+    g = li.agg(
+        (sf.max("l_partkey") - sf.min("l_partkey")).alias("pa"),
+        (sf.max("l_suppkey") - sf.min("l_suppkey")).alias("sa"),
+    ).first()
+    assert spans["pa"] < g["pa"] * 0.8 and spans["sa"] < g["sa"] * 0.8
