@@ -57,14 +57,15 @@ def run(sf_dir: str) -> dict:
     # Warm-up: JVM + codegen + parquet footer caches.
     force(QUERIES["flagship_regional_revenue"](spark, sf_dir))
 
-    # two runs per query, report the min: steady-state plan cost (codegen
-    # compilation amortizes away in production where plans are reused)
+    # three runs per query, report the min: steady-state plan cost (codegen
+    # compilation amortizes away in production where plans are reused; min
+    # also rejects same-box noise from unrelated activity)
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in QUERIES:
             continue
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             force(QUERIES[name](spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
