@@ -72,8 +72,8 @@ def ngram_jaccard_pairs(
     # n_shingles stays string-exact; a 64-bit collision would need two
     # distinct shingles co-occurring in the same doc pair (~2^-64 per pair).
     ex = sets.select(
-        id_col, F.explode("shingles").alias("tok")
-    ).select(id_col, F.xxhash64("tok").alias("tok"))
+        id_col, "n_shingles", F.explode("shingles").alias("tok")
+    ).select(id_col, "n_shingles", F.xxhash64("tok").alias("tok"))
     if prune_unique_shingles:
         # Prune df_t == 1 shingles before the self-join: a shingle seen in
         # one document can't produce a pair, and in real corpora MOST
@@ -94,11 +94,19 @@ def ngram_jaccard_pairs(
         )
     a = ex.alias("a")
     b = ex.alias("b")
+    # Length-ratio prefilter INSIDE the join condition: J ≥ t implies
+    # min(|A|,|B|)/max(|A|,|B|) ≥ t, so pairs whose shingle-count ratio
+    # is below threshold can't qualify — drop them before the pair
+    # aggregation (integer arithmetic, provably no false negatives; the
+    # oracle verifies). Cuts Σ df_t² pair rows whenever doc lengths vary.
+    ratio_num = int(round(threshold * 1000))
+    na, nb = F.col("a.n_shingles"), F.col("b.n_shingles")
     inter = (
         a.join(
             b,
             (F.col("a.tok") == F.col("b.tok"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (F.least(na, nb) * 1000 >= F.greatest(na, nb) * ratio_num),
         )
         .groupBy(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
