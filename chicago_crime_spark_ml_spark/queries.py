@@ -2662,3 +2662,27 @@ def bm25_search_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_search(
         _t(spark, sf_dir, "documents"), ["spark", "table", "window"], k=10
     )
+
+
+_LATERAL_TOP_ITEM_SQL = """
+    SELECT o.o_orderkey, t.l_extendedprice AS top_price,
+           t.l_linenumber AS top_linenumber
+    FROM orders o,
+    LATERAL (SELECT l_extendedprice, l_linenumber FROM lineitem l
+             WHERE l.l_orderkey = o.o_orderkey
+             ORDER BY l_extendedprice DESC, l_linenumber
+             LIMIT 1) t
+"""
+
+
+@query("orders_lateral_top_item", _LATERAL_TOP_ITEM_SQL)
+def orders_lateral_top_item(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT — "for each
+    order, its single most expensive item row". The IDENTICAL SQL text
+    runs on both engines; Catalyst decorrelates the lateral top-1 into a
+    window/aggregate plan rather than a per-row rescan (check: no
+    iterative subquery node in explain). Deterministic via the
+    linenumber tiebreak; orders with no items drop out (inner lateral)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_LATERAL_TOP_ITEM_SQL)

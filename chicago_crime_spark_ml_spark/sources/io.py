@@ -250,3 +250,33 @@ def write_zordered(
     out.sortWithinPartitions("__z").drop("__z").write.mode(
         "overwrite"
     ).parquet(path)
+
+
+def merge_parquet(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: list[str],
+) -> None:
+    """Upsert (MERGE) into a parquet dataset: target rows whose key
+    appears in ``updates`` are replaced, new keys appended — implemented
+    as anti-join + unionByName + staged rewrite + directory swap.
+
+    This is the table-format-less fallback: plain parquet has no ACID
+    merge, so the whole dataset rewrites (staging dir keeps readers
+    consistent until the atomic-ish rename). At 100 TB you'd use an
+    Iceberg/Delta MERGE for file-level pruning and snapshot isolation —
+    this helper exists so pipelines have correct upsert semantics on
+    bare parquet, and partition-scoped callers can point ``path`` at one
+    partition directory to bound the rewrite."""
+    import shutil  # noqa: PLC0415
+
+    tgt = spark.read.parquet(path)
+    keep = tgt.join(
+        F.broadcast(updates.select(*keys).distinct()), keys, "left_anti"
+    )
+    merged = keep.unionByName(updates.select(*tgt.columns))
+    staging = path.rstrip("/") + "__staging"
+    merged.write.mode("overwrite").parquet(staging)
+    shutil.rmtree(path)
+    shutil.move(staging, path)

@@ -216,3 +216,19 @@ def test_zordered_write_clusters_both_dims(spark, sf_dir, tmp_path):
         (sf.max("l_suppkey") - sf.min("l_suppkey")).alias("sa"),
     ).first()
     assert spans["pa"] < g["pa"] * 0.8 and spans["sa"] < g["sa"] * 0.8
+
+
+def test_merge_parquet_upsert(spark, tmp_path):
+    from chicago_crime_spark_ml_spark.sources.io import merge_parquet
+
+    path = str(tmp_path / "tgt")
+    spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)], "k BIGINT, s STRING, v DOUBLE"
+    ).write.parquet(path)
+
+    updates = spark.createDataFrame(
+        [(2, "B", 20.0), (4, "d", 4.0)], "k BIGINT, s STRING, v DOUBLE"
+    )
+    merge_parquet(spark, path, updates, keys=["k"])
+    got = {r.k: (r.s, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("a", 1.0), 2: ("B", 20.0), 3: ("c", 3.0), 4: ("d", 4.0)}
