@@ -2686,3 +2686,96 @@ def orders_lateral_top_item(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_LATERAL_TOP_ITEM_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Product-analytics shapes over the events stream: cumulative uniques via
+# first-touch reduction, and cohort retention.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_cumulative_users",
+    """
+    WITH first_seen AS (
+      SELECT user_id, CAST(min(date_trunc('day', ts)) AS TIMESTAMP) AS d
+      FROM events GROUP BY user_id),
+    daily AS (SELECT d, count(*) AS new_users FROM first_seen GROUP BY d)
+    SELECT d, new_users,
+           sum(new_users) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+             AS cum_users
+    FROM daily
+    """,
+)
+def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day WITHOUT a running
+    count-distinct (which Spark windows can't do and which holds
+    unbounded state anyway): reduce each user to their first-seen day
+    (one shuffle on user_id), count new users per day (tiny), then a
+    running sum over the per-day table. The classic trick that turns an
+    O(users·days) distinct-scan into two aggregations — at 100 TB the
+    only shuffle that matters is the user_id one, and it's
+    pre-aggregated map-side. The final window runs over ~hundreds of
+    day rows — single-partition is free there."""
+    ev = _t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("d")
+    )
+    daily = first_seen.groupBy("d").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "d", "new_users", F.sum("new_users").over(w).alias("cum_users")
+    )
+
+
+@query(
+    "user_weekly_retention",
+    """
+    WITH cohort AS (
+      SELECT user_id, CAST(min(date_trunc('week', ts)) AS TIMESTAMP) AS cw
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS aw
+      FROM events),
+    sizes AS (SELECT cw, count(*) AS cohort_size FROM cohort GROUP BY cw),
+    joined AS (
+      SELECT c.cw, CAST(datediff('day', c.cw, a.aw) / 7 AS INTEGER) AS week_offset,
+             count(*) AS n_active
+      FROM cohort c JOIN activity a USING (user_id)
+      GROUP BY 1, 2)
+    SELECT j.cw AS cohort_week, j.week_offset, j.n_active,
+           round(j.n_active / CAST(s.cohort_size AS DOUBLE), 4) AS retention
+    FROM joined j JOIN sizes s ON j.cw = s.cw
+    """,
+)
+def user_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-active week,
+    fraction still active N weeks later. Three aggregations and one
+    user-keyed join — cohort and activity share the user_id
+    partitioning (exchange reuse), and week arithmetic stays integer
+    (truncated weeks differ by exact multiples of 7 days, so /7 is
+    exact in both engines). The per-cohort sizes table is broadcast."""
+    ev = _t(spark, sf_dir, "events")
+    cohort = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cw")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("aw")
+    ).distinct()
+    sizes = cohort.groupBy("cw").agg(F.count(F.lit(1)).alias("cohort_size"))
+    joined = (
+        cohort.join(activity, "user_id")
+        .groupBy(
+            "cw",
+            (F.datediff("aw", "cw") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return joined.join(F.broadcast(sizes), "cw").select(
+        F.col("cw").alias("cohort_week"),
+        "week_offset",
+        "n_active",
+        F.round(
+            F.col("n_active") / F.col("cohort_size").cast("double"), 4
+        ).alias("retention"),
+    )
