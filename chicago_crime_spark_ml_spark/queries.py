@@ -2779,3 +2779,93 @@ def user_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_active") / F.col("cohort_size").cast("double"), 4
         ).alias("retention"),
     )
+
+
+@query(
+    "event_funnel_stages",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id)
+    SELECT
+      count(*) AS n_users,
+      sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS viewed,
+      sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+               THEN 1 ELSE 0 END) AS clicked_after_view,
+      sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                AND t_purchase > t_click THEN 1 ELSE 0 END)
+        AS purchased_after_click
+    FROM per_user
+    """,
+)
+def event_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): per-user first-touch
+    timestamps via conditional MIN in ONE aggregation pass (no joins, no
+    sequence explosion), then stage predicates ordered by time. NULL
+    comparisons fall out of three-valued logic (missing stage → NULL >
+    NULL → not counted). One user-keyed shuffle + a 1-row global agg —
+    the cheapest correct funnel at any scale."""
+    ev = _t(spark, sf_dir, "events")
+
+    def first(t):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    per_user = ev.groupBy("user_id").agg(
+        first("view").alias("t_view"),
+        first("click").alias("t_click"),
+        first("purchase").alias("t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        one(viewed).alias("viewed"),
+        one(clicked).alias("clicked_after_view"),
+        one(purchased).alias("purchased_after_click"),
+    )
+
+
+@query(
+    "dq_orders_violations",
+    """
+    SELECT
+      (SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS null_custkeys,
+      (SELECT count(*) FROM (
+         SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1))
+        AS dup_orderkeys,
+      (SELECT count(*) FROM orders o
+       WHERE NOT EXISTS (SELECT 1 FROM customer c
+                         WHERE c.c_custkey = o.o_custkey))
+        AS dangling_custkeys,
+      (SELECT count(*) FROM orders WHERE o_totalprice <= 0)
+        AS nonpositive_prices
+    """,
+)
+def dq_orders_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit as one row of violation counts: null keys,
+    duplicate primary keys, referential-integrity orphans (anti join
+    against the parent), and domain violations. Every check is a
+    distributed aggregate — the uniqueness check is a groupBy on the key
+    (one shuffle), the RI check an anti join; nothing collects. The
+    contract gate a 100 TB ingest runs before publishing a partition."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    null_ck = o.filter(F.col("o_custkey").isNull()).count()
+    dup_ok = (
+        o.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n"))
+        .filter("n > 1").count()
+    )
+    dangling = o.join(
+        c, o["o_custkey"] == c["c_custkey"], "left_anti"
+    ).count()
+    nonpos = o.filter(F.col("o_totalprice") <= 0).count()
+    return spark.createDataFrame(
+        [(null_ck, dup_ok, dangling, nonpos)],
+        "null_custkeys BIGINT, dup_orderkeys BIGINT, "
+        "dangling_custkeys BIGINT, nonpositive_prices BIGINT",
+    )
