@@ -200,3 +200,56 @@ def sample_frames(
     return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(
         batches, schema=FRAMES_SCHEMA
     )
+
+
+AUDIO_SCHEMA = (
+    "doc_id BIGINT, window_idx INT, rms DOUBLE, peak DOUBLE, n_samples INT"
+)
+
+
+def audio_window_envelope(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+    window_samples: int = 256,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Windowed audio envelope (RMS + peak per fixed-size sample window)
+    over binary audio blobs — the waveform-summarization step an audio
+    training pipeline runs before filtering/captioning. mapInPandas,
+    Arrow-batched; the PCM decode is STUBBED (no audio libs in this
+    container): bytes are interpreted as uint8 "samples" deterministically,
+    where a real pipeline would call soundfile/ffmpeg per batch. Fan-out
+    (one row per window) happens inside the Python stage — no shuffle;
+    the schema, batching, and windowing arithmetic are the real thing.
+    """
+
+    def batches(it):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in it:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real PCM decode requires audio libs not in this "
+                    "container; run with decode_stub=True"
+                )
+            out = {k: [] for k in ("doc_id", "window_idx", "rms", "peak", "n_samples")}
+            for did, buf in zip(pdf[id_col], pdf[blob_col]):
+                arr = np.frombuffer(bytes(buf), dtype=np.uint8).astype(np.float64)
+                arr = (arr - 128.0) / 128.0  # center like signed PCM
+                for w in range(max(1, -(-arr.size // window_samples))):
+                    seg = arr[w * window_samples:(w + 1) * window_samples]
+                    n = int(seg.size)
+                    out["doc_id"].append(int(did))
+                    out["window_idx"].append(w)
+                    out["rms"].append(
+                        float(np.sqrt((seg ** 2).mean())) if n else 0.0
+                    )
+                    out["peak"].append(float(np.abs(seg).max()) if n else 0.0)
+                    out["n_samples"].append(n)
+            yield pd.DataFrame(out)
+
+    return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(
+        batches, schema=AUDIO_SCHEMA
+    )

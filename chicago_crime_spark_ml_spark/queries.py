@@ -2869,3 +2869,24 @@ def dq_orders_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "null_custkeys BIGINT, dup_orderkeys BIGINT, "
         "dangling_custkeys BIGINT, nonpositive_prices BIGINT",
     )
+
+
+@query("multimodal_audio_envelope")  # stubbed codec — rows-only check
+def multimodal_audio_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio windowed-envelope plumbing (mapInPandas 1->N explosion,
+    stubbed PCM decode): RMS + peak per 256-'sample' window,
+    deterministic from blob bytes, rounded for stability."""
+    from chicago_crime_spark_ml_spark.operators.multimodal import (
+        attach_blob,
+        audio_window_envelope,
+    )
+
+    d = attach_blob(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    out = audio_window_envelope(d, window_samples=256)
+    return out.select(
+        "doc_id",
+        "window_idx",
+        F.round("rms", 4).alias("rms"),
+        F.round("peak", 4).alias("peak"),
+        "n_samples",
+    )

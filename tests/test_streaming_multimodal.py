@@ -214,3 +214,28 @@ def test_stream_stream_join_equals_batch(spark, sf_dir):
         for r in spark.sql("SELECT p_id, e_id FROM ss_join").collect()
     }
     assert stream == batch and len(batch) > 0
+
+
+def test_audio_envelope_windows(spark, sf_dir):
+    from chicago_crime_spark_ml_spark.operators.multimodal import (
+        attach_blob,
+        audio_window_envelope,
+    )
+    from chicago_crime_spark_ml_spark.sources.io import load_table
+
+    d = attach_blob(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    out = audio_window_envelope(d, window_samples=64)
+    rows = out.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    blob_lens = {r.doc_id: len(r.blob) for r in d.select("doc_id", "blob").collect()}
+    for doc, wins in by_doc.items():
+        wins.sort(key=lambda r: r.window_idx)
+        # window count = ceil(bytes/64); all-but-last full; samples sum to len
+        assert len(wins) == -(-blob_lens[doc] // 64)
+        assert sum(w.n_samples for w in wins) == blob_lens[doc]
+        assert all(0.0 <= w.rms <= w.peak <= 1.0 for w in wins)
+    # determinism
+    again = audio_window_envelope(d, window_samples=64).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
