@@ -111,3 +111,34 @@ def test_interval_join_matches_pandas_filter(spark, left, right, lower, span):
         if lk == rk and lower <= ro - lo <= upper
     }
     assert got == want
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    n_tokens=st.integers(min_value=1, max_value=200),
+    chunk=st.integers(min_value=2, max_value=40),
+    overlap_frac=st.floats(min_value=0.0, max_value=0.9),
+)
+def test_chunking_reconstructs_document(spark, n_tokens, chunk, overlap_frac):
+    """Stitching chunks back together (drop each chunk's overlap prefix
+    after the first) must reproduce the original token sequence exactly —
+    no token lost, duplicated, or reordered, for any size/stride combo."""
+    from chicago_crime_spark_ml_spark.operators.text import chunk_documents
+
+    stride = max(1, int(chunk * (1 - overlap_frac)))
+    text = " ".join(f"w{i}" for i in range(n_tokens))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = sorted(
+        chunk_documents(df, chunk_size=chunk, stride=stride).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    rebuilt = []
+    overlap = chunk - stride
+    for i, r in enumerate(rows):
+        toks = r.chunk_text.split()
+        assert r.n_tokens == len(toks)
+        rebuilt.extend(toks if i == 0 else toks[overlap:] if overlap < len(toks) else [])
+    # trailing chunks fully contained in the previous one contribute nothing
+    assert rebuilt[:n_tokens] == text.split()
+    assert set(rebuilt) == set(text.split())
