@@ -199,3 +199,17 @@ def test_hash_split_partitions_and_ratios(spark, docs):
     assert first == again
     # rough ratio sanity (80/10/10 over 500 docs)
     assert counts["train"] > counts.get("val", 0) + counts.get("test", 0)
+
+
+def test_lsh_near_dup_pairs_matches_bruteforce(spark, emb):
+    from chicago_crime_spark_ml_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        lsh_near_dup_pairs,
+    )
+
+    t = 0.4  # the corpus's planted near-dup level (no pairs exist above ~0.5)
+    brute = {(r.id_a, r.id_b) for r in embedding_near_dup_pairs(emb, t).collect()}
+    lsh = {(r.id_a, r.id_b) for r in lsh_near_dup_pairs(emb, t).collect()}
+    assert lsh <= brute                      # precision 1.0 (exact verify)
+    assert len(brute) > 0
+    assert len(lsh & brute) / len(brute) >= 0.9  # measured 1.0 at 8 tables
