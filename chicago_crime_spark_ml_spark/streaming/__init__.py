@@ -153,3 +153,21 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_dedup(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state:
+    dropDuplicatesWithinWatermark keeps a key's fingerprint only until
+    the watermark passes it, then evicts — so state is O(keys per
+    watermark window), not O(all keys ever) like plain dropDuplicates
+    on a stream. The streaming twin of the batch dedup family: same
+    keys, same semantics inside the lateness bound, state that can't
+    grow without limit on a 100 TB/day ingest."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )

@@ -239,3 +239,97 @@ def test_audio_envelope_windows(spark, sf_dir):
     # determinism
     again = audio_window_envelope(d, window_samples=64).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    import datetime as dt
+
+    from chicago_crime_spark_ml_spark.streaming import stream_dedup
+
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+
+    def emit(rows):
+        spark.createDataFrame(
+            rows, "event_id BIGINT, ts TIMESTAMP, v DOUBLE"
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    t0 = dt.datetime(2026, 1, 1, 10)
+    # batch 1: id 1 twice (intra-batch dup) + id 2
+    emit([(1, t0, 1.0), (1, t0, 1.0), (2, t0, 2.0)])
+
+    stream = spark.readStream.schema(
+        "event_id BIGINT, ts TIMESTAMP, v DOUBLE"
+    ).parquet(str(src))
+    deduped = stream_dedup(stream, ["event_id"], watermark="1 hour")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sdedup")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: id 1 again within the watermark (dropped) + id 3
+        emit([(1, t0 + dt.timedelta(minutes=10), 9.0),
+              (3, t0 + dt.timedelta(minutes=10), 3.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    ids = sorted(
+        r.event_id for r in spark.sql("SELECT * FROM sdedup").collect()
+    )
+    assert ids == [1, 2, 3]  # each key exactly once
+
+
+def test_stream_stream_left_outer_emits_unmatched(spark, tmp_path):
+    """LEFT OUTER stream-stream join: unmatched left rows are held in
+    state and emitted with NULL right side only once the watermark
+    passes the join window — the state-eviction contract."""
+    import datetime as dt
+
+    src_l, src_r = tmp_path / "l", tmp_path / "r"
+    src_l.mkdir(); src_r.mkdir()
+
+    def emit(d, rows, schema):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(d))
+
+    t0 = dt.datetime(2026, 1, 1, 0)
+    # left: purchase at t0 with a match, and one at t0+2h with none
+    emit(src_l, [(1, t0), (2, t0 + dt.timedelta(hours=2))], "p_id BIGINT, p_ts TIMESTAMP")
+    emit(src_r, [(10, 1, t0 + dt.timedelta(minutes=30))], "e_id BIGINT, p_ref BIGINT, e_ts TIMESTAMP")
+
+    left = spark.readStream.schema("p_id BIGINT, p_ts TIMESTAMP").parquet(str(src_l))
+    right = spark.readStream.schema(
+        "e_id BIGINT, p_ref BIGINT, e_ts TIMESTAMP"
+    ).parquet(str(src_r))
+    joined = left.withWatermark("p_ts", "1 hour").join(
+        right.withWatermark("e_ts", "1 hour"),
+        (F.col("p_id") == F.col("p_ref"))
+        & (F.col("e_ts") >= F.col("p_ts"))
+        & (F.col("e_ts") <= F.col("p_ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssoj")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # push the watermark far past both join windows → unmatched row 2
+        # must be evicted and emitted with NULL right columns
+        emit(src_l, [(99, t0 + dt.timedelta(days=2))], "p_id BIGINT, p_ts TIMESTAMP")
+        emit(src_r, [(98, 99, t0 + dt.timedelta(days=2))], "e_id BIGINT, p_ref BIGINT, e_ts TIMESTAMP")
+        q.processAllAvailable()
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = {r.p_id: r.e_id for r in spark.sql("SELECT * FROM ssoj").collect()}
+    assert rows.get(1) == 10      # matched pair
+    assert 2 in rows and rows[2] is None  # unmatched left emitted with NULLs
