@@ -171,3 +171,41 @@ def stream_dedup(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         keys
     )
+
+
+def incremental_rollup_to_parquet(
+    agg: DataFrame,
+    path: str,
+    keys: list[str],
+    checkpoint: str,
+    query_name: str = "rollup",
+):
+    """Maintain a parquet rollup table from a streaming aggregation:
+    update-mode + foreachBatch, upserting each micro-batch's changed
+    groups into the table (merge_parquet anti-join + swap). The
+    batch-view table is always queryable by any engine while the stream
+    keeps it fresh — the foreachBatch escape hatch that gives streaming
+    writers the sinks Structured Streaming lacks natively (here: keyed
+    upsert). Exactly-once per group follows from update-mode emitting
+    the LATEST value per changed key and the merge being idempotent on
+    replays of the same batch."""
+    import os  # noqa: PLC0415
+
+    from chicago_crime_spark_ml_spark.sources.io import merge_parquet  # noqa: PLC0415
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        if os.path.isdir(path):
+            merge_parquet(spark, path, batch_df, keys)
+        else:
+            batch_df.write.parquet(path)
+
+    return (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+        .start()
+    )

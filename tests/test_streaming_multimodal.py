@@ -333,3 +333,49 @@ def test_stream_stream_left_outer_emits_unmatched(spark, tmp_path):
     rows = {r.p_id: r.e_id for r in spark.sql("SELECT * FROM ssoj").collect()}
     assert rows.get(1) == 10      # matched pair
     assert 2 in rows and rows[2] is None  # unmatched left emitted with NULLs
+
+
+def test_incremental_rollup_foreachbatch_upsert(spark, tmp_path):
+    """Streaming daily-count rollup maintained as a parquet table via
+    foreachBatch + keyed upsert: after each drain, the table equals the
+    batch aggregation of everything ingested so far."""
+    import datetime as dt
+
+    from chicago_crime_spark_ml_spark.streaming import (
+        incremental_rollup_to_parquet,
+    )
+
+    src = tmp_path / "roll_src"
+    src.mkdir()
+    table, ckpt = str(tmp_path / "rollup"), str(tmp_path / "ckpt")
+
+    def emit(rows):
+        spark.createDataFrame(rows, "ts TIMESTAMP, v DOUBLE").coalesce(
+            1
+        ).write.mode("append").parquet(str(src))
+
+    def table_state():
+        return {
+            (r.day, r.n) for r in spark.read.parquet(table).collect()
+        }
+
+    t = lambda d, h: dt.datetime(2026, 2, d, h)  # noqa: E731
+    stream = spark.readStream.schema("ts TIMESTAMP, v DOUBLE").parquet(str(src))
+    agg = (
+        stream.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    emit([(t(1, 9), 1.0), (t(1, 10), 1.0), (t(2, 9), 1.0)])
+    q = incremental_rollup_to_parquet(agg, table, ["day"], ckpt)
+    try:
+        q.processAllAvailable()
+        assert table_state() == {(dt.datetime(2026, 2, 1), 2),
+                                 (dt.datetime(2026, 2, 2), 1)}
+        # batch 2 touches day 2 (updated in place) and adds day 3
+        emit([(t(2, 11), 1.0), (t(3, 8), 1.0)])
+        q.processAllAvailable()
+        assert table_state() == {(dt.datetime(2026, 2, 1), 2),
+                                 (dt.datetime(2026, 2, 2), 2),
+                                 (dt.datetime(2026, 2, 3), 1)}
+    finally:
+        q.stop()
