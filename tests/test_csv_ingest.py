@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import csv
 
+from pyspark.sql import functions as F
+
 from chicago_crime_spark_ml_spark.operators.cleaning import (
     clean_strings_pipeline,
     parse_timestamp_quarantine,
@@ -55,3 +57,45 @@ def test_csv_golden_profile(spark, tmp_path):
     assert bad.count() == 1  # 102's impossible date quarantined, not dropped
     ids = {r.ID for r in good.collect()}
     assert ids == {"100", "101", "103"}
+
+
+def test_crimes_datasource_connector(spark):
+    """Python DataSource API connector: partition-count-invariant
+    deterministic generation, known dirt classes, and the cleaning
+    pipeline consumes it exactly like the CSV path."""
+    from chicago_crime_spark_ml_spark.sources import crimes_source
+
+    crimes_source.register(spark)
+
+    def load(parts):
+        return (
+            spark.read.format("crimes_synthetic")
+            .option("rows", 500).option("partitions", parts).load()
+        )
+
+    a = sorted(map(tuple, load(4).collect()))
+    b = sorted(map(tuple, load(7).collect()))
+    assert len(a) == 500
+    assert a == b  # repartition-invariant: same data for any layout
+
+    raw = load(4)
+    assert dict(raw.dtypes)["Ward"] == "string"
+    # dirt present at generation rates: embedded headers + bad dates + dups
+    n_headers = raw.filter(F.col("ID") == "ID").count()
+    n_bad_dates = raw.filter(F.col("Date") == "13/45/2003 99:99:99").count()
+    assert n_bad_dates >= 1
+
+    clean = clean_strings_pipeline(
+        raw,
+        probe_col="ID",
+        cast_schema={"Ward": "double", "District": "double"},
+        bool_cols=["Arrest"],
+        dropna_subset=["District"],
+    )
+    good, bad = parse_timestamp_quarantine(
+        clean, "Date", "MM/dd/yyyy hh:mm:ss a", out_col="ts"
+    )
+    # headers and dups removed by cleaning; bad dates quarantined not lost
+    assert clean.count() <= 500 - n_headers
+    assert bad.count() >= 1
+    assert good.count() + bad.count() == clean.count()
