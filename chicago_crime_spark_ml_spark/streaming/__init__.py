@@ -209,3 +209,61 @@ def incremental_rollup_to_parquet(
         .queryName(query_name)
         .start()
     )
+
+
+def user_value_stats_tws(events: DataFrame) -> DataFrame:
+    """Custom stateful operator on the transformWithStateInPandas API
+    (Spark 4's typed-state successor to applyInPandasWithState): per-user
+    running (n_events, total_value) kept in a typed ValueState cell.
+
+    vs the legacy API: state is schema'd and composable (Value/List/Map
+    state, timers for TTL/eviction), and the processor is an object with
+    an explicit lifecycle (init/handleInputRows/close) instead of one
+    closure — the shape long-lived production operators need. State
+    lives in the state store keyed by user_id; executors hold only
+    their keys. Stream-equals-batch is asserted in tests against the
+    plain groupBy totals (same contract as stateful_user_totals).
+    """
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming import StatefulProcessor  # noqa: PLC0415
+    from pyspark.sql.types import (  # noqa: PLC0415
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("total", DoubleType())]
+    )
+
+    class Totals(StatefulProcessor):
+        def init(self, handle) -> None:
+            self.state = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (self.state.get() or (0, 0.0)) if self.state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].fillna(0.0).sum())
+            self.state.update((n, float(total)))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=Totals(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

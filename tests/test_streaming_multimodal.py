@@ -4,6 +4,7 @@ mapInPandas feature plumbing preserves rows/schema/determinism."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from chicago_crime_spark_ml_spark.operators.multimodal import (
@@ -379,3 +380,43 @@ def test_incremental_rollup_foreachbatch_upsert(spark, tmp_path):
                                  (dt.datetime(2026, 2, 3), 1)}
     finally:
         q.stop()
+
+
+def test_transform_with_state_equals_batch(spark, sf_dir):
+    # transformWithStateInPandas speaks protobuf to the JVM state server;
+    # skip when the container's protobuf install is unusable
+    pytest.importorskip("google.protobuf.descriptor")
+    from chicago_crime_spark_ml_spark.sources.io import load_table
+    from chicago_crime_spark_ml_spark.streaming import (
+        stream_events,
+        user_value_stats_tws,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    batch = {
+        (r.user_id, r.n, round(r.total, 6))
+        for r in ev.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce("value", F.lit(0.0))).alias("total"),
+        ).collect()
+    }
+
+    out = user_value_stats_tws(stream_events(spark, sf_dir))
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("tws_totals")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # latest emission per user = final state
+    rows = spark.sql(
+        "SELECT user_id, n_events, total_value FROM tws_totals"
+    ).groupBy("user_id").agg(
+        F.max("n_events").alias("n"), F.max("total_value").alias("total")
+    ).collect()
+    stream = {(r.user_id, r.n, round(r.total, 6)) for r in rows}
+    assert stream == batch
