@@ -20,7 +20,12 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 CRIME_TYPES = {
     "PROPERTY_CRIME": ["THEFT", "BURGLARY", "MOTOR VEHICLE THEFT"],
@@ -92,8 +97,42 @@ class _CrimesReader(DataSourceReader):
             yield _row(src, self.seed)
 
 
+def register(spark) -> None:
+    spark.dataSource.register(CrimesDataSource)
+
+
+class _CrimesStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch stream of the same deterministic rows: each trigger
+    emits ``rows_per_batch`` new rows, offset = next row index. Replayed
+    offsets regenerate identical rows (pure function of the index), so
+    recovery gives exactly-once without a write-ahead log."""
+
+    def __init__(self, options):
+        self.rows_per_batch = int(options.get("rows_per_batch", 100))
+        self.seed = int(options.get("seed", 42))
+        self.max_rows = int(options.get("max_rows", 10_000))
+
+    def initialOffset(self):
+        return {"next": 0}
+
+    def read(self, start):
+        lo = start["next"]
+        hi = min(lo + self.rows_per_batch, self.max_rows)
+        return (iter([_row(i, self.seed) for i in range(lo, hi)]), {"next": hi})
+
+    def readBetweenOffsets(self, start, end):
+        return iter(
+            [_row(i, self.seed) for i in range(start["next"], end["next"])]
+        )
+
+    def commit(self, end):
+        pass
+
+
 class CrimesDataSource(DataSource):
-    """spark.read.format("crimes_synthetic").option("rows", N).load()"""
+    """spark.read.format("crimes_synthetic").option("rows", N).load() —
+    batch; spark.readStream.format("crimes_synthetic") — micro-batch
+    stream of the same deterministic rows."""
 
     @classmethod
     def name(cls):
@@ -105,6 +144,5 @@ class CrimesDataSource(DataSource):
     def reader(self, schema):
         return _CrimesReader(self.options)
 
-
-def register(spark) -> None:
-    spark.dataSource.register(CrimesDataSource)
+    def simpleStreamReader(self, schema):
+        return _CrimesStreamReader(self.options)

@@ -99,3 +99,34 @@ def test_crimes_datasource_connector(spark):
     assert clean.count() <= 500 - n_headers
     assert bad.count() >= 1
     assert good.count() + bad.count() == clean.count()
+
+
+def test_crimes_datasource_streaming(spark):
+    """The same connector as a micro-batch stream (simpleStreamReader):
+    bounded replay-deterministic offsets; streamed rows == batch rows."""
+    from chicago_crime_spark_ml_spark.sources import crimes_source
+
+    crimes_source.register(spark)
+    stream = (
+        spark.readStream.format("crimes_synthetic")
+        .option("rows_per_batch", 100).option("max_rows", 250)
+        .option("seed", 7).load()
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory").queryName("crimes_stream").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = sorted(
+        map(tuple, spark.sql("SELECT * FROM crimes_stream").collect())
+    )
+    assert len(streamed) == 250
+    batch = sorted(map(tuple, (
+        spark.read.format("crimes_synthetic")
+        .option("rows", 250).option("seed", 7)
+        .option("dup_every", 10**9).load().collect()
+    )))
+    assert streamed == batch
