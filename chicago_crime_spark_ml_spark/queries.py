@@ -2903,3 +2903,34 @@ def embedding_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return lsh_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@query(
+    "ansi_safe_arithmetic",
+    """
+    SELECT
+      sum(CASE WHEN TRY_CAST(split_part(trim(text), ' ', 1) AS INTEGER)
+               IS NULL THEN 1 ELSE 0 END) AS non_numeric_first_tokens,
+      sum(CASE WHEN TRY_CAST(split_part(trim(text), ' ', 1) AS INTEGER)
+               IS NOT NULL THEN 1 ELSE 0 END) AS numeric_first_tokens,
+      sum(CASE WHEN n_chars / NULLIF(doc_id % 5, 0) IS NULL
+               THEN 1 ELSE 0 END) AS div_by_zero_nulls
+    FROM documents
+    """,
+)
+def ansi_safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expressions under ANSI mode (on by default in Spark 4:
+    bad casts and division by zero THROW, killing the job at row
+    3-billion of a 100 TB scan). try_cast / try_divide return NULL
+    instead — the engine's standard for untrusted data, with DuckDB's
+    TRY_CAST / NULLIF division as the oracle twin."""
+    d = _t(spark, sf_dir, "documents")
+    first_tok = F.split(F.trim("text"), r"\s+").getItem(0)
+    cast_ok = first_tok.try_cast("int")
+    div = F.try_divide(F.col("n_chars"), F.col("doc_id") % 5)
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return d.agg(
+        one(cast_ok.isNull()).alias("non_numeric_first_tokens"),
+        one(cast_ok.isNotNull()).alias("numeric_first_tokens"),
+        one(div.isNull()).alias("div_by_zero_nulls"),
+    )
