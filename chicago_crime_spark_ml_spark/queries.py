@@ -2934,3 +2934,86 @@ def ansi_safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         one(cast_ok.isNotNull()).alias("numeric_first_tokens"),
         one(div.isNull()).alias("div_by_zero_nulls"),
     )
+
+
+@query(
+    "shipping_priority_top10",
+    """
+    SELECT l.l_orderkey,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(10,2))
+                          * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+                AS DOUBLE) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shape (shipping priority): segment-filtered customers ⋈ orders
+    ⋈ lineitem with opposing date predicates, per-order revenue, top-10.
+    Both date filters and the segment filter push to their scans before
+    any join; the final top-10 is TakeOrderedAndProject over the grouped
+    result (no global sort). Deterministic under revenue ties via the
+    orderkey tiebreak."""
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1997-01-01"
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1997-01-01"
+    )
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(l, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(_disc_price()), 2).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "returned_items_top_customers",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(10,2))
+                          * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+                AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def returned_items_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape (returned-item reporting): customers ranked by revenue
+    lost to returns, with their nation attached. The returnflag filter
+    pushes into the lineitem scan; nation broadcasts; top-20 via
+    TakeOrdered with custkey tiebreak."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(l, l["l_orderkey"] == o["o_orderkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(_disc_price()), 2).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )

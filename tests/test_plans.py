@@ -294,3 +294,21 @@ def test_asof_cogroup_equals_relational(spark, sf_dir):
     b = {(r.event_id, r.purchase_event_id)
          for r in asof_join_cogroup(left, right, **args).collect()}
     assert a == b and len(a) > 0
+
+
+def test_readme_coverage_map_names_exist():
+    # every q:<name> claimed in README's coverage map must exist in the
+    # catalog — the map can't drift from the code
+    import re
+
+    from chicago_crime_spark_ml_spark.queries import QUERIES
+
+    text = open("README.md").read()
+    claimed = set()
+    for m in re.finditer(r"q:([a-z0-9_,\s]+)", text):
+        for name in m.group(1).split(","):
+            name = name.strip().split()[0] if name.strip() else ""
+            if name:
+                claimed.add(name)
+    missing = {c for c in claimed if c not in QUERIES}
+    assert not missing, f"README claims queries that don't exist: {missing}"
