@@ -3017,3 +3017,35 @@ def returned_items_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+@query(
+    "order_price_histogram",
+    """
+    SELECT least(CAST(floor(o_totalprice / 25000.0) AS INTEGER), 19) AS bucket,
+           count(*) AS n,
+           CAST(round(min(o_totalprice), 2) AS DOUBLE) AS lo,
+           CAST(round(max(o_totalprice), 2) AS DOUBLE) AS hi
+    FROM orders GROUP BY bucket
+    """,
+)
+def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram: 20 × 25k buckets over order prices with
+    per-bucket min/max. The bin expression is the IDENTICAL arithmetic
+    on both engines (floor(v/step), clamped) rather than width_bucket,
+    whose internal (v/range)*n form differs in the last ulp at bucket
+    boundaries across implementations. One partial+final aggregation —
+    the constant-memory distribution profile you run on a 100 TB column
+    instead of collecting it."""
+    o = _t(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / 25000.0).cast("int"), F.lit(19)
+    )
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).cast("double").alias("lo"),
+            F.round(F.max("o_totalprice"), 2).cast("double").alias("hi"),
+        )
+    )

@@ -312,3 +312,24 @@ def test_readme_coverage_map_names_exist():
                 claimed.add(name)
     missing = {c for c in claimed if c not in QUERIES}
     assert not missing, f"README claims queries that don't exist: {missing}"
+
+
+def test_join_strategy_follows_broadcast_config(spark, sf_dir):
+    # the engine controls its join strategy: same query plans a
+    # BroadcastHashJoin under the default threshold and a SortMergeJoin
+    # when broadcasting is disabled (the no-memory-for-build-side case)
+    from chicago_crime_spark_ml_spark.sources.io import load_table
+
+    def plan():
+        # a DataFrame caches its physical plan — rebuild after conf changes
+        o = load_table(spark, sf_dir, "orders")
+        c = load_table(spark, sf_dir, "customer")
+        return explain_str(o.join(c, o["o_custkey"] == c["c_custkey"]), "simple")
+
+    default = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        assert "SortMergeJoin" in plan()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", default)
+    assert "BroadcastHashJoin" in plan()
