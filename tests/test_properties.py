@@ -142,3 +142,42 @@ def test_chunking_reconstructs_document(spark, n_tokens, chunk, overlap_frac):
     # trailing chunks fully contained in the previous one contribute nothing
     assert rebuilt[:n_tokens] == text.split()
     assert set(rebuilt) == set(text.split())
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)),
+        min_size=1, max_size=35,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """The iterative min-label flooding must agree with a plain
+    union-find on arbitrary graphs (self-loops, duplicates, any
+    topology) — same components, min-id representative per component."""
+    from chicago_crime_spark_ml_spark.operators.dedup import (
+        connected_components,
+    )
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expected = {node: find(node) for node in parent}
+
+    df = spark.createDataFrame(edges, "id_a BIGINT, id_b BIGINT")
+    got = {r.node: r.label for r in connected_components(df).collect()}
+    assert got == expected
