@@ -40,6 +40,8 @@ HEADLINE = [
     "orders_above_customer_avg",
     "customer_30d_spend",
     "doc_chunks",
+    "corpus_curation_funnel",
+    "doc_tfidf_top_terms",
 ]
 
 
