@@ -172,3 +172,36 @@ def test_train_eval_serving_parity(spark, sf_dir):
         ).select("prediction").collect()[0][0]
         assert r.vec_id in batch
         assert served == batch[r.vec_id]
+
+
+def test_model_save_load_roundtrip(spark, sf_dir, tmp_path):
+    # S4 model sink/source: persist the fitted pipeline, reload, predict
+    # identically — the artifact contract (replaces the reference's raw
+    # JSON sidecar at /root/reference/XGBoost.py:325)
+    from pyspark.ml import PipelineModel
+    from pyspark.ml.functions import array_to_vector
+
+    from chicago_crime_spark_ml_spark.operators.ml import train_multiclass
+    from chicago_crime_spark_ml_spark.operators.relational import time_split
+    from chicago_crime_spark_ml_spark.sources.io import load_table
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .withColumn(
+            "features_arr", array_to_vector(F.col("embedding").cast("array<double>"))
+        )
+        .withColumn("label_str", F.col("label").cast("string"))
+        .drop("label")
+    )
+    train, test = time_split(emb, "vec_id", 400)
+    res = train_multiclass(train, test, ["features_arr"], "label_str", seed=42)
+
+    path = str(tmp_path / "model")
+    res.model.save(path)
+    reloaded = PipelineModel.load(path)
+
+    orig = {r.vec_id: r.prediction
+            for r in res.model.transform(test).select("vec_id", "prediction").collect()}
+    back = {r.vec_id: r.prediction
+            for r in reloaded.transform(test).select("vec_id", "prediction").collect()}
+    assert orig == back and len(orig) > 0
