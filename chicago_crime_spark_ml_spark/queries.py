@@ -3049,3 +3049,33 @@ def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).cast("double").alias("hi"),
         )
     )
+
+
+@query(
+    "order_date_arithmetic",
+    """
+    SELECT o_orderkey,
+           o_orderdate + INTERVAL 90 DAY AS due_ts,
+           CAST(last_day(o_orderdate) AS DATE) AS month_end,
+           CAST(quarter(o_orderdate) AS INTEGER) AS q,
+           CAST(datediff('day', o_orderdate,
+                         TIMESTAMP '2000-01-01 00:00:00') AS INTEGER)
+             AS days_to_y2k
+    FROM orders
+    """,
+)
+def order_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal arithmetic family beyond extraction (F2): interval
+    addition, month-end, quarter, signed day difference — the date math
+    an SLA/billing layer runs per row. All JVM scalar expressions,
+    map-only."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_ts"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.quarter("o_orderdate").alias("q"),
+        F.datediff(F.lit("2000-01-01").cast("timestamp"), "o_orderdate").alias(
+            "days_to_y2k"
+        ),
+    )
