@@ -136,7 +136,7 @@ def flagship_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+           sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
            CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
            CAST(round(sum(CAST(l_extendedprice AS DECIMAL(10,2))
                           * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)
@@ -145,9 +145,9 @@ def flagship_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                           * (1 - CAST(l_discount AS DECIMAL(4,2)))
                           * (1 + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE)
              AS sum_charge,
-           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(l_quantity), 4) AS avg_qty,
+           round(sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 / count(l_quantity), 4) AS avg_qty,
            round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(l_extendedprice), 4) AS avg_price,
-           round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(l_discount), 4) AS avg_disc,
+           round(sum(CAST(round(l_discount * 10000) AS BIGINT)) / 10000.0 / count(l_discount), 4) AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
@@ -166,19 +166,31 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     one_plus_tax = F.lit(1).cast("decimal(3,2)") + F.col("l_tax").cast(
         "decimal(4,2)"
     )
+    # Bounded 2-decimal measures (quantity ≤ 50, discount ≤ 0.10) sum as
+    # exact INTEGER cents / basis points — pure long codegen, no decimal
+    # state. Overflow bound: 5000 cents × ~1.5e12 rows/group at SF100k ≈
+    # 7.5e15 ≪ 2^63. Price-derived sums stay decimal (1e7 cents × 1e12
+    # rows would overflow). round(x*100) is IEEE-deterministic — both
+    # engines produce bit-identical longs.
+    qty_cents = F.round(F.col("l_quantity") * 100).cast("long")
+    disc_bp = F.round(F.col("l_discount") * 10000).cast("long")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _dsum("l_quantity").alias("sum_qty"),
+            (F.sum(qty_cents) / 100.0).alias("sum_qty"),
             _dsum("l_extendedprice").alias("sum_base_price"),
             F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
             F.round(F.sum(disc_price * one_plus_tax), 2)
             .cast("double")
             .alias("sum_charge"),
-            _davg("l_quantity").alias("avg_qty"),
+            F.round(F.sum(qty_cents) / 100.0 / F.count("l_quantity"), 4).alias(
+                "avg_qty"
+            ),
             _davg("l_extendedprice").alias("avg_price"),
-            _davg("l_discount").alias("avg_disc"),
+            F.round(F.sum(disc_bp) / 10000.0 / F.count("l_discount"), 4).alias(
+                "avg_disc"
+            ),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
