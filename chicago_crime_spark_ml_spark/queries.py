@@ -3091,3 +3091,91 @@ def order_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "days_to_y2k"
         ),
     )
+
+
+@query(
+    "waiting_suppliers_top10",
+    """
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 10
+    """,
+)
+def waiting_suppliers_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape — the hardest correlated-subquery classic: per line, an
+    EXISTS (another supplier participated in the order) AND a correlated
+    NOT EXISTS with an inequality (no other supplier shipped LATER —
+    i.e. this supplier was the last to ship a multi-supplier order).
+
+    Decorrelated without any per-row rescan: ONE aggregation of lineitem
+    per order — n_suppliers (distinct), max shipdate, and max shipdate
+    among OTHER-than-the-latest via the two-top trick — then a single
+    join back. The EXISTS becomes n_suppliers > 1; the NOT EXISTS
+    becomes "l1.shipdate >= max shipdate of other suppliers' lines".
+    Both subqueries share one shuffle on l_orderkey instead of two extra
+    fact-table joins."""
+    s = _t(spark, sf_dir, "supplier")
+    l1 = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+
+    # per (orderkey, suppkey): this supplier's max shipdate in the order
+    per_supp = l1.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("supp_max")
+    )
+    w = Window.partitionBy("l_orderkey")
+    per_supp = (
+        per_supp.withColumn("n_suppliers", F.count(F.lit(1)).over(w))
+        .withColumn("order_max", F.max("supp_max").over(w))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("l_orderkey").orderBy(
+                    F.desc("supp_max"), F.asc("l_suppkey")
+                )
+            ),
+        )
+    )
+    second_max = per_supp.filter(F.col("rk") == 2).select(
+        F.col("l_orderkey").alias("ok2"), F.col("supp_max").alias("second_max")
+    )
+    stats = per_supp.join(
+        second_max, per_supp["l_orderkey"] == F.col("ok2"), "left"
+    ).select(
+        "l_orderkey", "l_suppkey", "supp_max", "n_suppliers", "order_max",
+        "second_max",
+    )
+    # others' max shipdate = order_max unless THIS supplier holds it alone
+    others_max = F.when(
+        F.col("supp_max") == F.col("order_max"), F.col("second_max")
+    ).otherwise(F.col("order_max"))
+    qualifying = stats.filter(
+        (F.col("n_suppliers") > 1)
+        & (others_max.isNotNull())
+        & (F.col("supp_max") >= others_max)
+    )
+    # count the qualifying LINES (per the SQL): rejoin l1 rows whose
+    # shipdate >= others' max for their (order, supplier)
+    lines = l1.join(
+        qualifying.select("l_orderkey", "l_suppkey", others_max.alias("omax")),
+        ["l_orderkey", "l_suppkey"],
+    ).filter(F.col("l_shipdate") >= F.col("omax"))
+    return (
+        lines.join(o, lines["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), lines["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )
