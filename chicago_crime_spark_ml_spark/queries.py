@@ -3179,3 +3179,39 @@ def waiting_suppliers_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(10)
     )
+
+
+@query(
+    "filtered_aggregates_by_year",
+    """
+    SELECT year(o_orderdate) AS o_year,
+           count(*) AS n_orders,
+           count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+           count(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 300000)
+             AS big_spenders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                      FILTER (WHERE o_orderstatus = 'F'), 2) AS DOUBLE)
+             AS finished_revenue
+    FROM orders GROUP BY o_year
+    """,
+)
+def filtered_aggregates_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-clause aggregates (SQL:2003): per-aggregate predicates in
+    ONE pass — counts, a filtered DISTINCT count, and a filtered exact
+    sum share a single partial+final aggregation instead of four
+    self-joined subqueries. Identical FILTER syntax on both engines via
+    the Spark SQL front-end."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT year(o_orderdate) AS o_year,
+               count(*) AS n_orders,
+               count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+               count(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 300000)
+                 AS big_spenders,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                          FILTER (WHERE o_orderstatus = 'F'), 2) AS DOUBLE)
+                 AS finished_revenue
+        FROM orders GROUP BY o_year
+        """
+    )
