@@ -85,3 +85,13 @@ def test_rows_only_queries_run(spark, name):
     df = QUERIES[name](spark, SF)
     assert df.columns
     assert df.count() >= 0
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLE)))
+def test_rows_only_queries_execute(spark, name):
+    # rows-only catalog entries (engine-specific: LSH, sampling, training,
+    # stubbed codecs) must still run and return a sane frame — the same
+    # weak check the driver applies
+    df = QUERIES[name](spark, SF)
+    assert len(df.columns) > 0
+    assert df.count() >= 0
