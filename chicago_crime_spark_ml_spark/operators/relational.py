@@ -138,10 +138,15 @@ def add_group_count_feature(
     groupBy→agg count→left join→fillna, ×3 for District/Beat/CommunityArea).
 
     Counts are computed on ``source`` (train only — no test leakage) and
-    LEFT-joined; unmatched keys fill 0. The count table's cardinality is
-    the key's distinct count — small — so we hint broadcast() explicitly
-    rather than trusting the 10MB auto-threshold; tests assert the plan
-    contains BroadcastHashJoin. At 100 TB this join is shuffle-free.
+    LEFT-joined; unmatched keys fill 0. ``hint_broadcast`` (default True)
+    is for BOUNDED-DOMAIN keys (the reference's District/Beat/Community
+    Area: ≤ a few hundred distinct values at ANY data scale) — there the
+    explicit hint beats trusting size stats and the join is shuffle-free
+    at 100 TB. For keys whose cardinality scales with the data (user id,
+    customer key), pass ``hint_broadcast=False``: Catalyst still
+    broadcasts while the count table fits the threshold and degrades to
+    the co-partitioned shuffle join beyond — forcing broadcast there
+    would OOM the executors at scale.
     """
     counts = source.groupBy(key).agg(F.count(F.lit(1)).alias(out_col))
     if hint_broadcast:

@@ -535,12 +535,15 @@ def part_describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-shaped multi-way join: the big fact⋈fact shuffle join
-    (lineitem⋈orders on orderkey) plus broadcast dims (supplier/nation).
-    At 100 TB lineitem and orders are co-bucketed on orderkey so the
-    heavy join is shuffle-free; the dims always broadcast."""
+    (lineitem⋈orders on orderkey) plus dim joins. nation (fixed 25 rows)
+    is hint-broadcast; supplier scales WITH the data (TPC-H: 10k×SF), so
+    it gets NO hint — Catalyst/AQE broadcast it while its size stats
+    fit the threshold and fall back to a shuffled join beyond, which is
+    exactly the scale-correct behavior. At 100 TB lineitem and orders
+    are co-bucketed on orderkey so the heavy join is shuffle-free."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
-    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    s = _t(spark, sf_dir, "supplier")
     n = F.broadcast(_t(spark, sf_dir, "nation"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
@@ -954,12 +957,18 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def customer_order_count_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Density-feature join: groupBy-count → broadcast left join → fillna 0
-    — exactly the reference's XGBoost.py:168-187 pattern as the
-    add_group_count_feature operator (broadcast asserted in tests)."""
+    """Density-feature join: groupBy-count → left join → fillna 0 —
+    exactly the reference's XGBoost.py:168-187 pattern as the
+    add_group_count_feature operator. The key here (custkey) SCALES with
+    the data, so no broadcast hint: Catalyst broadcasts while the count
+    table is small (asserted in tests at this scale) and falls back to
+    the co-partitioned shuffle join at 100 TB — unlike the reference's
+    bounded District/Beat keys, where the hint is always right."""
     c = _t(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "o_custkey")
     o = _t(spark, sf_dir, "orders")
-    out = add_group_count_feature(c, o, key="o_custkey", out_col="n_orders")
+    out = add_group_count_feature(
+        c, o, key="o_custkey", out_col="n_orders", hint_broadcast=False
+    )
     return out.select(
         F.col("o_custkey").alias("c_custkey"), "c_mktsegment", "n_orders"
     )
@@ -2280,7 +2289,9 @@ def customer_first_last_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def nations_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q7 shape: bilateral trade volume between two nations, either
     direction — a 6-table join with a disjunctive cross-table predicate.
-    supplier + both nation copies are broadcast (tiny dims); the only
+    Both nation copies are hint-broadcast (fixed 25 rows); supplier
+    scales with SF so it carries NO hint (Catalyst broadcasts it while
+    small, shuffles beyond the threshold). The remaining
     shuffles are lineitem⋈orders⋈customer on their keys. The OR predicate
     can only be applied after both nation names are attached — but each
     nation join itself is pre-filtered to the two nations, so the fact
@@ -2300,7 +2311,7 @@ def nations_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l["l_orderkey"] == o["o_orderkey"])
         .join(c, o["o_custkey"] == c["c_custkey"])
         .join(n2, c["c_nationkey"] == F.col("n2_key"))
-        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
         .join(n1, s["s_nationkey"] == F.col("n1_key"))
         .filter(
             ((F.col("supp_nation") == two[0]) & (F.col("cust_nation") == two[1]))
@@ -3173,7 +3184,7 @@ def waiting_suppliers_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("l_shipdate") >= F.col("omax"))
     return (
         lines.join(o, lines["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(s), lines["l_suppkey"] == s["s_suppkey"])
+        .join(s, lines["l_suppkey"] == s["s_suppkey"])
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
