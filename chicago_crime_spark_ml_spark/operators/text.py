@@ -200,11 +200,12 @@ def tfidf_top_terms(
     tiebreaker, so ordering is total and engine-independent.
 
     Shuffle discipline: one shuffle keyed on (doc, term) for TF, one on
-    term for DF (tiny — vocabulary-sized), a broadcast join back (DF
-    table ≪ corpus; vocab grows sublinearly), and the per-doc top-k
-    window on the doc key. The corpus size N arrives via a broadcast
-    1-row cross join, not a driver-side count — the whole computation
-    stays one lazy plan.
+    term for DF, a term-keyed join back, and the per-doc top-k window on
+    the doc key. The DF table is vocabulary-sized — sublinear in corpus
+    size but unbounded, so it carries NO broadcast hint: Catalyst
+    broadcasts it while small and co-partitions on term beyond. The
+    corpus size N arrives via a broadcast 1-row cross join, not a
+    driver-side count — the whole computation stays one lazy plan.
     """
     toks = df.select(
         F.col(id_col), F.explode(tokens_expr(text_col, lowercase=True)).alias("term")
@@ -213,7 +214,7 @@ def tfidf_top_terms(
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = df.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n))
         .withColumn(
             "tfidf",
