@@ -3226,3 +3226,375 @@ def filtered_aggregates_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders GROUP BY o_year
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H classic shapes adapted to the testdata star schema (no partsupp /
+# phone / comment columns — each query keeps the *plan shape* that makes
+# the original interesting: CASE-share ratios, count-of-counts, agg-view
+# max, HAVING-driven semi joins, disjunctive pushdown, decorrelated
+# per-group averages, scalar-subquery + anti-join).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "market_share_by_year",
+    """
+    SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           round(CAST(sum(CASE WHEN n2.n_name = 'NATION_7'
+                               THEN CAST(l.l_extendedprice AS DECIMAL(10,2))
+                                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
+                               ELSE CAST(0 AS DECIMAL(12,4)) END) AS DOUBLE)
+                 / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(10,2))
+                            * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE),
+                 4) AS mkt_share
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+    JOIN region r   ON n1.n_regionkey = r.r_regionkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+    WHERE r.r_name = 'AMERICA'
+    GROUP BY 1
+    """,
+)
+def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier-nation's share of a region's revenue
+    per year — a conditional-sum ratio (sum(CASE)/sum) computed in ONE
+    aggregation pass instead of two self-joined subqueries. Six-table
+    join: nation/region broadcast (fixed cardinality); the
+    lineitem⋈orders⋈customer chain shuffles on its keys and supplier
+    joins without a hint (scales with data). Both sums accumulate in
+    exact DECIMAL so the ratio divides bit-identical operands
+    cross-engine (see _dsum rationale)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = F.broadcast(_t(spark, sf_dir, "nation"))
+    n2 = F.broadcast(_t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_nationkey"),
+        F.col("n_name").alias("n2_name"),
+    ))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    disc = _disc_price()
+    nation_disc = F.when(F.col("n2_name") == "NATION_7", disc).otherwise(
+        F.lit(0).cast("decimal(12,4)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n1, c.c_nationkey == n1.n_nationkey)
+        .join(r, n1.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") == "AMERICA")
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n2, s.s_nationkey == F.col("n2_nationkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(nation_disc).cast("double") / F.sum(disc).cast("double"), 4
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "customer_orders_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          FROM customer c
+          LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+               AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey) per_cust
+    GROUP BY c_count
+    """,
+)
+def customer_orders_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: count-of-counts distribution INCLUDING zeros —
+    left join with a non-key predicate folded into the join condition
+    (not a WHERE, which would silently turn the join inner), count of
+    the nullable right key per customer, then a second tiny aggregation
+    over the counts. First shuffle is on custkey (co-partitionable /
+    bucketable at 100 TB); the second input is only |distinct counts|
+    rows. No broadcast hint on orders-per-customer — it scales."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey)
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "top_supplier_revenue",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(10,2))
+                            * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)
+               AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_rev
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+    """,
+)
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: suppliers hitting the MAX of an aggregated view.
+    The scalar ``max`` is decorrelated to a 1-row aggregate cross-joined
+    (auto-broadcast) onto the per-supplier revenue table — the view is
+    computed ONCE and reused for both sides, vs. the naive form's double
+    scan. Revenue is rounded-exact-decimal so the equality can't miss by
+    1 ulp cross-engine. Scale: the fact scan aggregates down to
+    |suppliers| rows before anything else happens."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum(_disc_price()), 2).cast("double").alias("total_rev"))
+    )
+    max_rev = rev.agg(F.max("total_rev").alias("max_rev"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        s.join(rev, s.s_suppkey == rev.l_suppkey)
+        .crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+@query(
+    "large_volume_customers",
+    """
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           sum(CAST(round(l.l_quantity * 100) AS BIGINT)) / 100.0 AS total_qty
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > 15000)
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN over a HAVING-filtered aggregate → left-semi
+    join on the pre-aggregated key set (orderkey), then re-join customer
+    and re-aggregate quantity. Quantity sums in integer cents (bounded
+    2-decimal domain → exact long arithmetic, the pricing_summary
+    discipline), so the HAVING boundary is exact on both engines. The
+    semi join and the lineitem⋈orders join share the orderkey shuffle
+    partitioning — one exchange reused at scale."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_quantity") * 100).cast("bigint")
+    big_orders = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(cents).alias("qty_cents"))
+        .filter(F.col("qty_cents") > 15000)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big_orders, o.o_orderkey == big_orders.l_orderkey, "left_semi")
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(li, F.col("l_orderkey") == o.o_orderkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg((F.sum(cents) / 100.0).alias("total_qty"))
+    )
+
+
+@query(
+    "disjunctive_part_revenue",
+    """
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(10,2))
+                          * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)
+             AS revenue,
+           count(*) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#22' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#33' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR of conjunctive predicate bundles spanning both
+    join sides. Catalyst extracts the common single-side implications
+    (brand IN (...) on part, quantity in the union range on lineitem)
+    and pushes them below the join into both scans — the residual
+    disjunction evaluates post-join. At 100 TB the pushed IN-list is
+    the difference between scanning 3 brands and scanning every part."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(p, p.p_partkey == li.l_partkey)
+    cond = (
+        (F.col("p_brand") == "Brand#11")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#22")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#33")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return j.filter(cond).agg(
+        F.round(F.sum(_disc_price()), 2).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "nation_profit_by_year",
+    """
+    SELECT n.n_name,
+           CAST(year(l.l_shipdate) AS INTEGER) AS ship_year,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(10,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)
+             AS profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%bolt%'
+    GROUP BY 1, 2
+    """,
+)
+def nation_profit_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (no partsupp → profit = discounted revenue): LIKE
+    filter on part feeding a 4-table join, grouped by supplier nation ×
+    ship year. The LIKE prunes part BEFORE the join (pushed filter);
+    nation broadcasts; part and supplier join unhinted (both scale).
+    contains()-style LIKE can't use min/max row-group stats, so at
+    100 TB the part filter is a full-column scan of p_name only —
+    column pruning keeps it cheap."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    return (
+        li.join(p, p.p_partkey == li.l_partkey)
+        .join(s, s.s_suppkey == li.l_suppkey)
+        .join(n, n.n_nationkey == s.s_nationkey)
+        .groupBy("n_name", F.year("l_shipdate").cast("int").alias("ship_year"))
+        .agg(F.round(F.sum(_disc_price()), 2).cast("double").alias("profit"))
+    )
+
+
+@query(
+    "small_quantity_part_revenue",
+    """
+    WITH j AS (
+      SELECT l.l_quantity, l.l_extendedprice, l.l_partkey,
+             CAST(round(l.l_quantity * 100) AS BIGINT) AS qty_cents,
+             sum(CAST(round(l.l_quantity * 100) AS BIGINT))
+               OVER (PARTITION BY l.l_partkey) AS part_qty_cents,
+             count(*) OVER (PARTITION BY l.l_partkey) AS part_cnt
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand = 'Brand#11' AND p.p_type = 'SMALL')
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                 / 7.0, 4) AS avg_yearly
+    FROM j
+    WHERE qty_cents * 5 * part_cnt < part_qty_cents
+    """,
+)
+def small_quantity_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: "lineitems below 20% of their part's average
+    quantity" — the correlated per-part scalar average decorrelated to a
+    single window pass over the joined fact (one shuffle on partkey, no
+    per-row re-scan). The 0.2·avg comparison is done entirely in integer
+    cents — qty·5·count < sum — so the filter boundary is EXACT, no
+    floating-point avg on either engine. Final scalar divides an exact
+    decimal sum by 7.0."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#11") & (F.col("p_type") == "SMALL")
+    )
+    j = li.join(p, p.p_partkey == li.l_partkey)
+    w = Window.partitionBy("l_partkey")
+    cents = F.round(F.col("l_quantity") * 100).cast("bigint")
+    j = j.select(
+        "l_extendedprice",
+        cents.alias("qty_cents"),
+        F.sum(cents).over(w).alias("part_qty_cents"),
+        F.count(F.lit(1)).over(w).alias("part_cnt"),
+    )
+    return j.filter(
+        F.col("qty_cents") * 5 * F.col("part_cnt") < F.col("part_qty_cents")
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+            / 7.0,
+            4,
+        ).alias("avg_yearly")
+    )
+
+
+@query(
+    "idle_rich_customer_segments",
+    """
+    WITH thresh AS (
+      SELECT round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+                   / count(*), 4) AS avg_bal
+      FROM customer WHERE c_acctbal > 0)
+    SELECT c.c_mktsegment, count(*) AS numcust,
+           CAST(round(sum(CAST(c.c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS totacctbal
+    FROM customer c, thresh
+    WHERE c.c_acctbal > thresh.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_mktsegment
+    """,
+)
+def idle_rich_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (mktsegment stands in for the phone country code):
+    above-average-balance customers with NO orders, per segment. The
+    uncorrelated scalar subquery becomes a 1-row broadcast cross join;
+    the NOT EXISTS becomes a left-anti join on custkey. The anti join's
+    build side is orders' DISTINCT custkeys — at 100 TB that projection
+    aggregates before shuffling, and the threshold comparison uses the
+    deterministically-rounded average (identical on both engines)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    thresh = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_bal")
+        )
+    )
+    return (
+        c.crossJoin(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _dsum("c_acctbal").alias("totacctbal"),
+        )
+    )
