@@ -458,3 +458,54 @@ def asof_join_cogroup(
     return left.groupBy(key).cogroup(right.groupBy(key)).applyInPandas(
         merge, out_schema
     )
+
+
+def band_join(
+    left: DataFrame,
+    right: DataFrame,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_width: float,
+) -> DataFrame:
+    """Keyless range-lookup join: pairs where
+    ``left.value ∈ [right.lo, right.hi)`` — the "classify a measure into
+    irregular bands" shape (price tiers, SLA buckets, risk bands).
+
+    Spark plans the raw theta predicate as BroadcastNestedLoopJoin —
+    fine while the band table is tiny, quadratic disaster if it isn't.
+    This form discretizes instead: each interval explodes to the fixed
+    bins it covers, each left row computes its single bin, and the join
+    becomes a shuffle-partitionable equi-join on bin followed by the
+    exact residual predicate. Cost is linear: |left| + Σ(interval
+    width/bin_width) shuffled rows, and a hot band no longer means a
+    hot reducer. Each qualifying pair appears exactly once (a left row
+    owns exactly one bin; an interval covers that bin exactly once).
+
+    Pick ``bin_width`` near the median interval width; clamp open-ended
+    tails to the domain max first (an unbounded hi explodes to
+    hi/bin_width rows).
+    """
+    collisions = set(left.columns) & set(right.columns)
+    assert not collisions, f"band_join: rename overlapping columns: {collisions}"
+    w = float(bin_width)
+    l_b = left.withColumn(
+        "__bin", F.floor(F.col(value_col).cast("double") / w).cast("long")
+    )
+    r_b = right.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col).cast("double") / w).cast("long"),
+                # hi is exclusive, but a value exactly on the boundary of
+                # the last partial bin still lands there — ceil via
+                # floor((hi - epsilon-free integer math)/w) is unsafe on
+                # doubles, so cover hi's bin too and let the residual cut
+                F.floor(F.col(hi_col).cast("double") / w).cast("long"),
+            )
+        ),
+    )
+    pair = l_b.join(r_b, on="__bin", how="inner").filter(
+        (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    )
+    return pair.drop("__bin")

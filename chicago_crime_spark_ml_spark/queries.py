@@ -3598,3 +3598,51 @@ def idle_rich_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dsum("c_acctbal").alias("totacctbal"),
         )
     )
+
+
+@query(
+    "order_price_bands",
+    """
+    SELECT b.band, count(*) AS n_orders,
+           CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS band_revenue
+    FROM orders o
+    JOIN (VALUES ('T1_micro',      0.0,    20000.0),
+                 ('T2_small',  20000.0,    60000.0),
+                 ('T3_mid',    60000.0,   150000.0),
+                 ('T4_large', 150000.0,   300000.0),
+                 ('T5_jumbo', 300000.0,  1000000.0)) AS b(band, lo, hi)
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.band
+    """,
+)
+def order_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless range-lookup join (irregular price tiers — NOT expressible
+    as floor-division bucketing) via the band_join operator: intervals
+    explode to covering fixed bins, the fact row computes one bin, and
+    the theta join becomes a shuffle equi-join + residual filter instead
+    of Spark's BroadcastNestedLoopJoin. At this band-table size the NLJ
+    would win on constants; the operator exists for the 100 TB case
+    where BOTH sides are large (e.g. per-entity dynamic thresholds) and
+    a nested loop is quadratic."""
+    from chicago_crime_spark_ml_spark.operators.relational import band_join
+
+    o = _t(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [
+            ("T1_micro", 0.0, 20000.0),
+            ("T2_small", 20000.0, 60000.0),
+            ("T3_mid", 60000.0, 150000.0),
+            ("T4_large", 150000.0, 300000.0),
+            ("T5_jumbo", 300000.0, 1000000.0),
+        ],
+        "band string, lo double, hi double",
+    )
+    return (
+        band_join(o, bands, "o_totalprice", "lo", "hi", bin_width=50000.0)
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum("o_totalprice").alias("band_revenue"),
+        )
+    )

@@ -181,3 +181,33 @@ def test_connected_components_matches_union_find(spark, edges):
     df = spark.createDataFrame(edges, "id_a BIGINT, id_b BIGINT")
     got = {r.node: r.label for r in connected_components(df).collect()}
     assert got == expected
+
+
+def test_band_join_equals_nested_loop(spark):
+    """band_join must emit exactly the pairs of the naive theta join —
+    including values on bin edges, interval edges, and intervals
+    narrower / wider than the bin width."""
+    from chicago_crime_spark_ml_spark.operators.relational import band_join
+
+    vals = [0.0, 0.5, 9.999, 10.0, 10.001, 25.0, 49.99, 50.0, 77.3, 99.9, 150.0]
+    left = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "lid int, v double")
+    bands = [
+        ("edge_exact", 10.0, 50.0),
+        ("narrow", 24.5, 25.5),
+        ("wide", 0.0, 100.0),
+        ("empty", 200.0, 300.0),
+        ("overlaps_prev", 40.0, 80.0),
+    ]
+    right = spark.createDataFrame(bands, "band string, lo double, hi double")
+
+    got = {
+        (r.lid, r.band)
+        for r in band_join(left, right, "v", "lo", "hi", bin_width=20.0).collect()
+    }
+    want = {
+        (i, b)
+        for i, v in enumerate(vals)
+        for (b, lo, hi) in bands
+        if lo <= v < hi
+    }
+    assert got == want
