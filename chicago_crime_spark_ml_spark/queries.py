@@ -3646,3 +3646,63 @@ def order_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dsum("o_totalprice").alias("band_revenue"),
         )
     )
+
+
+@query(
+    "conditional_flag_aggregates",
+    """
+    SELECT o_orderstatus,
+           count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+           bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+           bool_and(o_totalprice > 0) AS all_positive,
+           count(*) AS n
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def conditional_flag_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean/conditional aggregate surface: count_if, bool_or
+    (SQL ANY/SOME), bool_and (SQL EVERY) — one hash-agg pass, all
+    JVM-side codegen. These subsume the reference's
+    sum(when(cond,1).otherwise(0)) null-profiling idiom
+    (Preprocessing.py:32-36) with intent-revealing names."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+        F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "regression_aggregates",
+    """
+    SELECT l_returnflag,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_cov
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def regression_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates (SQL:2016 REGR_*): slope, intercept,
+    R², sample covariance of price on quantity per return flag — a
+    single distributed pass (sum/sum-of-squares moments combine
+    associatively), replacing any collect-to-driver curve fit. Rounded
+    to 4dp: the moment sums are floating point, but slope/R² are
+    RATIOS of them — relative error stays ~1e-12 regardless of row
+    count, far inside the rounding guard."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(
+            F.regr_intercept("l_extendedprice", "l_quantity"), 4
+        ).alias("intercept"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 4).alias("r2"),
+        F.round(
+            F.covar_samp("l_quantity", "l_extendedprice"), 4
+        ).alias("qty_price_cov"),
+    )
