@@ -509,3 +509,30 @@ def band_join(
         (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
     )
     return pair.drop("__bin")
+
+
+def pareto_frontier(df: DataFrame, minimize: str, maximize: str) -> DataFrame:
+    """2-D Pareto frontier: rows not strictly dominated under
+    (``minimize`` ↓, ``maximize`` ↑). Row q dominates p iff q.min ≤ p.min
+    ∧ q.max ≥ p.max with at least one strict — ties/duplicates are NOT
+    dominated by their twins (no strict edge) and stay on the frontier.
+
+    The naive form is a quadratic NOT-EXISTS self-join. This plans
+    linearithmic: collapse to one row per distinct ``minimize`` value
+    (its group max), prefix-max over the sorted distinct values, join
+    back, filter. Dominance ⇔ a strictly-cheaper group reaches your
+    ``maximize`` (prefix max ≥) or your own group strictly exceeds it.
+    The unpartitioned window runs on |distinct minimize| rows only —
+    already aggregated far below input size; for a truly huge distinct
+    domain, range-partition the prefix scan first."""
+    gmax = "__grp_max"
+    pmax = "__prev_max"
+    per_v = df.groupBy(minimize).agg(F.max(maximize).alias(gmax))
+    w = Window.orderBy(F.col(minimize).asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    per_v = per_v.withColumn(pmax, F.max(gmax).over(w))
+    dominated = (
+        F.col(pmax).isNotNull() & (F.col(pmax) >= F.col(maximize))
+    ) | (F.col(gmax) > F.col(maximize))
+    return df.join(per_v, on=minimize).filter(~dominated).drop(gmax, pmax)

@@ -293,3 +293,51 @@ def bm25_search(
     return (
         scored.orderBy(F.desc("bm25"), F.asc(id_col)).limit(k)
     )
+
+
+def pack_greedy(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    size_col: str,
+    budget: int,
+    pack_col: str = "pack_id",
+) -> DataFrame:
+    """Greedy sequence packing: walk each group in ``order_col`` order,
+    accumulating ``size_col``; when an item would overflow ``budget``,
+    open a new pack (an oversized item gets a pack of its own). The
+    classic training-data step that bins documents into fixed context
+    windows with deterministic, order-stable assignment.
+
+    Packing is inherently sequential WITHIN a group, so the operator
+    parallelizes ACROSS groups via applyInPandas (one Arrow batch per
+    group): pick group keys (language, source, date-bucket) so no single
+    group dominates — at 100 TB a thousand groups keep every core busy
+    and state per task stays O(group). A SQL twin exists only as a
+    recursive CTE (see the catalog oracle), which re-joins per row —
+    fine for an oracle, wrong at scale."""
+    import pandas as pd  # noqa: F401 — applyInPandas contract
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    # copy the fields — StructType.add mutates in place, and df.schema is
+    # the DataFrame's OWN cached schema object
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(pack_col, IntegerType(), False)]
+    )
+
+    def pack(pdf):
+        pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+        ids = []
+        acc = 0
+        pid = 0
+        for s in pdf[size_col]:
+            s = int(s)
+            if acc > 0 and acc + s > budget:
+                pid += 1
+                acc = 0
+            acc += s
+            ids.append(pid)
+        pdf[pack_col] = pd.Series(ids, dtype="int32")
+        return pdf
+
+    return df.groupBy(*group_cols).applyInPandas(pack, schema=out_schema)

@@ -3706,3 +3706,70 @@ def regression_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.covar_samp("l_quantity", "l_extendedprice"), 4
         ).alias("qty_price_cov"),
     )
+
+
+@query(
+    "pareto_optimal_parts",
+    """
+    SELECT p.p_partkey, p.p_retailprice, p.p_size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+    """,
+)
+def pareto_optimal_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (cheapest price vs. biggest size): the oracle is
+    the quadratic NOT-EXISTS dominance self-join; the engine side is the
+    pareto_frontier operator — group-max per price, prefix-max over
+    sorted distinct prices, join back — O(n log n) and shuffle-bounded
+    by |distinct prices|, which is what survives when n is 10^11 and a
+    self-join is 10^22 pairs."""
+    from chicago_crime_spark_ml_spark.operators.relational import pareto_frontier
+
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_retailprice", "p_size")
+    return pareto_frontier(p, minimize="p_retailprice", maximize="p_size")
+
+
+@query(
+    "doc_context_packing",
+    """
+    WITH RECURSIVE items AS (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents),
+    packed AS (
+      SELECT lang, doc_id, n_chars, rn,
+             0 AS pack_id, n_chars AS acc
+      FROM items WHERE rn = 1
+      UNION ALL
+      SELECT i.lang, i.doc_id, i.n_chars, i.rn,
+             CASE WHEN p.acc + i.n_chars > 4000
+                  THEN p.pack_id + 1 ELSE p.pack_id END AS pack_id,
+             CASE WHEN p.acc + i.n_chars > 4000
+                  THEN i.n_chars ELSE p.acc + i.n_chars END AS acc
+      FROM items i JOIN packed p ON i.lang = p.lang AND i.rn = p.rn + 1)
+    SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(pack_id AS INTEGER) AS pack_id
+    FROM packed
+    """,
+)
+def doc_context_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy context-window packing of documents (budget 4000 chars,
+    per language, doc_id order) via the pack_greedy operator — the
+    training-data step that turns a corpus into fixed-size batches.
+    Sequential per group, parallel across groups (applyInPandas). The
+    oracle replays the exact greedy recurrence as a recursive CTE —
+    per-row re-join, correct but non-scalable, which is precisely why
+    the operator exists."""
+    from chicago_crime_spark_ml_spark.operators.text import pack_greedy
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("lang", "doc_id", F.col("n_chars").cast("bigint").alias("n_chars"))
+    )
+    return pack_greedy(
+        d, group_cols=["lang"], order_col="doc_id", size_col="n_chars",
+        budget=4000,
+    )

@@ -211,3 +211,65 @@ def test_band_join_equals_nested_loop(spark):
         if lo <= v < hi
     }
     assert got == want
+
+
+def test_pareto_frontier_equals_naive(spark):
+    """pareto_frontier must match the quadratic dominance check on random
+    data with ties in both dimensions and exact duplicate rows."""
+    import random
+
+    from chicago_crime_spark_ml_spark.operators.relational import pareto_frontier
+
+    rng = random.Random(7)
+    rows = [(i, float(rng.randint(0, 12)), rng.randint(0, 12)) for i in range(80)]
+    rows += rows[:5]  # exact duplicates: mutually non-dominating, stay in
+    rows = [(i, p, s) for i, (_, p, s) in enumerate(rows)]
+    df = spark.createDataFrame(rows, "id int, price double, size int")
+
+    got = {r.id for r in pareto_frontier(df, "price", "size").collect()}
+    want = {
+        i
+        for i, p, s in rows
+        if not any(
+            (q <= p and t >= s and (q < p or t > s)) for _, q, t in rows
+        )
+    }
+    assert got == want
+
+
+def test_pack_greedy_matches_sequential_walk(spark):
+    """pack_greedy must reproduce the sequential greedy walk per group:
+    order-stable ids, budget respected except oversized singletons."""
+    import random
+
+    from chicago_crime_spark_ml_spark.operators.text import pack_greedy
+
+    rng = random.Random(11)
+    rows = [
+        (g, i, rng.choice([1, 3, 7, 10, 25]))  # 25 > budget: own pack
+        for g in ("a", "b", "c")
+        for i in range(rng.randint(1, 40))
+    ]
+    df = spark.createDataFrame(rows, "g string, i int, sz int")
+    got = {
+        (r.g, r.i): r.pack_id
+        for r in pack_greedy(df, ["g"], "i", "sz", budget=12).collect()
+    }
+
+    want = {}
+    for g in ("a", "b", "c"):
+        acc, pid = 0, 0
+        for gg, i, sz in sorted(r for r in rows if r[0] == g):
+            if acc > 0 and acc + sz > 12:
+                pid, acc = pid + 1, 0
+            acc += sz
+            want[(g, i)] = pid
+    assert got == want
+
+    # every pack within budget unless it is a single oversized item
+    by_pack = {}
+    for (g, i), pid in got.items():
+        sz = next(s for gg, ii, s in rows if gg == g and ii == i)
+        by_pack.setdefault((g, pid), []).append(sz)
+    for sizes in by_pack.values():
+        assert sum(sizes) <= 12 or len(sizes) == 1
