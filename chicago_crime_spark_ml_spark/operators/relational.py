@@ -536,3 +536,27 @@ def pareto_frontier(df: DataFrame, minimize: str, maximize: str) -> DataFrame:
         F.col(pmax).isNotNull() & (F.col(pmax) >= F.col(maximize))
     ) | (F.col(gmax) > F.col(maximize))
     return df.join(per_v, on=minimize).filter(~dominated).drop(gmax, pmax)
+
+
+def sample_per_group_deterministic(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    key_col: str,
+    k: int,
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Exactly-k-per-group deterministic sample: rank rows inside each
+    group by md5(key) — a uniform-ish, content-stable shuffle — and keep
+    the first k. Unlike fraction-based sampleBy (approximate counts,
+    seed-dependent) or LIMIT-after-shuffle (nondeterministic), the same
+    rows come back on every run, every partitioning, and every engine —
+    which is what a reproducible eval/holdout slice needs. One shuffle
+    on the group key; the md5 ordering prevents the "first k by id"
+    bias toward old records."""
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.md5(F.col(key_col).cast("string")), F.col(key_col)
+    )
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )

@@ -3773,3 +3773,45 @@ def doc_context_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, group_cols=["lang"], order_col="doc_id", size_col="n_chars",
         budget=4000,
     )
+
+
+@query("ann_quantized_top10")  # int8 codes are engine-specific — rows-only
+def ann_quantized_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric int8 brute-force cosine top-10 (corpus quantized 4×
+    smaller, query kept float) for the vec_id=0 query vector — the
+    memory-bandwidth-bound scale path; recall vs the exact float path is
+    property-tested."""
+    from chicago_crime_spark_ml_spark.operators.similarity import (
+        cosine_topk_quantized,
+        quantize_embeddings,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return cosine_topk_quantized(quantize_embeddings(emb), qvec, k=10)
+
+
+@query(
+    "deterministic_doc_sample",
+    """
+    SELECT lang, doc_id, CAST(rn AS INTEGER) AS sample_rank
+    FROM (SELECT lang, doc_id,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM documents)
+    WHERE rn <= 5
+    """,
+)
+def deterministic_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-stable 5-docs-per-language sample via md5-ordered
+    row_number — reproducible across runs, partitionings, and engines
+    (the DuckDB oracle returns the SAME rows, which fraction-based
+    sampling can never promise). The eval-slice primitive for training
+    pipelines."""
+    from chicago_crime_spark_ml_spark.operators.relational import (
+        sample_per_group_deterministic,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("lang", "doc_id")
+    return sample_per_group_deterministic(d, ["lang"], "doc_id", k=5)

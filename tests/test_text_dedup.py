@@ -213,3 +213,54 @@ def test_lsh_near_dup_pairs_matches_bruteforce(spark, emb):
     assert lsh <= brute                      # precision 1.0 (exact verify)
     assert len(brute) > 0
     assert len(lsh & brute) / len(brute) >= 0.9  # measured 1.0 at 8 tables
+
+
+def test_quantized_cosine_recall(spark, sf_dir):
+    """int8 asymmetric quantization must keep ≥ 80% recall@10 against the
+    exact float top-10, and quantized scores must track exact scores to
+    within the quantization step."""
+    from pyspark.sql import functions as F
+
+    from chicago_crime_spark_ml_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_quantized,
+        quantize_embeddings,
+    )
+    from chicago_crime_spark_ml_spark.sources.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 3).select("embedding").first()[0]
+    exact = [r.vec_id for r in cosine_topk(emb, qvec, k=10).collect()]
+    quant = cosine_topk_quantized(quantize_embeddings(emb), qvec, k=10).collect()
+    got = [r.vec_id for r in quant]
+    assert len(set(exact) & set(got)) >= 8
+
+    # int8 codes reconstruct each coordinate to |err| ≤ scale/2; cosine
+    # of unit-ish vectors inherits an O(scale) bound — generous margin
+    exact_scores = {
+        r.vec_id: r.cosine for r in cosine_topk(emb, qvec, k=50).collect()
+    }
+    for r in quant:
+        if r.vec_id in exact_scores:
+            assert abs(r.cosine - exact_scores[r.vec_id]) < 0.02
+
+
+def test_quantize_embeddings_roundtrip(spark):
+    """Codes bounded to [-127,127]; dequantized values within scale/2;
+    zero vectors stay all-zero with scale 0."""
+    from chicago_crime_spark_ml_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0, -2.0, 0.5]), (1, [0.0, 0.0, 0.0]), (2, [100.0, -50.0, 25.0])],
+        "vec_id int, embedding array<double>",
+    )
+    rows = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+    for vid, r in rows.items():
+        assert all(-127 <= int(q) <= 127 for q in r.qvec)
+        if vid == 1:
+            assert r.qscale == 0.0 and all(int(q) == 0 for q in r.qvec)
+        else:
+            for orig, q in zip(r.embedding, r.qvec):
+                assert abs(orig - int(q) * r.qscale) <= r.qscale / 2 + 1e-9
