@@ -560,3 +560,42 @@ def sample_per_group_deterministic(
         df.withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= k)
     )
+
+
+def fill_time_gaps(
+    df: DataFrame,
+    key_col: str,
+    day_col: str,
+    value_col: str,
+    locf_col: str = "locf_value",
+    gap_col: str = "is_gap",
+) -> DataFrame:
+    """Sparse→dense time series: build each key's full daily spine
+    (min..max observed day via sequence+explode — no driver loop, no
+    cross join with a global calendar), left-join the observations back,
+    and forward-fill with last(ignorenulls) over an unbounded-preceding
+    frame (LOCF). Two shuffles total (agg for bounds, window), both on
+    the key — co-partitioned, skew governed by days-per-key which is
+    bounded by the calendar, not the data. The standard prep for
+    as-of features and charting on irregular event data."""
+    bounds = df.groupBy(key_col).agg(
+        F.min(day_col).alias("__d0"), F.max(day_col).alias("__d1")
+    )
+    spine = bounds.select(
+        key_col,
+        F.explode(
+            F.sequence(F.col("__d0"), F.col("__d1"), F.expr("interval 1 day"))
+        ).alias(day_col),
+    )
+    joined = spine.join(df, on=[key_col, day_col], how="left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(day_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.withColumns(
+        {
+            locf_col: F.last(value_col, ignorenulls=True).over(w),
+            gap_col: F.col(value_col).isNull(),
+        }
+    )

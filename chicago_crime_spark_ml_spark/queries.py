@@ -3815,3 +3815,76 @@ def deterministic_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents").select("lang", "doc_id")
     return sample_per_group_deterministic(d, ["lang"], "doc_id", k=5)
+
+
+@query(
+    "user_daily_value_gapfilled",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                   / count(value), 4) AS avg_value
+      FROM events WHERE user_id < 30 AND event_type = 'purchase'
+      GROUP BY 1, 2),
+    spine AS (
+      SELECT user_id,
+             CAST(unnest(range(d0, d1 + INTERVAL 1 DAY, INTERVAL 1 DAY))
+                  AS DATE) AS day
+      FROM (SELECT user_id, min(day) AS d0, max(day) AS d1
+            FROM daily GROUP BY user_id))
+    SELECT s.user_id, s.day, d.avg_value,
+           last_value(d.avg_value IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value,
+           d.avg_value IS NULL AS is_gap
+    FROM spine s
+    LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+    """,
+)
+def user_daily_value_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily purchase value per user: sparse daily averages →
+    dense per-user calendar spine → LOCF forward fill, via the
+    fill_time_gaps operator. The oracle builds the identical spine with
+    range/unnest and fills with IGNORE NULLS last_value."""
+    from chicago_crime_spark_ml_spark.operators.relational import fill_time_gaps
+
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.filter((F.col("user_id") < 30) & (F.col("event_type") == "purchase"))
+        .groupBy("user_id", F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .agg(_davg("value").alias("avg_value"))
+    )
+    return fill_time_gaps(daily, "user_id", "day", "avg_value")
+
+
+@query(
+    "status_peak_orders",
+    """
+    WITH m AS (SELECT o_orderstatus, max(o_totalprice) AS top_price
+               FROM orders GROUP BY 1)
+    SELECT m.o_orderstatus, m.top_price, min(o.o_orderkey) AS top_orderkey
+    FROM m JOIN orders o ON o.o_orderstatus = m.o_orderstatus
+                        AND o.o_totalprice = m.top_price
+    GROUP BY 1, 2
+    """,
+)
+def status_peak_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax in ONE pass: max over struct(price, -orderkey) gives the
+    top-price order per status with a deterministic smallest-key
+    tiebreak — no second scan, no join. The oracle does it the portable
+    two-pass way (groupwise max + re-join + min), same result; the
+    struct-max trick halves the scans and is the idiom the engine
+    prefers at scale."""
+    o = _t(spark, sf_dir, "orders")
+    peak = F.max(
+        F.struct(F.col("o_totalprice"), (-F.col("o_orderkey")).alias("negkey"))
+    )
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(peak.alias("p"))
+        .select(
+            "o_orderstatus",
+            F.col("p.o_totalprice").alias("top_price"),
+            (-F.col("p.negkey")).alias("top_orderkey"),
+        )
+    )
