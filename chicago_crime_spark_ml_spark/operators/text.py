@@ -341,3 +341,27 @@ def pack_greedy(
         return pdf
 
     return df.groupBy(*group_cols).applyInPandas(pack, schema=out_schema)
+
+
+def trigram_udtf():
+    """Python UDTF (Spark 4 table-function surface) emitting positional
+    word trigrams per document — the lateral-join generator shape
+    (one input row → many output rows with local state). For THIS
+    computation a pure explode pipeline is faster (stays in codegen;
+    equality-tested in tests/); the UDTF form is the template for
+    generators that genuinely need Python per-row logic (tokenizers,
+    samplers, parsers) and runs Arrow-batched like any Python UDF."""
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="idx int, trigram string")
+    class Trigrams:
+        def eval(self, text: str):
+            if text is None:
+                return
+            toks = re.split(r"\s+", text.strip())
+            for i in range(len(toks) - 2):
+                yield i, " ".join(toks[i : i + 3])
+
+    return Trigrams

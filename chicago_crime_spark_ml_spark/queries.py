@@ -3888,3 +3888,34 @@ def status_peak_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             (-F.col("p.negkey")).alias("top_orderkey"),
         )
     )
+
+
+@query(
+    "doc_trigrams_udtf",
+    """
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+               FROM documents WHERE doc_id < 10)
+    SELECT doc_id, CAST(i - 1 AS INTEGER) AS idx,
+           l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS trigram
+    FROM t, LATERAL unnest(range(1, len(l) - 1)) AS r(i)
+    """,
+)
+def doc_trigrams_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional word trigrams via a registered Python UDTF in a
+    LATERAL join — the Spark 4 table-function API exercised end-to-end
+    (registration, lateral correlation, Arrow batch transfer), oracle-
+    checked against DuckDB's unnest(range(...)) lateral. The equivalent
+    explode pipeline is the fast path; this entry exists to keep the
+    UDTF surface tested."""
+    from chicago_crime_spark_ml_spark.operators.text import trigram_udtf
+
+    spark.udtf.register("doc_trigrams", trigram_udtf())
+    _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 10).select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("docs_for_trigrams")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.idx, t.trigram
+        FROM docs_for_trigrams d, LATERAL doc_trigrams(d.text) t
+        """
+    )

@@ -264,3 +264,44 @@ def test_quantize_embeddings_roundtrip(spark):
         else:
             for orig, q in zip(r.embedding, r.qvec):
                 assert abs(orig - int(q) * r.qscale) <= r.qscale / 2 + 1e-9
+
+
+def test_trigram_udtf_equals_explode_path(spark, sf_dir):
+    """The Python UDTF generator must emit exactly the rows of the pure
+    explode/slice pipeline — same trigrams, same positions."""
+    from pyspark.sql import functions as F
+
+    from chicago_crime_spark_ml_spark.operators.text import (
+        tokens_expr,
+        trigram_udtf,
+    )
+    from chicago_crime_spark_ml_spark.sources.io import load_table
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    spark.udtf.register("doc_trigrams_t", trigram_udtf())
+    d.select("doc_id", "text").createOrReplaceTempView("docs_tri_t")
+    via_udtf = {
+        (r.doc_id, r.idx, r.trigram)
+        for r in spark.sql(
+            "SELECT d.doc_id, t.idx, t.trigram"
+            " FROM docs_tri_t d, LATERAL doc_trigrams_t(d.text) t"
+        ).collect()
+    }
+
+    toks = d.select("doc_id", tokens_expr("text").alias("w"))
+    via_explode = {
+        (r.doc_id, r.idx, r.trigram)
+        for r in toks.filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.size("w") - 3)).alias("idx"),
+            F.col("w"),
+        )
+        .select(
+            "doc_id",
+            "idx",
+            F.array_join(F.slice("w", F.col("idx") + 1, 3), " ").alias("trigram"),
+        )
+        .collect()
+    }
+    assert via_udtf == via_explode and len(via_udtf) > 0
