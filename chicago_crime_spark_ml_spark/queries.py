@@ -3919,3 +3919,45 @@ def doc_trigrams_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM docs_for_trigrams d, LATERAL doc_trigrams(d.text) t
         """
     )
+
+
+@query(
+    "order_chain_positions_recursive",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(row_number() OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS pos
+    FROM orders WHERE o_custkey < 100
+    """,
+)
+def order_chain_positions_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE, UNION ALL semantics):
+    walk each customer's order chain head→tail via lead()-built next
+    pointers, numbering positions step by step. The oracle computes the
+    same positions with a plain window row_number — a cross-PARADIGM
+    differential (iterative fixpoint vs analytic function) rather than
+    the usual same-shape translation. Use recursion only for genuinely
+    iterative reachability; when a window can express it, the window is
+    one shuffle instead of max-chain-length join rounds."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_for_chain")
+    return spark.sql(
+        """
+        WITH RECURSIVE seq AS (
+          SELECT o_custkey, o_orderkey,
+                 lead(o_orderkey) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS next_key,
+                 row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS rn
+          FROM orders_for_chain WHERE o_custkey < 100),
+        chain(o_custkey, o_orderkey, pos) AS (
+          SELECT o_custkey, o_orderkey, 1 FROM seq WHERE rn = 1
+          UNION ALL
+          SELECT s.o_custkey, s.next_key, c.pos + 1
+          FROM chain c JOIN seq s ON c.o_orderkey = s.o_orderkey
+          WHERE s.next_key IS NOT NULL)
+        SELECT o_custkey, o_orderkey, CAST(pos AS INT) AS pos FROM chain
+        """
+    )
