@@ -257,8 +257,11 @@ def interval_join(
         f"interval_join: rename overlapping columns first: {collisions}"
     )
     w = max(int(upper - lower), 1)
-    lsec = F.col(left_ts).cast("double")
-    rsec = F.col(right_ts).cast("double")
+    # TIMESTAMP_NTZ won't cast straight to double; go via TIMESTAMP. Both
+    # sides shift identically under the session timezone, and banding only
+    # depends on differences, so the interpretation cancels.
+    lsec = F.col(left_ts).cast("timestamp").cast("double")
+    rsec = F.col(right_ts).cast("timestamp").cast("double")
     # Banding is approximate (double epoch-seconds, widened ±1 s so float
     # rounding can never drop a boundary pair); the exact predicate below
     # compares native timestamps, bit-identical with the SQL oracle.

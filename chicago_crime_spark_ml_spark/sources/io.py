@@ -41,8 +41,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ~1.7e18 ns values).
     """
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if name == "events" and ts_type == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    elif name == "events" and ts_type == "timestamp_ntz":
+        # Micros-precision parquet without timezone reads as TIMESTAMP_NTZ;
+        # normalize to TIMESTAMP (LTZ) so every downstream operator sees one
+        # timestamp type. Identity on wall-clock values: the engine session
+        # pins spark.sql.session.timeZone=UTC, matching DuckDB's naive read.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -80,7 +80,7 @@ def sessionize(
 # ---------------------------------------------------------------------------
 
 EVENTS_RAW_SCHEMA = (
-    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
+    "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, event_type STRING, "
     "value DOUBLE, props STRING"
 )
 
@@ -88,17 +88,19 @@ EVENTS_RAW_SCHEMA = (
 def stream_events(
     spark: SparkSession, sf_dir: str, glob: str = "events.parquet"
 ) -> DataFrame:
-    """readStream over the events parquet (ts stored as ns-int64 —
-    same conversion as the batch loader, so batch and stream plans share
-    expressions). The parquet streaming source wants a DIRECTORY, so we
-    point at the sf dir with a pathGlobFilter. In production the source
-    is Kafka/files-on-arrival; the transformation layer is identical."""
+    """readStream over the events parquet (ts stored as µs-precision
+    timestamp without timezone → declared TIMESTAMP_NTZ, then normalized
+    to TIMESTAMP exactly like the batch loader, so batch and stream plans
+    share expressions). The parquet streaming source wants a DIRECTORY,
+    so we point at the sf dir with a pathGlobFilter. In production the
+    source is Kafka/files-on-arrival; the transformation layer is
+    identical."""
     raw = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .option("pathGlobFilter", glob)
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def run_stream_to_memory(
