@@ -112,3 +112,21 @@ def morton_code(col_a, col_b, bits: int = 16):
             )
         )
     return out
+
+
+def mask_digit_runs(
+    col: Column | str, min_run: int = 4, token: str = "[ID]"
+) -> Column:
+    """PII/identifier masking: replace every run of ≥ min_run digits
+    with a fixed token (account numbers, phone digits, SSN-ish runs).
+    JVM-side regexp_replace (replaces ALL matches); pair with
+    digit_count to audit how much was masked."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, "[0-9]{%d,}" % min_run, token)
+
+
+def digit_count(col: Column | str) -> Column:
+    """Number of digit characters in a string — masked-volume audit
+    metric, computed as length minus digit-stripped length (no UDF)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c) - F.length(F.regexp_replace(c, "[0-9]", ""))

@@ -365,3 +365,57 @@ def trigram_udtf():
                 yield i, " ".join(toks[i : i + 3])
 
     return Trigrams
+
+
+def repetition_ratio_expr(tokens: Column, n: int = 2) -> Column:
+    """Within-document repetition: 1 − distinct/total word n-grams —
+    the standard boilerplate/loop-generation quality signal (high ratio
+    ⇒ the doc repeats itself). Non-distinct gram list (unlike
+    shingles_expr), all JVM-side array algebra. Docs shorter than n
+    tokens score 0.0."""
+    grams = F.when(
+        F.size(tokens) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tokens) - n),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    total = F.size(grams)
+    return F.when(
+        total > 0,
+        F.round(F.lit(1.0) - F.size(F.array_distinct(grams)) / total, 4),
+    ).otherwise(F.lit(0.0))
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> tuple[DataFrame, DataFrame]:
+    """Benchmark decontamination: drop corpus docs sharing ANY word
+    n-gram with the benchmark/eval set — the overlap rule used to keep
+    eval sets out of training corpora. Returns (clean, contaminated_ids).
+
+    Plan shape for 100 TB: the benchmark side is small by construction
+    (an eval set), so its distinct gram table broadcasts and the
+    corpus-side probe is a map-side semi join — the exploded corpus
+    grams never shuffle. The reference has no corpus tooling at all;
+    this extends its single-table world per the north star."""
+    bench_grams = F.broadcast(
+        benchmark.select(
+            F.explode(shingles_expr(tokens_expr(text_col), n)).alias("__g")
+        ).distinct()
+    )
+    contaminated = (
+        corpus.select(
+            F.col(id_col),
+            F.explode(shingles_expr(tokens_expr(text_col), n)).alias("__g"),
+        )
+        .join(bench_grams, "__g", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    clean = corpus.join(contaminated, id_col, "left_anti")
+    return clean, contaminated

@@ -3961,3 +3961,195 @@ def order_chain_positions_recursive(spark: SparkSession, sf_dir: str) -> DataFra
         SELECT o_custkey, o_orderkey, CAST(pos AS INT) AS pos FROM chain
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-curation batch 3: decontamination, repetition filter, PII masking,
+# deterministic shard/order, distribution entropy
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "benchmark_decontamination",
+    """
+    WITH t AS (SELECT doc_id, source, string_split(trim(text), ' ') AS w
+               FROM documents),
+    grams AS (SELECT doc_id, source,
+                     unnest(list_distinct(
+                       [array_to_string(w[i:i+4], ' ')
+                        for i in range(1, len(w) - 3)])) AS g
+              FROM t WHERE len(w) >= 5),
+    bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0'),
+    contam AS (SELECT DISTINCT doc_id FROM grams
+               WHERE source <> 'src0' AND g IN (SELECT g FROM bench))
+    SELECT source,
+           count(*) AS n_docs,
+           count(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM contam))
+             AS n_contaminated,
+           count(*) FILTER (WHERE doc_id NOT IN (SELECT doc_id FROM contam))
+             AS n_clean
+    FROM documents WHERE source <> 'src0' GROUP BY source
+    """,
+)
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination audit: treating source src0 as the
+    benchmark, count per training source how many docs share any word
+    5-gram with it (and would be dropped). The benchmark gram table is
+    small by construction → broadcast; the exploded corpus grams probe it
+    map-side (left_semi) with no shuffle of the big side — the plan that
+    survives a 100 TB corpus."""
+    from chicago_crime_spark_ml_spark.operators.text import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    _, contam = decontaminate(corpus, bench, n=5)
+    flagged = corpus.join(
+        contam.withColumn("__c", F.lit(1)), "doc_id", "left"
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("__c").alias("n_contaminated"),
+        (F.count(F.lit(1)) - F.count("__c")).alias("n_clean"),
+    )
+
+
+@query(
+    "doc_repetition_filter",
+    """
+    WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+               FROM documents),
+    g AS (SELECT doc_id,
+                 [array_to_string(w[i:i+1], ' ')
+                  for i in range(1, len(w))] AS grams
+          FROM t WHERE len(w) >= 2)
+    SELECT doc_id,
+           round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                 / len(grams), 4) AS rep_ratio,
+           round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                 / len(grams), 4) <= 0.08 AS kept
+    FROM g
+    """,
+)
+def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repetition quality gate: 1 − distinct/total word
+    bigrams per document, kept iff ≤ 0.08 (loop-generation/boilerplate
+    signal). Pure map-only array algebra in codegen — no shuffle, no
+    UDF; the kept flag compares the ROUNDED ratio so the cut is
+    engine-stable."""
+    from chicago_crime_spark_ml_spark.operators.text import (
+        repetition_ratio_expr,
+        tokens_expr,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens_expr("text")
+    ratio = repetition_ratio_expr(toks, n=2)
+    return docs.filter(F.size(toks) >= 2).select(
+        "doc_id",
+        ratio.alias("rep_ratio"),
+        (ratio <= 0.08).alias("kept"),
+    )
+
+
+@query(
+    "pii_masked_customers",
+    """
+    SELECT c_custkey,
+           regexp_replace(c_name, '[0-9]{4,}', '[ID]', 'g') AS masked_name,
+           CAST(length(c_name)
+                - length(regexp_replace(c_name, '[0-9]', '', 'g'))
+                AS INTEGER) AS n_digits
+    FROM customer
+    """,
+)
+def pii_masked_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/identifier masking pass: replace every ≥4-digit run in
+    c_name with a token and audit the digit volume per row — the
+    regex-redaction shape (emails/phones/account numbers) every corpus
+    pipeline needs before training. Map-only JVM regexp; no UDF."""
+    from chicago_crime_spark_ml_spark.functions.scalar import (
+        digit_count,
+        mask_digit_runs,
+    )
+
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        mask_digit_runs("c_name", 4, "[ID]").alias("masked_name"),
+        digit_count("c_name").cast("int").alias("n_digits"),
+    )
+
+
+@query(
+    "corpus_shard_assignment",
+    """
+    SELECT doc_id,
+           CAST((rn - 1) % 8 AS INTEGER) AS shard,
+           CAST(rn AS INTEGER) AS global_pos
+    FROM (SELECT doc_id,
+                 row_number() OVER (
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM documents)
+    """,
+)
+def corpus_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training order + shard assignment: docs
+    ordered by md5(doc_id) (a content-stable pseudo-shuffle identical in
+    every engine/run), numbered, and dealt round-robin into 8 shards —
+    balanced to ±1 by construction. A single global window is fine at
+    test SF; the 100 TB path is repartitionByRange on the hash + a
+    per-partition count pass to turn local row numbers into global
+    offsets (two jobs, no single-reducer sort)."""
+    w = Window.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    rn = F.row_number().over(w)
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        ((rn - 1) % 8).cast("int").alias("shard"),
+        rn.cast("int").alias("global_pos"),
+    )
+
+
+@query(
+    "priority_entropy_by_nation",
+    """
+    WITH d AS (SELECT n.n_name, o.o_orderpriority AS pri, count(*) AS cnt
+               FROM orders o
+               JOIN customer c ON o.o_custkey = c.c_custkey
+               JOIN nation n ON c.c_nationkey = n.n_nationkey
+               GROUP BY 1, 2),
+    tot AS (SELECT n_name, CAST(sum(cnt) AS BIGINT) AS total FROM d
+            GROUP BY n_name)
+    SELECT d.n_name,
+           round(-sum((CAST(cnt AS DOUBLE) / total)
+                      * ln(CAST(cnt AS DOUBLE) / total)), 4)
+             AS priority_entropy,
+           CAST(any_value(total) AS BIGINT) AS n_orders
+    FROM d JOIN tot ON d.n_name = tot.n_name
+    GROUP BY d.n_name
+    """,
+)
+def priority_entropy_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (nats) of the order-priority distribution per
+    customer nation — the domain/label-balance diagnostic for corpus
+    mixing (low entropy ⇒ one priority dominates). Two hash aggs +
+    broadcast dims; the per-nation total rides along via a second
+    small agg instead of a window over the fact table."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    d = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = d.groupBy("n_name").agg(F.sum("cnt").alias("total"))
+    p = F.col("cnt").cast("double") / F.col("total")
+    return (
+        d.join(F.broadcast(tot), "n_name")
+        .groupBy("n_name")
+        .agg(
+            F.round(-F.sum(p * F.log(p)), 4).alias("priority_entropy"),
+            F.any_value(F.col("total")).cast("long").alias("n_orders"),
+        )
+    )
