@@ -602,3 +602,28 @@ def fill_time_gaps(
             gap_col: F.col(value_col).isNull(),
         }
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    lower: float = 0.05,
+    upper: float = 0.95,
+) -> DataFrame:
+    """Per-group winsorization: clip ``value_col`` to its group's
+    [lower, upper] exact interpolated percentiles (outlier-robust
+    feature scaling). Two-pass plan: one small per-group percentile agg
+    (broadcast back) + a map-only clip — never a window over the full
+    table, so the fact side is scanned once and shuffles only for the
+    tiny agg. Adds ``<value_col>_w``."""
+    pcts = df.groupBy(*group_cols).agg(
+        F.percentile(value_col, F.lit(lower)).alias("__lo"),
+        F.percentile(value_col, F.lit(upper)).alias("__hi"),
+    )
+    clipped = F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi"))
+    return (
+        df.join(F.broadcast(pcts), list(group_cols))
+        .withColumn(f"{value_col}_w", clipped)
+        .drop("__lo", "__hi")
+    )

@@ -4153,3 +4153,260 @@ def priority_entropy_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.any_value(F.col("total")).cast("long").alias("n_orders"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Warehouse/feature-engineering batch 4: streaks, winsorization, tie-aware
+# top-N, deterministic mode, robust means, conversion lag, domain mixing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "user_longest_streak",
+    """
+    WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+                  FROM events),
+    isl AS (SELECT user_id, d,
+                   d - CAST(row_number() OVER (
+                     PARTITION BY user_id ORDER BY d) AS INTEGER) AS grp
+            FROM days)
+    SELECT user_id, CAST(max(cnt) AS INTEGER) AS longest_streak
+    FROM (SELECT user_id, grp, count(*) AS cnt FROM isl GROUP BY 1, 2)
+    GROUP BY user_id
+    """,
+)
+def user_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest run of consecutive active days per user — the
+    gaps-and-islands classic (date minus row_number is constant within
+    an island). Engagement-streak feature; one shuffle for the distinct
+    days, the windows reuse the same user partitioning."""
+    days = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn("grp", F.date_sub("d", F.row_number().over(w)))
+    return (
+        isl.groupBy("user_id", "grp")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("user_id")
+        .agg(F.max("cnt").cast("int").alias("longest_streak"))
+    )
+
+
+@query(
+    "winsorized_acctbal",
+    """
+    WITH p AS (SELECT c_mktsegment,
+                      quantile_cont(c_acctbal, 0.05) AS lo,
+                      quantile_cont(c_acctbal, 0.95) AS hi
+               FROM customer GROUP BY 1)
+    SELECT c_custkey,
+           round(least(greatest(c_acctbal, lo), hi), 2) AS acctbal_w
+    FROM customer JOIN p USING (c_mktsegment)
+    """,
+)
+def winsorized_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-robust feature scaling: clip account balance to its
+    market segment's exact [p05, p95] (Spark F.percentile ≡ DuckDB
+    quantile_cont, both interpolating). Two-pass plan — tiny per-group
+    percentile agg broadcast back + map-only clip — instead of a window
+    over the whole fact table."""
+    from chicago_crime_spark_ml_spark.operators.relational import winsorize
+
+    out = winsorize(
+        _t(spark, sf_dir, "customer"), "c_acctbal", ["c_mktsegment"]
+    )
+    return out.select(
+        "c_custkey", F.round("c_acctbal_w", 2).alias("acctbal_w")
+    )
+
+
+@query(
+    "top_orders_with_ties",
+    """
+    SELECT o_custkey, o_orderkey, CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT o_custkey, o_orderkey,
+                 rank() OVER (PARTITION BY o_custkey
+                              ORDER BY CAST(o_totalprice AS DECIMAL(18,2))
+                                DESC, o_orderdate) AS rnk
+          FROM orders WHERE o_custkey < 50)
+    WHERE rnk <= 3
+    """,
+)
+def top_orders_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-aware per-group top-N: rank() (not row_number) keeps EVERY
+    order tied at the cut — the correct semantics when truncating ties
+    would bias a report. Price compared as exact decimal so engines
+    agree on equality; o_orderdate breaks remaining ties
+    deterministically."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").cast("decimal(18,2)").desc(), "o_orderdate"
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 50)
+        .select(
+            "o_custkey", "o_orderkey", F.rank().over(w).cast("int").alias("rnk")
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@query(
+    "modal_priority_by_segment",
+    """
+    SELECT c_mktsegment, pri AS modal_priority, CAST(cnt AS BIGINT) AS n
+    FROM (SELECT c_mktsegment, pri, cnt,
+                 row_number() OVER (PARTITION BY c_mktsegment
+                                    ORDER BY cnt DESC, pri) AS rn
+          FROM (SELECT c.c_mktsegment, o.o_orderpriority AS pri,
+                       count(*) AS cnt
+                FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                GROUP BY 1, 2))
+    WHERE rn = 1
+    """,
+)
+def modal_priority_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode: most frequent order priority per market
+    segment, ties broken by priority string — NOT the built-in mode()
+    (whose tie choice is engine/partitioning-dependent and would flap
+    the oracle). Count agg then a 1-row-per-group window on the tiny
+    aggregate."""
+    counts = (
+        _t(spark, sf_dir, "orders")
+        .join(_t(spark, sf_dir, "customer"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("cnt"), "o_orderpriority"
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("o_orderpriority").alias("modal_priority"),
+            F.col("cnt").cast("long").alias("n"),
+        )
+    )
+
+
+@query(
+    "robust_means_by_segment",
+    """
+    SELECT c_mktsegment,
+           round(exp(avg(ln(c_acctbal))), 4) AS geo_mean,
+           round(count(*) / sum(1.0 / c_acctbal), 4) AS harm_mean,
+           CAST(count(*) AS BIGINT) AS n_pos
+    FROM customer WHERE c_acctbal > 0 GROUP BY c_mktsegment
+    """,
+)
+def robust_means_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric and harmonic means of positive account balances per
+    segment — the outlier-robust central-tendency pair (geo =
+    exp∘avg∘ln, harm = n/Σ(1/x)), one distributed pass, no UDF.
+    Rounded at 4 since both accumulate floating point."""
+    pos = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    n = F.count(F.lit(1))
+    return pos.groupBy("c_mktsegment").agg(
+        F.round(F.exp(F.avg(F.log("c_acctbal"))), 4).alias("geo_mean"),
+        F.round(n / F.sum(F.lit(1.0) / F.col("c_acctbal")), 4).alias(
+            "harm_mean"
+        ),
+        n.cast("long").alias("n_pos"),
+    )
+
+
+@query(
+    "user_time_to_convert",
+    """
+    SELECT user_id,
+           CAST(date_diff('second', first_view, first_purchase) AS BIGINT)
+             AS secs_to_convert
+    FROM (SELECT user_id,
+                 min(CASE WHEN event_type = 'view' THEN ts END)
+                   AS first_view,
+                 min(CASE WHEN event_type = 'purchase' THEN ts END)
+                   AS first_purchase
+          FROM events GROUP BY user_id)
+    WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+      AND first_purchase >= first_view
+    """,
+)
+def user_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion lag: seconds from a user's first view to their first
+    purchase (users who purchased at/after first viewing) — one
+    conditional-MIN pass over events, no self-join, then a map-side
+    timestamp difference."""
+    firsts = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+                "first_view"
+            ),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).alias("first_purchase"),
+        )
+    )
+    return firsts.filter(
+        F.col("first_view").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_view"))
+    ).select(
+        "user_id",
+        (
+            F.unix_timestamp("first_purchase") - F.unix_timestamp("first_view")
+        ).alias("secs_to_convert"),
+    )
+
+
+@query(
+    "domain_mixture_resample",
+    """
+    WITH tgt AS (SELECT * FROM (VALUES ('en', 0.60), ('fr', 0.10),
+                                       ('de', 0.10), ('es', 0.10),
+                                       ('zh', 0.10)) AS t(lang, p)),
+    ranked AS (SELECT lang, doc_id,
+                      row_number() OVER (
+                        PARTITION BY lang
+                        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                        AS rn
+               FROM documents),
+    quota AS (SELECT r.lang, r.doc_id, r.rn,
+                     CAST(floor(200 * t.p) AS INTEGER) AS k
+              FROM ranked r JOIN tgt t ON r.lang = t.lang)
+    SELECT lang, doc_id, CAST(rn AS INTEGER) AS mix_rank
+    FROM quota WHERE rn <= k
+    """,
+)
+def domain_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing: resample the corpus to a target language
+    distribution (60/10/10/10/10 over a 200-doc budget) by taking each
+    language's md5-ordered deterministic prefix — the reweighting step
+    every pretraining pipeline runs before tokenization. The quota table
+    is literal → broadcast; one window shuffle on lang."""
+    target = {"en": 0.60, "fr": 0.10, "de": 0.10, "es": 0.10, "zh": 0.10}
+    budget = 200
+    tgt = F.broadcast(
+        spark.createDataFrame(
+            [(lang, int(budget * p)) for lang, p in target.items()],
+            "lang string, k int",
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("lang", "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .join(tgt, "lang")
+        .filter(F.col("rn") <= F.col("k"))
+        .select("lang", "doc_id", F.col("rn").cast("int").alias("mix_rank"))
+    )
