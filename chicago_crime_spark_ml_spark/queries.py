@@ -4410,3 +4410,168 @@ def domain_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.col("k"))
         .select("lang", "doc_id", F.col("rn").cast("int").alias("mix_rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 5: window ranks, full-outer reconciliation, EWMA, KLL sketches
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "order_value_deciles",
+    """
+    SELECT o_orderkey,
+           CAST(ntile(10) OVER w AS INTEGER) AS decile,
+           round(percent_rank() OVER w, 4) AS pct_rank,
+           round(cume_dist() OVER w, 4) AS cume
+    FROM orders WHERE o_custkey < 100
+    WINDOW w AS (ORDER BY CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey)
+    """,
+)
+def order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-rank trio — ntile decile bucket, percent_rank, cume_dist —
+    over a deterministic total order (decimal-exact price + key
+    tiebreak). The global window is the point of the query; at 100 TB
+    the same statistic comes from a KLL sketch (see
+    acctbal_kll_quantiles) rather than a single-reducer sort."""
+    w = Window.orderBy(
+        F.col("o_totalprice").cast("decimal(18,2)"), "o_orderkey"
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 100)
+        .select(
+            "o_orderkey",
+            F.ntile(10).over(w).cast("int").alias("decile"),
+            F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 4).alias("cume"),
+        )
+    )
+
+
+@query(
+    "nation_customer_supplier_balance",
+    """
+    WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust
+               FROM customer WHERE c_nationkey < 15 GROUP BY 1),
+    s AS (SELECT s_nationkey AS nk, count(*) AS n_supp
+          FROM supplier WHERE s_nationkey >= 10 GROUP BY 1)
+    SELECT coalesce(c.nk, s.nk) AS nationkey,
+           CAST(coalesce(n_cust, 0) AS BIGINT) AS n_cust,
+           CAST(coalesce(n_supp, 0) AS BIGINT) AS n_supp,
+           CAST(coalesce(n_cust, 0) - coalesce(n_supp, 0) AS BIGINT)
+             AS imbalance
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+)
+def nation_customer_supplier_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer reconciliation of two aggregates (customers vs
+    suppliers per nation, ranges offset so left-only/overlap/right-only
+    all occur) — the missing-on-either-side audit shape. Both inputs are
+    post-aggregation small; coalesce() resolves the outer nulls."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") < 15)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") >= 10)
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    j = c.join(s, "nk", "full_outer")
+    n_cust = F.coalesce("n_cust", F.lit(0)).cast("long")
+    n_supp = F.coalesce("n_supp", F.lit(0)).cast("long")
+    return j.select(
+        F.col("nk").alias("nationkey"),
+        n_cust.alias("n_cust"),
+        n_supp.alias("n_supp"),
+        (n_cust - n_supp).alias("imbalance"),
+    )
+
+
+@query(
+    "user_value_ewma",
+    """
+    WITH seq AS (SELECT user_id, event_id, value,
+                        row_number() OVER (
+                          PARTITION BY user_id ORDER BY ts, event_id) AS rn
+                 FROM events WHERE user_id < 20),
+    lagged AS (SELECT cur.user_id, cur.event_id, cur.rn,
+                      prev.value AS pv, cur.rn - prev.rn AS k
+               FROM seq cur JOIN seq prev
+                 ON cur.user_id = prev.user_id
+                AND prev.rn BETWEEN cur.rn - 19 AND cur.rn)
+    SELECT user_id, event_id,
+           round(sum(pv * power(0.7, k)) / sum(power(0.7, k)), 4) AS ewma
+    FROM lagged GROUP BY user_id, event_id
+    """,
+)
+def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (α=0.3) over each user's
+    last 20 events — the smoothing feature for noisy per-entity series.
+    The window-with-row-dependent-weights has no native frame form, so
+    it runs as a bounded-lag self-join: explode 20 offsets and equi-join
+    on (user, rn−k) — shuffle-partitionable, linear in |events|·20,
+    never a per-user cross join. Weights are bounded (0.7^19) so no
+    precision blowup at any scale."""
+    seq = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 20)
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            F.row_number()
+            .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+            .alias("rn"),
+        )
+    )
+    cur = seq.select(
+        "user_id",
+        "event_id",
+        "rn",
+        F.explode(F.sequence(F.lit(0), F.lit(19))).alias("k"),
+    ).withColumn("prev_rn", F.col("rn") - F.col("k"))
+    prev = seq.select(
+        F.col("user_id").alias("user_id"),
+        F.col("rn").alias("prev_rn"),
+        F.col("value").alias("pv"),
+    )
+    wgt = F.pow(F.lit(0.7), F.col("k"))
+    return (
+        cur.join(prev, ["user_id", "prev_rn"])
+        .groupBy("user_id", "event_id")
+        .agg(F.round(F.sum(F.col("pv") * wgt) / F.sum(wgt), 4).alias("ewma"))
+    )
+
+
+@query("acctbal_kll_quantiles")
+def acctbal_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (Datasketches KLL): one KLL sketch of
+    c_acctbal per NATION, merged up to one sketch per market segment,
+    then p50/p90 extracted — the two-level rollup proving the 100 TB
+    path (per-partition sketches, tree-merged; never a global sort).
+    Rows-only: DuckDB has no KLL; a property test bounds the estimates
+    against exact percentiles (tests/test_properties.py)."""
+    per_nation = (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment", "c_nationkey")
+        .agg(F.kll_sketch_agg_double("c_acctbal").alias("sk"))
+    )
+    return (
+        per_nation.groupBy("c_mktsegment")
+        .agg(F.kll_merge_agg_double("sk").alias("sk"))
+        .select(
+            "c_mktsegment",
+            F.round(
+                F.kll_sketch_get_quantile_double("sk", F.lit(0.5)), 2
+            ).alias("p50_est"),
+            F.round(
+                F.kll_sketch_get_quantile_double("sk", F.lit(0.9)), 2
+            ).alias("p90_est"),
+            F.kll_sketch_get_n_double("sk").alias("n"),
+        )
+    )

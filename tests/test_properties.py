@@ -273,3 +273,36 @@ def test_pack_greedy_matches_sequential_walk(spark):
         by_pack.setdefault((g, pid), []).append(sz)
     for sizes in by_pack.values():
         assert sum(sizes) <= 12 or len(sizes) == 1
+
+
+def test_kll_quantile_estimates_bounded(spark, sf_dir):
+    # KLL sketch p50/p90 (two-level nation→segment merge) must land
+    # within the sketch's rank-error band of the exact percentiles.
+    # Default k=200 gives ~1.65% rank error; we assert a loose 5% rank
+    # window converted to values via the exact percentile at p±0.05.
+    from pyspark.sql import functions as F
+
+    from chicago_crime_spark_ml_spark.queries import QUERIES
+    from chicago_crime_spark_ml_spark.sources.io import load_table
+
+    est = {
+        r.c_mktsegment: (r.p50_est, r.p90_est)
+        for r in QUERIES["acctbal_kll_quantiles"](spark, sf_dir).collect()
+    }
+    exact = {
+        r.c_mktsegment: (r.lo50, r.hi50, r.lo90, r.hi90)
+        for r in load_table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.percentile("c_acctbal", F.lit(0.45)).alias("lo50"),
+            F.percentile("c_acctbal", F.lit(0.55)).alias("hi50"),
+            F.percentile("c_acctbal", F.lit(0.85)).alias("lo90"),
+            F.percentile("c_acctbal", F.lit(0.95)).alias("hi90"),
+        )
+        .collect()
+    }
+    assert est.keys() == exact.keys()
+    for seg, (p50, p90) in est.items():
+        lo50, hi50, lo90, hi90 = exact[seg]
+        assert lo50 <= p50 <= hi50, (seg, p50, lo50, hi50)
+        assert lo90 <= p90 <= hi90, (seg, p90, lo90, hi90)
