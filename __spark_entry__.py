@@ -7,6 +7,8 @@ DuckDB oracle (or marked rows-only for non-SQL-expressible ops).
 
 from __future__ import annotations
 
+import glob
+import json
 import os
 from collections.abc import Callable
 
@@ -22,14 +24,42 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["flagship_regional_revenue"](spark, SMOKE_SF_DIR)
 
 
+def _previously_green() -> set[str]:
+    """Query names with a hash-green row in any prior CORRECTNESS_r*.json.
+
+    The driver checks a bounded prefix of queries() per round; rotating
+    already-verified names to the back means every round spends its budget
+    on queries that have never had a driver correctness row."""
+    green: set[str] = set()
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if isinstance(row, dict) and row.get("hash_match"):
+                green.add(name)
+    return green
+
+
+def _rotated(catalog: dict) -> dict:
+    green = _previously_green()
+    out = {k: v for k, v in catalog.items() if k not in green}
+    out.update({k: v for k, v in catalog.items() if k in green})
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    """One entry per implemented operator from SURVEY.md §2,
+    never-driver-verified entries first."""
+    return _rotated(dict(QUERIES))
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for each oracle-checkable query."""
-    return dict(ORACLE)
+    return _rotated(dict(ORACLE))
 
 
 if __name__ == "__main__":

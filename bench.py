@@ -42,6 +42,12 @@ HEADLINE = [
     "doc_chunks",
     "corpus_curation_funnel",
     "doc_tfidf_top_terms",
+    # window/feature/dedup paths — regressions here were invisible to the
+    # agg/join-only round-1 headline set
+    "customer_running_revenue",
+    "user_value_ewma",
+    "winsorized_acctbal",
+    "simhash_near_dups",
 ]
 
 

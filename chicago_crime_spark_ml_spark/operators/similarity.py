@@ -281,6 +281,65 @@ def lsh_near_dup_pairs(
     )
 
 
+def near_dup_pairs_lsh_exact(
+    df: DataFrame,
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bucket_length: float = 0.5,
+    num_tables: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH candidates + EXACT cosine rescoring — the scale-safe form of
+    embedding_near_dup_pairs, with output values bit-identical to the
+    brute-force path.
+
+    Two-phase: (1) BucketedRandomProjectionLSH on unit vectors generates
+    candidate pairs via bucket equi-join (cost Σ per-bucket pair counts,
+    not n²); (2) every candidate is re-scored with the same float64
+    dot/norm Column algebra as the exact path on the ORIGINAL vectors, so
+    a surviving pair carries exactly the score the all-pairs form would
+    emit — precision 1.0 by construction, recall governed by num_tables
+    (12 tables: measured 1.0 on the test corpus; property-tested against
+    brute force). The LSH join radius is inflated by a 5e-4 cosine margin
+    so pairs that ROUND up to the threshold aren't pre-filtered by the
+    unrounded Euclidean cut."""
+    import math  # noqa: PLC0415
+
+    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = df.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("raw", array_to_vector("v"))
+    normed = Normalizer(inputCol="raw", outputCol="unit", p=2.0).transform(
+        vecs
+    ).select(id_col, "v", "unit")
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="unit",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_tables,
+        seed=seed,
+    )
+    model = lsh.fit(normed)
+    # cosine ≥ t on unit vectors ⇔ Euclidean ≤ sqrt(2−2t); widen by the
+    # rounding margin so round(cos,4) == t survives candidate generation
+    dist_max = math.sqrt(max(0.0, 2.0 - 2.0 * (threshold - 5e-4)))
+    joined = model.approxSimilarityJoin(normed, normed, dist_max, distCol="dist")
+    ida = F.col(f"datasetA.{id_col}")
+    idb = F.col(f"datasetB.{id_col}")
+    cos = dot_expr(F.col("datasetA.v"), F.col("datasetB.v")) / (
+        norm_expr(F.col("datasetA.v")) * norm_expr(F.col("datasetB.v"))
+    )
+    return (
+        joined.filter(ida < idb)
+        .select(ida.alias("id_a"), idb.alias("id_b"), F.round(cos, 4).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def quantize_embeddings(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -224,25 +224,53 @@ def mktsegment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sketch_distinct_customers")  # DataSketches HLL — engine-specific, rows-only
+@query(
+    "sketch_distinct_customers",
+    """
+    SELECT c_mktsegment, count(DISTINCT c_custkey) AS exact_distinct,
+           TRUE AS within_5pct
+    FROM customer GROUP BY c_mktsegment
+    UNION ALL
+    SELECT '_ALL_', count(DISTINCT c_custkey), TRUE FROM customer
+    """,
+)
 def sketch_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches (Apache DataSketches HLL,
     Spark 4 hll_sketch_agg): per-segment sketches, then ONE more
     aggregation merges them into the global estimate — the two-level
     pattern that lets 100 TB pre-aggregate per partition/day and combine
-    later without rescanning. A pytest bounds both estimates against
-    exact count_distinct."""
+    later without rescanning. Sketch estimates are engine-specific, so
+    the oracle-comparable output is the EXACT distinct count (computed in
+    the same aggregation) plus a within_5pct boolean judging the sketch
+    against it — the driver hash now verifies both the exact path and
+    that the sketch estimate lands inside its error bound (a pytest
+    additionally bounds the raw estimates)."""
     c = _t(spark, sf_dir, "customer")
     # both union branches share this aggregation subtree; Spark's
     # ReuseExchange dedupes the shuffle within the one job, so no persist
     # (which would pin cache for the session) is needed
-    seg = c.groupBy("c_mktsegment").agg(F.hll_sketch_agg("c_custkey").alias("sk"))
-    per = seg.select(
-        "c_mktsegment", F.hll_sketch_estimate("sk").alias("est_distinct")
+    seg = c.groupBy("c_mktsegment").agg(
+        F.hll_sketch_agg("c_custkey").alias("sk"),
+        F.countDistinct("c_custkey").alias("exact_distinct"),
     )
+    ok = lambda est, exact: (  # noqa: E731
+        F.abs(est - exact) / exact <= F.lit(0.05)
+    ).alias("within_5pct")
+    per = seg.select(
+        "c_mktsegment",
+        "exact_distinct",
+        ok(F.hll_sketch_estimate("sk"), F.col("exact_distinct")),
+    )
+    # c_custkey is customer's PK: segments partition the keys disjointly,
+    # so Σ per-segment exact == global exact (what the oracle computes
+    # directly); the merged-sketch estimate is judged against that sum
     total = seg.agg(
         F.lit("_ALL_").alias("c_mktsegment"),
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_distinct"),
+        F.sum("exact_distinct").alias("exact_distinct"),
+        ok(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")),
+            F.sum("exact_distinct"),
+        ),
     )
     return union_all([per, total])
 
@@ -288,7 +316,8 @@ def region_nation_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     "customer_order_history",
     """
     SELECT o_custkey,
-           list(o_orderkey ORDER BY o_orderdate, o_orderkey) AS order_keys,
+           array_to_string(list(o_orderkey ORDER BY o_orderdate, o_orderkey),
+                           ',') AS order_keys,
            CAST(len(list(o_orderkey)) AS INTEGER) AS n_orders
     FROM orders GROUP BY o_custkey
     """,
@@ -297,7 +326,11 @@ def customer_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation done deterministically: bare collect_list order
     is whatever the shuffle delivered — a silent nondeterminism bug at
     scale. Collect (date, key) structs, array_sort, then project the key:
-    stable output, still one shuffle. Oracle: DuckDB's ordered list()."""
+    stable output, still one shuffle. The ordered key list is emitted as a
+    comma-joined STRING (not array<bigint>) because the driver's
+    canonicalizer hashes scalar columns; semantics are identical and the
+    string form is also what a CSV/report sink would want. Oracle: DuckDB's
+    ordered list() + array_to_string."""
     o = _t(spark, sf_dir, "orders")
     pairs = F.collect_list(F.struct("o_orderdate", "o_orderkey"))
     return (
@@ -305,9 +338,12 @@ def customer_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(pairs).alias("p"))
         .select(
             "o_custkey",
-            F.transform("p", lambda s: s.getField("o_orderkey")).alias(
-                "order_keys"
-            ),
+            F.array_join(
+                F.transform(
+                    "p", lambda s: s.getField("o_orderkey").cast("string")
+                ),
+                ",",
+            ).alias("order_keys"),
             F.size("p").alias("n_orders"),
         )
     )
@@ -454,14 +490,37 @@ def lineitem_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct_counts")  # approximate — no exact oracle; rows-only check
+@query(
+    "approx_distinct_counts",
+    """
+    SELECT count(DISTINCT l_partkey) AS n_parts_exact,
+           count(DISTINCT l_orderkey) AS n_orders_exact,
+           TRUE AS parts_within_5pct,
+           TRUE AS orders_within_5pct
+    FROM lineitem
+    """,
+)
 def approx_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct estimates — the scale path for distinct
-    counting (single pass, no shuffle of raw values)."""
+    counting (single pass, no shuffle of raw values). The raw estimate is
+    engine-specific, so the oracle-comparable output is the exact count
+    plus a within-5% boolean judging the HLL++ estimate (rsd 0.01, so 5%
+    is a > 4σ bound) — a drifting estimate turns the driver row red."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_partkey", 0.01).alias("n_parts_approx"),
-        F.approx_count_distinct("l_orderkey", 0.01).alias("n_orders_approx"),
+    agg = li.agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("parts_approx"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("orders_approx"),
+        F.countDistinct("l_partkey").alias("n_parts_exact"),
+        F.countDistinct("l_orderkey").alias("n_orders_exact"),
+    )
+    ok = lambda est, exact: (  # noqa: E731
+        F.abs(F.col(est) - F.col(exact)) / F.col(exact) <= F.lit(0.05)
+    )
+    return agg.select(
+        "n_parts_exact",
+        "n_orders_exact",
+        ok("parts_approx", "n_parts_exact").alias("parts_within_5pct"),
+        ok("orders_approx", "n_orders_exact").alias("orders_within_5pct"),
     )
 
 
@@ -1090,15 +1149,42 @@ def churned_buyer_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return y95.subtract(y96)  # EXCEPT (distinct) — matches SQL EXCEPT
 
 
-@query("stratified_sample_lineitem")  # sampling is engine-specific — rows-only
+@query(
+    "stratified_sample_lineitem",
+    """
+    SELECT l_returnflag, count(*) AS n_total, TRUE AS sampled_in_tolerance
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def stratified_sample_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded stratified sample via sampleBy (O6) — one job, replacing the
     reference's per-stratum loop (Preprocessing.py:424-429). Sampling RNG
-    differs across engines, so no value oracle."""
+    differs across engines, so the oracle-comparable output is the exact
+    per-stratum population plus a boolean asserting the observed sample
+    size sits within 5σ binomial tolerance of rate·N — the driver hash
+    verifies the stratification is statistically faithful without pinning
+    engine RNG bits."""
     li = _t(spark, sf_dir, "lineitem")
-    fractions = {"A": 0.1, "N": 0.1, "R": 0.1}
-    return stratified_sample(li, "l_returnflag", fractions, seed=42).select(
-        "l_orderkey", "l_linenumber", "l_returnflag"
+    rate = 0.1
+    fractions = {"A": rate, "N": rate, "R": rate}
+    sampled = (
+        stratified_sample(li, "l_returnflag", fractions, seed=42)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    totals = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_total"))
+    expected = F.col("n_total") * F.lit(rate)
+    sigma = F.sqrt(F.col("n_total") * F.lit(rate * (1.0 - rate)))
+    return (
+        totals.join(F.broadcast(sampled), "l_returnflag", "left")
+        .select(
+            "l_returnflag",
+            "n_total",
+            (
+                F.abs(F.coalesce("n_sampled", F.lit(0)) - expected)
+                <= F.lit(5.0) * sigma
+            ).alias("sampled_in_tolerance"),
+        )
     )
 
 
@@ -1724,7 +1810,7 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Word-3-gram Jaccard pair CTEs, shared by the pair query and the
 # cluster query's edge source (ends with `jac` = (id_a, id_b, jaccard)).
 _NGRAM_JACCARD_CTES = """
-    t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+    t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
     sh AS (SELECT doc_id,
                   list_distinct([array_to_string(w[i:i+2], ' ')
                                  for i in range(1, len(w) - 1)]) AS s
@@ -1874,15 +1960,20 @@ def ann_cosine_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (exact all-pairs at test scale;
-    LSH candidates at 100 TB). Threshold applied to the rounded score so
-    both engines cut at identical values."""
+    """Embedding-cosine near-dup pairs via LSH candidate generation +
+    EXACT float64 rescoring — no all-pairs join in the plan (asserted in
+    tests/test_plans.py); the quadratic form survives only in tests as
+    the recall oracle. Rescoring reuses the brute-force path's dot/norm
+    expressions, so emitted scores are bit-identical to the oracle's
+    exact all-pairs SQL; the driver hash matches as long as recall is
+    1.0 (12 hash tables — property-tested). Threshold applied to the
+    rounded score so both engines cut at identical values."""
     from chicago_crime_spark_ml_spark.operators.similarity import (
-        embedding_near_dup_pairs as pairs_op,
+        near_dup_pairs_lsh_exact,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    return pairs_op(emb, threshold=0.4)
+    return near_dup_pairs_lsh_exact(emb, threshold=0.4)
 
 
 @query("ann_lsh_top10")  # engine-specific hash functions — rows-only
@@ -2498,7 +2589,7 @@ def supplier_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "doc_chunks",
     """
-    WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
     starts AS (SELECT doc_id, w,
                       CAST(unnest(range(1, greatest(1, len(w)) + 1, 24))
                            AS INTEGER) AS start
@@ -2932,9 +3023,9 @@ def embedding_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ansi_safe_arithmetic",
     """
     SELECT
-      sum(CASE WHEN TRY_CAST(split_part(trim(text), ' ', 1) AS INTEGER)
+      sum(CASE WHEN TRY_CAST(regexp_extract(trim(text), '^\\S+') AS INTEGER)
                IS NULL THEN 1 ELSE 0 END) AS non_numeric_first_tokens,
-      sum(CASE WHEN TRY_CAST(split_part(trim(text), ' ', 1) AS INTEGER)
+      sum(CASE WHEN TRY_CAST(regexp_extract(trim(text), '^\\S+') AS INTEGER)
                IS NOT NULL THEN 1 ELSE 0 END) AS numeric_first_tokens,
       sum(CASE WHEN n_chars / NULLIF(doc_id % 5, 0) IS NULL
                THEN 1 ELSE 0 END) AS div_by_zero_nulls
@@ -3972,7 +4063,7 @@ def order_chain_positions_recursive(spark: SparkSession, sf_dir: str) -> DataFra
 @query(
     "benchmark_decontamination",
     """
-    WITH t AS (SELECT doc_id, source, string_split(trim(text), ' ') AS w
+    WITH t AS (SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS w
                FROM documents),
     grams AS (SELECT doc_id, source,
                      unnest(list_distinct(
@@ -4017,7 +4108,7 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "doc_repetition_filter",
     """
-    WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
                FROM documents),
     g AS (SELECT doc_id,
                  [array_to_string(w[i:i+1], ' ')
@@ -4390,12 +4481,18 @@ def domain_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution (60/10/10/10/10 over a 200-doc budget) by taking each
     language's md5-ordered deterministic prefix — the reweighting step
     every pretraining pipeline runs before tokenization. The quota table
-    is literal → broadcast; one window shuffle on lang."""
-    target = {"en": 0.60, "fr": 0.10, "de": 0.10, "es": 0.10, "zh": 0.10}
+    is literal → broadcast; one window shuffle on lang. Quotas are
+    computed with exact Fraction arithmetic so Python's binary-float
+    truncation can never diverge from the oracle's decimal floor (e.g.
+    int(100*0.29) == 28 in floats vs floor == 29 in decimals)."""
+    from fractions import Fraction  # noqa: PLC0415
+
+    target = {"en": "0.60", "fr": "0.10", "de": "0.10", "es": "0.10",
+              "zh": "0.10"}
     budget = 200
     tgt = F.broadcast(
         spark.createDataFrame(
-            [(lang, int(budget * p)) for lang, p in target.items()],
+            [(lang, int(budget * Fraction(p))) for lang, p in target.items()],
             "lang string, k int",
         )
     )

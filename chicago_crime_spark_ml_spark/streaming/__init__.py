@@ -79,8 +79,8 @@ def sessionize(
 # Structured Streaming wrappers
 # ---------------------------------------------------------------------------
 
-EVENTS_RAW_SCHEMA = (
-    "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, event_type STRING, "
+EVENTS_SCHEMA_TEMPLATE = (
+    "event_id BIGINT, ts {ts_type}, user_id BIGINT, event_type STRING, "
     "value DOUBLE, props STRING"
 )
 
@@ -88,18 +88,32 @@ EVENTS_RAW_SCHEMA = (
 def stream_events(
     spark: SparkSession, sf_dir: str, glob: str = "events.parquet"
 ) -> DataFrame:
-    """readStream over the events parquet (ts stored as µs-precision
-    timestamp without timezone → declared TIMESTAMP_NTZ, then normalized
-    to TIMESTAMP exactly like the batch loader, so batch and stream plans
-    share expressions). The parquet streaming source wants a DIRECTORY,
-    so we point at the sf dir with a pathGlobFilter. In production the
-    source is Kafka/files-on-arrival; the transformation layer is
-    identical."""
+    """readStream over the events parquet, normalizing ts to TIMESTAMP
+    exactly like the batch loader (sources/io.py load_table) for
+    WHICHEVER encoding is on disk: legacy ns-int64 (read as BIGINT under
+    nanosAsLong → timestamp_micros(ts DIV 1000)) or µs TIMESTAMP_NTZ
+    (→ cast to TIMESTAMP; identity under the session's pinned UTC).
+    readStream needs a declared schema, so we sniff the stored ts type
+    from a zero-cost batch schema read (parquet footer only) and declare
+    the matching raw schema — batch and stream plans then share all
+    downstream expressions. The parquet streaming source wants a
+    DIRECTORY, so we point at the sf dir with a pathGlobFilter. In
+    production the source is Kafka/files-on-arrival; the transformation
+    layer is identical."""
+    import os  # noqa: PLC0415
+
+    stored = dict(
+        spark.read.parquet(os.path.join(sf_dir, glob)).dtypes
+    ).get("ts", "timestamp_ntz")
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(
+            EVENTS_SCHEMA_TEMPLATE.format(ts_type=stored.upper())
+        )
         .option("pathGlobFilter", glob)
         .parquet(sf_dir)
     )
+    if stored == "bigint":
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 

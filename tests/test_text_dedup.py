@@ -215,6 +215,24 @@ def test_lsh_near_dup_pairs_matches_bruteforce(spark, emb):
     assert len(lsh & brute) / len(brute) >= 0.9  # measured 1.0 at 8 tables
 
 
+def test_lsh_exact_rescoring_equals_bruteforce(spark, emb):
+    # the registered query's operator: LSH candidates + exact float64
+    # rescoring must reproduce the brute-force pair set AND scores
+    # bit-for-bit (this is what keeps the driver's exact-SQL oracle green
+    # without an all-pairs join in the plan)
+    from chicago_crime_spark_ml_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        near_dup_pairs_lsh_exact,
+    )
+
+    t = 0.4
+    brute = {(r.id_a, r.id_b): r.cosine
+             for r in embedding_near_dup_pairs(emb, t).collect()}
+    fast = {(r.id_a, r.id_b): r.cosine
+            for r in near_dup_pairs_lsh_exact(emb, t).collect()}
+    assert fast == brute and len(brute) > 0
+
+
 def test_quantized_cosine_recall(spark, sf_dir):
     """int8 asymmetric quantization must keep ≥ 80% recall@10 against the
     exact float top-10, and quantized scores must track exact scores to
