@@ -207,6 +207,74 @@ def train_multiclass(
     )
 
 
+def export_model_card(
+    result: "TrainResult",
+    feature_cols: Sequence[str],
+    path: str,
+) -> None:
+    """Model sidecar in the reference's artifact shapes: feature
+    importances as a {feature: score} map sorted descending (the
+    get_score(importance_type='gain') table printed and consumed at
+    /root/reference/XGBoost.py:313-320 and Stramlit_app.py's gain
+    callouts), the label list (indexer_mappings.json's label_labels key,
+    XGBoost.py:216-219), and the held-out metrics. JSON next to the
+    MLlib model so reference-style consumers read ONE file for
+    everything but the booster weights."""
+    importances = result.feature_importances or []
+    card = {
+        "label_labels": result.label_mapping,
+        "feature_importances": dict(
+            sorted(
+                zip(feature_cols, importances),
+                key=lambda kv: -kv[1],
+            )
+        ),
+        "metrics": {
+            "accuracy": result.accuracy,
+            "f1_weighted": result.f1_weighted,
+        },
+    }
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        # no sort_keys: the importance map's insertion order IS the
+        # descending-gain ranking consumers read top-of-file
+        json.dump(card, f, indent=2)
+
+
+def load_model_card(path: str) -> dict:
+    with open(path) as f:
+        return json.load(f)
+
+
+def export_booster_json(model: PipelineModel, path: str) -> bool:
+    """Write the trained booster in XGBoost's native JSON model format —
+    the reference's crime_xgboost_clean1.json artifact (XGBoost.py:325),
+    loadable by any xgb.Booster().load_model consumer
+    (Stramlit_app.py:103-119). Only meaningful when the pipeline's
+    classifier IS distributed XGBoost (xgboost.spark available at train
+    time); returns False otherwise — MLlib-native persistence
+    (model.write().save) is always the primary artifact."""
+    clf = model.stages[-1]
+    get_booster = getattr(clf, "get_booster", None)
+    if get_booster is None:
+        return False
+    booster = get_booster()
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    booster.save_model(path)  # .json suffix selects the JSON format
+    return True
+
+
+def load_booster_json(path: str):
+    """Load a reference-format booster JSON for driver-side scoring —
+    the consumer side of the XGBoost.py:325 contract. Requires the
+    xgboost library (guarded import; not present in this container)."""
+    import xgboost as xgb  # noqa: PLC0415
+
+    booster = xgb.Booster()
+    booster.load_model(path)
+    return booster
+
+
 def predict_single(model: PipelineModel, spark, row: dict) -> DataFrame:
     """Single-row serving through the SAME fitted pipeline — kills the
     reference's hand-rolled NumPy re-implementation of its own feature

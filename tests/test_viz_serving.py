@@ -1,0 +1,380 @@
+"""Tests for the bounded viz-data layer, the serving surface, model
+sidecar interop, and partition-scoped MERGE — the round-2 additions
+closing SURVEY §2 S5 and §3.3."""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from chicago_crime_spark_ml_spark.sources.io import load_table
+
+
+# ---------------------------------------------------------------------------
+# viz: bounded chart-data helpers
+# ---------------------------------------------------------------------------
+
+
+def test_collect_for_viz_bounds(spark, sf_dir):
+    from chicago_crime_spark_ml_spark.viz import VizBoundExceeded, collect_for_viz
+
+    orders = load_table(spark, sf_dir, "orders")
+    small = collect_for_viz(orders.groupBy("o_orderpriority").count(), 10)
+    assert len(small) == 5
+    with pytest.raises(VizBoundExceeded):
+        collect_for_viz(orders, max_rows=100)  # 1012 rows at sf0.001
+
+
+def test_topk_counts_matches_full_sort(spark, sf_dir):
+    from chicago_crime_spark_ml_spark.viz import topk_counts
+
+    orders = load_table(spark, sf_dir, "orders")
+    pdf = topk_counts(orders, "o_orderpriority", k=3)
+    full = dict(
+        orders.groupBy("o_orderpriority").count().collect()
+    )
+    want = sorted(full.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    got = list(zip(pdf["o_orderpriority"], pdf["count"]))
+    assert got == want
+
+
+def test_pivot_matrix_matches_reference_shape(spark, sf_dir):
+    # the seaborn-heatmap input: index × column count matrix, zero-filled
+    # (Preprocessing.py:618-619) — every cell equals the group-by count
+    from chicago_crime_spark_ml_spark.viz import pivot_matrix
+
+    orders = load_table(spark, sf_dir, "orders")
+    m = pivot_matrix(orders, "o_orderpriority", "o_orderstatus")
+    raw = {
+        (r["o_orderpriority"], r["o_orderstatus"]): r["count"]
+        for r in orders.groupBy("o_orderpriority", "o_orderstatus")
+        .count()
+        .collect()
+    }
+    for idx in m.index:
+        for col in m.columns:
+            assert m.loc[idx, col] == raw.get((idx, col), 0)
+    assert int(m.values.sum()) == orders.count()
+
+
+def test_pivot_matrix_bound_raises(spark, sf_dir):
+    from chicago_crime_spark_ml_spark.viz import VizBoundExceeded, pivot_matrix
+
+    orders = load_table(spark, sf_dir, "orders")
+    with pytest.raises(VizBoundExceeded):
+        pivot_matrix(orders, "o_orderkey", "o_orderstatus", max_index=50)
+
+
+def test_centroid_map_data(spark, sf_dir):
+    # the district-map input (Preprocessing.py:500-510): per-key avg x/y
+    # + count in one aggregation
+    from chicago_crime_spark_ml_spark.viz import centroid_map_data
+
+    cust = load_table(spark, sf_dir, "customer")
+    pdf = centroid_map_data(cust, "c_nationkey", "c_acctbal", "c_custkey")
+    want = {
+        r["c_nationkey"]: (r["a"], r["n"])
+        for r in cust.groupBy("c_nationkey")
+        .agg(F.avg("c_acctbal").alias("a"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert len(pdf) == len(want)
+    for _, row in pdf.iterrows():
+        a, n = want[row["c_nationkey"]]
+        assert row["count"] == n
+        assert abs(row["avg_c_acctbal"] - a) < 1e-9
+
+
+def test_time_pattern_bounded_axes(spark, sf_dir):
+    from chicago_crime_spark_ml_spark.viz import time_pattern
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = time_pattern(ev, "ts", "hour")
+    assert 1 <= len(hourly) <= 24
+    assert int(hourly["count"].sum()) == ev.count()
+    with pytest.raises(ValueError):
+        time_pattern(ev, "ts", "minute")
+
+
+def test_sampled_points_bounded_and_deterministic(spark, sf_dir):
+    from chicago_crime_spark_ml_spark.viz import sampled_points
+
+    ev = load_table(spark, sf_dir, "events")
+    cats = ["view", "purchase"]
+    a = sampled_points(ev, "event_type", cats, ["event_id", "user_id"], 20)
+    b = sampled_points(ev, "event_type", cats, ["event_id", "user_id"], 20)
+    assert len(a) <= len(cats) * 20
+    assert set(a["event_type"]) <= set(cats)
+    assert sorted(map(tuple, a.values.tolist())) == sorted(
+        map(tuple, b.values.tolist())
+    )
+
+
+def test_render_requires_matplotlib_or_works(spark, sf_dir, tmp_path):
+    # matplotlib isn't in this container: the render layer must fail
+    # with a clear ImportError, not a confusing AttributeError; if the
+    # lib IS present, it must produce a file
+    from chicago_crime_spark_ml_spark.viz import pivot_matrix, render_heatmap
+
+    orders = load_table(spark, sf_dir, "orders")
+    m = pivot_matrix(orders, "o_orderpriority", "o_orderstatus")
+    try:
+        import matplotlib  # noqa: F401
+
+        out = render_heatmap(m, str(tmp_path / "hm.png"))
+        assert os.path.getsize(out) > 0
+    except ImportError:
+        with pytest.raises(ImportError, match="matplotlib"):
+            render_heatmap(m, str(tmp_path / "hm.png"))
+
+
+# ---------------------------------------------------------------------------
+# serving: feature store + bundle
+# ---------------------------------------------------------------------------
+
+
+def test_feature_store_equals_train_time_join(spark, sf_dir, tmp_path):
+    # THE serving contract: served density feature == the value
+    # add_group_count_feature joins at train time, for every key
+    from chicago_crime_spark_ml_spark.operators.relational import (
+        add_group_count_feature,
+    )
+    from chicago_crime_spark_ml_spark.serving import FeatureStore
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    store = FeatureStore.build(orders, ["o_custkey"])
+    path = str(tmp_path / "store.json")
+    store.save(path)
+    served = FeatureStore.load(path)
+
+    train = add_group_count_feature(
+        cust.select(F.col("c_custkey").alias("o_custkey")),
+        orders,
+        "o_custkey",
+        "o_custkey_count",
+        hint_broadcast=False,
+    )
+    for r in train.collect():
+        assert served.lookup("o_custkey", r["o_custkey"]) == r["o_custkey_count"]
+    # unseen key falls back to the fill default, same as the join's fillna
+    assert served.lookup("o_custkey", -99999) == 0
+
+
+def test_feature_store_bound_raises(spark, sf_dir):
+    from chicago_crime_spark_ml_spark.serving import (
+        FeatureStore,
+        FeatureStoreBoundExceeded,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    with pytest.raises(FeatureStoreBoundExceeded):
+        FeatureStore.build(li, ["l_orderkey"], max_keys_per_col=100)
+
+
+def test_serving_bundle_round_trip_and_predict(spark, sf_dir, tmp_path):
+    # end-to-end: train a small pipeline, save bundle, reload, predict a
+    # single row with SERVED density features; prediction must equal the
+    # batch transform on the same assembled row
+    from chicago_crime_spark_ml_spark.operators.ml import train_multiclass
+    from chicago_crime_spark_ml_spark.operators.relational import (
+        add_group_count_feature,
+    )
+    from chicago_crime_spark_ml_spark.serving import FeatureStore, ServingBundle
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+        "source",
+    )
+    feats = add_group_count_feature(
+        docs, docs, "source", "source_count"
+    ).withColumn("chars_per_tok", F.col("n_chars") / F.col("n_tokens"))
+    train = feats.filter(F.col("doc_id") % 5 != 0)
+    test = feats.filter(F.col("doc_id") % 5 == 0)
+    feature_cols = ["n_chars", "n_tokens", "chars_per_tok", "source_count"]
+    result = train_multiclass(train, test, feature_cols, "lang", weighted=False)
+
+    store = FeatureStore.build(train, ["source"])
+    bundle_path = str(tmp_path / "bundle")
+    ServingBundle.save_parts(
+        bundle_path,
+        result.model,
+        {"label_labels": result.label_mapping},
+        store,
+    )
+    bundle = ServingBundle.load(bundle_path)
+
+    probe = test.drop("source_count").first().asDict()
+    out = bundle.predict_row(spark, probe, density_keys=["source"])
+    assert out["label"] in result.label_mapping
+    assert out["features_served"]["source"] == store.lookup(
+        "source", probe["source"]
+    )
+    # identical to scoring the batch-assembled row through the pipeline
+    batch_row = dict(probe)
+    batch_row["source_count"] = out["features_served"]["source"]
+    batch_pred = (
+        result.model.transform(spark.createDataFrame([batch_row]))
+        .select("prediction")
+        .first()[0]
+    )
+    assert out["prediction"] == batch_pred
+
+
+# ---------------------------------------------------------------------------
+# model sidecar interop
+# ---------------------------------------------------------------------------
+
+
+def test_model_card_reference_shapes(spark, sf_dir, tmp_path):
+    from chicago_crime_spark_ml_spark.operators.ml import (
+        TrainResult,
+        export_model_card,
+        load_model_card,
+    )
+
+    result = TrainResult(
+        model=None,
+        accuracy=0.52,
+        f1_weighted=0.49,
+        label_mapping=["en", "fr", "de"],
+        feature_importances=[0.1, 0.7, 0.2],
+    )
+    path = str(tmp_path / "model_card.json")
+    export_model_card(result, ["a", "b", "c"], path)
+    card = load_model_card(path)
+    # the reference's shapes: label_labels list (indexer_mappings.json)
+    # and a gain-style {feature: score} map sorted descending
+    assert card["label_labels"] == ["en", "fr", "de"]
+    assert list(card["feature_importances"]) == ["b", "c", "a"]
+    assert card["metrics"]["accuracy"] == 0.52
+
+
+def test_booster_json_round_trip_or_unavailable(spark, sf_dir, tmp_path):
+    # xgboost isn't in this container: export must report False for a
+    # non-XGB pipeline (MLlib RF has no get_booster). When xgboost IS
+    # present, the booster JSON must round-trip through xgb.Booster.
+    from chicago_crime_spark_ml_spark.operators.ml import (
+        export_booster_json,
+        train_multiclass,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+    )
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    test = docs.filter(F.col("doc_id") % 5 == 0)
+    result = train_multiclass(
+        train, test, ["n_chars", "n_tokens"], "lang", weighted=False
+    )
+    path = str(tmp_path / "booster.json")
+    wrote = export_booster_json(result.model, path)
+    try:
+        import xgboost  # noqa: F401
+
+        assert wrote and os.path.exists(path)
+        from chicago_crime_spark_ml_spark.operators.ml import load_booster_json
+
+        booster = load_booster_json(path)
+        assert booster.num_features() == 2
+    except ImportError:
+        assert wrote is False
+
+
+# ---------------------------------------------------------------------------
+# partition-scoped MERGE
+# ---------------------------------------------------------------------------
+
+
+def _file_digests(root: str) -> dict[str, str]:
+    out = {}
+    for p in glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True):
+        with open(p, "rb") as f:
+            out[os.path.relpath(p, root)] = hashlib.md5(f.read()).hexdigest()
+    return out
+
+
+def test_partition_scoped_merge_leaves_untouched_partitions(
+    spark, sf_dir, tmp_path
+):
+    from chicago_crime_spark_ml_spark.sources.io import (
+        merge_parquet_partitioned,
+        write_parquet,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = str(tmp_path / "orders_part")
+    write_parquet(orders, path, partition_by=["o_orderpriority"])
+
+    before = _file_digests(path)
+    untouched = {
+        p: h for p, h in before.items() if "o_orderpriority=1-URGENT" not in p
+    }
+    assert untouched  # the dataset has more partitions than the touched one
+
+    # one UPDATE of a key that lives in the touched partition + one INSERT
+    k0 = orders.filter(F.col("o_orderpriority") == "1-URGENT").first()[
+        "o_orderkey"
+    ]
+    updates = spark.createDataFrame(
+        [(k0, "1-URGENT", 999.99), (999_999_999, "1-URGENT", 111.11)],
+        "o_orderkey BIGINT, o_orderpriority STRING, o_totalprice DOUBLE",
+    )
+    n = merge_parquet_partitioned(
+        spark, path, updates, keys=["o_orderkey"],
+        partition_cols=["o_orderpriority"],
+    )
+    assert n == 1
+
+    after = _file_digests(path)
+    for p, h in untouched.items():
+        assert after.get(p) == h, f"untouched partition file changed: {p}"
+
+    merged = spark.read.parquet(path)
+    urgent = {
+        r["o_orderkey"]: r["o_totalprice"]
+        for r in merged.filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        ).collect()
+    }
+    assert urgent[k0] == 999.99          # updated in place
+    assert urgent[999_999_999] == 111.11  # inserted
+    assert merged.filter(F.col("o_orderkey") == k0).count() == 1
+    assert merged.count() == orders.count() + 1
+
+
+def test_partition_scoped_merge_no_updates_is_noop(spark, sf_dir, tmp_path):
+    from chicago_crime_spark_ml_spark.sources.io import (
+        merge_parquet_partitioned,
+        write_parquet,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = str(tmp_path / "orders_part")
+    write_parquet(orders, path, partition_by=["o_orderpriority"])
+    before = _file_digests(path)
+    empty = spark.createDataFrame(
+        [], "o_orderkey BIGINT, o_orderpriority STRING, o_totalprice DOUBLE"
+    )
+    assert (
+        merge_parquet_partitioned(
+            spark, path, empty, ["o_orderkey"], ["o_orderpriority"]
+        )
+        == 0
+    )
+    assert _file_digests(path) == before
