@@ -4672,3 +4672,324 @@ def acctbal_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.kll_sketch_get_n_double("sk").alias("n"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 6: the remaining TPC-H classic shapes (Q2/Q4/Q6/Q11/Q16/Q20),
+# adapted to the star schema (no partsupp table — lineitem's observed
+# (part, supplier) pairs stand in for it, keeping each query's hard part:
+# the decorrelation pattern)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cheapest_supplier_per_part",
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             min(CAST(l_extendedprice AS DECIMAL(10,2))
+                 / CAST(l_quantity AS DECIMAL(10,2))) AS unit_price
+      FROM lineitem WHERE l_quantity > 0
+      GROUP BY l_partkey, l_suppkey),
+    ranked AS (
+      SELECT p.p_partkey, p.p_brand, s.s_name, s.s_acctbal,
+             CAST(ps.unit_price AS DOUBLE) AS unit_price,
+             row_number() OVER (PARTITION BY p.p_partkey
+                                ORDER BY ps.unit_price, s.s_name) AS rn
+      FROM ps
+      JOIN part p ON p.p_partkey = ps.l_partkey
+      JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'AMERICA' AND p.p_size < 15)
+    SELECT p_partkey, p_brand, s_name, s_acctbal,
+           round(unit_price, 4) AS unit_price
+    FROM ranked WHERE rn = 1
+    ORDER BY s_acctbal DESC, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per part, the REGION-local supplier offering the
+    minimum price (observed lineitem unit price stands in for
+    ps_supplycost). The correlated `= (SELECT min(...))` subquery is
+    decorrelated to one row_number window over the joined pairs —
+    single shuffle on partkey instead of a re-scan per part; nation/
+    region broadcast; unit prices computed in exact decimal so the
+    min/tie-break order is bit-identical across engines; top-100 via
+    TakeOrderedAndProject."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") < 15)
+    s = _t(spark, sf_dir, "supplier")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(
+        _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    )
+    ps = (
+        li.filter(F.col("l_quantity") > 0)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(
+                F.col("l_extendedprice").cast("decimal(10,2)")
+                / F.col("l_quantity").cast("decimal(10,2)")
+            ).alias("unit_price")
+        )
+    )
+    joined = (
+        ps.join(p, p.p_partkey == ps.l_partkey)
+        .join(s, s.s_suppkey == ps.l_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+    )
+    w = Window.partitionBy("p_partkey").orderBy("unit_price", "s_name")
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            "s_acctbal",
+            F.round(F.col("unit_price").cast("double"), 4).alias("unit_price"),
+        )
+        .orderBy(F.desc("s_acctbal"), "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "priority_late_ship_orders",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def priority_late_ship_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders-per-priority where at least one line
+    shipped late (shipdate > orderdate + 60 days standing in for
+    commitdate < receiptdate, which the schema lacks). EXISTS plans a
+    LEFT-SEMI join — each order counted once no matter how many late
+    lines — and the date-range predicate pushes to the orders scan
+    before the join."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate > F.date_add(o.o_orderdate, 60)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@query(
+    "forecast_revenue_change",
+    """
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(10,2))
+                          * CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE)
+             AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: the pure scan-filter-aggregate — zero joins, zero
+    windows; ALL THREE predicates must reach the parquet scan
+    (PushedFilters) so row groups outside the ship-year skip on
+    min/max stats. The what-if revenue sum accumulates in exact
+    decimal. At 100 TB this query is the pushdown benchmark: its cost
+    is decided by the scan, nothing else."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(10,2)")
+                    * F.col("l_discount").cast("decimal(4,2)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@query(
+    "nation_shipped_value_concentration",
+    """
+    WITH nv AS (
+      SELECT s.s_nationkey, l.l_partkey,
+             sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS value
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY s.s_nationkey, l.l_partkey),
+    ranked AS (
+      SELECT s_nationkey, l_partkey, value,
+             sum(value) OVER (PARTITION BY s_nationkey) AS nation_total,
+             row_number() OVER (PARTITION BY s_nationkey
+                                ORDER BY value DESC, l_partkey) AS rn
+      FROM nv)
+    SELECT n.n_name, ranked.l_partkey,
+           CAST(round(value, 2) AS DOUBLE) AS value,
+           round(CAST(value AS DOUBLE) / CAST(nation_total AS DOUBLE), 6)
+             AS share
+    FROM ranked JOIN nation n ON n.n_nationkey = ranked.s_nationkey
+    WHERE rn <= 5
+    ORDER BY n.n_name, value DESC, ranked.l_partkey
+    """,
+)
+def nation_shipped_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: each supplier nation's top-5 parts by shipped
+    value, with their share of the nation's total (lineitem value stands
+    in for partsupp stock value; rank-based cut instead of TPC-H's
+    `> total·fraction` because a fixed fraction is scale-dependent —
+    vacuous above ~1M rows — while top-N stays meaningful at every SF).
+    Both correlated aggregates (nation total, rank) decorrelate into ONE
+    window pass over the per-(nation, part) rollup — the tiny derived
+    table, not the fact. Exact-decimal accumulation on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    nv = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey", "l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("value")
+        )
+    )
+    w = Window.partitionBy("s_nationkey")
+    wr = w.orderBy(F.desc("value"), "l_partkey")
+    return (
+        nv.withColumn("nation_total", F.sum("value").over(w))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 5)
+        .join(n, nv.s_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            "l_partkey",
+            F.round("value", 2).cast("double").alias("value"),
+            F.round(
+                F.col("value").cast("double")
+                / F.col("nation_total").cast("double"),
+                6,
+            ).alias("share"),
+        )
+        .orderBy("n_name", F.desc("value"), "l_partkey")
+    )
+
+
+@query(
+    "supplier_count_by_part_attrs",
+    """
+    SELECT p.p_brand, p.p_size, count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#45' AND p.p_size IN (1, 4, 9, 14, 19, 23)
+    GROUP BY p.p_brand, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_size
+    """,
+)
+def supplier_count_by_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier count per part attribute
+    combo (observed lineitem pairs stand in for partsupp). The brand/
+    size predicates push to the part scan; part then BROADCASTS into
+    the fact join (dim-sized), and the count-distinct expands to a
+    two-level aggregate — partial distinct per partition, merged on the
+    group keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23)
+    )
+    return (
+        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+    )
+
+
+@query(
+    "dominant_part_suppliers",
+    """
+    WITH sp AS (
+      SELECT l_partkey, l_suppkey,
+             sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    ranked AS (
+      SELECT l_partkey, l_suppkey, sq,
+             sum(sq) OVER (PARTITION BY l_partkey) AS part_total,
+             row_number() OVER (PARTITION BY l_partkey
+                                ORDER BY sq DESC, l_suppkey) AS rn
+      FROM sp)
+    SELECT s.s_name, n.n_name, count(*) AS n_parts_led,
+           round(max(CAST(sq AS DOUBLE) / CAST(part_total AS DOUBLE)), 6)
+             AS max_share
+    FROM ranked
+    JOIN part p ON p.p_partkey = ranked.l_partkey
+                AND p.p_name LIKE 'hot%'
+    JOIN supplier s ON s.s_suppkey = ranked.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE rn = 1
+    GROUP BY s.s_name, n.n_name
+    ORDER BY n_parts_led DESC, s.s_name
+    """,
+)
+def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who LEAD shipments of some hot-prefixed
+    part, with how many parts they lead and their peak quantity share
+    (rank-1-based instead of TPC-H's `> ½·total` because with ~27
+    suppliers per part a fixed majority share is structurally vacuous in
+    this data — the decorrelation pattern is the point and is identical).
+    Both correlated aggregates (part total, leader) fold into one window
+    over the per-(part, supplier) rollup; the LIKE predicate prunes parts
+    before the broadcast join. Exact-decimal quantity sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("hot%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    sp = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sq")
+    )
+    w = Window.partitionBy("l_partkey")
+    wr = w.orderBy(F.desc("sq"), "l_suppkey")
+    return (
+        sp.withColumn("part_total", F.sum("sq").over(w))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts_led"),
+            F.round(
+                F.max(
+                    F.col("sq").cast("double")
+                    / F.col("part_total").cast("double")
+                ),
+                6,
+            ).alias("max_share"),
+        )
+        .orderBy(F.desc("n_parts_led"), "s_name")
+    )
