@@ -237,6 +237,18 @@ def simhash_hamming_pairs(
     (pigeonhole), so candidates = equi-join per band, then exact Hamming
     filter via bit_count(xor). Join keys are (band_idx, band_value) —
     fully shuffle-partitionable at scale.
+
+    Plan note (measured at sf0.1): the self-join inlines the signature
+    pipeline into both branches and neither static ReuseExchange nor
+    AQE's runtime stage cache dedupes it (the stages materialize
+    concurrently), so the md5+agg work runs twice — still the fastest
+    form tried: bucket-grouped pair generation via collect_list +
+    flatten(transform×transform) computes signatures once but loses
+    codegen/partial-agg and measured ~3× SLOWER overall; shuffle_hash/
+    merge hints don't change reuse. At 100 TB, don't recompute inline:
+    materialize the signature table once (it's ~16 bytes/doc) and
+    band-join THAT — the two-step layout every production dedup pipeline
+    uses anyway.
     """
     n_bands = SIMHASH_BITS // band_bits
     sh = add_simhash(df, text_col).select(id_col, "simhash")

@@ -627,3 +627,78 @@ def winsorize(
         .withColumn(f"{value_col}_w", clipped)
         .drop("__lo", "__hi")
     )
+
+
+def scd2_from_changelog(
+    df: DataFrame,
+    key: str,
+    value: str,
+    ts: str,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Build a type-2 slowly-changing dimension from a change log: one
+    row per (key, value RUN), with [effective_from, effective_to) validity
+    and an is_current flag — the warehouse-history pattern (Kimball SCD2)
+    the reference's single-snapshot tables can't express.
+
+    Two window passes over the SAME (key × time) partitioning — Catalyst
+    plans ONE shuffle, both windows reuse it:
+    1. change-point detection: keep rows where value != lag(value)
+       (first row of each run);
+    2. validity: effective_to = lead(effective_from) over the surviving
+       change points; NULL effective_to = current row.
+    Deterministic under duplicate timestamps via ``tiebreak`` columns.
+    """
+    order = [F.col(ts), *[F.col(c) for c in tiebreak]]
+    w = Window.partitionBy(key).orderBy(*order)
+    changed = (
+        df.withColumn("__prev", F.lag(value).over(w))
+        .filter(
+            F.col("__prev").isNull() | (F.col(value) != F.col("__prev"))
+        )
+        .drop("__prev")
+    )
+    w2 = Window.partitionBy(key).orderBy(*order)
+    return (
+        changed.withColumn("effective_from", F.col(ts))
+        .withColumn("effective_to", F.lead(ts).over(w2))
+        .withColumn("is_current", F.col("effective_to").isNull())
+    )
+
+
+def snapshot_diff(
+    a: DataFrame,
+    b: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Key-level diff of two table snapshots — the CDC shape (what
+    changed between yesterday's and today's load): full-outer join on
+    the keys, rows classified added / removed / changed / same.
+
+    Output: keys + ``<col>_a``/``<col>_b`` per compared column +
+    change_type. NULL-safe comparison (eqNullSafe) so a NULL→value
+    transition counts as changed, not same. One shuffle per side on the
+    keys; at 100 TB both snapshots bucket on the keys and the join is
+    exchange-free."""
+    ka = a.select(
+        *keys, *[F.col(c).alias(f"{c}_a") for c in compare_cols]
+    ).withColumn("__in_a", F.lit(True))
+    kb = b.select(
+        *keys, *[F.col(c).alias(f"{c}_b") for c in compare_cols]
+    ).withColumn("__in_b", F.lit(True))
+    j = ka.join(kb, list(keys), "full_outer")
+    same = reduce(
+        lambda x, y: x & y,
+        [
+            F.col(f"{c}_a").eqNullSafe(F.col(f"{c}_b"))
+            for c in compare_cols
+        ],
+    )
+    change = (
+        F.when(F.col("__in_a").isNull(), F.lit("added"))
+        .when(F.col("__in_b").isNull(), F.lit("removed"))
+        .when(same, F.lit("same"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.withColumn("change_type", change).drop("__in_a", "__in_b")

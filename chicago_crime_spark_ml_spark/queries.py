@@ -4993,3 +4993,139 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_parts_led"), "s_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 7: warehouse history / CDC / BI shapes
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "customer_priority_scd2",
+    """
+    WITH log AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             lag(o_orderpriority) OVER w AS prev
+      FROM orders WHERE o_custkey < 300
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey)),
+    runs AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+      FROM log WHERE prev IS NULL OR o_orderpriority <> prev)
+    SELECT o_custkey, o_orderpriority,
+           o_orderdate AS effective_from,
+           lead(o_orderdate) OVER w2 AS effective_to,
+           lead(o_orderdate) OVER w2 IS NULL AS is_current
+    FROM runs
+    WINDOW w2 AS (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def customer_priority_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 dimension history (Kimball SCD2) built from the order
+    stream as a change log: one row per customer-priority RUN with
+    [effective_from, effective_to) validity and is_current — the
+    track-attribute-history pattern single-snapshot tables can't
+    express. Both window passes share one (custkey × time) shuffle;
+    duplicate order dates are made deterministic by the orderkey
+    tiebreak."""
+    from chicago_crime_spark_ml_spark.operators.relational import (
+        scd2_from_changelog,
+    )
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300)
+    out = scd2_from_changelog(
+        o.select("o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"),
+        key="o_custkey",
+        value="o_orderpriority",
+        ts="o_orderdate",
+        tiebreak=["o_orderkey"],
+    )
+    return out.select(
+        "o_custkey",
+        "o_orderpriority",
+        "effective_from",
+        "effective_to",
+        "is_current",
+    )
+
+
+@query(
+    "customer_yearly_snapshot_diff",
+    """
+    WITH a AS (SELECT o_custkey, count(*) AS n_orders FROM orders
+               WHERE year(o_orderdate) = 1996 GROUP BY o_custkey),
+    b AS (SELECT o_custkey, count(*) AS n_orders FROM orders
+          WHERE year(o_orderdate) = 1997 GROUP BY o_custkey)
+    SELECT coalesce(a.o_custkey, b.o_custkey) AS o_custkey,
+           a.n_orders AS n_orders_a,
+           b.n_orders AS n_orders_b,
+           CASE WHEN a.o_custkey IS NULL THEN 'added'
+                WHEN b.o_custkey IS NULL THEN 'removed'
+                WHEN a.n_orders = b.n_orders THEN 'same'
+                ELSE 'changed' END AS change_type
+    FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+    """,
+)
+def customer_yearly_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot diff: per-customer order counts in 1996 vs 1997,
+    each key classified added/removed/changed/same — the
+    what-changed-between-loads audit every incremental pipeline needs.
+    Full-outer join on the key with NULL-safe value comparison; both
+    snapshot aggregates and the join shuffle on the same key, so AQE
+    coalesces them into one exchange chain."""
+    from chicago_crime_spark_ml_spark.operators.relational import snapshot_diff
+
+    o = _t(spark, sf_dir, "orders")
+    snap = lambda yr: (  # noqa: E731
+        o.filter(F.year("o_orderdate") == yr)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return snapshot_diff(
+        snap(1996), snap(1997), keys=["o_custkey"], compare_cols=["n_orders"]
+    )
+
+
+@query(
+    "revenue_yoy_growth",
+    """
+    WITH yearly AS (
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+             sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+      FROM orders GROUP BY 1)
+    SELECT yr,
+           CAST(round(rev, 2) AS DOUBLE) AS revenue,
+           round(CAST(rev - lag(rev) OVER (ORDER BY yr) AS DOUBLE)
+                 / CAST(lag(rev) OVER (ORDER BY yr) AS DOUBLE), 6)
+             AS yoy_growth
+    FROM yearly ORDER BY yr
+    """,
+)
+def revenue_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth — the BI staple: yearly exact-
+    decimal revenue, then lag() growth over the TINY per-year aggregate
+    (the window runs on ~7 rows, never the fact table; the single
+    unbounded-order window is safe only because the year rollup bounds
+    the partition)."""
+    o = _t(spark, sf_dir, "orders")
+    yearly = o.groupBy(F.year("o_orderdate").alias("yr")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev")
+    )
+    w = Window.orderBy("yr")
+    return (
+        yearly.withColumn(
+            "yoy_growth",
+            F.round(
+                (F.col("rev") - F.lag("rev").over(w)).cast("double")
+                / F.lag("rev").over(w).cast("double"),
+                6,
+            ),
+        )
+        .select(
+            "yr",
+            F.round("rev", 2).cast("double").alias("revenue"),
+            "yoy_growth",
+        )
+        .orderBy("yr")
+    )

@@ -346,3 +346,51 @@ def test_join_strategy_follows_broadcast_config(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", default)
     assert "BroadcastHashJoin" in plan()
+
+
+def test_scd2_runs_and_validity(spark):
+    # change-point semantics: consecutive repeats collapse into one run;
+    # validity windows chain [from, to) with exactly one current row per key
+    from chicago_crime_spark_ml_spark.operators.relational import (
+        scd2_from_changelog,
+    )
+
+    rows = [
+        (1, "A", 1), (1, "A", 2), (1, "B", 3), (1, "B", 4), (1, "A", 5),
+        (2, "X", 1),
+    ]
+    df = spark.createDataFrame(rows, "k INT, v STRING, t INT")
+    out = scd2_from_changelog(df, "k", "v", "t", tiebreak=[]).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.k, []).append(
+            (r.v, r.effective_from, r.effective_to, r.is_current)
+        )
+    assert sorted(by_key[1]) == [
+        ("A", 1, 3, False), ("A", 5, None, True), ("B", 3, 5, False),
+    ]
+    assert by_key[2] == [("X", 1, None, True)]
+    for runs in by_key.values():
+        assert sum(1 for r in runs if r[3]) == 1  # one current per key
+
+
+def test_snapshot_diff_classification(spark):
+    from chicago_crime_spark_ml_spark.operators.relational import snapshot_diff
+
+    a = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, None), (4, 40)], "k INT, v INT"
+    )
+    b = spark.createDataFrame(
+        [(2, 20), (3, 30), (4, 41), (5, 50)], "k INT, v INT"
+    )
+    got = {
+        r.k: r.change_type
+        for r in snapshot_diff(a, b, ["k"], ["v"]).collect()
+    }
+    assert got == {
+        1: "removed",
+        2: "same",
+        3: "changed",  # NULL -> 30 must be changed (eqNullSafe), not same
+        4: "changed",
+        5: "added",
+    }
