@@ -1,0 +1,129 @@
+"""Graph operators over edge DataFrames — weighted PageRank.
+
+The reference has no graph surface; this extends the engine the same way
+`dedup.connected_components` does: iterative DataFrame joins, no GraphX /
+RDD API (GraphFrames is not in the public-only dependency set). Edges are
+plain (src, dst, weight) rows, so the operators compose with any query
+that produces a relationship table (trade volume, co-purchase, citation).
+
+Scale notes: each PageRank iteration is one join of the edge table with
+the rank vector (shuffle keyed on src) plus one aggregation keyed on dst.
+The edge table dominates; ranks are one row per node. For a few fixed
+iterations (the converged-enough regime for ranking) the unrolled-loop
+plan is fine; for many iterations, localCheckpoint per round bounds plan
+growth exactly as connected_components does (operators/dedup.py).
+
+Cross-engine determinism (the DuckDB oracle runs the same unrolled
+iterations): per-term arithmetic stays in IEEE double with an explicit
+evaluation shape ``(r * w) / out``; per-node accumulation casts each term
+to DECIMAL(38,18) so the SUM is exact and associative — summation order
+cannot flip a bit, making each iteration's rank vector bit-identical
+across engines (the _dsum discipline from queries.py, applied to an
+iterative algorithm).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Term quantization for cross-engine bit-stability: 12 fractional digits
+# keeps the scaled integer < 2^53, so DuckDB's int128→double→/10^12 path
+# and Java's correctly-rounded BigDecimal.doubleValue() produce the SAME
+# double. At 18 digits the scaled value exceeds 2^53 and DuckDB's two-step
+# conversion can differ from Java's single rounding by 1 ulp.
+_TERM_DEC = "decimal(28,12)"
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "node",
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    iterations: int = 3,
+    damping: float = 0.85,
+    checkpoint_every: int | None = 8,
+) -> DataFrame:
+    """Weighted PageRank over (src, dst, weight) edges; returns
+    (node_col, rank) with ranks summing to ~1.
+
+    r_{t+1}(v) = (1-d)/N + d * Σ_{u→v} r_t(u) · w(u,v)/out(u)
+
+    Dangling nodes (no out-edges) donate their rank uniformly: they are
+    materialized as explicit edges to every node with weight 1 and
+    out-weight N. N is taken from ``nodes`` (one count of a dimension
+    table — bounded driver work, like the centroid collects in
+    similarity.py).
+    """
+    n_nodes = nodes.count()
+    base = (1.0 - damping) / n_nodes
+
+    out_w = edges.groupBy(src).agg(F.sum(weight).cast("bigint").alias("outw"))
+    real = edges.join(out_w, src).select(
+        F.col(src), F.col(dst), F.col(weight).cast("bigint").alias("w"), "outw"
+    )
+    # Dangling nodes → uniform donation edges (w=1, out=N). nodes is a
+    # dim table, so the cross join is dim×dim (bounded), same policy as
+    # region_nation_cross in queries.py.
+    dangling = nodes.select(F.col(node_col).alias(src)).join(
+        edges.select(F.col(src)).distinct(), src, "left_anti"
+    )
+    dang_edges = dangling.crossJoin(
+        nodes.select(F.col(node_col).alias(dst))
+    ).select(
+        src, dst, F.lit(1).cast("bigint").alias("w"),
+        F.lit(n_nodes).cast("bigint").alias("outw"),
+    )
+    e = real.unionByName(dang_edges)
+
+    ranks = nodes.select(node_col, F.lit(1.0 / n_nodes).alias("rank"))
+    for i in range(iterations):
+        contrib = e.join(
+            ranks, e[src] == ranks[node_col]
+        ).select(
+            F.col(dst).alias("_dst"),
+            ((F.col("rank") * F.col("w")) / F.col("outw"))
+            .cast(_TERM_DEC)
+            .alias("_term"),
+        )
+        inflow = contrib.groupBy("_dst").agg(
+            F.sum("_term").cast("double").alias("_s")
+        )
+        ranks = nodes.join(
+            inflow, nodes[node_col] == inflow["_dst"], "left"
+        ).select(
+            node_col,
+            (F.lit(base) + F.lit(damping) * F.coalesce(F.col("_s"), F.lit(0.0))).alias(
+                "rank"
+            ),
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            # Bound lineage growth for long runs (same rationale as the
+            # per-round localCheckpoint in connected_components).
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
+def degree_profile(
+    edges: DataFrame, src: str = "src", dst: str = "dst", weight: str = "w"
+) -> DataFrame:
+    """Per-node (out_degree, in_degree, out_weight, in_weight) — two
+    keyed aggregations full-outer merged; the standard pre-flight check
+    before any iterative graph run (skew shows up here first)."""
+    o = edges.groupBy(F.col(src).alias("node")).agg(
+        F.count(F.lit(1)).alias("out_degree"),
+        F.sum(weight).cast("bigint").alias("out_weight"),
+    )
+    i = edges.groupBy(F.col(dst).alias("node")).agg(
+        F.count(F.lit(1)).alias("in_degree"),
+        F.sum(weight).cast("bigint").alias("in_weight"),
+    )
+    return o.join(i, "node", "full_outer").select(
+        "node",
+        F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+        F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+        F.coalesce("out_weight", F.lit(0)).alias("out_weight"),
+        F.coalesce("in_weight", F.lit(0)).alias("in_weight"),
+    )

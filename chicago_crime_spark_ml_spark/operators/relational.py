@@ -702,3 +702,107 @@ def snapshot_diff(
         .otherwise(F.lit("changed"))
     )
     return j.withColumn("change_type", change).drop("__in_a", "__in_b")
+
+
+def cooccurrence_pairs(
+    df: DataFrame,
+    basket: str,
+    item: str,
+    min_count: int = 2,
+) -> DataFrame:
+    """Market-basket pair co-occurrence: distinct (basket, item) rows →
+    self-join within basket with ``item_a < item_b`` → pair support
+    counts ≥ min_count. Output (item_a, item_b, n_baskets).
+
+    The self-join is keyed on the basket id, so cost is Σ_b |items_b|²
+    — bounded by the per-basket item count (small and structural: a
+    purchase order has a handful of distinct brands), never by table
+    size. The classic FP-growth candidate-pair step expressed as plain
+    relational algebra; at 100 TB the distinct() pre-shrink is what
+    keeps the shuffle proportional to unique pairs, not line items."""
+    items = df.select(
+        F.col(basket).alias("b"), F.col(item).alias("i")
+    ).distinct()
+    a = items.alias("a")
+    c = items.alias("c")
+    return (
+        a.join(c, (F.col("a.b") == F.col("c.b")) & (F.col("a.i") < F.col("c.i")))
+        .groupBy(F.col("a.i").alias("item_a"), F.col("c.i").alias("item_b"))
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
+        .filter(F.col("n_baskets") >= min_count)
+    )
+
+
+def rolling_zscore_anomalies(
+    df: DataFrame,
+    key: str,
+    order: Sequence[str],
+    value,
+    lookback: int = 8,
+    min_points: int = 5,
+    z_threshold: float = 2.5,
+) -> DataFrame:
+    """Per-key rolling z-score outliers: each point scored against the
+    trailing ``lookback`` points (excluding itself), flagged when
+    |z| > threshold. One window shuffle keyed on ``key``.
+
+    Cross-engine determinism: ``value`` must be an INTEGER column
+    (scaled cents/basis points) — the window then accumulates exact
+    integer Σv and Σv², and mean/variance/z are derived in IEEE double
+    from identical operands, so the float result is bit-identical in
+    any engine and the threshold cannot flip on summation order."""
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(-lookback, -1)
+    )
+    v = F.col(value) if isinstance(value, str) else value
+    s = F.sum(v).over(w)
+    ss = F.sum(v * v).over(w)
+    n = F.count(F.lit(1)).over(w)
+    mean = s.cast("double") / n
+    var = (ss - s.cast("double") * s / n) / (n - 1)
+    # Guard BEFORE dividing: the first row of every partition has an
+    # empty frame (n=0) and ANSI mode (engine default) turns s/n into a
+    # DIVIDE_BY_ZERO error, not a NULL. The conditional keeps the
+    # division unevaluated for short frames.
+    z = F.when((n >= min_points) & (var > 0), (v - mean) / F.sqrt(var))
+    return df.withColumn("z", z).filter(F.abs(F.col("z")) > z_threshold)
+
+
+def column_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """One-pass per-column data profile: nulls, exact distinct count,
+    min/max (rendered as DECIMAL(18,2) strings for numerics so the
+    display form is engine-portable). Output one row per column:
+    (col_name, n_nulls, n_distinct, min_val, max_val).
+
+    Single aggregation job over all columns at once — the engine's
+    answer to the reference's per-column profiling loop
+    (Preprocessing.py:43-46, one full scan per column). The exact
+    multi-DISTINCT expands to a grouping-set plan; the HLL sketch path
+    (sketch_distinct_customers) is the 100 TB dashboard variant."""
+
+    def _fmt(c: str):
+        t = dict(df.dtypes)[c]
+        col = F.col(c)
+        if t in ("double", "float") or t.startswith("decimal"):
+            return lambda agg: agg(col).cast("decimal(18,2)").cast("string")
+        return lambda agg: agg(col).cast("string")
+
+    aggs = []
+    for c in cols:
+        fmt = _fmt(c)
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            fmt(F.min).alias(f"{c}__min"),
+            fmt(F.max).alias(f"{c}__max"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(col_name, n_nulls, n_distinct, min_val, max_val)"
+    )

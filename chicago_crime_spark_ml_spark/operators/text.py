@@ -419,3 +419,46 @@ def decontaminate(
     )
     clean = corpus.join(contaminated, id_col, "left_anti")
     return clean, contaminated
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram LM — the KenLM-style fluency/quality score every corpus
+    filter stack carries (low scores → gibberish or off-domain docs).
+
+    Two keyed shuffles: token counts (vocab-sized), then the doc-token ⋈
+    vocab join re-keyed on the token. NO broadcast hint on the vocab:
+    its cardinality grows with the corpus (the same policy that removed
+    the TF-IDF vocabulary hint). At 100 TB the vocab is truncated to
+    top-V with an OOV bucket; here the LM is trained on the scored
+    corpus itself so every token is in-vocab by construction.
+
+    Cross-engine determinism: ln() comes from different libm
+    implementations (Java vs C) that may differ by 1 ulp, so each term
+    is quantized to DECIMAL(18,6) — coarse enough that a 1-ulp
+    difference at the ~1e-15 scale cannot cross a quantization boundary
+    — then summed exactly and averaged (_dsum discipline on a
+    transcendental)."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_expr(text_col)).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").cast("double").alias("t"))
+    scored = (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))  # 1-row scalar: broadcast is exact
+        .select(
+            F.col(id_col),
+            F.log(F.col("c") / F.col("t")).cast("decimal(18,6)").alias("lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(
+            F.sum("lp").cast("double") / F.count(F.lit(1)), 4
+        ).alias("mean_logprob"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )

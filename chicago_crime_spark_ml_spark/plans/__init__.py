@@ -66,3 +66,19 @@ def observe_metrics(df: DataFrame, name: str, **aggs) -> tuple[DataFrame, "Obser
         F.count(F.lit(1)).alias("rows")
     ]
     return df.observe(obs, *exprs), obs
+
+
+def assert_runtime_bloom_filter(df: DataFrame) -> None:
+    """Assert Catalyst injected a runtime bloom filter into the plan:
+    the probe side carries ``might_contain(...)`` fed by a
+    ``bloom_filter_agg`` built from the selective build side. This is
+    Spark's InjectRuntimeFilter at work — the idiomatic answer to
+    "bloom-prune the fact scan before a shuffle join" (no hand-rolled
+    bloom filter needed). At 100 TB it fires with stock thresholds
+    (probe scan ≥ 10 GB); tests shrink
+    spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold
+    to 0 to exercise the same plan shape at test scale."""
+    plan = explain_str(df, "simple")
+    assert "might_contain" in plan and "bloom_filter_agg" in plan, (
+        f"no runtime bloom filter in plan:\n{plan}"
+    )

@@ -5129,3 +5129,326 @@ def revenue_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr")
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 8: graph / incremental-maintenance / mining / profiling shapes
+# ---------------------------------------------------------------------------
+
+
+def _pagerank_sql(iters: int = 3, damping: float = 0.85, n: int = 25) -> str:
+    """Unrolled weighted-PageRank oracle. Literals are repr()'d Python
+    floats so DuckDB parses the EXACT double the Spark operator uses;
+    per-term DECIMAL(28,12) quantization makes each iteration's rank
+    vector bit-identical across engines (see operators/graph.py)."""
+    base, d = repr((1.0 - damping) / n), repr(damping)
+    ctes = [
+        f"""e0 AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+                  CAST(count(*) AS BIGINT) AS w
+           FROM lineitem l
+           JOIN orders o ON l.l_orderkey = o.o_orderkey
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           GROUP BY 1, 2),
+    ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM e0 GROUP BY src),
+    nodes AS (SELECT n_nationkey AS node FROM nation),
+    e AS (SELECT e0.src, e0.dst, e0.w, ow.outw
+          FROM e0 JOIN ow ON e0.src = ow.src
+          UNION ALL
+          SELECT dg.node, n2.node, CAST(1 AS BIGINT), CAST({n} AS BIGINT)
+          FROM (SELECT node FROM nodes
+                WHERE node NOT IN (SELECT src FROM e0)) dg
+          CROSS JOIN nodes n2),
+    r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / {n} AS rank FROM nodes)"""
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""s{t} AS (SELECT e.dst,
+                    CAST(sum(CAST((r.rank * e.w) / e.outw AS DECIMAL(28,12)))
+                         AS DOUBLE) AS s
+             FROM e JOIN r{t - 1} r ON e.src = r.node GROUP BY e.dst),
+    r{t} AS (SELECT n.node,
+                    CAST({base} AS DOUBLE) + {d} * coalesce(s{t}.s, 0.0) AS rank
+             FROM nodes n LEFT JOIN s{t} ON n.node = s{t}.dst)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT nt.n_name, round(r{iters}.rank, 6) AS rank
+    FROM r{iters} JOIN nation nt ON r{iters}.node = nt.n_nationkey
+    """
+    )
+
+
+@query("nation_trade_pagerank", _pagerank_sql())
+def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (3 iterations, d=0.85) over the nation-level
+    trade graph: customer-nation → supplier-nation edges weighted by
+    lineitem count. Iterative DataFrame joins, no GraphX: per iteration
+    one edge⋈rank join keyed on src + one inflow agg keyed on dst; the
+    rank vector is node-sized so every shuffle after edge construction
+    is dimension-scale. Dangling nodes donate rank uniformly via
+    materialized uniform edges. Cross-engine bit-stability via per-term
+    DECIMAL(28,12) quantization (operators/graph.py)."""
+    from chicago_crime_spark_ml_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    nodes = n.select(F.col("n_nationkey").alias("node"))
+    ranks = pagerank(nodes, edges, iterations=3, damping=0.85)
+    return ranks.join(
+        F.broadcast(n), ranks.node == n.n_nationkey
+    ).select("n_name", F.round("rank", 6).alias("rank"))
+
+
+@query(
+    "incremental_daily_revenue",
+    """
+    SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+           count(*) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS revenue,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price
+    FROM orders GROUP BY 1
+    """,
+)
+def incremental_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-rollup maintenance: the daily revenue
+    rollup is built from pre-1997 orders, then 1997+ orders arrive as a
+    delta and are MERGED (full-outer on the day key, monoid per
+    measure) — never rescanning the base. The oracle recomputes from
+    the full table, proving merged(MV, delta) == recompute: the exact-
+    decimal partial sums are what make the equality hold bit-for-bit.
+    At 100 TB this is the difference between a batch window and a full
+    rebuild: the merge join is rollup-sized (group cardinality), and
+    only the delta partition is aggregated."""
+    from chicago_crime_spark_ml_spark.operators.incremental import (
+        merge_rollup,
+        rollup_aggregate,
+    )
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "day", F.date_trunc("day", F.col("o_orderdate"))
+    )
+    measures = {
+        "n_orders": ("o_orderkey", "count"),
+        "rev": ("o_totalprice", "sum"),
+        "min_price": ("o_totalprice", "min"),
+        "max_price": ("o_totalprice", "max"),
+    }
+    cutoff = "1997-01-01"
+    mv = rollup_aggregate(o.filter(F.col("o_orderdate") < cutoff), ["day"], measures)
+    delta = rollup_aggregate(
+        o.filter(F.col("o_orderdate") >= cutoff), ["day"], measures
+    )
+    merged = merge_rollup(mv, delta, ["day"], measures)
+    return merged.select(
+        "day",
+        "n_orders",
+        F.round("rev", 2).cast("double").alias("revenue"),
+        "min_price",
+        "max_price",
+    )
+
+
+@query(
+    "brand_cooccurrence_pairs",
+    """
+    WITH items AS (SELECT DISTINCT l_orderkey AS b, p_brand AS i
+                   FROM lineitem JOIN part ON l_partkey = p_partkey),
+    pc AS (SELECT a.i AS item_a, c.i AS item_b, count(*) AS n_baskets
+           FROM items a JOIN items c ON a.b = c.b AND a.i < c.i
+           GROUP BY 1, 2 HAVING count(*) >= 20)
+    SELECT item_a, item_b, n_baskets
+    FROM pc ORDER BY n_baskets DESC, item_a, item_b LIMIT 15
+    """,
+)
+def brand_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket mining: top brand pairs co-purchased in the same
+    order (the FP-growth candidate-pair step as relational algebra).
+    The within-basket self-join is keyed on the order key, so cost is
+    Σ_orders |brands|² — bounded by basket width, not table size; the
+    distinct() pre-shrink keeps the shuffle at unique (order, brand)
+    pairs. Full-tiebreak ordering makes the top-15 deterministic."""
+    from chicago_crime_spark_ml_spark.operators.relational import (
+        cooccurrence_pairs,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    baskets = li.join(p, li.l_partkey == p.p_partkey).select(
+        "l_orderkey", "p_brand"
+    )
+    pairs = cooccurrence_pairs(baskets, "l_orderkey", "p_brand", min_count=20)
+    return pairs.orderBy(
+        F.desc("n_baskets"), "item_a", "item_b"
+    ).limit(15)
+
+
+@query(
+    "user_value_anomalies",
+    """
+    WITH e AS (SELECT event_id, user_id, ts,
+                      CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v
+               FROM events),
+    w AS (SELECT event_id, user_id, v,
+                 sum(v) OVER win AS s,
+                 sum(v * v) OVER win AS ss,
+                 count(*) OVER win AS n
+          FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING))
+    SELECT event_id, user_id,
+           round((v - CAST(s AS DOUBLE) / n) /
+                 sqrt((ss - CAST(s AS DOUBLE) * s / n) / (n - 1)), 4) AS z
+    FROM w
+    WHERE n >= 5 AND (ss - CAST(s AS DOUBLE) * s / n) > 0
+      AND abs((v - CAST(s AS DOUBLE) / n) /
+              sqrt((ss - CAST(s AS DOUBLE) * s / n) / (n - 1))) > 2.5
+    """,
+)
+def user_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each event scored against the
+    user's trailing 8 events (self excluded), flagged at |z| > 2.5. One
+    window shuffle keyed on user_id. The value is scaled to integer
+    basis points first so the window accumulates EXACT Σv/Σv² — mean,
+    variance and z then derive from identical integer operands in both
+    engines and the threshold can't flip on float summation order (the
+    determinism contract of relational.rolling_zscore_anomalies)."""
+    from chicago_crime_spark_ml_spark.operators.relational import (
+        rolling_zscore_anomalies,
+    )
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("value").cast("decimal(18,4)") * 10000)
+        .cast("bigint")
+        .alias("v"),
+    )
+    out = rolling_zscore_anomalies(
+        e, "user_id", ["ts", "event_id"], "v", lookback=8, min_points=5,
+        z_threshold=2.5,
+    )
+    return out.select("event_id", "user_id", F.round("z", 4).alias("z"))
+
+
+@query(
+    "doc_unigram_logprob",
+    """
+    WITH toks AS (SELECT doc_id,
+                         unnest(string_split_regex(trim(text), '\\s+')) AS tok
+                  FROM documents),
+    vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM vocab)
+    SELECT doc_id,
+           round(CAST(sum(CAST(ln(c / t) AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 4) AS mean_logprob,
+           count(*) AS n_tokens
+    FROM toks JOIN vocab USING (tok) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KenLM-style corpus-fluency score: per-doc mean unigram
+    log-probability under the corpus's own unigram LM (low → gibberish,
+    the standard pretraining quality filter). Vocab-sized count shuffle
+    + token-keyed join; no broadcast hint on the vocabulary (it grows
+    with the corpus). ln() terms are DECIMAL(18,6)-quantized so libm
+    1-ulp differences can't cross a boundary (text.unigram_logprob)."""
+    from chicago_crime_spark_ml_spark.operators.text import unigram_logprob
+
+    d = _t(spark, sf_dir, "documents")
+    return unigram_logprob(d, "text", "doc_id")
+
+
+@query(
+    "duplicated_passages_top",
+    """
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+               FROM documents),
+    sh AS (SELECT doc_id,
+                  unnest(list_distinct([array_to_string(w[i:i+4], ' ')
+                                        for i in range(1, len(w) - 3)]))
+                    AS passage
+           FROM t WHERE len(w) >= 5)
+    SELECT passage, count(DISTINCT doc_id) AS n_docs
+    FROM sh GROUP BY passage HAVING count(DISTINCT doc_id) >= 2
+    ORDER BY n_docs DESC, passage LIMIT 20
+    """,
+)
+def duplicated_passages_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-passage report: the most widely shared
+    word-5-gram spans and how many docs carry them — the diagnostic
+    that tells a curation run WHAT the boilerplate is before choosing a
+    dedup threshold. Shingle explode + one keyed agg; at 100 TB the
+    group-by key is the passage hash and only >1-doc groups survive the
+    partial aggregation."""
+    from chicago_crime_spark_ml_spark.operators.text import (
+        shingles_expr,
+        tokens_expr,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.explode(shingles_expr(tokens_expr("text"), 5)).alias("passage"),
+    )
+    return (
+        sh.groupBy("passage")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), "passage")
+        .limit(20)
+    )
+
+
+def _profile_union_sql() -> str:
+    cols = {
+        "c_custkey": "CAST({a}({c}) AS VARCHAR)",
+        "c_name": "CAST({a}({c}) AS VARCHAR)",
+        "c_nationkey": "CAST({a}({c}) AS VARCHAR)",
+        "c_acctbal": "CAST(CAST({a}({c}) AS DECIMAL(18,2)) AS VARCHAR)",
+        "c_mktsegment": "CAST({a}({c}) AS VARCHAR)",
+    }
+    parts = [
+        f"""SELECT '{c}' AS col_name,
+           count(*) FILTER (WHERE {c} IS NULL) AS n_nulls,
+           count(DISTINCT {c}) AS n_distinct,
+           {tpl.format(a="min", c=c)} AS min_val,
+           {tpl.format(a="max", c=c)} AS max_val
+    FROM customer"""
+        for c, tpl in cols.items()
+    ]
+    return "\n    UNION ALL\n    ".join(parts)
+
+
+@query("customer_column_profile", _profile_union_sql())
+def customer_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table column profile — nulls, exact distinct, min/max per
+    column — in ONE aggregation job (the engine's answer to the
+    reference's per-column profiling loop, Preprocessing.py:43-46: 22
+    full scans become 1). Numeric min/max render as DECIMAL(18,2)
+    strings for engine-portable display. The DuckDB oracle is the
+    naive per-column UNION ALL — 5 scans proving the 1-scan operator
+    computes the same profile."""
+    from chicago_crime_spark_ml_spark.operators.relational import column_profile
+
+    c = _t(spark, sf_dir, "customer")
+    return column_profile(
+        c, ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    )

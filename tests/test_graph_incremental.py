@@ -1,0 +1,195 @@
+"""Unit/property tests for graph (PageRank), incremental rollup
+maintenance, market-basket pairs, rolling z-score anomalies, column
+profiling, and unigram LM scoring."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from chicago_crime_spark_ml_spark.operators.graph import degree_profile, pagerank
+from chicago_crime_spark_ml_spark.operators.incremental import (
+    merge_rollup,
+    rollup_aggregate,
+)
+from chicago_crime_spark_ml_spark.operators.relational import (
+    column_profile,
+    cooccurrence_pairs,
+    rolling_zscore_anomalies,
+)
+from chicago_crime_spark_ml_spark.operators.text import unigram_logprob
+
+
+# ---------------------------------------------------------------- pagerank
+def _graph(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "node int")
+    # 0→1, 0→2, 1→2, 2→0; node 3 dangling (no out-edges)
+    edges = spark.createDataFrame(
+        [(0, 1, 1), (0, 2, 1), (1, 2, 1), (2, 0, 1)], "src int, dst int, w bigint"
+    )
+    return nodes, edges
+
+
+def test_pagerank_mass_conserved(spark):
+    nodes, edges = _graph(spark)
+    ranks = {r["node"]: r["rank"] for r in pagerank(nodes, edges, iterations=5).collect()}
+    assert len(ranks) == 4
+    # dangling mass is redistributed, so total rank mass stays 1
+    assert math.isclose(sum(ranks.values()), 1.0, abs_tol=1e-9)
+    # the 0↔2 cycle concentrates mass; the dangling node ranks last
+    assert min(ranks, key=ranks.get) == 3
+    assert ranks[0] > ranks[1] and ranks[2] > ranks[1]
+    assert all(v > 0 for v in ranks.values())
+
+
+def test_pagerank_closed_form_one_iteration(spark):
+    nodes, edges = _graph(spark)
+    r = {x["node"]: x["rank"] for x in pagerank(nodes, edges, iterations=1).collect()}
+    # hand-computed: r0 = 0.25 each; dangling node 3 donates 0.25/4 to all
+    base, d = 0.15 / 4, 0.85
+    dang = 0.25 / 4
+    expect = {
+        0: base + d * (0.25 + dang),          # from 2 (full rank) + dangling
+        1: base + d * (0.25 / 2 + dang),      # half of 0
+        2: base + d * (0.25 / 2 + 0.25 + dang),  # half of 0 + all of 1
+        3: base + d * dang,                   # only the dangling donation
+    }
+    for k, v in expect.items():
+        assert math.isclose(r[k], v, abs_tol=1e-9), (k, r[k], v)
+
+
+def test_degree_profile(spark):
+    _, edges = _graph(spark)
+    prof = {r["node"]: r for r in degree_profile(edges).collect()}
+    assert prof[0]["out_degree"] == 2 and prof[0]["in_degree"] == 1
+    assert prof[2]["in_degree"] == 2 and prof[2]["out_weight"] == 1
+    assert 3 not in prof  # no edges at all → not in the edge-derived profile
+
+
+# ------------------------------------------------------------- incremental
+MEASURES = {
+    "n": ("o_orderkey", "count"),
+    "rev": ("o_totalprice", "sum"),
+    "lo": ("o_totalprice", "min"),
+    "hi": ("o_totalprice", "max"),
+}
+
+
+def _canon(df):
+    return sorted(
+        (r["k"], r["n"], float(r["rev"]), r["lo"], r["hi"])
+        for r in df.collect()
+    )
+
+
+def test_merge_equals_recompute(spark, sf_dir):
+    from chicago_crime_spark_ml_spark.sources.io import load_table
+
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "k", F.month("o_orderdate")
+    )
+    base = o.filter(F.col("o_orderkey") % 3 != 0)
+    delta = o.filter(F.col("o_orderkey") % 3 == 0)
+    merged = merge_rollup(
+        rollup_aggregate(base, ["k"], MEASURES),
+        rollup_aggregate(delta, ["k"], MEASURES),
+        ["k"],
+        MEASURES,
+    )
+    full = rollup_aggregate(o, ["k"], MEASURES)
+    assert _canon(merged) == _canon(full)
+
+
+def test_merge_handles_new_and_missing_groups(spark):
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "k string, o_orderkey bigint, o_totalprice double"
+    )
+    base = rollup_aggregate(mk([("a", 1, 10.0), ("a", 2, 30.0)]), ["k"], MEASURES)
+    delta = rollup_aggregate(mk([("b", 3, 5.0)]), ["k"], MEASURES)
+    got = {r["k"]: r for r in merge_rollup(base, delta, ["k"], MEASURES).collect()}
+    assert got["a"]["n"] == 2 and float(got["a"]["rev"]) == 40.0
+    assert got["a"]["lo"] == 10.0 and got["a"]["hi"] == 30.0
+    assert got["b"]["n"] == 1 and got["b"]["lo"] == 5.0  # delta-only group
+    # schema stays stable across maintenance cycles (no decimal widening)
+    again = merge_rollup(
+        merge_rollup(base, delta, ["k"], MEASURES), delta, ["k"], MEASURES
+    )
+    assert dict(again.dtypes)["rev"] == dict(base.dtypes)["rev"]
+
+
+def test_rollup_aggregate_rejects_unmergeable(spark):
+    df = spark.createDataFrame([("a", 1, 1.0)], "k string, x bigint, y double")
+    with pytest.raises(ValueError, match="unmergeable"):
+        rollup_aggregate(df, ["k"], {"bad": ("y", "avg")})
+
+
+# ------------------------------------------------------------------ mining
+def test_cooccurrence_pairs_counts(spark):
+    rows = [
+        (1, "x"), (1, "y"), (1, "x"),   # dup line in basket 1 → counted once
+        (2, "x"), (2, "y"), (2, "z"),
+        (3, "x"), (3, "z"),
+    ]
+    df = spark.createDataFrame(rows, "b int, i string")
+    got = {
+        (r["item_a"], r["item_b"]): r["n_baskets"]
+        for r in cooccurrence_pairs(df, "b", "i", min_count=1).collect()
+    }
+    assert got == {("x", "y"): 2, ("x", "z"): 2, ("y", "z"): 1}
+    sup2 = cooccurrence_pairs(df, "b", "i", min_count=2)
+    assert {tuple(r[:2]) for r in sup2.collect()} == {("x", "y"), ("x", "z")}
+
+
+# --------------------------------------------------------------- anomalies
+def test_rolling_zscore_flags_spike(spark):
+    # near-stable series (nonzero variance) with one large spike at the end
+    rows = [(1, t, 100 + (t % 2)) for t in range(10)] + [(1, 10, 100_000)]
+    rows += [(2, t, 100 + (t % 3)) for t in range(8)]  # noisy but no spike
+    df = spark.createDataFrame(rows, "user int, t int, v bigint")
+    out = rolling_zscore_anomalies(
+        df, "user", ["t"], "v", lookback=8, min_points=5, z_threshold=2.5
+    ).collect()
+    assert [(r["user"], r["t"]) for r in out] == [(1, 10)]
+    assert out[0]["z"] > 2.5
+
+
+def test_rolling_zscore_constant_series_no_div0(spark):
+    # zero variance frames must be skipped, not raise (ANSI mode throws
+    # on division by zero)
+    df = spark.createDataFrame(
+        [(1, t, 5) for t in range(12)], "user int, t int, v bigint"
+    )
+    assert rolling_zscore_anomalies(df, "user", ["t"], "v").count() == 0
+
+
+# ---------------------------------------------------------------- profile
+def test_column_profile(spark):
+    df = spark.createDataFrame(
+        [("a", 1.5), ("b", None), ("a", 2.0), (None, 0.25)],
+        "name string, x double",
+    )
+    prof = {r["col_name"]: r for r in column_profile(df, ["name", "x"]).collect()}
+    assert prof["name"]["n_nulls"] == 1 and prof["name"]["n_distinct"] == 2
+    assert prof["name"]["min_val"] == "a" and prof["name"]["max_val"] == "b"
+    # numeric min/max rendered as DECIMAL(18,2) strings
+    assert prof["x"]["min_val"] == "0.25" and prof["x"]["max_val"] == "2.00"
+    assert prof["x"]["n_nulls"] == 1 and prof["x"]["n_distinct"] == 3
+
+
+# ---------------------------------------------------------------- unigram
+def test_unigram_logprob_uniform_and_rare(spark):
+    # corpus: doc 1 = "a b", doc 2 = "a b", doc 3 = "a q" → counts:
+    # a:3, b:2, q:1, total 6
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a q")], "doc_id bigint, text string"
+    )
+    got = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    lp = lambda c: math.log(c / 6)  # noqa: E731
+    assert got[1]["n_tokens"] == 2
+    assert math.isclose(
+        got[1]["mean_logprob"], round((lp(3) + lp(2)) / 2, 4), abs_tol=2e-4
+    )
+    # the doc with the rare token scores strictly lower
+    assert got[3]["mean_logprob"] < got[1]["mean_logprob"]

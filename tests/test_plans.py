@@ -394,3 +394,42 @@ def test_snapshot_diff_classification(spark):
         4: "changed",
         5: "added",
     }
+
+
+def test_runtime_bloom_filter_injection(spark, sf_dir):
+    # Catalyst's InjectRuntimeFilter: a selective build side of a shuffle
+    # join grows a bloom_filter_agg subquery whose might_contain() prunes
+    # the probe-side scan BEFORE the shuffle — the idiomatic "bloom-prune
+    # the fact table" at 100 TB. Stock thresholds require a ≥10 GB probe
+    # scan, so the test shrinks the application-side threshold to 0 to get
+    # the same plan shape at test scale; results must be unchanged.
+    from chicago_crime_spark_ml_spark.plans import assert_runtime_bloom_filter
+    from chicago_crime_spark_ml_spark.sources.io import load_table
+
+    def build():
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")), 2)
+                 .cast("double").alias("qty"))
+        )
+
+    baseline = {tuple(r) for r in build().collect()}
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force a shuffle join
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = build()
+        assert_runtime_bloom_filter(df)
+        assert {tuple(r) for r in df.collect()} == baseline
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
