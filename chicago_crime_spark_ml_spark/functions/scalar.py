@@ -130,3 +130,20 @@ def digit_count(col: Column | str) -> Column:
     metric, computed as length minus digit-stripped length (no UDF)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.length(c) - F.length(F.regexp_replace(c, "[0-9]", ""))
+
+
+def haversine_pair_km(
+    lat1: Column | str, lon1: Column | str, lat2: Column | str, lon2: Column | str
+) -> Column:
+    """Column-to-column great-circle distance (km) — the pairwise form
+    haversine_km's fixed-point variant can't express (needed by the
+    grid-bucketed spatial joins in operators/spatial.py)."""
+    a1 = F.radians(F.col(lat1) if isinstance(lat1, str) else lat1)
+    o1 = F.radians(F.col(lon1) if isinstance(lon1, str) else lon1)
+    a2 = F.radians(F.col(lat2) if isinstance(lat2, str) else lat2)
+    o2 = F.radians(F.col(lon2) if isinstance(lon2, str) else lon2)
+    h = (
+        F.pow(F.sin((a2 - a1) / 2), 2)
+        + F.cos(a1) * F.cos(a2) * F.pow(F.sin((o2 - o1) / 2), 2)
+    )
+    return F.lit(6371.0) * 2 * F.asin(F.sqrt(h))

@@ -806,3 +806,65 @@ def column_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         f"stack({len(cols)}, {stack_args}) AS "
         "(col_name, n_nulls, n_distinct, min_val, max_val)"
     )
+
+
+def interpolate_time_gaps(
+    df: DataFrame,
+    key_col: str,
+    day_col: str,
+    value_col: str,
+    out_col: str = "interp_value",
+    gap_col: str = "is_gap",
+) -> DataFrame:
+    """Sparse→dense time series with LINEAR interpolation (the
+    fill_time_gaps twin for signals where holding the last value flat
+    is wrong — sensor readings, balances, rates): per-key daily spine,
+    then each gap day gets prev + (next−prev)·pos/span from the
+    bracketing observations. Edge gaps (no prev / no next) fall back to
+    the single available side; the spine is bounded by each key's
+    observed min/max day, so interior gaps always have both ends.
+
+    Same two key-partitioned shuffles as fill_time_gaps (bounds agg +
+    window); both direction-scans share one sort. Division is exact-int
+    day counts over rounded inputs — deterministic cross-engine."""
+    bounds = df.groupBy(key_col).agg(
+        F.min(day_col).alias("__d0"), F.max(day_col).alias("__d1")
+    )
+    spine = bounds.select(
+        key_col,
+        F.explode(
+            F.sequence(F.col("__d0"), F.col("__d1"), F.expr("interval 1 day"))
+        ).alias(day_col),
+    )
+    joined = spine.join(df, on=[key_col, day_col], how="left")
+    wb = (
+        Window.partitionBy(key_col)
+        .orderBy(day_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy(key_col)
+        .orderBy(day_col)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    known_day = F.when(F.col(value_col).isNotNull(), F.col(day_col))
+    prev_v = F.last(value_col, ignorenulls=True).over(wb)
+    prev_d = F.last(known_day, ignorenulls=True).over(wb)
+    next_v = F.first(value_col, ignorenulls=True).over(wf)
+    next_d = F.first(known_day, ignorenulls=True).over(wf)
+    pos = F.datediff(F.col(day_col), prev_d)
+    span = F.datediff(next_d, prev_d)
+    interp = (
+        F.when(F.col(value_col).isNotNull(), F.col(value_col))
+        .when(prev_v.isNull(), next_v)
+        .when(next_v.isNull(), prev_v)
+        # UNROUNDED on purpose: prev/next are already-rounded doubles and
+        # pos/span exact ints, so the IEEE result is bit-identical in any
+        # engine — while rounding would CREATE cross-engine ties (a 1/2
+        # interpolation of 4-dp inputs lands exactly on the .xxxx5
+        # midpoint, where HALF_UP vs float-representation luck diverges).
+        .otherwise(prev_v + (next_v - prev_v) * pos / span)
+    )
+    return joined.withColumns(
+        {out_col: interp, gap_col: F.col(value_col).isNull()}
+    )

@@ -5452,3 +5452,562 @@ def customer_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return column_profile(
         c, ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 9: driver-checkable validation queries for engine-specific
+# sketch/ANN operators. The hashes/quantizers are engine-specific (no SQL
+# twin can reproduce the candidate sets), but their ACCURACY CONTRACTS are
+# checkable: each query computes the approximate structure AND its exact
+# reference inside one Spark job and emits counts/booleans the DuckDB
+# oracle can pin — turning former rows-only entries into hash-green rows
+# that actually fail if recall/error degrades at driver scale.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "minhash_lsh_recall_check",
+    f"WITH {_NGRAM_JACCARD_CTES} "
+    "SELECT count(*) AS n_exact_pairs, true AS all_recovered FROM jac",
+)
+def minhash_lsh_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH completeness audit: every exact-Jaccard ≥ 0.8 pair
+    (the SQL-checkable ground truth) must appear among the LSH
+    candidates. The oracle independently recomputes the exact pair
+    count, so BOTH the ground-truth size and the recall booleans are
+    driver-verified. 8 OR-amplified tables give per-pair miss
+    probability (1−J)^8 ≤ 2.6e-6 at J = 0.8 — a red row here means the
+    banding actually broke, not statistical noise."""
+    from chicago_crime_spark_ml_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    exact = ngram_jaccard_pairs(d, threshold=0.8).select("id_a", "id_b")
+    cand = minhash_lsh_pairs(d, jaccard_threshold=0.8).select(
+        F.col("id_a").alias("ca"), F.col("id_b").alias("cb")
+    )
+    # candidates are unordered pairs from approxSimilarityJoin — normalize
+    norm = cand.select(
+        F.least("ca", "cb").alias("id_a"), F.greatest("ca", "cb").alias("id_b")
+    ).distinct()
+    missed = exact.join(norm, ["id_a", "id_b"], "left_anti")
+    return exact.agg(F.count(F.lit(1)).alias("n_exact_pairs")).crossJoin(
+        missed.agg((F.count(F.lit(1)) == 0).alias("all_recovered"))
+    )
+
+
+@query(
+    "ann_lsh_recall_check",
+    "SELECT true AS top1_found, true AS recall_ok",
+)
+def ann_lsh_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection LSH accuracy contract, checked at driver scale:
+    the LSH top-10 for the vec_id=0 query must contain the exact
+    nearest neighbor and ≥ 7 of the exact top-10 (measured 9–10;
+    threshold leaves 2σ-ish headroom — a red row means bucketing
+    degraded, not noise). Exact reference = the same brute-force
+    cosine_topk the all-pairs oracle validates."""
+    from chicago_crime_spark_ml_spark.operators.similarity import (
+        ann_lsh_neighbors,
+        cosine_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    exact = cosine_topk(emb, qvec, k=10).select("vec_id")
+    top1 = exact.limit(1)
+    approx = ann_lsh_neighbors(emb, qvec, k=10).select("vec_id")
+    hits = exact.join(approx, "vec_id", "left_semi")
+    return top1.join(approx, "vec_id", "left_semi").agg(
+        (F.count(F.lit(1)) == 1).alias("top1_found")
+    ).crossJoin(hits.agg((F.count(F.lit(1)) >= 7).alias("recall_ok")))
+
+
+@query(
+    "ann_ivf_recall_check",
+    "SELECT true AS top1_found, true AS recall_ok",
+)
+def ann_ivf_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF accuracy contract at half-probe (8 of 16 cells): exact
+    nearest neighbor found and ≥ 5 of the exact top-10 recovered
+    (measured 7 at sf0.001, 10 at sf0.01). Full-probe ≡ exact is
+    already property-tested; this pins the probed tier's recall on the
+    driver's data."""
+    from chicago_crime_spark_ml_spark.operators.similarity import (
+        ann_ivf_topk,
+        cosine_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    exact = cosine_topk(emb, qvec, k=10).select("vec_id")
+    top1 = exact.limit(1)
+    approx = ann_ivf_topk(
+        emb, qvec, k=10, n_clusters=16, n_probe=8
+    ).select("vec_id")
+    hits = exact.join(approx, "vec_id", "left_semi")
+    return top1.join(approx, "vec_id", "left_semi").agg(
+        (F.count(F.lit(1)) == 1).alias("top1_found")
+    ).crossJoin(hits.agg((F.count(F.lit(1)) >= 5).alias("recall_ok")))
+
+
+@query(
+    "ann_quantized_agreement_check",
+    "SELECT true AS top1_found, true AS agreement_ok",
+)
+def ann_quantized_agreement_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar-quantization accuracy contract: the quantized top-10
+    must contain the exact top-1 and agree with the float top-10 on
+    ≥ 7 entries (measured 9–10). Quantized scores rank slightly
+    differently near ties; the set-overlap bound is the stable
+    property."""
+    from chicago_crime_spark_ml_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_quantized,
+        quantize_embeddings,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    exact = cosine_topk(emb, qvec, k=10).select("vec_id")
+    top1 = exact.limit(1)
+    approx = cosine_topk_quantized(quantize_embeddings(emb), qvec, k=10).select(
+        "vec_id"
+    )
+    hits = exact.join(approx, "vec_id", "left_semi")
+    return top1.join(approx, "vec_id", "left_semi").agg(
+        (F.count(F.lit(1)) == 1).alias("top1_found")
+    ).crossJoin(hits.agg((F.count(F.lit(1)) >= 7).alias("agreement_ok")))
+
+
+@query(
+    "kll_quantile_error_check",
+    """
+    SELECT DISTINCT c_mktsegment, true AS p50_ok, true AS p90_ok
+    FROM customer
+    """,
+)
+def kll_quantile_error_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL sketch error contract per segment: the merged two-level
+    sketch's p50/p90 estimates must land inside the EXACT [p45,p55] /
+    [p85,p95] bands (k=200 → ~1.65% rank error at 99% confidence; the
+    ±5% band is ~3× headroom). Exact bands come from Spark's
+    percentile() in the same job; the oracle pins one row per segment,
+    so a sketch regression at driver scale turns the row red."""
+    c = _t(spark, sf_dir, "customer")
+    per_nation = c.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.kll_sketch_agg_double("c_acctbal").alias("sk")
+    )
+    est = per_nation.groupBy("c_mktsegment").agg(
+        F.kll_merge_agg_double("sk").alias("sk")
+    ).select(
+        "c_mktsegment",
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("p50_est"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.9)).alias("p90_est"),
+    )
+    bands = c.groupBy("c_mktsegment").agg(
+        F.expr("percentile(c_acctbal, 0.45)").alias("p45"),
+        F.expr("percentile(c_acctbal, 0.55)").alias("p55"),
+        F.expr("percentile(c_acctbal, 0.85)").alias("p85"),
+        F.expr("percentile(c_acctbal, 0.95)").alias("p95"),
+    )
+    return est.join(bands, "c_mktsegment").select(
+        "c_mktsegment",
+        ((F.col("p50_est") >= F.col("p45")) & (F.col("p50_est") <= F.col("p55")))
+        .alias("p50_ok"),
+        ((F.col("p90_est") >= F.col("p85")) & (F.col("p90_est") <= F.col("p95")))
+        .alias("p90_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch 10: time-series interpolation, MLlib FPGrowth (oracle-checked),
+# graph triangles, robust-statistics outliers
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "user_daily_value_interpolated",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                   / count(value), 4) AS avg_value
+      FROM events WHERE user_id < 30 AND event_type = 'purchase'
+      GROUP BY 1, 2),
+    spine AS (
+      SELECT user_id,
+             CAST(unnest(range(d0, d1 + INTERVAL 1 DAY, INTERVAL 1 DAY))
+                  AS DATE) AS day
+      FROM (SELECT user_id, min(day) AS d0, max(day) AS d1
+            FROM daily GROUP BY user_id)),
+    j AS (SELECT s.user_id, s.day, d.avg_value
+          FROM spine s
+          LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day),
+    w AS (SELECT user_id, day, avg_value,
+            last_value(avg_value IGNORE NULLS) OVER wb AS prev_v,
+            last_value(CASE WHEN avg_value IS NOT NULL THEN day END
+                       IGNORE NULLS) OVER wb AS prev_d,
+            first_value(avg_value IGNORE NULLS) OVER wf AS next_v,
+            first_value(CASE WHEN avg_value IS NOT NULL THEN day END
+                        IGNORE NULLS) OVER wf AS next_d
+          FROM j
+          WINDOW wb AS (PARTITION BY user_id ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 wf AS (PARTITION BY user_id ORDER BY day
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT user_id, day, avg_value,
+           CASE WHEN avg_value IS NOT NULL THEN avg_value
+                WHEN prev_v IS NULL THEN next_v
+                WHEN next_v IS NULL THEN prev_v
+                ELSE prev_v + (next_v - prev_v)
+                     * date_diff('day', prev_d, day)
+                     / date_diff('day', prev_d, next_d)
+           END AS interp_value,
+           avg_value IS NULL AS is_gap
+    FROM w
+    """,
+)
+def user_daily_value_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap fill (the fill_time_gaps/LOCF twin for
+    signals where flat-holding is wrong): per-user daily spine, interior
+    gaps get prev + (next−prev)·pos/span from the bracketing
+    observations. Both direction scans share one (user × day) window
+    sort; interpolation arithmetic is exact-int day counts over
+    already-rounded doubles — deterministic cross-engine."""
+    from chicago_crime_spark_ml_spark.operators.relational import (
+        interpolate_time_gaps,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.filter((F.col("user_id") < 30) & (F.col("event_type") == "purchase"))
+        .groupBy("user_id", F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .agg(_davg("value").alias("avg_value"))
+    )
+    return interpolate_time_gaps(daily, "user_id", "day", "avg_value")
+
+
+_BRAND_PAIR_CTES = """
+    items AS (SELECT DISTINCT l_orderkey AS b, p_brand AS i
+              FROM lineitem JOIN part ON l_partkey = p_partkey),
+    pc AS (SELECT a.i AS item_a, c.i AS item_b, count(*) AS n_baskets
+           FROM items a JOIN items c ON a.b = c.b AND a.i < c.i
+           GROUP BY 1, 2 HAVING count(*) >= 20)
+"""
+
+
+@query(
+    "fpgrowth_brand_pairs",
+    f"WITH {_BRAND_PAIR_CTES} SELECT item_a, item_b, n_baskets FROM pc",
+)
+def fpgrowth_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib FPGrowth frequent itemsets, restricted to size-2 and
+    cross-checked against plain relational pair counting: FP-growth is
+    EXACT, so its size-2 itemsets at min-count 20 must equal the SQL
+    self-join's pair counts — a full algorithmic differential between
+    the tree-projection path and the join path, driver-verified.
+    minSupport is set as 19.5/n so the implementation's
+    ceil(minSupport·n) lands on exactly 20 at every scale factor."""
+    from pyspark.ml.fpm import FPGrowth
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    baskets = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("p_brand").alias("items"))
+    )
+    n = baskets.count()
+    model = FPGrowth(
+        itemsCol="items", minSupport=19.5 / n, minConfidence=0.5
+    ).fit(baskets)
+    return (
+        model.freqItemsets.filter(F.size("items") == 2)
+        .filter(F.col("freq") >= 20)
+        .select(
+            F.array_min("items").alias("item_a"),
+            F.array_max("items").alias("item_b"),
+            F.col("freq").alias("n_baskets"),
+        )
+    )
+
+
+@query(
+    "brand_graph_triangles",
+    f"""
+    WITH {_BRAND_PAIR_CTES},
+    e AS (SELECT item_a AS a, item_b AS b FROM pc),
+    tri AS (SELECT count(*) AS n_triangles
+            FROM e x JOIN e y ON x.b = y.a
+                     JOIN e z ON x.a = z.a AND y.b = z.b)
+    SELECT (SELECT count(*) FROM e) AS n_edges, n_triangles FROM tri
+    """,
+)
+def brand_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the brand co-occurrence graph (edges =
+    pairs with support ≥ 20) — the clustering-coefficient building
+    block. With a<b edge orientation each triangle is counted exactly
+    once via the two-hop + closing-edge join; cost is O(Σ deg²) on the
+    SUPPORT-FILTERED edge set (dimension-sized), never the basket
+    table."""
+    from chicago_crime_spark_ml_spark.operators.relational import (
+        cooccurrence_pairs,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    baskets = li.join(p, li.l_partkey == p.p_partkey).select(
+        "l_orderkey", "p_brand"
+    )
+    e = (
+        cooccurrence_pairs(baskets, "l_orderkey", "p_brand", min_count=20)
+        .select(F.col("item_a").alias("a"), F.col("item_b").alias("b"))
+        .persist()
+    )
+    x, y, z = e.alias("x"), e.alias("y"), e.alias("z")
+    tri = x.join(y, F.col("x.b") == F.col("y.a")).join(
+        z, (F.col("x.a") == F.col("z.a")) & (F.col("y.b") == F.col("z.b"))
+    )
+    return e.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
+        tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+@query(
+    "event_value_mad_outliers",
+    """
+    WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS m
+                 FROM events GROUP BY 1),
+    mad AS (SELECT e.event_type,
+                   quantile_cont(abs(e.value - med.m), 0.5) AS md,
+                   any_value(med.m) AS m
+            FROM events e JOIN med USING (event_type) GROUP BY 1)
+    SELECT e.event_id, e.event_type,
+           round(0.6745 * (e.value - mad.m) / mad.md, 4) AS robust_z
+    FROM events e JOIN mad USING (event_type)
+    WHERE mad.md > 0
+      AND abs(0.6745 * (e.value - mad.m) / mad.md) > 3.5
+    """,
+)
+def event_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via the modified z-score
+    (Iglewicz–Hoaglin 0.6745·(x−median)/MAD > 3.5): immune to the
+    outliers themselves inflating the spread, unlike the stddev-based
+    rolling z. Two exact-percentile aggregations per type (bounded
+    domain → broadcast joins back), then a map-only filter. MAD = 0
+    groups are skipped before the division (ANSI mode throws on /0)."""
+    e = _t(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("m")
+    )
+    dev = e.join(F.broadcast(med), "event_type")
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(abs(value - m), 0.5)").alias("md"),
+        F.first("m").alias("m"),
+    )
+    rz = F.lit(0.6745) * (F.col("value") - F.col("m")) / F.col("md")
+    scored = e.join(F.broadcast(mad), "event_type").withColumn(
+        "robust_z",
+        F.when(F.col("md") > 0, rz),
+    )
+    return scored.filter(F.abs(F.col("robust_z")) > 3.5).select(
+        "event_id", "event_type", F.round("robust_z", 4).alias("robust_z")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch 11: point-in-time dimension join, sliding distinct counts,
+# weighted sampling, grouped-agg pandas UDAF
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_pit_priority",
+    """
+    WITH log AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             lag(o_orderpriority) OVER w AS prev
+      FROM orders WHERE o_custkey < 300
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+    runs AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+      FROM log WHERE prev IS NULL OR o_orderpriority <> prev),
+    dim AS (
+      SELECT o_custkey AS d_custkey, o_orderpriority AS pit_priority,
+             o_orderdate AS effective_from,
+             lead(o_orderdate) OVER w2 AS effective_to
+      FROM runs
+      WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+    SELECT o.o_orderkey, o.o_custkey, d.pit_priority,
+           d.pit_priority = o.o_orderpriority AS matches_own
+    FROM orders o
+    JOIN dim d ON o.o_custkey = d.d_custkey
+              AND d.effective_from <= o.o_orderdate
+              AND (d.effective_to IS NULL OR o.o_orderdate < d.effective_to)
+    WHERE o.o_custkey < 300
+    """,
+)
+def orders_pit_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join against the SCD2 dimension: each order picks
+    the priority run that was EFFECTIVE at its order date ([from, to)
+    validity, NULL to = current) — the as-of-correct feature lookup
+    every leakage-safe training pipeline needs. Equi-join on the
+    customer key + validity-interval filter: runs partition each key's
+    timeline, so exactly one run matches and the join never multiplies
+    rows. One shuffle, co-keyed with the dimension build."""
+    from chicago_crime_spark_ml_spark.operators.relational import (
+        scd2_from_changelog,
+    )
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300)
+    dim = scd2_from_changelog(
+        o.select("o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"),
+        key="o_custkey",
+        value="o_orderpriority",
+        ts="o_orderdate",
+        tiebreak=["o_orderkey"],
+    ).select(
+        F.col("o_custkey").alias("d_custkey"),
+        F.col("o_orderpriority").alias("pit_priority"),
+        "effective_from",
+        "effective_to",
+    )
+    return (
+        o.join(
+            dim,
+            (o.o_custkey == dim.d_custkey)
+            & (dim.effective_from <= o.o_orderdate)
+            & (dim.effective_to.isNull() | (o.o_orderdate < dim.effective_to)),
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "pit_priority",
+            (F.col("pit_priority") == F.col("o_orderpriority")).alias(
+                "matches_own"
+            ),
+        )
+    )
+
+
+@query(
+    "rolling_7d_active_users",
+    """
+    WITH ud AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
+                                user_id
+                FROM events),
+    c AS (SELECT CAST(unnest(range(day, day + INTERVAL 7 DAY,
+                                   INTERVAL 1 DAY)) AS DATE) AS day7,
+                 user_id
+          FROM ud)
+    SELECT day7 AS day, count(DISTINCT user_id) AS active_users_7d
+    FROM c GROUP BY 1
+    """,
+)
+def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day — the DAU/WAU
+    staple. Sliding COUNT DISTINCT doesn't decompose over window
+    frames, so the scalable form is the CONTRIBUTION EXPLODE: each
+    (user, day) first-level distinct row contributes to exactly 7
+    target days, turning the sliding distinct into a plain keyed
+    distinct-agg (linear ×7, shuffle on the day key — vs the quadratic
+    day×user self-join). The same trick covers any sliding
+    set-cardinality metric."""
+    e = _t(spark, sf_dir, "events")
+    ud = e.select(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"), "user_id"
+    ).distinct()
+    contrib = ud.select(
+        F.explode(
+            F.sequence(
+                F.col("day"), F.date_add("day", 6), F.expr("interval 1 day")
+            )
+        ).alias("day"),
+        "user_id",
+    )
+    return contrib.groupBy("day").agg(
+        F.count_distinct("user_id").alias("active_users_7d")
+    )
+
+
+@query(
+    "weighted_customer_sample",
+    """
+    WITH k AS (
+      SELECT c_custkey, c_mktsegment,
+             CAST(CAST(pow(
+               CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 13))
+                    AS BIGINT) / 9007199254740992.0,
+               1.0 / greatest(c_acctbal, 1.0)) AS DECIMAL(18,12)) AS DOUBLE)
+               AS skey
+      FROM customer)
+    SELECT c_custkey, c_mktsegment, skey
+    FROM k ORDER BY skey DESC, c_custkey LIMIT 100
+    """,
+)
+def weighted_customer_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis–
+    Spirakis A-ES): each row gets key u^(1/w) from an md5-derived
+    uniform u and weight w = max(acctbal, 1); the global top-100 keys
+    ARE the weighted sample. One TakeOrderedAndProject pass, no
+    shuffle of the full table; content-stable (same rows → same sample
+    on any cluster layout, unlike rand()). pow() is libm → the key is
+    DECIMAL(18,12)-quantized before ranking so 1-ulp drift can't
+    reorder; the id tiebreak settles quantized ties."""
+    c = _t(spark, sf_dir, "customer")
+    u = F.conv(F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 13), 16, 10).cast(
+        "bigint"
+    ) / F.lit(9007199254740992.0)
+    w = F.greatest(F.col("c_acctbal"), F.lit(1.0))
+    skey = (
+        F.pow(u, F.lit(1.0) / w).cast("decimal(18,12)").cast("double")
+    )
+    return (
+        c.select("c_custkey", "c_mktsegment", skey.alias("skey"))
+        .orderBy(F.desc("skey"), "c_custkey")
+        .limit(100)
+    )
+
+
+@query(
+    "weighted_median_balance_by_segment",
+    """
+    WITH w AS (SELECT c_custkey, c_mktsegment, c_acctbal,
+                      count(o_orderkey) AS wt
+               FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+               GROUP BY 1, 2, 3),
+    s AS (SELECT c_mktsegment, c_acctbal, wt,
+                 sum(wt) OVER (PARTITION BY c_mktsegment
+                               ORDER BY c_acctbal, c_custkey
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS cw,
+                 sum(wt) OVER (PARTITION BY c_mktsegment) AS tw
+          FROM w)
+    SELECT c_mktsegment, min(c_acctbal) AS weighted_median_balance
+    FROM s WHERE cw >= tw / 2.0
+    GROUP BY c_mktsegment
+    """,
+)
+def weighted_median_balance_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-count-weighted median balance per segment via a
+    GROUPED_AGG pandas UDAF — the one Python-surface tier the engine
+    hadn't exercised (Arrow group columns in, one scalar out, riding
+    Spark's aggregation machinery; no per-row Python). The oracle is
+    the pure window-SQL formulation: ascending cumulative weight,
+    first value reaching half the total — an ORDER STATISTIC over
+    exact integer weights, so pandas and SQL agree bit-for-bit."""
+    from chicago_crime_spark_ml_spark.operators.pandas_agg import weighted_median
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    wts = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment", "c_acctbal")
+        .agg(F.count("o_orderkey").alias("wt"))
+    )
+    return wts.groupBy("c_mktsegment").agg(
+        weighted_median("c_acctbal", "wt").alias("weighted_median_balance")
+    )

@@ -283,3 +283,22 @@ def user_value_stats_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def enrich_with_static(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "left",
+    hint_broadcast: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join: attach a batch dimension (feature
+    store snapshot, reference table) to every micro-batch. Spark executes
+    the static side fresh per micro-batch, so the dim may be a live
+    table; with the broadcast hint (bounded dims) the join is map-only —
+    no state store, no watermark, unlike stream-stream joins. The
+    canonical serving-side shape: events enriched with per-user
+    train-time features (the FeatureStore contract in serving.py, but
+    on the stream path)."""
+    d = F.broadcast(dim) if hint_broadcast else dim
+    return stream.join(d, on=on, how=how)

@@ -193,3 +193,31 @@ def test_unigram_logprob_uniform_and_rare(spark):
     )
     # the doc with the rare token scores strictly lower
     assert got[3]["mean_logprob"] < got[1]["mean_logprob"]
+
+
+# ------------------------------------------------------------ interpolate
+def test_interpolate_time_gaps(spark):
+    import datetime as dt
+
+    from chicago_crime_spark_ml_spark.operators.relational import (
+        interpolate_time_gaps,
+    )
+
+    d = dt.date
+    rows = [
+        (1, d(2024, 1, 1), 10.0),
+        (1, d(2024, 1, 4), 40.0),   # gap of 2 days → 20, 30
+        (1, d(2024, 1, 5), 0.0),
+        (2, d(2024, 2, 1), 7.0),    # single observation → no gaps
+    ]
+    df = spark.createDataFrame(rows, "k int, day date, v double")
+    out = {
+        (r["k"], r["day"].isoformat()): (r["interp_value"], r["is_gap"])
+        for r in interpolate_time_gaps(df, "k", "day", "v").collect()
+    }
+    assert out[(1, "2024-01-02")] == (20.0, True)
+    assert out[(1, "2024-01-03")] == (30.0, True)
+    assert out[(1, "2024-01-01")] == (10.0, False)
+    assert out[(1, "2024-01-05")] == (0.0, False)
+    assert out[(2, "2024-02-01")] == (7.0, False)
+    assert len(out) == 6

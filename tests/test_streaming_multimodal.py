@@ -435,3 +435,33 @@ def test_map_in_arrow_equals_pandas_path(spark, sf_dir):
     arrow_path = {r.doc_id: (r.n_bytes, r.features)
                   for r in extract_features_arrow(d).collect()}
     assert pandas_path == arrow_path and len(arrow_path) > 0
+
+
+def test_stream_static_enrichment_equals_batch(spark, sf_dir):
+    # stream-static join: per-user batch features attached to the event
+    # stream must equal the same join done in batch — map-only (broadcast
+    # static side), no state store involved.
+    from chicago_crime_spark_ml_spark.sources.io import load_table
+    from chicago_crime_spark_ml_spark.streaming import (
+        enrich_with_static,
+        run_stream_to_memory,
+        stream_events,
+    )
+
+    batch = load_table(spark, sf_dir, "events")
+    dim = batch.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("user_events_total")
+    )
+    enriched = enrich_with_static(
+        stream_events(spark, sf_dir).select("event_id", "user_id"), dim, "user_id"
+    )
+    run_stream_to_memory(enriched, "enrich_static", output_mode="append")
+    got = {
+        (r["event_id"], r["user_events_total"])
+        for r in spark.table("enrich_static").collect()
+    }
+    want = {
+        (r["event_id"], r["user_events_total"])
+        for r in batch.select("event_id", "user_id").join(dim, "user_id").collect()
+    }
+    assert got == want and len(got) > 0
