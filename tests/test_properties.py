@@ -311,3 +311,133 @@ def test_kll_quantile_estimates_bounded(spark, sf_dir):
             "randomized KLL p50 outside +/-8pp rank band", seg, p50, lo50, hi50)
         assert lo90 <= p90 <= hi90, (
             "randomized KLL p90 outside rank band", seg, p90, lo90, hi90)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),
+            st.integers(min_value=0, max_value=5),
+            st.integers(min_value=1, max_value=9),
+        ),
+        min_size=0,
+        max_size=15,
+    )
+)
+def test_pagerank_matches_numpy_power_iteration(spark, edges):
+    """PageRank on random weighted digraphs (self-loops, dangling nodes,
+    parallel edges collapse by summed weight) must match a dense NumPy
+    power iteration with the same dangling-uniform model."""
+    import numpy as np
+
+    from chicago_crime_spark_ml_spark.operators.graph import pagerank
+
+    n, d, iters = 6, 0.85, 3
+    w = np.zeros((n, n))
+    for s, t, wt in edges:
+        w[s][t] += wt
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node int")
+    agg = [
+        (s, t, int(w[s][t])) for s in range(n) for t in range(n) if w[s][t] > 0
+    ]
+    edf = spark.createDataFrame(
+        agg or [(0, 0, 0)], "src int, dst int, w bigint"
+    ).filter("w > 0")
+
+    r = np.full(n, 1.0 / n)
+    out = w.sum(axis=1)
+    p = np.zeros((n, n))
+    for s in range(n):
+        if out[s] > 0:
+            p[s] = w[s] / out[s]
+        else:
+            p[s] = 1.0 / n  # dangling donates uniformly
+    for _ in range(iters):
+        r = (1 - d) / n + d * (r @ p)
+
+    got = {
+        x["node"]: x["rank"]
+        for x in pagerank(nodes, edf, iterations=iters).collect()
+    }
+    assert len(got) == n
+    for i in range(n):
+        assert abs(got[i] - r[i]) < 1e-9, (i, got[i], r[i])
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    series=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),     # day offset
+            st.integers(min_value=-50, max_value=50),   # value
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_interpolate_matches_numpy_interp(spark, series):
+    """Linear gap-fill on random sparse series == np.interp over the
+    same spine (both ends anchored at observed min/max days)."""
+    import numpy as np
+
+    from chicago_crime_spark_ml_spark.operators.relational import (
+        interpolate_time_gaps,
+    )
+
+    base = dt.date(2024, 3, 1)
+    rows = [(1, base + dt.timedelta(days=o), float(v)) for o, v in series]
+    df = spark.createDataFrame(rows, "k int, day date, v double")
+    got = {
+        (r["day"] - base).days: r["interp_value"]
+        for r in interpolate_time_gaps(df, "k", "day", "v").collect()
+    }
+    xs = sorted(o for o, _ in series)
+    vals = dict(series)
+    spine = range(xs[0], xs[-1] + 1)
+    expect = np.interp(list(spine), xs, [float(vals[x]) for x in xs])
+    assert len(got) == len(list(spine))
+    for x, e in zip(spine, expect):
+        assert abs(got[x] - e) < 1e-9, (x, got[x], e)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),      # group
+            st.floats(min_value=-100, max_value=100,
+                      allow_nan=False, allow_infinity=False),
+            st.integers(min_value=0, max_value=5),      # weight
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_weighted_median_udaf_matches_reference(spark, rows):
+    """GROUPED_AGG weighted median == pure-Python reference (smallest v
+    whose cumulative weight reaches half the total), incl. zero-weight
+    rows and all-zero groups."""
+    from chicago_crime_spark_ml_spark.operators.pandas_agg import weighted_median
+
+    df = spark.createDataFrame(rows, "g int, v double, w bigint")
+    got = {
+        r["g"]: r["m"]
+        for r in df.groupBy("g").agg(weighted_median("v", "w").alias("m")).collect()
+    }
+    by_g: dict[int, list[tuple[float, int]]] = {}
+    for g, v, w in rows:
+        by_g.setdefault(g, []).append((v, w))
+    for g, vw in by_g.items():
+        vw.sort(key=lambda t: t[0])
+        half = sum(w for _, w in vw) / 2.0
+        cum = 0
+        for v, w in vw:
+            cum += w
+            if cum >= half:
+                assert got[g] == v, (g, got[g], v)
+                break
