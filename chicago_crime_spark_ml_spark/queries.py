@@ -6011,3 +6011,306 @@ def weighted_median_balance_by_segment(spark: SparkSession, sf_dir: str) -> Data
     return wts.groupBy("c_mktsegment").agg(
         weighted_median("c_acctbal", "wt").alias("weighted_median_balance")
     )
+
+
+@query(
+    "corpus_curation_funnel_v2",
+    """
+    WITH t AS (
+      SELECT doc_id, text,
+             string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents),
+    q AS (
+      SELECT doc_id, text, toks FROM t
+      WHERE round(0.5 * least(1.0, len(toks) / 100.0)
+                  + 0.5 * (len(list_distinct(toks))
+                           / CAST(len(toks) AS DOUBLE)), 4) >= 0.5),
+    rep AS (
+      SELECT doc_id, text, toks FROM (
+        SELECT doc_id, text, toks,
+               [array_to_string(toks[i:i+1], ' ')
+                for i in range(1, len(toks))] AS grams
+        FROM q WHERE len(toks) >= 2)
+      WHERE round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                  / len(grams), 4) <= 0.08),
+    toks2 AS (SELECT doc_id, unnest(toks) AS tok FROM rep),
+    vocab AS (SELECT tok, count(*) AS c FROM toks2 GROUP BY tok),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM vocab),
+    lp AS (SELECT doc_id,
+                  round(CAST(sum(CAST(ln(c / t) AS DECIMAL(18,6))) AS DOUBLE)
+                        / count(*), 4) AS mlp
+           FROM toks2 JOIN vocab USING (tok) CROSS JOIN tot
+           GROUP BY doc_id),
+    lm AS (SELECT rep.doc_id, rep.text
+           FROM rep JOIN lp USING (doc_id) WHERE lp.mlp >= -3.42)
+    SELECT 'raw' AS stage, count(*) AS n_docs FROM t
+    UNION ALL SELECT 'quality', count(*) FROM q
+    UNION ALL SELECT 'repetition', count(*) FROM rep
+    UNION ALL SELECT 'lm_score', count(*) FROM lm
+    UNION ALL SELECT 'dedup', count(DISTINCT md5(text)) FROM lm
+    """,
+)
+def corpus_curation_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation stack as ONE composed pipeline: raw → quality
+    score ≥ 0.5 → bigram repetition ≤ 0.08 → unigram-LM fluency ≥
+    −3.42 (LM trained on the surviving subset itself — the standard
+    in-domain perplexity gate) → exact dedup, reported as per-stage
+    surviving counts. Every stage is the already-oracle-checked
+    operator; the funnel verifies they COMPOSE (filter pushdown keeps
+    each stage map-only until the LM's two keyed shuffles)."""
+    from chicago_crime_spark_ml_spark.operators.dedup import (
+        exact_dedup_by_content,
+    )
+    from chicago_crime_spark_ml_spark.operators.text import (
+        add_quality_score,
+        repetition_ratio_expr,
+        tokens_expr,
+        unigram_logprob,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    qual = (
+        add_quality_score(d)
+        .filter(F.round("quality_score", 4) >= 0.5)
+        .select("doc_id", "text")
+    )
+    toks = tokens_expr("text")
+    rep = (
+        qual.withColumn(
+            "rep_ratio", F.round(repetition_ratio_expr(toks, 2), 4)
+        )
+        .filter((F.size(toks) >= 2) & (F.col("rep_ratio") <= 0.08))
+        .select("doc_id", "text")
+    )
+    scores = unigram_logprob(rep, "text", "doc_id")
+    lm = rep.join(
+        scores.filter(F.col("mean_logprob") >= -3.42).select("doc_id"),
+        "doc_id",
+    )
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("long").alias("n_docs")).select(
+            F.lit(name).alias("stage"), "n_docs"
+        )
+
+    return union_all(
+        [
+            stage("raw", d),
+            stage("quality", qual),
+            stage("repetition", rep),
+            stage("lm_score", lm),
+            stage("dedup", exact_dedup_by_content(lm)),
+        ]
+    )
+
+
+@query(
+    "priority_revenue_pivot",
+    """
+    SELECT o_orderpriority,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                      FILTER (year(o_orderdate) = 1995), 2) AS DOUBLE) AS y1995,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                      FILTER (year(o_orderdate) = 1996), 2) AS DOUBLE) AS y1996,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                      FILTER (year(o_orderdate) = 1997), 2) AS DOUBLE) AS y1997,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                      FILTER (year(o_orderdate) = 1998), 2) AS DOUBLE) AS y1998
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def priority_revenue_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with a SUM measure (the reference's pandas pivots carry
+    counts only — A12's measure-valued form): revenue by priority ×
+    year through Spark's native pivot with EXPLICIT values (fixed
+    output schema, no distinct-collect pre-job). Exact-decimal sums;
+    absent cells stay NULL on both engines."""
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "yr", F.year("o_orderdate")
+    )
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("yr", [1995, 1996, 1997, 1998])
+        .agg(_dsum("o_totalprice"))
+    )
+    return piv.select(
+        "o_orderpriority",
+        *[F.col(str(y)).alias(f"y{y}") for y in (1995, 1996, 1997, 1998)],
+    )
+
+
+@query(
+    "customer_rfm_segments",
+    """
+    WITH now_ AS (SELECT max(o_orderdate) AS now FROM orders),
+    base AS (
+      SELECT o_custkey,
+             date_diff('day', max(o_orderdate), any_value(now_.now))
+               AS recency_days,
+             count(*) AS frequency,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS monetary
+      FROM orders CROSS JOIN now_ GROUP BY o_custkey),
+    scored AS (
+      SELECT o_custkey, recency_days, frequency, monetary,
+             ntile(5) OVER (ORDER BY recency_days DESC, o_custkey) AS r_score,
+             ntile(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
+             ntile(5) OVER (ORDER BY monetary, o_custkey) AS m_score
+      FROM base)
+    SELECT o_custkey, recency_days, frequency, monetary,
+           r_score, f_score, m_score,
+           CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+             || CAST(m_score AS VARCHAR) AS rfm
+    FROM scored
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic CRM/feature-engineering rollup:
+    per-customer recency (days before the corpus's last order date),
+    frequency, exact-decimal monetary, each quintile-scored with
+    ntile(5) over a fully tie-broken order (higher score = better:
+    recency sorts DESC so recent buyers land in quintile 5). One
+    aggregation shuffle + one window pass; the global-max "now" is a
+    1-row broadcast scalar."""
+    o = _t(spark, sf_dir, "orders")
+    now = o.agg(F.max("o_orderdate").alias("now"))
+    base = (
+        o.crossJoin(F.broadcast(now))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.any_value("now"), F.max("o_orderdate")).alias(
+                "recency_days"
+            ),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2
+            ).cast("double").alias("monetary"),
+        )
+    )
+    r = Window.orderBy(F.desc("recency_days"), "o_custkey")
+    f = Window.orderBy("frequency", "o_custkey")
+    m = Window.orderBy("monetary", "o_custkey")
+    scored = base.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(r).alias("r_score"),
+        F.ntile(5).over(f).alias("f_score"),
+        F.ntile(5).over(m).alias("m_score"),
+    )
+    return scored.withColumn(
+        "rfm",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ),
+    )
+
+
+@query(
+    "cohort_ltv_matrix",
+    """
+    WITH first_ AS (
+      SELECT o_custkey, min(year(o_orderdate)) AS cohort_year
+      FROM orders GROUP BY o_custkey)
+    SELECT f.cohort_year,
+           CAST(year(o.o_orderdate) - f.cohort_year AS INTEGER) AS age_years,
+           count(DISTINCT o.o_custkey) AS n_customers,
+           CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS revenue
+    FROM orders o JOIN first_ f ON o.o_custkey = f.o_custkey
+    GROUP BY 1, 2
+    """,
+)
+def cohort_ltv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix: customers grouped by first-order
+    year, revenue and active-customer counts per cohort age — the
+    retention/LTV triangle every growth dashboard draws. The first-order
+    rollup and the fact join share the customer-key shuffle; revenue in
+    exact decimal."""
+    o = _t(spark, sf_dir, "orders")
+    first = o.groupBy("o_custkey").agg(
+        F.min(F.year("o_orderdate")).alias("cohort_year")
+    )
+    return (
+        o.join(first, "o_custkey")
+        .groupBy(
+            "cohort_year",
+            (F.year("o_orderdate") - F.col("cohort_year"))
+            .cast("int")
+            .alias("age_years"),
+        )
+        .agg(
+            F.count_distinct("o_custkey").alias("n_customers"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2
+            ).cast("double").alias("revenue"),
+        )
+    )
+
+
+@query(
+    "brand_pair_lift",
+    """
+    WITH items AS (SELECT DISTINCT l_orderkey AS b, p_brand AS i
+                   FROM lineitem JOIN part ON l_partkey = p_partkey),
+    nb AS (SELECT count(DISTINCT b) AS n FROM items),
+    ic AS (SELECT i, count(*) AS ni FROM items GROUP BY i),
+    pc AS (SELECT a.i AS item_a, c.i AS item_b, count(*) AS n_ab
+           FROM items a JOIN items c ON a.b = c.b AND a.i < c.i
+           GROUP BY 1, 2 HAVING count(*) >= 20)
+    SELECT pc.item_a, pc.item_b, pc.n_ab,
+           round(CAST(pc.n_ab AS DOUBLE) * nb.n
+                 / (ca.ni * CAST(cb.ni AS DOUBLE)), 4) AS lift,
+           round(CAST(pc.n_ab AS DOUBLE) / ca.ni, 4) AS confidence_a_b
+    FROM pc
+    JOIN ic ca ON pc.item_a = ca.i
+    JOIN ic cb ON pc.item_b = cb.i
+    CROSS JOIN nb
+    """,
+)
+def brand_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule metrics over the co-occurrence pairs: lift
+    (observed co-rate vs independence) and confidence(a→b). Integer
+    support counts ratio'd in IEEE double with mirrored expression
+    shape — deterministic cross-engine. The per-item counts broadcast
+    back onto the pair table (brand domain is bounded)."""
+    from chicago_crime_spark_ml_spark.operators.relational import (
+        cooccurrence_pairs,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    items = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("b"), F.col("p_brand").alias("i"))
+        .distinct()
+        .persist()
+    )
+    nb = items.agg(F.count_distinct("b").alias("n"))
+    ic = items.groupBy("i").agg(F.count(F.lit(1)).alias("ni"))
+    pc = cooccurrence_pairs(items, "b", "i", min_count=20).withColumnRenamed(
+        "n_baskets", "n_ab"
+    )
+    ca = ic.select(F.col("i").alias("item_a"), F.col("ni").alias("na"))
+    cb = ic.select(F.col("i").alias("item_b"), F.col("ni").alias("nb_"))
+    return (
+        pc.join(F.broadcast(ca), "item_a")
+        .join(F.broadcast(cb), "item_b")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            F.round(
+                F.col("n_ab").cast("double") * F.col("n")
+                / (F.col("na") * F.col("nb_").cast("double")),
+                4,
+            ).alias("lift"),
+            F.round(F.col("n_ab").cast("double") / F.col("na"), 4).alias(
+                "confidence_a_b"
+            ),
+        )
+    )

@@ -205,3 +205,37 @@ def test_model_save_load_roundtrip(spark, sf_dir, tmp_path):
     back = {r.vec_id: r.prediction
             for r in reloaded.transform(test).select("vec_id", "prediction").collect()}
     assert orig == back and len(orig) > 0
+
+
+def test_tune_multiclass_cv_sweep(spark, sf_dir):
+    # CrossValidator sweep: grid metrics come back per point, the chosen
+    # params belong to the grid, and the best model predicts on held-out
+    # rows — the distributed replacement for the reference's hand-tuned
+    # fixed hyperparameters (XGBoost.py:266-284).
+    from pyspark.ml.functions import array_to_vector
+
+    from chicago_crime_spark_ml_spark.operators.ml import tune_multiclass
+    from chicago_crime_spark_ml_spark.operators.relational import time_split
+    from chicago_crime_spark_ml_spark.sources.io import load_table
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .withColumn(
+            "f", array_to_vector(F.col("embedding").cast("array<double>"))
+        )
+        .withColumn("label_str", F.col("label").cast("string"))
+        .drop("label")
+    )
+    train, test = time_split(emb, "vec_id", 400)
+    model, best, metrics = tune_multiclass(
+        train, ["f"], "label_str",
+        num_trees_grid=(5, 15), max_depth_grid=(3,), n_folds=2,
+    )
+    assert best["numTrees"] in (5, 15) and best["maxDepth"] == 3
+    assert len(metrics) == 2 and all(0.0 <= m <= 1.0 for _, m in metrics)
+    # best point's avg metric is the max over the grid
+    best_metric = max(m for _, m in metrics)
+    chosen = [m for p, m in metrics if p["numTrees"] == best["numTrees"]][0]
+    assert chosen == best_metric
+    preds = model.transform(test)
+    assert preds.select("prediction").distinct().count() >= 1

@@ -433,3 +433,48 @@ def test_runtime_bloom_filter_injection(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+import pytest
+
+# Plan-shape lock-in: the exchange (shuffle) count of each flagship query,
+# read from the actual physical plan. A shuffle is the unit of cluster
+# cost; a future "refactor" that silently adds one would pass every value
+# test and still double the 100 TB bill — this pins the ceiling.
+EXCHANGE_BUDGET = [
+    ("flagship_regional_revenue", 4),
+    ("pricing_summary", 1),
+    ("top10_orders", 0),
+    ("doc_simhash", 1),
+    ("dedup_documents_exact", 1),
+    ("events_asof_last_purchase", 2),
+    ("top3_orders_per_customer", 1),
+    ("events_tumbling_daily", 1),
+    ("customer_order_count_feature", 2),
+    ("local_supplier_volume", 4),
+    ("orders_above_customer_avg", 1),
+    ("nations_trade_volume", 6),
+    ("embedding_vector_stats", 0),
+    ("customer_30d_spend", 1),
+    ("customer_running_revenue", 1),
+    ("user_value_ewma", 3),
+    ("winsorized_acctbal", 2),
+    ("ngram_jaccard_near_dups", 6),
+    ("simhash_near_dups", 3),
+    ("ann_cosine_top10", 0),
+    ("doc_chunks", 0),
+    ("incremental_daily_revenue", 2),
+    ("rolling_7d_active_users", 3),
+    ("orders_pit_priority", 2),
+    ("weighted_customer_sample", 0),
+]
+
+
+@pytest.mark.parametrize("name,budget", EXCHANGE_BUDGET)
+def test_exchange_budget(spark, sf_dir, name, budget):
+    plan = explain_str(QUERIES[name](spark, sf_dir), "simple")
+    got = plan.count("Exchange")
+    assert got <= budget, (
+        f"{name}: {got} exchanges, budget {budget} — a shuffle crept into "
+        f"the plan:\n{plan}"
+    )
