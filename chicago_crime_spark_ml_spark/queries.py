@@ -6314,3 +6314,195 @@ def brand_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "label_centroid_similarity",
+    """
+    WITH ex AS (
+      SELECT label, generate_subscripts(embedding, 1) AS pos,
+             unnest(embedding::DOUBLE[]) AS val
+      FROM embeddings),
+    cent AS (
+      SELECT label, pos,
+             CAST(sum(CAST(val AS DECIMAL(18,9))) AS DOUBLE) / count(val) AS c
+      FROM ex GROUP BY 1, 2),
+    p AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             CAST(sum(CAST(a.c * b.c AS DECIMAL(28,12))) AS DOUBLE) AS dot,
+             CAST(sum(CAST(a.c * a.c AS DECIMAL(28,12))) AS DOUBLE) AS na,
+             CAST(sum(CAST(b.c * b.c AS DECIMAL(28,12))) AS DOUBLE) AS nb
+      FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+      GROUP BY 1, 2)
+    SELECT label_a, label_b,
+           round(dot / (sqrt(na) * sqrt(nb)), 4) AS cosine
+    FROM p
+    """,
+)
+def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-class centroid cosine matrix — the label-confusion
+    diagnostic run before training (near-identical centroids predict
+    confusable classes). Pure relational linear algebra that SCALES:
+    posexplode → (label, dim) mean → pairwise join keyed on the
+    dimension — the shuffle carries k·d centroid cells, never vectors;
+    works at any corpus size because the explode is map-side and the
+    aggregation is the only fact-sized pass. Decimal-quantized sums
+    keep means and dot products bit-identical cross-engine."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "val"
+        ),
+    )
+    cent = ex.groupBy("label", "pos").agg(
+        (
+            F.sum(F.col("val").cast("decimal(18,9)")).cast("double")
+            / F.count("val")
+        ).alias("c")
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), "pos", F.col("c").alias("ca")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "pos", F.col("c").alias("cb")
+    )
+    dec = "decimal(28,12)"
+    p = (
+        a.join(b, ["pos"])
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum((F.col("ca") * F.col("cb")).cast(dec)).cast("double").alias("dot"),
+            F.sum((F.col("ca") * F.col("ca")).cast(dec)).cast("double").alias("na"),
+            F.sum((F.col("cb") * F.col("cb")).cast(dec)).cast("double").alias("nb"),
+        )
+    )
+    return p.select(
+        "label_a",
+        "label_b",
+        F.round(
+            F.col("dot") / (F.sqrt("na") * F.sqrt("nb")), 4
+        ).alias("cosine"),
+    )
+
+
+@query(
+    "session_first_touch_attribution",
+    """
+    WITH e AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             lag(ts) OVER w AS prev_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    flagged AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR date_diff('second', prev_ts, ts) > 1800
+                     THEN 1 ELSE 0 END AS new_session
+      FROM e),
+    sess AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                                AND CURRENT ROW) AS session_id
+      FROM flagged),
+    per_session AS (
+      SELECT user_id, session_id,
+             min(struct_pack(ts := ts, event_id := event_id,
+                             t := event_type)).t AS first_touch,
+             sum(CAST(value AS DECIMAL(18,4)))
+               FILTER (event_type = 'purchase') AS purchase_value
+      FROM sess GROUP BY 1, 2)
+    SELECT first_touch,
+           count(*) AS n_sessions,
+           CAST(round(coalesce(sum(purchase_value), 0), 2) AS DOUBLE)
+             AS attributed_value
+    FROM per_session GROUP BY first_touch
+    """,
+)
+def session_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: 30-minute-gap sessions (gaps-and-islands
+    — lag + flag + running sum, one user-keyed window shuffle), each
+    session's purchase value attributed to its FIRST event type (min
+    over the (ts, event_id, type) struct — one pass, no per-session
+    re-join). The growth-marketing query that exercises sessionization,
+    ordered-struct argmin, FILTER aggregates and exact-decimal money in
+    one plan."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+                > 1800
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.min(
+            F.struct(
+                F.col("ts"), F.col("event_id"), F.col("event_type").alias("t")
+            )
+        )["t"].alias("first_touch"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.col("value").cast("decimal(18,4)"),
+            )
+        ).alias("purchase_value"),
+    )
+    return per_session.groupBy("first_touch").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.round(F.coalesce(F.sum("purchase_value"), F.lit(0)), 2)
+        .cast("double")
+        .alias("attributed_value"),
+    )
+
+
+@query(
+    "null_safe_segment_match",
+    """
+    WITH a AS (SELECT c_custkey,
+                      CASE WHEN c_custkey % 7 = 0 THEN NULL
+                           ELSE c_mktsegment END AS seg
+               FROM customer WHERE c_custkey <= 200),
+    b AS (SELECT c_custkey,
+                 CASE WHEN c_custkey % 7 = 0 THEN NULL
+                      ELSE c_mktsegment END AS seg
+          FROM customer WHERE c_custkey BETWEEN 101 AND 300)
+    SELECT a.c_custkey AS key_a, b.c_custkey AS key_b
+    FROM a JOIN b
+      ON a.seg IS NOT DISTINCT FROM b.seg AND a.c_custkey = b.c_custkey
+    """,
+)
+def null_safe_segment_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (Spark eqNullSafe <=> ≡ SQL IS NOT
+    DISTINCT FROM): NULL keys MATCH each other instead of vanishing —
+    the semantics reconciliation/dedup pipelines need when the join key
+    is legitimately absent on both sides. Plans as a normal hash join
+    (null-safe equality is still an equi-key), so no nested-loop
+    degradation; the three-valued-logic trap of plain `=` is the whole
+    point of the test."""
+    c = _t(spark, sf_dir, "customer")
+    seg = F.when(F.col("c_custkey") % 7 == 0, None).otherwise(
+        F.col("c_mktsegment")
+    )
+    a = c.filter(F.col("c_custkey") <= 200).select(
+        F.col("c_custkey").alias("key_a"), seg.alias("seg_a")
+    )
+    b = c.filter(F.col("c_custkey").between(101, 300)).select(
+        F.col("c_custkey").alias("key_b"), seg.alias("seg_b")
+    )
+    return a.join(
+        b,
+        a.seg_a.eqNullSafe(b.seg_b) & (a.key_a == b.key_b),
+    ).select("key_a", "key_b")

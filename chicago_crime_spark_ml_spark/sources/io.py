@@ -344,3 +344,55 @@ def merge_parquet_partitioned(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return len(touched)
+
+
+def read_text_corpus(
+    spark: SparkSession, path: str, whole_files: bool = False
+) -> DataFrame:
+    """Raw-text corpus ingest — the other half of LLM-pipeline intake
+    next to JSONL (read_jsonl): ``whole_files=False`` yields one row
+    per LINE (``value``), the layout of one-document-per-line dumps;
+    ``whole_files=True`` yields one row per FILE (wholetext), for
+    document-per-file trees. Both attach the source file path — the
+    provenance column every curation pipeline carries. Line mode
+    splits files across tasks (parallel within a file); wholetext
+    cannot, so at 100 TB prefer line/JSONL layouts for big documents."""
+    return spark.read.text(path, wholetext=whole_files).select(
+        F.input_file_name().alias("source_file"), F.col("value").alias("text")
+    )
+
+
+def backfill_missing_partitions(
+    df: DataFrame, path: str, partition_col: str
+) -> list[str]:
+    """Idempotent partition backfill: diff the partition values present
+    in ``df`` against the ``col=value`` directories already on disk and
+    write ONLY the missing ones (append + partitionBy). Existing
+    partition files are never rewritten — the crash-safe re-runnable
+    backfill loop (run it twice: the second pass is a no-op).
+
+    The partition-value domain is bounded (that's what makes it a
+    partition column), so the distinct-collect and the directory
+    listing are driver-cheap; on object stores swap the listing for the
+    catalog's partition metadata. Returns the backfilled values."""
+    import os  # noqa: PLC0415
+
+    prefix = f"{partition_col}="
+    existing: set[str] = set()
+    if os.path.isdir(path):
+        existing = {
+            d[len(prefix):] for d in os.listdir(path) if d.startswith(prefix)
+        }
+    wanted = [
+        r[0] for r in df.select(partition_col).distinct().collect()
+        if r[0] is not None
+    ]
+    missing = [v for v in wanted if str(v) not in existing]
+    if missing:
+        (
+            df.filter(F.col(partition_col).isin(missing))
+            .write.mode("append")
+            .partitionBy(partition_col)
+            .parquet(path)
+        )
+    return [str(v) for v in missing]

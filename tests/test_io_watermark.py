@@ -232,3 +232,54 @@ def test_merge_parquet_upsert(spark, tmp_path):
     merge_parquet(spark, path, updates, keys=["k"])
     got = {r.k: (r.s, r.v) for r in spark.read.parquet(path).collect()}
     assert got == {1: ("a", 1.0), 2: ("B", 20.0), 3: ("c", 3.0), 4: ("d", 4.0)}
+
+
+def test_read_text_corpus_line_and_wholefile(spark, tmp_path):
+    from chicago_crime_spark_ml_spark.sources.io import read_text_corpus
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.txt").write_text("doc one line one\ndoc one line two\n")
+    (d / "b.txt").write_text("doc two\n")
+    lines = read_text_corpus(spark, str(d))
+    assert lines.count() == 3
+    assert set(lines.columns) == {"source_file", "text"}
+    assert {r["text"] for r in lines.collect()} == {
+        "doc one line one", "doc one line two", "doc two",
+    }
+    whole = read_text_corpus(spark, str(d), whole_files=True).collect()
+    assert len(whole) == 2
+    by_file = {r["source_file"].rsplit("/", 1)[-1]: r["text"] for r in whole}
+    assert by_file["b.txt"].strip() == "doc two"
+    assert "line two" in by_file["a.txt"]
+
+
+def test_backfill_missing_partitions_idempotent(spark, tmp_path):
+    import os
+
+    from chicago_crime_spark_ml_spark.sources.io import (
+        backfill_missing_partitions,
+    )
+
+    df = spark.createDataFrame(
+        [(y, i) for y in (2021, 2022, 2023) for i in range(5)],
+        "yr int, v int",
+    )
+    path = str(tmp_path / "t")
+    # seed with one partition only
+    df.filter("yr = 2021").write.partitionBy("yr").parquet(path)
+    seeded = {
+        f: os.path.getmtime(os.path.join(path, "yr=2021", f))
+        for f in os.listdir(os.path.join(path, "yr=2021"))
+        if f.endswith(".parquet")
+    }
+    done = backfill_missing_partitions(df, path, "yr")
+    assert sorted(done) == ["2022", "2023"]
+    got = spark.read.parquet(path)
+    assert got.count() == 15
+    # untouched partition files not rewritten
+    for f, mtime in seeded.items():
+        assert os.path.getmtime(os.path.join(path, "yr=2021", f)) == mtime
+    # second pass is a no-op
+    assert backfill_missing_partitions(df, path, "yr") == []
+    assert spark.read.parquet(path).count() == 15

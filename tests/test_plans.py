@@ -478,3 +478,40 @@ def test_exchange_budget(spark, sf_dir, name, budget):
         f"{name}: {got} exchanges, budget {budget} — a shuffle crept into "
         f"the plan:\n{plan}"
     )
+
+
+def test_aqe_splits_skewed_join(spark):
+    # AQE's runtime answer to key skew: the shuffle stage statistics mark
+    # the hot partition and OptimizeSkewedJoin splits it into mapper-chunk
+    # subjoins — SortMergeJoin(skew=true) in the FINAL adaptive plan. This
+    # is the no-code-change path for skew (salted_join is the manual one);
+    # thresholds are shrunk so the 90%-one-key toy input trips the same
+    # rule that real skew trips at scale. Note: single-partition children
+    # satisfy any distribution, so the inputs must be multi-partition or
+    # no shuffle (and no skew handling) ever happens.
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 400000, 1, 8).select(
+            F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(0, 1000, 1, 4).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("rv")
+        )
+        j = left.join(right, "k")
+        j.foreach(lambda r: None)  # execute THIS df so its AQE plan finalizes
+        plan = j._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        assert "skew=true" in plan, f"skew join not optimized:\n{plan[:2000]}"
+        # 90% of left rows carry key 0 (matched) + ids 9,19,…,999 matched
+        assert j.count() == 360000 + 100
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
