@@ -6506,3 +6506,140 @@ def null_safe_segment_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         b,
         a.seg_a.eqNullSafe(b.seg_b) & (a.key_a == b.key_b),
     ).select("key_a", "key_b")
+
+
+@query(
+    "near_dup_canonical_docs",
+    f"""
+    WITH RECURSIVE {_NGRAM_JACCARD_CTES},
+    edges AS (SELECT id_a AS a, id_b AS b FROM jac
+              UNION ALL SELECT id_b, id_a FROM jac),
+    reach(src, dst) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+    comp AS (SELECT src AS node, least(src, min(dst)) AS label
+             FROM reach GROUP BY src),
+    clusters AS (
+      SELECT d.doc_id, CAST(coalesce(c.label, d.doc_id) AS BIGINT)
+               AS cluster_id
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+    qual AS (
+      SELECT doc_id,
+             round(0.5 * least(1.0, len(toks) / 100.0)
+                   + 0.5 * (len(list_distinct(toks))
+                            / CAST(len(toks) AS DOUBLE)), 4) AS qs
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents))
+    SELECT cluster_id,
+           CAST(-(max(struct_pack(q := qs, nid := -doc_id)).nid) AS BIGINT)
+             AS canonical_doc_id,
+           count(*) AS n_members,
+           max(struct_pack(q := qs, nid := -doc_id)).q AS best_quality
+    FROM clusters JOIN qual USING (doc_id)
+    GROUP BY cluster_id
+    """,
+)
+def near_dup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup ENDGAME: which document survives each near-dup
+    cluster. Components over the Jaccard≥0.8 graph, then per-cluster
+    argmax on (quality score, smallest-id tiebreak) via one struct-max
+    aggregation — no per-cluster sort, no second join. Output is the
+    keep-list every curation run materializes: cluster → canonical doc,
+    member count, winning quality."""
+    from chicago_crime_spark_ml_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+    from chicago_crime_spark_ml_spark.operators.text import add_quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    comp = connected_components(ngram_jaccard_pairs(d, threshold=0.8))
+    clusters = d.select("doc_id").join(
+        comp, d["doc_id"] == comp["node"], "left"
+    ).select("doc_id", F.coalesce("label", "doc_id").alias("cluster_id"))
+    qual = add_quality_score(d).select(
+        "doc_id", F.round("quality_score", 4).alias("qs")
+    )
+    joined = clusters.join(qual, "doc_id")
+    pick = F.max(F.struct(F.col("qs"), (-F.col("doc_id")).alias("nid")))
+    return joined.groupBy("cluster_id").agg(pick.alias("p"), F.count(F.lit(1)).alias("n_members")).select(
+        "cluster_id",
+        (-F.col("p.nid")).cast("bigint").alias("canonical_doc_id"),
+        "n_members",
+        F.col("p.qs").alias("best_quality"),
+    )
+
+
+@query(
+    "dq_expectations_orders",
+    """
+    SELECT 'not_null:o_orderdate' AS rule, 'o_orderdate' AS "column",
+           count(*) FILTER (o_orderdate IS NULL) AS violations,
+           count(*) FILTER (o_orderdate IS NULL) = 0 AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'accepted_values:o_orderstatus', 'o_orderstatus',
+           count(*) FILTER (o_orderstatus NOT IN ('O','F','P')
+                            OR o_orderstatus IS NULL),
+           count(*) FILTER (o_orderstatus NOT IN ('O','F','P')
+                            OR o_orderstatus IS NULL) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'in_range:o_totalprice', 'o_totalprice',
+           count(*) FILTER (o_totalprice IS NULL OR o_totalprice < 0
+                            OR o_totalprice > 1000000),
+           count(*) FILTER (o_totalprice IS NULL OR o_totalprice < 0
+                            OR o_totalprice > 1000000) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'unique:o_orderkey', 'o_orderkey',
+           coalesce((SELECT CAST(sum(n - 1) AS BIGINT) FROM (
+              SELECT count(*) AS n FROM orders GROUP BY o_orderkey
+              HAVING count(*) > 1)), 0),
+           coalesce((SELECT CAST(sum(n - 1) AS BIGINT) FROM (
+              SELECT count(*) AS n FROM orders GROUP BY o_orderkey
+              HAVING count(*) > 1)), 0) = 0
+    UNION ALL
+    SELECT 'foreign_key:o_custkey', 'o_custkey',
+           (SELECT count(*) FROM orders o
+            WHERE o.o_custkey IS NOT NULL
+              AND o.o_custkey NOT IN (SELECT c_custkey FROM customer)),
+           (SELECT count(*) FROM orders o
+            WHERE o.o_custkey IS NOT NULL
+              AND o.o_custkey NOT IN (SELECT c_custkey FROM customer)) = 0
+    """,
+)
+def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (operators/dq.py): a RULE LIST —
+    not-null, accepted values, numeric range, key uniqueness,
+    referential integrity — evaluated as one scan for the row-local
+    rules plus one keyed job per key rule, emitting the machine-
+    checkable contract table (rule, column, violations, passed) the
+    reference only ever printed and eyeballed (Preprocessing.py:26-95)."""
+    from chicago_crime_spark_ml_spark.operators.dq import run_expectations
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    rules = [
+        {"type": "not_null", "column": "o_orderdate"},
+        {
+            "type": "accepted_values",
+            "column": "o_orderstatus",
+            "values": ["O", "F", "P"],
+        },
+        {
+            "type": "in_range",
+            "column": "o_totalprice",
+            "min": 0,
+            "max": 1_000_000,
+        },
+        {"type": "unique", "column": "o_orderkey"},
+        {
+            "type": "foreign_key",
+            "column": "o_custkey",
+            "ref": c,
+            "ref_column": "c_custkey",
+        },
+    ]
+    return run_expectations(o, rules)

@@ -159,6 +159,66 @@ def sampled_points(
     return collect_for_viz(picked, max_rows=len(categories) * per_category)
 
 
+def correlation_matrix_data(
+    df: DataFrame, cols: Sequence[str], round_to: int = 4
+) -> pd.DataFrame:
+    """The correlation-heatmap input (Preprocessing.py:774-796: collect 14
+    numeric columns to pandas, DataFrame.corr) as ONE distributed
+    aggregation: all k·(k−1)/2 pairwise F.corr cells in a single pass,
+    reshaped driver-side into the symmetric k×k pandas matrix seaborn
+    wants. The collect moves k² floats, never rows."""
+    pairs = [
+        F.round(F.corr(a, b), round_to).alias(f"{i}_{j}")
+        for i, a in enumerate(cols)
+        for j, b in enumerate(cols)
+        if i < j
+    ]
+    row = df.agg(*pairs).collect()[0]
+    mat = pd.DataFrame(1.0, index=list(cols), columns=list(cols))
+    for i, a in enumerate(cols):
+        for j, b in enumerate(cols):
+            if i < j:
+                v = row[f"{i}_{j}"]
+                mat.loc[a, b] = v
+                mat.loc[b, a] = v
+    return mat
+
+
+def eda_report(
+    df: DataFrame,
+    category_col: str,
+    district_col: str,
+    ts_col: str,
+    numeric_cols: Sequence[str],
+    top_k: int = 10,
+) -> dict[str, pd.DataFrame]:
+    """Every chart-data frame the reference\'s EDA script renders
+    (Preprocessing.py:366-798), produced in one call as BOUNDED pandas
+    frames keyed by the figure they feed: top-k category counts, district
+    distribution, yearly/hourly/day-of-week/monthly patterns, the three
+    pivot heatmaps, and the correlation matrix. A user of the reference
+    points this at their table and gets the same dashboard inputs without
+    a single unbounded collect."""
+    return {
+        "top_categories": topk_counts(df, category_col, top_k),
+        "district_distribution": topk_counts(df, district_col, 50),
+        "yearly_trend": time_pattern(df, ts_col, "year"),
+        "hourly_pattern": time_pattern(df, ts_col, "hour"),
+        "dow_pattern": time_pattern(df, ts_col, "dow"),
+        "monthly_pattern": time_pattern(df, ts_col, "month"),
+        "category_district_heatmap": pivot_matrix(
+            df, category_col, district_col
+        ),
+        "year_district_heatmap": pivot_matrix(
+            df.withColumn("_yr", F.year(ts_col)), "_yr", district_col
+        ),
+        "category_hour_heatmap": pivot_matrix(
+            df.withColumn("_hr", F.hour(ts_col)), category_col, "_hr"
+        ),
+        "correlation_matrix": correlation_matrix_data(df, numeric_cols),
+    }
+
+
 # ---------------------------------------------------------------------------
 # Optional rendering (matplotlib not installed in this container — the
 # data helpers above are the engine contract; these are conveniences)

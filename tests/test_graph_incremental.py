@@ -221,3 +221,73 @@ def test_interpolate_time_gaps(spark):
     assert out[(1, "2024-01-05")] == (0.0, False)
     assert out[(2, "2024-02-01")] == (7.0, False)
     assert len(out) == 6
+
+
+# ------------------------------------------------------------ empty inputs
+def test_operators_handle_empty_inputs(spark):
+    import datetime as dt
+
+    from chicago_crime_spark_ml_spark.operators.graph import pagerank
+    from chicago_crime_spark_ml_spark.operators.relational import (
+        cooccurrence_pairs,
+        interpolate_time_gaps,
+        rolling_zscore_anomalies,
+    )
+
+    nodes = spark.createDataFrame([(0,), (1,)], "node int")
+    no_edges = spark.createDataFrame([], "src int, dst int, w bigint")
+    # all nodes dangling → uniform ranks that still sum to 1
+    ranks = {r["node"]: r["rank"] for r in pagerank(nodes, no_edges, iterations=2).collect()}
+    assert len(ranks) == 2
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    assert abs(ranks[0] - ranks[1]) < 1e-12
+
+    empty_items = spark.createDataFrame([], "b int, i string")
+    assert cooccurrence_pairs(empty_items, "b", "i").count() == 0
+
+    empty_series = spark.createDataFrame([], "k int, day date, v double")
+    assert interpolate_time_gaps(empty_series, "k", "day", "v").count() == 0
+    _ = dt  # date schema exercised above
+
+    empty_vals = spark.createDataFrame([], "user int, t int, v bigint")
+    assert rolling_zscore_anomalies(empty_vals, "user", ["t"], "v").count() == 0
+
+
+# ------------------------------------------------------------ expectations
+def test_run_expectations_counts_violations(spark):
+    from chicago_crime_spark_ml_spark.operators.dq import run_expectations
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 5.0, 10),
+            (1, "b", -1.0, 20),      # dup id, out-of-range
+            (2, None, 3.0, 99),      # null name, orphan fk
+            (3, "z", None, 10),      # bad accepted value, null range col
+        ],
+        "id bigint, name string, x double, fk bigint",
+    )
+    dim = spark.createDataFrame([(10,), (20,)], "k bigint")
+    rules = [
+        {"type": "not_null", "column": "name"},
+        {"type": "accepted_values", "column": "name", "values": ["a", "b"]},
+        {"type": "in_range", "column": "x", "min": 0, "max": 100},
+        {"type": "unique", "column": "id"},
+        {"type": "foreign_key", "column": "fk", "ref": dim, "ref_column": "k"},
+    ]
+    got = {r["rule"]: (r["violations"], r["passed"])
+           for r in run_expectations(df, rules).collect()}
+    assert got["not_null:name"] == (1, False)
+    assert got["accepted_values:name"] == (2, False)   # 'z' + NULL
+    assert got["in_range:x"] == (2, False)             # -1.0 + NULL
+    assert got["unique:id"] == (1, False)              # one extra row of id 1
+    assert got["foreign_key:fk"] == (1, False)         # 99
+    clean = run_expectations(df.limit(1), rules[:3])
+    assert all(r["passed"] for r in clean.collect())
+
+
+def test_run_expectations_rejects_unknown_rule(spark):
+    from chicago_crime_spark_ml_spark.operators.dq import run_expectations
+
+    df = spark.createDataFrame([(1,)], "id bigint")
+    with pytest.raises(ValueError, match="unknown rule type"):
+        run_expectations(df, [{"type": "nope", "column": "id"}]).collect()

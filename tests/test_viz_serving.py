@@ -378,3 +378,51 @@ def test_partition_scoped_merge_no_updates_is_noop(spark, sf_dir, tmp_path):
         == 0
     )
     assert _file_digests(path) == before
+
+
+def test_correlation_matrix_data_matches_pandas(spark, sf_dir):
+    from chicago_crime_spark_ml_spark.viz import correlation_matrix_data
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    mat = correlation_matrix_data(li, cols)
+    assert list(mat.index) == cols and list(mat.columns) == cols
+    # symmetric with unit diagonal, equal to pandas' corr on the collected
+    # columns (the reference's driver-side computation) to rounding
+    pdf = li.select(*cols).toPandas()
+    ref = pdf.corr()
+    for a in cols:
+        assert mat.loc[a, a] == 1.0
+        for b in cols:
+            assert abs(mat.loc[a, b] - round(ref.loc[a, b], 4)) <= 1e-4
+            assert mat.loc[a, b] == mat.loc[b, a]
+
+
+def test_eda_report_all_charts_bounded(spark, sf_dir):
+    from chicago_crime_spark_ml_spark.viz import eda_report
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "district", (F.col("user_id") % 5).cast("int")
+    )
+    rep = eda_report(
+        ev,
+        category_col="event_type",
+        district_col="district",
+        ts_col="ts",
+        numeric_cols=["value", "user_id"],
+    )
+    expected = {
+        "top_categories", "district_distribution", "yearly_trend",
+        "hourly_pattern", "dow_pattern", "monthly_pattern",
+        "category_district_heatmap", "year_district_heatmap",
+        "category_hour_heatmap", "correlation_matrix",
+    }
+    assert set(rep) == expected
+    assert all(len(v) > 0 for v in rep.values())
+    # heatmaps: index × columns shapes are category-bounded
+    assert rep["category_hour_heatmap"].shape[1] <= 24
+    assert rep["correlation_matrix"].shape == (2, 2)
+    # per-chart frames are pandas, ready for the reference's plotting code
+    import pandas as pd
+
+    assert all(isinstance(v, pd.DataFrame) for v in rep.values())
