@@ -285,6 +285,54 @@ def user_value_stats_tws(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    lower_s: float,
+    upper_s: float,
+    left_watermark: str,
+    right_watermark: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream join bounded by an event-time interval:
+    ``right_ts ∈ [left_ts + lower_s, left_ts + upper_s]`` per key.
+
+    The two properties that make this runnable forever on unbounded
+    input: (1) BOTH sides carry a watermark, so each side's buffered
+    rows are eventually declared complete; (2) the join condition
+    contains an event-time range, which tells the state-store exactly
+    how long a buffered row can still find a match — rows older than
+    watermark+range are evicted. Without the time bound Spark must keep
+    every row ever seen (unbounded state); with it, state is
+    O(rate × (watermark + range)). ``how`` may be "inner" or
+    "leftOuter" (outer results emit only once the watermark proves no
+    match can arrive — correctness over latency).
+
+    The batch twin is operators.relational.interval_join (same
+    interval semantics, DuckDB-oracled via
+    ``events_purchases_before_error``); stream==batch is the test
+    contract (tests/test_streaming_multimodal.py)."""
+    lw = left.withWatermark(left_ts, left_watermark)
+    rw = right.withWatermark(right_ts, right_watermark)
+    # The range predicate must stay INTERVAL arithmetic on the raw
+    # timestamp columns — that's the shape Spark's analyzer recognizes
+    # when deriving the state-eviction watermark constraint. Casting to
+    # double would compute the same booleans but leave join state
+    # unevictable (and is rejected outright for outer joins).
+    lo = F.make_interval(secs=F.lit(float(lower_s)))
+    hi = F.make_interval(secs=F.lit(float(upper_s)))
+    cond = (
+        (lw[left_key] == rw[right_key])
+        & (rw[right_ts] >= lw[left_ts] + lo)
+        & (rw[right_ts] <= lw[left_ts] + hi)
+    )
+    return lw.join(rw, cond, how)
+
+
 def enrich_with_static(
     stream: DataFrame,
     dim: DataFrame,

@@ -181,6 +181,7 @@ def test_stream_stream_join_equals_batch(spark, sf_dir):
     from chicago_crime_spark_ml_spark.streaming import (
         run_stream_to_memory,
         stream_events,
+        stream_stream_interval_join,
     )
 
     def split(df):
@@ -206,8 +207,12 @@ def test_stream_stream_join_equals_batch(spark, sf_dir):
     batch = {(r.p_id, r.e_id) for r in bp.join(be, cond).collect()}
 
     sp, se = split(stream_events(spark, sf_dir))
-    joined = sp.withWatermark("p_ts", "2 hours").join(
-        se.withWatermark("e_ts", "2 hours"), cond
+    joined = stream_stream_interval_join(
+        sp, se,
+        left_key="p_user", right_key="e_user",
+        left_ts="p_ts", right_ts="e_ts",
+        lower_s=0.0, upper_s=3600.0,
+        left_watermark="2 hours", right_watermark="2 hours",
     )
     run_stream_to_memory(joined, "ss_join", output_mode="append")
     stream = {
