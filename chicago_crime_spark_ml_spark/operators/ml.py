@@ -374,3 +374,35 @@ def tune_multiclass(
         for pm, m in zip(grid, cv_model.avgMetrics)
     ]
     return cv_model.bestModel, best_params, metrics
+
+
+def pca_project(
+    df: DataFrame,
+    col: str = "embedding",
+    k: int = 4,
+    out: str = "pca",
+):
+    """Distributed PCA over an ``array<float>`` column (MLlib PCA:
+    covariance via one treeAggregate pass over executors, eigendecomposition
+    of the d×d Gramian on the driver — d is the embedding width, tiny;
+    N, the corpus size, never leaves the cluster). The projection itself
+    is a map-only matrix multiply per row. The dimensionality-reduction
+    front-end for ANN at 100 TB: project once, index the k-dim vectors.
+
+    Returns (projected_df, model). ``model.explainedVariance`` is the
+    per-component variance ratio (monotone non-increasing — asserted in
+    tests/test_features_ml.py and the ``pca_variance_check`` contract
+    query). Sign of each component is implementation-defined; consumers
+    must not depend on it (distances/inner products are invariant).
+    """
+    from pyspark.ml.feature import PCA  # noqa: PLC0415
+    from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: PLC0415
+
+    v = df.withColumn("_v", array_to_vector(F.col(col).cast("array<double>")))
+    model = PCA(k=k, inputCol="_v", outputCol="_p").fit(v)
+    projected = (
+        model.transform(v)
+        .withColumn(out, vector_to_array(F.col("_p")))
+        .drop("_v", "_p")
+    )
+    return projected, model

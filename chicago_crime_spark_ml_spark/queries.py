@@ -6643,3 +6643,230 @@ def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     ]
     return run_expectations(o, rules)
+
+
+# ---------------------------------------------------------------------------
+# Analytics classics batch: relational division, Markov transitions,
+# session durations, ANSI percentile_disc, PCA projection
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "suppliers_serving_all_regions",
+    """
+    WITH cov AS (
+      SELECT l.l_suppkey AS s_suppkey,
+             count(DISTINCT r.r_regionkey) AS n_regions
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey  = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1)
+    SELECT s.s_suppkey, s.s_name, cov.n_regions
+    FROM cov JOIN supplier s USING (s_suppkey)
+    WHERE cov.n_regions = (SELECT count(*) FROM region)
+    """,
+)
+def suppliers_serving_all_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division (the classic FOR ALL shape the reference never
+    needed): suppliers whose shipments reached customers in EVERY region.
+    Expressed as coverage-count = divisor-count — one countDistinct per
+    supplier against a broadcast scalar, instead of the double-NOT-EXISTS
+    translation (which plans as two correlated anti-joins). nation/region
+    are fixed-cardinality broadcasts; the only large shuffles are the
+    fact-fact lineitem⋈orders join and the final per-supplier agg."""
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = _t(spark, sf_dir, "region").select("r_regionkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+
+    cov = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(F.countDistinct("r_regionkey").alias("n_regions"))
+    )
+    total = r.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        cov.join(F.broadcast(total))
+        .filter(F.col("n_regions") == F.col("n_total"))
+        .join(s, "s_suppkey")
+        .select("s_suppkey", "s_name", "n_regions")
+    )
+
+
+@query(
+    "event_type_transitions",
+    """
+    WITH nxt AS (
+      SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events),
+    counted AS (
+      SELECT event_type, next_type, count(*) AS n
+      FROM nxt WHERE next_type IS NOT NULL
+      GROUP BY 1, 2)
+    SELECT event_type, next_type, n,
+           round(n * 1.0 / sum(n) OVER (PARTITION BY event_type), 4) AS p
+    FROM counted
+    """,
+)
+def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of per-user event sequences
+    (funnel/journey modeling): P(next_type | event_type). One window pass
+    partitioned by user (event_id tie-break makes equal-ts ordering
+    deterministic on both engines), then a two-key agg; the normalizing
+    row-sum is a second window over the TINY (types×types) result — not
+    over the events table."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    counted = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wt = Window.partitionBy("event_type")
+    return counted.withColumn(
+        "p", F.round(F.col("n") / F.sum("n").over(wt), 4)
+    )
+
+
+@query(
+    "session_duration_stats",
+    """
+    WITH o AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      FROM events),
+    flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS news
+      FROM o),
+    numbered AS (
+      SELECT user_id, ts,
+             sum(news) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged),
+    sess AS (
+      SELECT user_id, sid,
+             date_diff('microseconds', min(ts), max(ts)) AS dur_us
+      FROM numbered GROUP BY 1, 2)
+    SELECT user_id,
+           count(*) AS n_sessions,
+           round(CAST(sum(CAST(dur_us AS DECIMAL(18,4))) AS DOUBLE)
+                 / count(dur_us), 4) AS avg_session_us,
+           max(dur_us) AS max_session_us
+    FROM sess GROUP BY 1
+    """,
+)
+def session_duration_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session DURATIONS via session_window: the merged window
+    spans [first_ts, last_ts + gap), so duration = (end − start) − gap in
+    exact integer microseconds (unix_micros — no float time math). The
+    oracle is the lag+cumsum gaps-and-islands translation, durations as
+    max(ts)−min(ts) per island. Complements events_sessionized (counts
+    only) with the latency-profile face of sessionization."""
+    ev = _t(spark, sf_dir, "events")
+    per_session = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("sw")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    dur = per_session.withColumn(
+        "dur_us",
+        F.unix_micros(F.col("sw.end"))
+        - F.unix_micros(F.col("sw.start"))
+        - F.lit(30 * 60 * 1_000_000).cast("long"),
+    )
+    return dur.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        _davg("dur_us").alias("avg_session_us"),
+        F.max("dur_us").alias("max_session_us"),
+    )
+
+
+@query(
+    "acctbal_percentile_disc_by_segment",
+    """
+    WITH cd AS (
+      SELECT c_mktsegment, c_acctbal,
+             cume_dist() OVER (PARTITION BY c_mktsegment
+                               ORDER BY c_acctbal) AS cd
+      FROM customer)
+    SELECT c_mktsegment,
+           min(CASE WHEN cd >= 0.25 THEN c_acctbal END) AS p25_disc,
+           min(CASE WHEN cd >= 0.50 THEN c_acctbal END) AS p50_disc,
+           min(CASE WHEN cd >= 0.75 THEN c_acctbal END) AS p75_disc
+    FROM cd GROUP BY 1
+    """,
+)
+def acctbal_percentile_disc_by_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ANSI percentile_disc per group — the DISCRETE quantile (an actual
+    data value, not an interpolation; contrast median_balance_by_segment's
+    percentile_cont semantics). Spark has no percentile_disc builtin, so
+    it's expressed from its definition: the least value whose cume_dist
+    ≥ p. cume_dist is k/n double division of identical integers on both
+    engines — bit-exact, so the ≥ threshold can't straddle. Values are
+    raw column values: no rounding discipline needed."""
+    c = _t(spark, sf_dir, "customer").select("c_mktsegment", "c_acctbal")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    cd = c.withColumn("cd", F.cume_dist().over(w))
+
+    def disc(p, name):
+        return F.min(
+            F.when(F.col("cd") >= F.lit(p), F.col("c_acctbal"))
+        ).alias(name)
+
+    return cd.groupBy("c_mktsegment").agg(
+        disc(0.25, "p25_disc"), disc(0.50, "p50_disc"), disc(0.75, "p75_disc")
+    )
+
+
+@query(
+    "pca_variance_check",
+    "SELECT true AS variance_monotone, true AS ratio_in_unit, "
+    "true AS projection_bounded",
+)
+def pca_variance_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA accuracy contract (rotations have no SQL oracle — the checked
+    invariants do): explained-variance ratios are monotone non-increasing
+    with sum in (0, 1]; every projected coordinate is bounded by the
+    max embedding L2 norm (a rotation cannot expand lengths). Red means
+    the eigendecomposition or the distributed covariance pass broke."""
+    from chicago_crime_spark_ml_spark.operators.ml import pca_project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    projected, model = pca_project(emb, "embedding", k=4, out="pca")
+    ev = list(model.explainedVariance)
+    monotone = all(a >= b - 1e-12 for a, b in zip(ev, ev[1:]))
+    ratio_ok = 0.0 < sum(ev) <= 1.0 + 1e-9
+
+    max_norm = emb.select(
+        F.sqrt(
+            F.aggregate(
+                "embedding",
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        ).alias("nrm")
+    ).agg(F.max("nrm").alias("m"))
+    bounded = projected.select(
+        F.aggregate(
+            "pca", F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+        ).alias("mx")
+    ).agg(F.max("mx").alias("mx")).join(F.broadcast(max_norm)).select(
+        (F.col("mx") <= F.col("m") * 1.000001).alias("projection_bounded")
+    )
+    return bounded.select(
+        F.lit(monotone).alias("variance_monotone"),
+        F.lit(ratio_ok).alias("ratio_in_unit"),
+        F.col("projection_bounded"),
+    )

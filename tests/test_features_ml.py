@@ -239,3 +239,35 @@ def test_tune_multiclass_cv_sweep(spark, sf_dir):
     assert chosen == best_metric
     preds = model.transform(test)
     assert preds.select("prediction").distinct().count() >= 1
+
+
+def test_pca_full_rank_preserves_pairwise_distances(spark, sf_dir):
+    """MLlib PCA transform is x @ W with W orthonormal (no centering in
+    transform); at full rank W is square, so pairwise distances are
+    EXACTLY preserved — the invariant that catches a broken covariance
+    pass or eigendecomposition without pinning component signs."""
+    import numpy as np
+
+    from chicago_crime_spark_ml_spark.operators.ml import pca_project
+    from chicago_crime_spark_ml_spark.sources.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(40)
+    rows = emb.select("vec_id", "embedding").collect()
+    X = {r.vec_id: np.asarray(r.embedding, dtype=float) for r in rows}
+    d = len(next(iter(X.values())))
+
+    projected, model = pca_project(emb, "embedding", k=d)
+    P = {
+        r.vec_id: np.asarray(r.pca, dtype=float)
+        for r in projected.select("vec_id", "pca").collect()
+    }
+    ids = sorted(X)
+    for i in ids[:10]:
+        for j in ids[:10]:
+            orig = np.linalg.norm(X[i] - X[j])
+            proj = np.linalg.norm(P[i] - P[j])
+            assert abs(orig - proj) < 1e-6 * max(1.0, orig)
+
+    ev = list(model.explainedVariance)
+    assert all(a >= b - 1e-12 for a, b in zip(ev, ev[1:]))
+    assert 0.0 < sum(ev) <= 1.0 + 1e-9
