@@ -6870,3 +6870,174 @@ def pca_variance_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(ratio_ok).alias("ratio_in_unit"),
         F.col("projection_bounded"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Statistical-dependence batch: chi-square independence, mutual information,
+# Spearman rank correlation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "lang_source_chi2",
+    """
+    WITH obs AS (SELECT lang, source, count(*) AS n FROM documents
+                 GROUP BY 1, 2),
+    nl AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY 1),
+    ns AS (SELECT source, count(*) AS n_s FROM documents GROUP BY 1),
+    tot AS (SELECT count(*) AS n_tot FROM documents),
+    cells AS (
+      SELECT nl.lang, ns.source, nl.n_l, ns.n_s,
+             coalesce(obs.n, 0) AS n, tot.n_tot
+      FROM nl CROSS JOIN ns CROSS JOIN tot
+      LEFT JOIN obs ON obs.lang = nl.lang AND obs.source = ns.source)
+    SELECT round(sum((n - (n_l * n_s * 1.0 / n_tot))
+                     * (n - (n_l * n_s * 1.0 / n_tot))
+                     / (n_l * n_s * 1.0 / n_tot)), 4) AS chi2_stat,
+           CAST((count(DISTINCT lang) - 1)
+                * (count(DISTINCT source) - 1) AS BIGINT) AS dof
+    FROM cells
+    """,
+)
+def lang_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns (lang × source) — is the corpus's source mix language-biased?
+    Three hash aggs over the fact table; the contingency table itself is
+    dims×dims TINY, so the zero-cell completion (cross join of the
+    marginals, required for a correct statistic) and the final sum cost
+    nothing. Expected counts are single double divisions of identical
+    integers on both engines — bit-exact terms; squaring is explicit
+    multiplication (pow() may round differently across libms)."""
+    docs = _t(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    nl = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    ns = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    tot = docs.agg(F.count(F.lit(1)).alias("n_tot"))
+    cells = (
+        nl.crossJoin(ns)
+        .crossJoin(F.broadcast(tot))
+        .join(obs, ["lang", "source"], "left")
+        .fillna({"n": 0})
+    )
+    exp = F.col("n_l") * F.col("n_s") * F.lit(1.0) / F.col("n_tot")
+    diff = F.col("n") - exp
+    return cells.agg(
+        F.round(F.sum(diff * diff / exp), 4).alias("chi2_stat"),
+        (
+            (F.countDistinct("lang") - 1) * (F.countDistinct("source") - 1)
+        ).cast("long").alias("dof"),
+    )
+
+
+@query(
+    "lang_source_mutual_info",
+    """
+    WITH obs AS (SELECT lang, source, count(*) AS n FROM documents
+                 GROUP BY 1, 2),
+    nl AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY 1),
+    ns AS (SELECT source, count(*) AS n_s FROM documents GROUP BY 1),
+    tot AS (SELECT count(*) AS n_tot FROM documents)
+    SELECT round(sum((n * 1.0 / n_tot)
+                     * ln((n * 1.0 * n_tot) / (n_l * 1.0 * n_s))), 4)
+             AS mutual_info_nats
+    FROM obs
+    JOIN nl USING (lang)
+    JOIN ns USING (source)
+    CROSS JOIN tot
+    """,
+)
+def lang_source_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (nats) between lang and source — the
+    information-theoretic twin of the chi-square query (zero cells
+    contribute 0, so only observed cells participate). The log argument
+    is one double division of exact integer products (counts ≤ ~1e6, so
+    the products stay inside double's exact-integer range) — bit-exact
+    across engines, same ln/round discipline as priority_entropy."""
+    docs = _t(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    nl = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    ns = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    tot = docs.agg(F.count(F.lit(1)).alias("n_tot"))
+    j = (
+        obs.join(F.broadcast(nl), "lang")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(tot))
+    )
+    p = F.col("n") * F.lit(1.0) / F.col("n_tot")
+    arg = (F.col("n") * F.lit(1.0) * F.col("n_tot")) / (
+        F.col("n_l") * F.lit(1.0) * F.col("n_s")
+    )
+    return j.agg(
+        F.round(F.sum(p * F.log(arg)), 4).alias("mutual_info_nats")
+    )
+
+
+@query(
+    "spearman_qty_price",
+    """
+    WITH r AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+                      CAST(l_extendedprice AS DOUBLE) AS y
+               FROM lineitem),
+    rk AS (SELECT
+             rank() OVER (ORDER BY x)
+               + (count(*) OVER (PARTITION BY x) - 1) / 2.0 AS rx,
+             rank() OVER (ORDER BY y)
+               + (count(*) OVER (PARTITION BY y) - 1) / 2.0 AS ry
+           FROM r),
+    s AS (SELECT
+            CAST(count(*) AS DOUBLE) AS n,
+            CAST(sum(CAST(rx AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+            CAST(sum(CAST(ry AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+            CAST(sum(CAST(rx * rx AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+            CAST(sum(CAST(ry * ry AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+            CAST(sum(CAST(rx * ry AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+          FROM rk)
+    SELECT round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4)
+             AS spearman_rho
+    FROM s
+    """,
+)
+def spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (tie-corrected via average ranks =
+    rank() + (ties−1)/2) between quantity and extended price —
+    complements lineitem_correlations' Pearson with the monotonic-
+    association view. Ranks need two global sorts (inherent to exact
+    Spearman; at 100 TB you'd bucket into approximate ranks via KLL
+    sketch CDFs instead — the sketch path already in the catalog). All
+    five moment sums accumulate in exact DECIMAL so the closed-form rho
+    is computed from bit-identical operands on both engines; ranks are
+    half-integers, exactly representable, and their products stay inside
+    double's exact range."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("double").alias("x"),
+        F.col("l_extendedprice").cast("double").alias("y"),
+    )
+    rx = F.rank().over(Window.orderBy("x")) + (
+        F.count(F.lit(1)).over(Window.partitionBy("x")) - 1
+    ) / 2.0
+    ry = F.rank().over(Window.orderBy("y")) + (
+        F.count(F.lit(1)).over(Window.partitionBy("y")) - 1
+    ) / 2.0
+    rk = li.select(rx.alias("rx"), ry.alias("ry"))
+
+    def dsum38(c):
+        return F.sum(c.cast("decimal(38,6)")).cast("double")
+
+    s = rk.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum38(F.col("rx")).alias("sx"),
+        dsum38(F.col("ry")).alias("sy"),
+        dsum38(F.col("rx") * F.col("rx")).alias("sxx"),
+        dsum38(F.col("ry") * F.col("ry")).alias("syy"),
+        dsum38(F.col("rx") * F.col("ry")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return s.select(
+        F.round(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            4,
+        ).alias("spearman_rho")
+    )

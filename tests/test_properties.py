@@ -441,3 +441,42 @@ def test_weighted_median_udaf_matches_reference(spark, rows):
             if cum >= half:
                 assert got[g] == v, (g, got[g], v)
                 break
+
+
+def test_spearman_matches_numpy_reference(spark, sf_dir):
+    """Engine Spearman (tie-corrected average ranks, exact decimal
+    moment sums) vs an independent NumPy implementation on the same
+    rows — catches rank/tie-handling mistakes the SQL oracle (same
+    formula) could share."""
+    import numpy as np
+
+    from chicago_crime_spark_ml_spark.queries import QUERIES
+    from chicago_crime_spark_ml_spark.sources.io import load_table
+
+    got = QUERIES["spearman_qty_price"](spark, sf_dir).first()["spearman_rho"]
+
+    rows = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_quantity", "l_extendedprice")
+        .collect()
+    )
+    x = np.array([float(r[0]) for r in rows])
+    y = np.array([float(r[1]) for r in rows])
+
+    def avg_rank(v):
+        order = np.argsort(v, kind="mergesort")
+        ranks = np.empty(len(v))
+        sv = v[order]
+        i = 0
+        while i < len(sv):
+            j = i
+            while j < len(sv) and sv[j] == sv[i]:
+                j += 1
+            # ranks i..j-1 (0-based) share the average of 1-based ranks
+            ranks[order[i:j]] = (i + 1 + j) / 2.0
+            i = j
+        return ranks
+
+    rx, ry = avg_rank(x), avg_rank(y)
+    want = np.corrcoef(rx, ry)[0, 1]
+    assert abs(got - want) < 1e-3
