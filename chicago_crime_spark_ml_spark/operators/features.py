@@ -83,3 +83,59 @@ def add_boolean_flag(
         out_col,
         F.when(F.col(col).isin(list(true_values)), 1.0).otherwise(0.0),
     )
+
+
+def holt_linear_forecast(
+    df,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    horizon: int = 1,
+):
+    """Holt's linear-trend exponential smoothing per series, forecasting
+    ``horizon`` steps past the last observation:
+
+        level_t = α·y_t + (1−α)(level_{t−1} + trend_{t−1})
+        trend_t = β·(level_t − level_{t−1}) + (1−β)·trend_{t−1}
+
+    The coupled recursion is order-dependent (not associative), so it
+    cannot be a window aggregate; it runs as applyInPandas — one Arrow
+    batch per key, state never leaves the group, series parallelism =
+    key cardinality. That's the right 100 TB shape for per-entity
+    models: millions of short series each fitting in one batch, NOT one
+    giant series (for that, chunk + refit or use the EWMA offset-explode
+    form already in the catalog). Initialization: level₀ = y₀,
+    trend₀ = y₁ − y₀ (0 for singleton series).
+
+    Returns one row per key: (key, n_obs, level, trend, forecast).
+    NumPy-reference-tested in tests/test_properties.py.
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    out_schema = (
+        f"{key_col} long, n_obs long, level double, trend double, "
+        "forecast double"
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(time_col, kind="mergesort")
+        y = pdf[value_col].astype(float).to_numpy()
+        level = y[0]
+        trend = (y[1] - y[0]) if len(y) > 1 else 0.0
+        for t in range(1, len(y)):
+            prev = level
+            level = alpha * y[t] + (1 - alpha) * (level + trend)
+            trend = beta * (level - prev) + (1 - beta) * trend
+        return pd.DataFrame(
+            {
+                key_col: [pdf[key_col].iloc[0]],
+                "n_obs": [len(y)],
+                "level": [level],
+                "trend": [trend],
+                "forecast": [level + horizon * trend],
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandas(fit, schema=out_schema)

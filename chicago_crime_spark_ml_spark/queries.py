@@ -7041,3 +7041,75 @@ def spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("spearman_rho")
     )
+
+
+# ---------------------------------------------------------------------------
+# Privacy + per-series forecasting batch
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "k_anonymity_violations",
+    """
+    WITH qi AS (
+      SELECT c_mktsegment,
+             c_nationkey,
+             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+             count(*) AS grp_n
+      FROM customer
+      GROUP BY 1, 2, 3)
+    SELECT CAST(count(*) AS BIGINT) AS violating_groups,
+           CAST(coalesce(sum(CASE WHEN grp_n < 5 THEN grp_n END), 0)
+                AS BIGINT) AS rows_at_risk,
+           CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
+    FROM qi WHERE grp_n < 5
+    """,
+)
+def k_anonymity_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (k=5) over a quasi-identifier tuple
+    (segment, nation, $1000 balance band): groups small enough to
+    re-identify a member. One hash agg over the table + a trivial agg
+    over the group table — the release-gate check a privacy-aware
+    corpus pipeline runs before publishing joins of 'anonymized'
+    attributes. Banding uses floor division so negative balances band
+    correctly (floor(-0.4)=-1, matching DuckDB)."""
+    c = _t(spark, sf_dir, "customer")
+    qi = c.groupBy(
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("grp_n"))
+    v = qi.filter(F.col("grp_n") < 5)
+    return v.agg(
+        F.count(F.lit(1)).cast("long").alias("violating_groups"),
+        F.coalesce(F.sum("grp_n"), F.lit(0)).cast("long").alias("rows_at_risk"),
+        F.countDistinct("c_mktsegment").cast("long").alias("n_segments"),
+    )
+
+
+@query("user_value_holt_forecast")
+def user_value_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend forecast of each user's next-day event value —
+    per-series coupled recursion (level+trend), which no window
+    aggregate can express; runs as one Arrow batch per user via
+    applyInPandas (operators/features.py:holt_linear_forecast).
+    Rows-only for the driver (order-dependent recursion has no SQL
+    oracle); exactness vs an independent NumPy loop is property-tested."""
+    from chicago_crime_spark_ml_spark.operators.features import (
+        holt_linear_forecast,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.coalesce("value", F.lit(0.0))).alias("daily_value"))
+    out = holt_linear_forecast(
+        daily, "user_id", "day", "daily_value", alpha=0.5, beta=0.3
+    )
+    return out.select(
+        "user_id",
+        "n_obs",
+        F.round("level", 4).alias("level"),
+        F.round("trend", 4).alias("trend"),
+        F.round("forecast", 4).alias("forecast"),
+    )

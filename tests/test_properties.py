@@ -480,3 +480,46 @@ def test_spearman_matches_numpy_reference(spark, sf_dir):
     rx, ry = avg_rank(x), avg_rank(y)
     want = np.corrcoef(rx, ry)[0, 1]
     assert abs(got - want) < 1e-3
+
+
+def test_holt_forecast_matches_numpy_loop(spark, sf_dir):
+    """applyInPandas Holt smoothing == an independent driver-side NumPy
+    recursion on identical per-day inputs — exact to float tolerance,
+    catching ordering/initialization mistakes inside the grouped UDF."""
+    from pyspark.sql import functions as F
+
+    from chicago_crime_spark_ml_spark.operators.features import (
+        holt_linear_forecast,
+    )
+    from chicago_crime_spark_ml_spark.sources.io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.coalesce("value", F.lit(0.0))).alias("daily_value"))
+
+    got = {
+        r.user_id: (r.n_obs, r.level, r.trend, r.forecast)
+        for r in holt_linear_forecast(
+            daily, "user_id", "day", "daily_value"
+        ).collect()
+    }
+
+    series = {}
+    for r in daily.collect():
+        series.setdefault(r.user_id, []).append((r.day, r.daily_value))
+    assert len(got) == len(series) > 0
+    a, b = 0.5, 0.3
+    for uid, pts in series.items():
+        ys = [v for _, v in sorted(pts, key=lambda p: p[0])]
+        level = ys[0]
+        trend = (ys[1] - ys[0]) if len(ys) > 1 else 0.0
+        for t in range(1, len(ys)):
+            prev = level
+            level = a * ys[t] + (1 - a) * (level + trend)
+            trend = b * (level - prev) + (1 - b) * trend
+        n, gl, gt, gf = got[uid]
+        assert n == len(ys)
+        assert abs(gl - level) < 1e-9 * max(1, abs(level))
+        assert abs(gt - trend) < 1e-6
+        assert abs(gf - (level + trend)) < 1e-6
