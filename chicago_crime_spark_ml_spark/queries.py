@@ -7113,3 +7113,82 @@ def user_value_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("trend", 4).alias("trend"),
         F.round("forecast", 4).alias("forecast"),
     )
+
+
+@query(
+    "multimodal_plumbing_check",
+    "SELECT true AS features_row_preserving, true AS features_bounded, "
+    "true AS resize_exact_bytes, true AS frames_exact_fanout, "
+    "true AS envelope_samples_conserved",
+)
+def multimodal_plumbing_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable contract for the multimodal mapInPandas surface
+    (decode is stubbed — the container has no media libs — so the
+    checkable truths are the Spark-side plumbing invariants): feature
+    extraction is 1:1 row-preserving with features in [0,1]; resize
+    emits exactly width×height bytes per row; frame sampling fans out
+    exactly n_frames rows per doc; the audio envelope's window sample
+    counts sum back to the blob's byte length. A red column means the
+    Arrow batch plumbing (schema, batching, explode arity) broke —
+    exactly what would silently corrupt a real decode swap-in."""
+    from chicago_crime_spark_ml_spark.operators.multimodal import (
+        attach_blob,
+        audio_window_envelope,
+        extract_features,
+        resize_images,
+        sample_frames,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = attach_blob(docs)
+    n_docs = d.count()
+
+    feats = extract_features(d)
+    features_rows = feats.count() == n_docs
+    features_bounded = (
+        feats.select(F.explode("features").alias("v"))
+        .filter((F.col("v") < 0.0) | (F.col("v") > 1.0))
+        .count()
+        == 0
+    )
+
+    rs = resize_images(d, width=16, height=16)
+    resize_ok = (
+        rs.filter(F.col("n_out_bytes") != 16 * 16).count() == 0
+        and rs.count() == n_docs
+    )
+
+    fr = sample_frames(d, n_frames=3)
+    frames_ok = (
+        fr.count() == n_docs * 3
+        and fr.groupBy("doc_id").count().filter(F.col("count") != 3).count()
+        == 0
+    )
+
+    env = audio_window_envelope(d, window_samples=64)
+    blob_len = d.select(
+        "doc_id", F.octet_length("blob").alias("n_bytes")
+    )
+    env_ok = (
+        env.groupBy("doc_id")
+        .agg(F.sum("n_samples").alias("s"))
+        .join(blob_len, "doc_id")
+        .filter(F.col("s") != F.col("n_bytes"))
+        .count()
+        == 0
+    )
+
+    return spark.createDataFrame(
+        [
+            (
+                bool(features_rows),
+                bool(features_bounded),
+                bool(resize_ok),
+                bool(frames_ok),
+                bool(env_ok),
+            )
+        ],
+        "features_row_preserving boolean, features_bounded boolean, "
+        "resize_exact_bytes boolean, frames_exact_fanout boolean, "
+        "envelope_samples_conserved boolean",
+    )

@@ -470,3 +470,103 @@ def test_stream_static_enrichment_equals_batch(spark, sf_dir):
         for r in batch.select("event_id", "user_id").join(dim, "user_id").collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stateful_totals_on_rocksdb_state_store(spark, sf_dir):
+    """Same keyed-state operator, RocksDB state store provider — the
+    store that holds state on executor DISK at scale (memory-bounded,
+    changelog-checkpointed) instead of the default in-memory HDFS-backed
+    map. The provider is picked up at query START, so setting the conf
+    around this one query is enough; results must be identical."""
+    from chicago_crime_spark_ml_spark.sources.io import load_table
+    from chicago_crime_spark_ml_spark.streaming import (
+        run_stream_to_memory,
+        stateful_user_totals,
+        stream_events,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        out = stateful_user_totals(stream_events(spark, sf_dir))
+        run_stream_to_memory(out, "rocksdb_totals", output_mode="update")
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+    got = {
+        r.user_id: (r.n_events, round(r.total_value, 6))
+        for r in spark.sql(
+            "SELECT user_id, n_events, total_value FROM rocksdb_totals"
+        ).collect()
+    }
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce("value", F.lit(0.0))).alias("total"),
+        )
+        .collect()
+    )
+    assert len(got) == len(batch) > 0
+    for r in batch:
+        assert got[r.user_id] == (r.n, round(r.total, 6))
+
+
+def test_streaming_checkpoint_recovery_no_duplicates(spark, tmp_path):
+    """Exactly-once across QUERY RESTARTS: stop a checkpointed rollup
+    stream, start a NEW query on the same checkpoint, feed more data —
+    the offset log must resume past already-committed batches (no
+    double-count of batch 1) while the new batch lands."""
+    import datetime as dt
+
+    from chicago_crime_spark_ml_spark.streaming import (
+        incremental_rollup_to_parquet,
+    )
+
+    src = tmp_path / "ckpt_src"
+    src.mkdir()
+    table, ckpt = str(tmp_path / "ckpt_rollup"), str(tmp_path / "ckpt_log")
+
+    def emit(rows):
+        spark.createDataFrame(rows, "ts TIMESTAMP, v DOUBLE").coalesce(
+            1
+        ).write.mode("append").parquet(str(src))
+
+    def make_query():
+        stream = spark.readStream.schema("ts TIMESTAMP, v DOUBLE").parquet(
+            str(src)
+        )
+        agg = stream.groupBy(
+            F.date_trunc("day", "ts").alias("day")
+        ).agg(F.count(F.lit(1)).alias("n"))
+        return incremental_rollup_to_parquet(agg, table, ["day"], ckpt)
+
+    t = lambda d, h: dt.datetime(2026, 3, d, h)  # noqa: E731
+    emit([(t(1, 9), 1.0), (t(1, 10), 1.0)])
+    q1 = make_query()
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+
+    emit([(t(1, 11), 1.0), (t(2, 9), 1.0)])
+    q2 = make_query()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    state = {(r.day, r.n) for r in spark.read.parquet(table).collect()}
+    assert state == {
+        (dt.datetime(2026, 3, 1), 3),  # 2 from batch 1 + 1 new, not 5
+        (dt.datetime(2026, 3, 2), 1),
+    }
