@@ -7192,3 +7192,245 @@ def multimodal_plumbing_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "resize_exact_bytes boolean, frames_exact_fanout boolean, "
         "envelope_samples_conserved boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution-audit batch: Gini, Benford, autocorrelation, A/B z-test
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "customer_revenue_gini",
+    """
+    WITH rev AS (
+      SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS r
+      FROM orders GROUP BY 1),
+    ranked AS (
+      SELECT r,
+             row_number() OVER (ORDER BY r, o_custkey) AS i,
+             count(*) OVER () AS n,
+             sum(r) OVER () AS tot
+      FROM rev)
+    SELECT CAST(any_value(n) AS BIGINT) AS n_customers,
+           round(CAST(sum((2 * i - n - 1) * r) AS DOUBLE)
+                 / (CAST(any_value(n) AS DOUBLE)
+                    * CAST(any_value(tot) AS DOUBLE)), 4) AS gini
+    FROM ranked
+    """,
+)
+def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration — the
+    inequality KPI behind 'what share of revenue is the top 1%'. Computed
+    on the CUSTOMER rollup (one row per customer), so the global sort the
+    rank formula needs runs over the small aggregate, never the fact
+    table; revenue accumulates in exact DECIMAL and the (2i−n−1)·rᵢ
+    terms sum exactly, making the final double division bit-identical
+    across engines. Ties in revenue get a custkey tiebreak — the Gini
+    value is tie-order invariant, the plan deterministic."""
+    o = _t(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("r")
+    )
+    w = Window.orderBy("r", "o_custkey")
+    ranked = rev.select(
+        "r",
+        F.row_number().over(w).alias("i"),
+    )
+    tot = rev.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("r").alias("tot")
+    )
+    j = ranked.crossJoin(F.broadcast(tot))
+    return j.agg(
+        F.any_value(F.col("n")).cast("long").alias("n_customers"),
+        F.round(
+            F.sum(
+                (F.lit(2) * F.col("i") - F.col("n") - F.lit(1)) * F.col("r")
+            ).cast("double")
+            / (
+                F.any_value(F.col("n")).cast("double")
+                * F.any_value(F.col("tot")).cast("double")
+            ),
+            4,
+        ).alias("gini"),
+    )
+
+
+@query(
+    "benford_first_digit_audit",
+    """
+    WITH cents AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders WHERE o_totalprice > 0),
+    digits AS (
+      SELECT CAST(left(CAST(c AS VARCHAR), 1) AS INTEGER) AS digit
+      FROM cents),
+    counted AS (SELECT digit, count(*) AS n FROM digits GROUP BY 1),
+    tot AS (SELECT sum(n) AS n_tot FROM counted)
+    SELECT digit, n,
+           round(n * 1.0 / n_tot, 4) AS p_obs,
+           round(log10(1.0 + 1.0 / digit), 4) AS p_benford
+    FROM counted CROSS JOIN tot
+    """,
+)
+def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit of order totals (the
+    classic fabricated-data / corrupted-feed detector). The digit is
+    extracted from the STRING of integer cents — ×100 can't change the
+    leading significant digit, and integer-to-string is byte-identical
+    across engines, where floor(log10(x)) arithmetic could flip at
+    power-of-ten boundaries. One hash agg over 9 groups."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    digits = o.select(
+        F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit")
+    )
+    counted = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = counted.agg(F.sum("n").alias("n_tot"))
+    return counted.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        F.round(F.col("n") * 1.0 / F.col("n_tot"), 4).alias("p_obs"),
+        F.round(F.log10(1.0 + 1.0 / F.col("digit")), 4).alias("p_benford"),
+    )
+
+
+@query(
+    "daily_revenue_autocorr",
+    """
+    WITH daily AS (
+      SELECT o_orderdate AS day,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS y
+      FROM orders GROUP BY 1),
+    pairs AS (
+      SELECT y, lag(y) OVER (ORDER BY day) AS yp FROM daily),
+    s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(y  AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(yp AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(y * y   AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(yp * yp AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+             CAST(sum(CAST(y * yp  AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+      FROM pairs WHERE yp IS NOT NULL)
+    SELECT round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4)
+             AS autocorr_lag1,
+           CAST(n AS BIGINT) AS n_pairs
+    FROM s
+    """,
+)
+def daily_revenue_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the daily-revenue series (row lag over
+    observed days — the persistence/seasonality smell test before any
+    forecasting). The series is one row per DAY, so the global-order
+    window costs nothing after the date rollup; daily sums are exact
+    decimal cast to double once (bit-identical operands), then the same
+    decimal-moment Pearson machinery as spearman_qty_price."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("y")
+    )
+    pairs = daily.select(
+        "y", F.lag("y").over(Window.orderBy("day")).alias("yp")
+    ).filter(F.col("yp").isNotNull())
+
+    def dsum(c, t="decimal(38,6)"):
+        return F.sum(c.cast(t)).cast("double")
+
+    s = pairs.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(F.col("y"), "decimal(28,6)").alias("sx"),
+        dsum(F.col("yp"), "decimal(28,6)").alias("sy"),
+        dsum(F.col("y") * F.col("y")).alias("sxx"),
+        dsum(F.col("yp") * F.col("yp")).alias("syy"),
+        dsum(F.col("y") * F.col("yp")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return s.select(
+        F.round(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            4,
+        ).alias("autocorr_lag1"),
+        n.cast("long").alias("n_pairs"),
+    )
+
+
+@query(
+    "ab_value_ztest",
+    """
+    WITH assigned AS (
+      SELECT CASE WHEN CAST(json_extract(props, '$.k') AS INTEGER) < 50
+                  THEN 'A' ELSE 'B' END AS variant,
+             value
+      FROM events
+      WHERE event_type = 'purchase' AND value IS NOT NULL),
+    s AS (
+      SELECT variant,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(value * value AS DECIMAL(28,8))) AS DOUBLE) AS sxx
+      FROM assigned GROUP BY 1),
+    m AS (
+      SELECT variant, n, sx / n AS mean,
+             (sxx - sx * sx / n) / (n - 1) AS var
+      FROM s)
+    SELECT round(a.mean - b.mean, 4) AS mean_diff,
+           round((a.mean - b.mean)
+                 / sqrt(a.var / a.n + b.var / b.n), 4) AS z_stat,
+           CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b
+    FROM (SELECT * FROM m WHERE variant = 'A') a
+    CROSS JOIN (SELECT * FROM m WHERE variant = 'B') b
+    """,
+)
+def ab_value_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Welch z-test on purchase value between experiment
+    buckets (assignment = props.k < 50 — the hash-bucket split an
+    event-logged A/B framework produces). One grouped moment pass (count,
+    exact-decimal Σx and Σx²) then the closed form on a 2-row table;
+    identical IEEE shapes on both engines, so mean/variance/z round
+    identically. The template for any metrics-platform significance
+    readout at scale: moments shuffle, raw values don't."""
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    assigned = ev.select(
+        F.when(
+            F.try_variant_get(F.parse_json("props"), "$.k", "int") < 50, "A"
+        )
+        .otherwise("B")
+        .alias("variant"),
+        "value",
+    )
+    s = assigned.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sx"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(28,8)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    m = s.select(
+        "variant",
+        "n",
+        (F.col("sx") / F.col("n")).alias("mean"),
+        (
+            (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("var"),
+    )
+    a = m.filter(F.col("variant") == "A").alias("a")
+    b = m.filter(F.col("variant") == "B").alias("b")
+    return a.crossJoin(b).select(
+        F.round(F.col("a.mean") - F.col("b.mean"), 4).alias("mean_diff"),
+        F.round(
+            (F.col("a.mean") - F.col("b.mean"))
+            / F.sqrt(
+                F.col("a.var") / F.col("a.n") + F.col("b.var") / F.col("b.n")
+            ),
+            4,
+        ).alias("z_stat"),
+        F.col("a.n").cast("long").alias("n_a"),
+        F.col("b.n").cast("long").alias("n_b"),
+    )
