@@ -7434,3 +7434,267 @@ def ab_value_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.n").cast("long").alias("n_a"),
         F.col("b.n").cast("long").alias("n_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Drift / changepoint / distribution-shift batch
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "order_value_psi_drift",
+    """
+    WITH binned AS (
+      SELECT CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 2 END AS period,
+             CAST(least(9, greatest(0, floor(o_totalprice / 50000.0)))
+                  AS INTEGER) AS bin
+      FROM orders
+      WHERE year(o_orderdate) IN (1995, 1996)),
+    counts AS (
+      SELECT period, bin, count(*) AS n FROM binned GROUP BY 1, 2),
+    tot AS (
+      SELECT period, sum(n) AS n_tot FROM counts GROUP BY 1),
+    bins AS (SELECT DISTINCT bin FROM counts),
+    p AS (
+      SELECT bins.bin,
+             greatest(coalesce(c1.n, 0) * 1.0
+                      / (SELECT n_tot FROM tot WHERE period = 1), 1e-6)
+               AS p1,
+             greatest(coalesce(c2.n, 0) * 1.0
+                      / (SELECT n_tot FROM tot WHERE period = 2), 1e-6)
+               AS p2
+      FROM bins
+      LEFT JOIN (SELECT * FROM counts WHERE period = 1) c1 USING (bin)
+      LEFT JOIN (SELECT * FROM counts WHERE period = 2) c2 USING (bin))
+    SELECT round(sum((p1 - p2) * ln(p1 / p2)), 4) AS psi,
+           CAST(count(*) AS BIGINT) AS n_bins
+    FROM p
+    """,
+)
+def order_value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two periods of the order-value
+    distribution — the standard model-monitoring drift gate (PSI > 0.2 =
+    retrain). Fixed absolute bins (floor division — identical integer
+    bins on both engines, unlike data-dependent quantile bins), zero
+    counts clamped at 1e-6 exactly as monitoring systems do. The fact
+    table contributes one hash agg; everything after is bins-sized."""
+    o = _t(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(1995, 1996)
+    )
+    binned = o.select(
+        F.when(F.year("o_orderdate") == 1995, 1).otherwise(2).alias("period"),
+        F.least(
+            F.lit(9),
+            F.greatest(
+                F.lit(0), F.floor(F.col("o_totalprice") / 50000.0)
+            ),
+        )
+        .cast("int")
+        .alias("bin"),
+    )
+    counts = binned.groupBy("period", "bin").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = counts.groupBy("period").agg(F.sum("n").alias("n_tot"))
+    c1 = (
+        counts.join(tot, "period")
+        .filter(F.col("period") == 1)
+        .select("bin", (F.col("n") * 1.0 / F.col("n_tot")).alias("p1_raw"))
+    )
+    c2 = (
+        counts.join(tot, "period")
+        .filter(F.col("period") == 2)
+        .select("bin", (F.col("n") * 1.0 / F.col("n_tot")).alias("p2_raw"))
+    )
+    bins = counts.select("bin").distinct()
+    p = (
+        bins.join(c1, "bin", "left")
+        .join(c2, "bin", "left")
+        .select(
+            F.greatest(F.coalesce("p1_raw", F.lit(0.0)), F.lit(1e-6)).alias("p1"),
+            F.greatest(F.coalesce("p2_raw", F.lit(0.0)), F.lit(1e-6)).alias("p2"),
+        )
+    )
+    return p.agg(
+        F.round(
+            F.sum((F.col("p1") - F.col("p2")) * F.log(F.col("p1") / F.col("p2"))),
+            4,
+        ).alias("psi"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+    )
+
+
+@query(
+    "order_value_ks_two_sample",
+    """
+    WITH pooled AS (
+      SELECT o_totalprice AS v,
+             CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END AS is1
+      FROM orders WHERE year(o_orderdate) IN (1995, 1996)),
+    n AS (
+      SELECT sum(is1) AS n1, sum(1 - is1) AS n2 FROM pooled),
+    cdf AS (
+      SELECT sum(is1) OVER (ORDER BY v) * 1.0 / (SELECT n1 FROM n) AS f1,
+             sum(1 - is1) OVER (ORDER BY v) * 1.0 / (SELECT n2 FROM n) AS f2
+      FROM pooled)
+    SELECT round(max(abs(f1 - f2)), 4) AS ks_stat,
+           (SELECT CAST(n1 AS BIGINT) FROM n) AS n_1995,
+           (SELECT CAST(n2 AS BIGINT) FROM n) AS n_1996
+    FROM cdf
+    """,
+)
+def order_value_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between two years of order
+    values: max |F1(x) − F2(x)| over the pooled sample. The default
+    RANGE window frame includes value ties identically on both engines;
+    the running counts divide the same integers, so every CDF step is
+    bit-identical. Needs one global sort of the two samples — exact KS
+    is inherently order-based; at 100 TB the drift check of record is
+    the binned PSI above (hash aggs only) or KLL-sketch CDFs."""
+    o = _t(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(1995, 1996)
+    )
+    pooled = o.select(
+        F.col("o_totalprice").alias("v"),
+        F.when(F.year("o_orderdate") == 1995, 1).otherwise(0).alias("is1"),
+    )
+    n = pooled.agg(
+        F.sum("is1").alias("n1"),
+        F.sum(F.lit(1) - F.col("is1")).alias("n2"),
+    )
+    w = Window.orderBy("v")
+    cdf = pooled.crossJoin(F.broadcast(n)).select(
+        (F.sum("is1").over(w) * 1.0 / F.col("n1")).alias("f1"),
+        (F.sum(F.lit(1) - F.col("is1")).over(w) * 1.0 / F.col("n2")).alias(
+            "f2"
+        ),
+        "n1",
+        "n2",
+    )
+    return cdf.agg(
+        F.round(F.max(F.abs(F.col("f1") - F.col("f2"))), 4).alias("ks_stat"),
+        F.any_value("n1").cast("long").alias("n_1995"),
+        F.any_value("n2").cast("long").alias("n_1996"),
+    )
+
+
+@query(
+    "revenue_cusum_changepoint",
+    """
+    WITH daily AS (
+      SELECT o_orderdate AS day,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS y
+      FROM orders GROUP BY 1),
+    m AS (
+      SELECT CAST(sum(CAST(y AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS mu
+      FROM daily),
+    c AS (
+      SELECT day,
+             sum(y - (SELECT mu FROM m)) OVER (ORDER BY day
+               ROWS UNBOUNDED PRECEDING) AS cusum
+      FROM daily)
+    SELECT day AS changepoint_day,
+           round(abs(cusum), 2) AS max_abs_cusum
+    FROM c ORDER BY abs(cusum) DESC, day LIMIT 1
+    """,
+)
+def revenue_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint locator on the daily-revenue series: the day
+    where the cumulative deviation from the global mean peaks — where
+    the level shift happened. Runs entirely on the day-level rollup
+    (the only global-order window is over ~n_days rows); the cumulative
+    sum adds identical doubles in identical order on both engines, and
+    the argmax is tie-broken by day. ROWS frame, not RANGE: days are
+    distinct, and ROWS is explicit about one-step-per-row."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("y")
+    )
+    m = daily.agg(
+        (
+            F.sum(F.col("y").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    c = daily.crossJoin(F.broadcast(m)).select(
+        "day", F.sum(F.col("y") - F.col("mu")).over(w).alias("cusum")
+    )
+    return (
+        c.orderBy(F.abs(F.col("cusum")).desc(), F.col("day"))
+        .limit(1)
+        .select(
+            F.col("day").alias("changepoint_day"),
+            F.round(F.abs(F.col("cusum")), 2).alias("max_abs_cusum"),
+        )
+    )
+
+
+@query(
+    "daily_revenue_dow_anomalies",
+    """
+    WITH daily AS (
+      SELECT o_orderdate AS day,
+             dayofweek(o_orderdate) + 1 AS dow,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS y
+      FROM orders GROUP BY 1, 2),
+    s AS (
+      SELECT dow,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+      FROM daily GROUP BY 1),
+    st AS (
+      SELECT dow, sx / n AS mu,
+             sqrt((sxx - sx * sx / n) / (n - 1)) AS sd
+      FROM s WHERE n > 1)
+    SELECT d.day, CAST(d.dow AS INTEGER) AS dow,
+           round(d.y, 2) AS revenue,
+           round((d.y - st.mu) / st.sd, 4) AS z
+    FROM daily d JOIN st ON d.dow = st.dow
+    WHERE abs((d.y - st.mu) / st.sd) > 2.0
+    """,
+)
+def daily_revenue_dow_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly days: revenue compared against ITS OWN
+    day-of-week's mean/std (a Monday is only anomalous vs Mondays), |z| >
+    2. Day-of-week stats come from decimal moment sums (7 groups), joined
+    back broadcast — the fact table is touched once for the day rollup.
+    DuckDB dayofweek is 0=Sunday vs Spark 1=Sunday; the oracle adds +1."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").alias("day"),
+        F.dayofweek("o_orderdate").alias("dow"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("y")
+    )
+    s = daily.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("y").cast("decimal(28,6)")).cast("double").alias("sx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    st = s.filter(F.col("n") > 1).select(
+        "dow",
+        (F.col("sx") / F.col("n")).alias("mu"),
+        F.sqrt(
+            (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("sd"),
+    )
+    z = (F.col("y") - F.col("mu")) / F.col("sd")
+    return (
+        daily.join(F.broadcast(st), "dow")
+        .filter(F.abs(z) > 2.0)
+        .select(
+            "day",
+            F.col("dow").cast("int").alias("dow"),
+            F.round("y", 2).alias("revenue"),
+            F.round(z, 4).alias("z"),
+        )
+    )
