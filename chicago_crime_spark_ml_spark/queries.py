@@ -7698,3 +7698,194 @@ def daily_revenue_dow_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 4).alias("z"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Survival + corpus-linguistics batch
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "repeat_purchase_survival_km",
+    """
+    WITH ranked AS (
+      SELECT o_custkey, o_orderdate,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders),
+    maxd AS (SELECT max(o_orderdate) AS m FROM orders),
+    surv AS (
+      SELECT f.o_custkey,
+             CASE WHEN s.o_orderdate IS NOT NULL
+                  THEN date_diff('day', f.o_orderdate, s.o_orderdate)
+                  ELSE date_diff('day', f.o_orderdate, maxd.m) END AS dur,
+             CASE WHEN s.o_orderdate IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM (SELECT * FROM ranked WHERE rn = 1) f
+      LEFT JOIN (SELECT * FROM ranked WHERE rn = 2) s USING (o_custkey)
+      CROSS JOIN maxd),
+    grid AS (
+      SELECT dur AS t,
+             sum(ev) AS d,
+             count(*) AS c
+      FROM surv GROUP BY 1),
+    risk AS (
+      SELECT t, d,
+             (SELECT count(*) FROM surv)
+               - coalesce(sum(c) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM grid),
+    km AS (
+      SELECT t, d, n_risk,
+             exp(sum(ln(greatest(1e-300, 1.0 - d * 1.0 / n_risk)))
+                 OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)) AS s
+      FROM risk)
+    SELECT CAST(t AS INTEGER) AS t_days,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS n_events,
+           round(s, 4) AS survival
+    FROM km WHERE d > 0
+    """,
+)
+def repeat_purchase_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival of 'time from first to second order' with
+    right-censoring at the dataset horizon (one-order customers are
+    censored, not dropped — dropping them is the classic retention-
+    analysis bias). The fact table contributes one per-customer window
+    pass; the KM product runs on the DURATION-level rollup (≤ n_days
+    rows) as exp∘cumsum∘ln — the associative form of the running
+    product, same ln discipline as the entropy queries."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ranked = o.select(
+        "o_custkey", "o_orderdate", F.row_number().over(w).alias("rn")
+    )
+    firsts = ranked.filter(F.col("rn") == 1).select(
+        "o_custkey", F.col("o_orderdate").alias("d1")
+    )
+    seconds = ranked.filter(F.col("rn") == 2).select(
+        "o_custkey", F.col("o_orderdate").alias("d2")
+    )
+    maxd = o.agg(F.max("o_orderdate").alias("m"))
+    surv = (
+        firsts.join(seconds, "o_custkey", "left")
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            F.when(
+                F.col("d2").isNotNull(), F.datediff("d2", "d1")
+            )
+            .otherwise(F.datediff("m", "d1"))
+            .alias("dur"),
+            F.when(F.col("d2").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+    )
+    grid = surv.groupBy(F.col("dur").alias("t")).agg(
+        F.sum("ev").alias("d"), F.count(F.lit(1)).alias("c")
+    )
+    total = surv.agg(F.count(F.lit(1)).alias("n_total"))
+    wt = Window.orderBy("t")
+    removed = F.coalesce(
+        F.sum("c").over(wt.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    km = (
+        grid.crossJoin(F.broadcast(total))
+        .withColumn("n_risk", F.col("n_total") - removed)
+        .withColumn(
+            "s",
+            F.exp(
+                F.sum(
+                    F.log(
+                        F.greatest(
+                            F.lit(1e-300),
+                            F.lit(1.0)
+                            - F.col("d") * F.lit(1.0) / F.col("n_risk"),
+                        )
+                    )
+                ).over(wt.rowsBetween(Window.unboundedPreceding, 0))
+            ),
+        )
+    )
+    return km.filter(F.col("d") > 0).select(
+        F.col("t").cast("int").alias("t_days"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("n_events"),
+        F.round("s", 4).alias("survival"),
+    )
+
+
+@query(
+    "token_zipf_slope",
+    """
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      FROM documents),
+    freq AS (
+      SELECT tok, count(*) AS f FROM toks WHERE tok <> '' GROUP BY 1),
+    top AS (
+      SELECT f, row_number() OVER (ORDER BY f DESC, tok) AS r
+      FROM freq ORDER BY f DESC, tok LIMIT 100),
+    pts AS (
+      SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(f AS DOUBLE)) AS y
+      FROM top),
+    s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(y AS DECIMAL(28,10))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x * x AS DECIMAL(28,10))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(x * y AS DECIMAL(28,10))) AS DOUBLE) AS sxy
+      FROM pts)
+    SELECT round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
+             AS zipf_slope,
+           CAST(n AS BIGINT) AS n_points
+    FROM s
+    """,
+)
+def token_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law exponent of the corpus: OLS slope of ln(freq) on
+    ln(rank) over the top-100 tokens (natural text ≈ −1; a corpus whose
+    slope drifts far from it is boilerplate- or spam-heavy — the
+    corpus-level cousin of the Benford audit). Token counting is one
+    explode + hash agg; ranking the top 100 is TakeOrderedAndProject
+    (freq desc, token tiebreak), and the regression runs on 100 rows
+    with decimal-quantized moment sums."""
+    from chicago_crime_spark_ml_spark.operators.text import tokens_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(tokens_expr("text", lowercase=True)).alias("tok")
+    ).filter(F.col("tok") != "")
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
+    top = (
+        freq.orderBy(F.col("f").desc(), F.col("tok"))
+        .limit(100)
+        .select(
+            "f",
+            F.row_number()
+            .over(Window.orderBy(F.col("f").desc(), F.col("tok")))
+            .alias("r"),
+        )
+    )
+    pts = top.select(
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("f").cast("double")).alias("y"),
+    )
+
+    def dsum(c):
+        return F.sum(c.cast("decimal(28,10)")).cast("double")
+
+    s = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(F.col("x")).alias("sx"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy = F.col("sxx"), F.col("sxy")
+    return s.select(
+        F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4).alias(
+            "zipf_slope"
+        ),
+        n.cast("long").alias("n_points"),
+    )
