@@ -283,3 +283,80 @@ def test_backfill_missing_partitions_idempotent(spark, tmp_path):
     # second pass is a no-op
     assert backfill_missing_partitions(df, path, "yr") == []
     assert spark.read.parquet(path).count() == 15
+
+
+def test_skipping_ratio_rewards_clustered_layout(spark, sf_dir, tmp_path):
+    """The objective function of layout work: a range predicate skips
+    far more FILES (footer min/max disjoint) on a range-partitioned
+    layout than on a hash-shuffled one of the same data."""
+    from chicago_crime_spark_ml_spark.sources.io import load_table
+    from chicago_crime_spark_ml_spark.sources.stats import (
+        file_spans,
+        skipping_ratio,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    shuffled = str(tmp_path / "shuffled")
+    clustered = str(tmp_path / "clustered")
+    o.repartition(8).write.parquet(shuffled)
+    o.repartitionByRange(8, "o_totalprice").sortWithinPartitions(
+        "o_totalprice"
+    ).write.parquet(clustered)
+
+    spans = file_spans(clustered, "o_totalprice")
+    assert sum(s.n_rows for s in spans) == o.count()
+
+    lo, hi = 100_000.0, 120_000.0
+    r_shuf = skipping_ratio(shuffled, "o_totalprice", lo, hi)
+    r_clus = skipping_ratio(clustered, "o_totalprice", lo, hi)
+    # hash layout: every file spans ~the full range -> nothing skips;
+    # range layout: only files whose slice intersects [lo,hi] open
+    assert r_shuf == 0.0
+    assert r_clus >= 0.5
+    # ground truth: the skipped files really contain no qualifying rows
+    n_in_range = o.filter(
+        (F.col("o_totalprice") >= lo) & (F.col("o_totalprice") <= hi)
+    ).count()
+    back = spark.read.parquet(clustered).filter(
+        (F.col("o_totalprice") >= lo) & (F.col("o_totalprice") <= hi)
+    )
+    assert back.count() == n_in_range
+
+
+def test_max_files_per_trigger_bounds_batches(spark, tmp_path):
+    """Ingest backpressure: maxFilesPerTrigger=1 must split a 3-file
+    backlog into 3 micro-batches instead of one giant catch-up batch —
+    the knob that keeps recovery from OOMing a 100 TB/day stream."""
+    import datetime as dt
+
+    src = tmp_path / "mfpt_src"
+    src.mkdir()
+    for i in range(3):
+        spark.createDataFrame(
+            [(i, dt.datetime(2026, 4, 1, 9 + i), float(i))],
+            "id BIGINT, ts TIMESTAMP, v DOUBLE",
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    batch_sizes = []
+
+    def sink(df, _bid):
+        batch_sizes.append(df.count())
+
+    q = (
+        spark.readStream.schema("id BIGINT, ts TIMESTAMP, v DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "mfpt_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert len(batch_sizes) >= 3
+    assert sum(batch_sizes) == 3
+    assert max(batch_sizes) == 1
