@@ -7889,3 +7889,68 @@ def token_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         n.cast("long").alias("n_points"),
     )
+
+
+@query(
+    "doc_bigram_logprob",
+    """
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+               FROM documents),
+    big AS (SELECT doc_id,
+                   unnest(w[1:len(w)-1]) AS w1,
+                   unnest(w[2:len(w)]) AS w2
+            FROM t WHERE len(w) >= 2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+    v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vsz
+          FROM (SELECT unnest(w) AS tok FROM t))
+    SELECT doc_id,
+           round(CAST(sum(CAST(ln((c12 + 1.0) / (c1 + vsz))
+                               AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 4) AS mean_bigram_logprob,
+           count(*) AS n_bigrams
+    FROM big JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+    GROUP BY doc_id
+    """,
+)
+def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency score (Laplace-smoothed, trained on the corpus
+    itself): per-doc mean ln P(w₂|w₁) — the sequence-aware upgrade of
+    doc_unigram_logprob that actually penalizes scrambled word order,
+    which a unigram LM cannot see. Bigrams come from one per-doc window
+    pass (posexplode + lead — no arrays materialized per row beyond the
+    token list); the LM tables are token-keyed hash aggs joined back
+    WITHOUT broadcast hints (vocabulary grows with the corpus). Same
+    DECIMAL(18,6) ln-term quantization as the unigram query."""
+    from chicago_crime_spark_ml_spark.operators.text import tokens_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens_expr("text")).alias("pos", "tok")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        toks.withColumn("w2", F.lead("tok").over(wd))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", F.col("tok").alias("w1"), "w2")
+    )
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    v = toks.agg(
+        F.countDistinct("tok").cast("double").alias("vsz")
+    )
+    p = (F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.col("vsz"))
+    return (
+        big.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.log(p).cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("mean_bigram_logprob"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+    )
