@@ -7954,3 +7954,60 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_bigrams"),
         )
     )
+
+
+@query(
+    "monthly_revenue_theil_sen",
+    """
+    WITH monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS m,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS y
+      FROM orders GROUP BY 1),
+    idx AS (
+      SELECT y, row_number() OVER (ORDER BY m) AS i FROM monthly),
+    slopes AS (
+      SELECT (b.y - a.y) / (b.i - a.i) AS s
+      FROM idx a JOIN idx b ON b.i > a.i),
+    cd AS (SELECT s, cume_dist() OVER (ORDER BY s) AS cd FROM slopes)
+    SELECT round(min(CASE WHEN cd >= 0.5 THEN s END), 4)
+             AS theil_sen_slope,
+           CAST(count(*) AS BIGINT) AS n_slopes
+    FROM cd
+    """,
+)
+def monthly_revenue_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of monthly revenue: the MEDIAN of all
+    pairwise slopes — up to ~29% contaminated months cannot move it,
+    unlike OLS. The O(n²) pair join runs over the MONTH-level rollup
+    (n ≈ tens to hundreds, so thousands of pairs — bounded by the
+    calendar, not the data volume); the fact table contributes one hash
+    agg. Median via the same cume_dist ≥ 0.5 discrete-quantile
+    construction as acctbal_percentile_disc_by_segment; slopes divide
+    bit-identical operands (exact-decimal month sums, integer index
+    gaps)."""
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("m")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("y")
+    )
+    idx = monthly.select(
+        "y", F.row_number().over(Window.orderBy("m")).alias("i")
+    )
+    a, b = idx.alias("a"), idx.alias("b")
+    slopes = a.join(b, F.col("b.i") > F.col("a.i")).select(
+        ((F.col("b.y") - F.col("a.y")) / (F.col("b.i") - F.col("a.i"))).alias(
+            "s"
+        )
+    )
+    cd = slopes.select(
+        "s", F.cume_dist().over(Window.orderBy("s")).alias("cd")
+    )
+    return cd.agg(
+        F.round(
+            F.min(F.when(F.col("cd") >= 0.5, F.col("s"))), 4
+        ).alias("theil_sen_slope"),
+        F.count(F.lit(1)).cast("long").alias("n_slopes"),
+    )
