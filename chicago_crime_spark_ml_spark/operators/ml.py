@@ -406,3 +406,39 @@ def pca_project(
         .drop("_v", "_p")
     )
     return projected, model
+
+
+def calibration_bins(
+    preds: DataFrame,
+    prob_col: str = "probability",
+    label_col: str = "label",
+    pred_col: str = "prediction",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram data: bucket predictions by top-class
+    confidence and compare each bucket's mean confidence to its actual
+    accuracy — the standard post-training calibration audit (a model
+    that says 0.9 should be right 90% of the time). One map-only pass
+    over the scored test set plus a ``n_bins``-group agg; expected
+    calibration error is Σ (n_b/N)·|acc_b − conf_b| over the result.
+    Returns (bin, n, mean_confidence, accuracy)."""
+    from pyspark.ml.functions import vector_to_array  # noqa: PLC0415
+
+    p = preds.withColumn(
+        "conf", F.array_max(vector_to_array(F.col(prob_col)))
+    )
+    b = F.least(
+        F.lit(n_bins - 1), F.floor(F.col("conf") * n_bins)
+    ).cast("int")
+    return (
+        p.groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("conf"), 4).alias("mean_confidence"),
+            F.round(
+                F.avg((F.col(pred_col) == F.col(label_col)).cast("double")),
+                4,
+            ).alias("accuracy"),
+        )
+        .orderBy("bin")
+    )

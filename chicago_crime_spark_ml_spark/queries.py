@@ -8011,3 +8011,37 @@ def monthly_revenue_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("theil_sen_slope"),
         F.count(F.lit(1)).cast("long").alias("n_slopes"),
     )
+
+
+@query("prediction_calibration_bins")  # stochastic ML — rows-only check
+def prediction_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration audit of the embeddings classifier (M6 extension):
+    reliability bins over the held-out split via ml.calibration_bins —
+    per-bin confidence vs realized accuracy, the input to an ECE gate
+    or a Platt/isotonic recalibration step. Training is seeded but
+    algorithm-stochastic across environments → rows-only for the
+    driver; structural invariants (bins partition [0,1], counts sum to
+    the test set) are pytest-asserted."""
+    from pyspark.ml.functions import array_to_vector
+
+    from chicago_crime_spark_ml_spark.operators.ml import (
+        calibration_bins,
+        train_multiclass,
+    )
+    from chicago_crime_spark_ml_spark.operators.relational import time_split
+
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .withColumn(
+            "features_arr",
+            array_to_vector(F.col("embedding").cast("array<double>")),
+        )
+        .withColumn("label_str", F.col("label").cast("string"))
+        .drop("label")
+    )
+    train, test = time_split(emb, "vec_id", 400)
+    res = train_multiclass(
+        train, test, ["features_arr"], "label_str", weighted=True, seed=42
+    )
+    preds = res.model.transform(test)
+    return calibration_bins(preds)

@@ -271,3 +271,28 @@ def test_pca_full_rank_preserves_pairwise_distances(spark, sf_dir):
     ev = list(model.explainedVariance)
     assert all(a >= b - 1e-12 for a, b in zip(ev, ev[1:]))
     assert 0.0 < sum(ev) <= 1.0 + 1e-9
+
+
+def test_calibration_bins_structure(spark, sf_dir):
+    """Bins partition the confidence range, counts sum to the scored
+    rows, accuracy/confidence stay in [0,1], and ECE is finite —
+    structural contract of the reliability-diagram operator."""
+    from chicago_crime_spark_ml_spark.queries import QUERIES
+
+    rows = QUERIES["prediction_calibration_bins"](spark, sf_dir).collect()
+    assert len(rows) >= 1
+    assert all(0 <= r.bin <= 9 for r in rows)
+    assert all(0.0 <= r.mean_confidence <= 1.0 for r in rows)
+    assert all(0.0 <= r.accuracy <= 1.0 for r in rows)
+    from chicago_crime_spark_ml_spark.operators.relational import time_split
+    from chicago_crime_spark_ml_spark.sources.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, test_split = time_split(emb, "vec_id", 400)
+    n_total = sum(r.n for r in rows)
+    assert n_total == test_split.count()
+    ece = sum(r.n / n_total * abs(r.accuracy - r.mean_confidence) for r in rows)
+    assert 0.0 <= ece <= 1.0
+    # confidences must actually fall inside their bin
+    for r in rows:
+        assert r.bin / 10 - 1e-9 <= r.mean_confidence <= (r.bin + 1) / 10 + 1e-9
