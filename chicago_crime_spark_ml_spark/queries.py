@@ -8045,3 +8045,53 @@ def prediction_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     preds = res.model.transform(test)
     return calibration_bins(preds)
+
+
+@query(
+    "user_activity_burstiness",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, count(*) AS n
+      FROM events GROUP BY 1, 2),
+    s AS (
+      SELECT user_id,
+             CAST(count(*) AS DOUBLE) AS days,
+             CAST(sum(CAST(n AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(n * n AS DECIMAL(28,6))) AS DOUBLE) AS sxx
+      FROM daily GROUP BY 1)
+    SELECT user_id,
+           CAST(days AS BIGINT) AS active_days,
+           round(sx / days, 4) AS mean_daily,
+           round(((sxx - sx * sx / days) / (days - 1)) / (sx / days), 4)
+             AS fano_factor
+    FROM s WHERE days > 1
+    """,
+)
+def user_activity_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness of per-user activity: the Fano factor (variance/mean
+    of daily event counts) — ≈1 for Poisson-like usage, ≫1 for bursty
+    bot-or-batch behavior, the standard traffic-shape screen before
+    rate modeling. Two hash aggs (user-day rollup, then per-user
+    moments in exact decimal); single-day users are excluded (sample
+    variance undefined)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    s = daily.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("days"),
+        F.sum(F.col("n").cast("decimal(18,4)")).cast("double").alias("sx"),
+        F.sum((F.col("n") * F.col("n")).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    mean = F.col("sx") / F.col("days")
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("days")) / (
+        F.col("days") - 1
+    )
+    return s.filter(F.col("days") > 1).select(
+        "user_id",
+        F.col("days").cast("long").alias("active_days"),
+        F.round(mean, 4).alias("mean_daily"),
+        F.round(var / mean, 4).alias("fano_factor"),
+    )

@@ -360,3 +360,37 @@ def test_max_files_per_trigger_bounds_batches(spark, tmp_path):
     assert len(batch_sizes) >= 3
     assert sum(batch_sizes) == 3
     assert max(batch_sizes) == 1
+
+
+def test_trigger_available_now_drains_and_stops(spark, tmp_path):
+    """Trigger.AvailableNow: process the whole backlog in rate-limited
+    batches, then STOP on its own — the scheduled-batch-over-streaming-
+    checkpoints pattern (nightly catch-up with streaming exactly-once
+    semantics, no always-on cluster)."""
+    import datetime as dt
+
+    src = tmp_path / "an_src"
+    src.mkdir()
+    for i in range(3):
+        spark.createDataFrame(
+            [(i, dt.datetime(2026, 5, 1, 8 + i), float(i))],
+            "id BIGINT, ts TIMESTAMP, v DOUBLE",
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    seen = []
+
+    def sink(df, _bid):
+        seen.append(df.count())
+
+    q = (
+        spark.readStream.schema("id BIGINT, ts TIMESTAMP, v DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "an_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive          # stopped itself after draining
+    assert sum(seen) == 3
