@@ -8095,3 +8095,114 @@ def user_activity_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean, 4).alias("mean_daily"),
         F.round(var / mean, 4).alias("fano_factor"),
     )
+
+
+@query(
+    "ship_leadtime_percentiles_by_month",
+    """
+    WITH lt AS (
+      SELECT date_trunc('month', o.o_orderdate) AS m,
+             date_diff('day', o.o_orderdate, l.l_shipdate) AS days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+    SELECT CAST(m AS TIMESTAMP) AS order_month,
+           count(*) AS n_items,
+           round(quantile_cont(days, 0.5), 4) AS p50_days,
+           round(quantile_cont(days, 0.9), 4) AS p90_days,
+           CAST(max(days) AS BIGINT) AS max_days
+    FROM lt GROUP BY 1
+    """,
+)
+def ship_leadtime_percentiles_by_month(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fulfillment lead-time SLO trend: exact p50/p90 of order→ship days
+    per order month — the ops KPI behind 'are we getting slower'. The
+    fact-fact lineitem⋈orders join shuffles on orderkey (bucketed layout
+    makes it exchange-free — SCALE.md §1); percentiles are exact
+    interpolating (F.percentile ≡ quantile_cont) per month group. At
+    100 TB the per-month groups still fit the agg buffer: percentile
+    state is per-group values, which is why the KLL-sketch path exists
+    for heavy-cardinality groupings."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    lt = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
+        F.datediff("l_shipdate", "o_orderdate").alias("days"),
+    )
+    return lt.groupBy("order_month").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.expr("percentile(days, 0.5)"), 4).alias("p50_days"),
+        F.round(F.expr("percentile(days, 0.9)"), 4).alias("p90_days"),
+        F.max("days").cast("long").alias("max_days"),
+    )
+
+
+@query(
+    "part_outstanding_balance_peak",
+    """
+    WITH ledger AS (
+      SELECT l.l_partkey AS pk, o.o_orderdate AS d, 0 AS tie,
+             l.l_orderkey AS ok, l.l_linenumber AS ln,
+             CAST(l.l_quantity AS DECIMAL(18,2)) AS delta
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      UNION ALL
+      SELECT l.l_partkey, l.l_shipdate, 1,
+             l.l_orderkey, l.l_linenumber,
+             -CAST(l.l_quantity AS DECIMAL(18,2))
+      FROM lineitem l),
+    run AS (
+      SELECT pk,
+             sum(delta) OVER (PARTITION BY pk
+                              ORDER BY d, tie, ok, ln
+                              ROWS UNBOUNDED PRECEDING) AS bal
+      FROM ledger),
+    peaks AS (
+      SELECT pk, CAST(max(bal) AS DOUBLE) AS peak_outstanding
+      FROM run GROUP BY pk)
+    SELECT pk AS p_partkey, peak_outstanding
+    FROM peaks
+    ORDER BY peak_outstanding DESC, pk LIMIT 20
+    """,
+)
+def part_outstanding_balance_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-ledger peak: each part's maximum simultaneously-
+    outstanding quantity (ordered at o_orderdate, relieved at
+    l_shipdate) — the inventory-exposure shape behind backlog and
+    working-capital KPIs. A +/− event union feeds one per-part ordered
+    window cumsum in exact DECIMAL (ties fully broken: date, event
+    type — orders before ships on the same day, matching the physical
+    'ordered then shipped' reality — then orderkey/linenumber), then
+    max-per-part and a TakeOrderedAndProject top-20."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    plus = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("l_partkey").alias("pk"),
+        F.col("o_orderdate").alias("d"),
+        F.lit(0).alias("tie"),
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("delta"),
+    )
+    minus = li.select(
+        F.col("l_partkey").alias("pk"),
+        F.col("l_shipdate").alias("d"),
+        F.lit(1).alias("tie"),
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+        (-F.col("l_quantity").cast("decimal(18,2)")).alias("delta"),
+    )
+    ledger = plus.unionByName(minus)
+    w = Window.partitionBy("pk").orderBy("d", "tie", "ok", "ln").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    run = ledger.select("pk", F.sum("delta").over(w).alias("bal"))
+    peaks = run.groupBy("pk").agg(
+        F.max("bal").cast("double").alias("peak_outstanding")
+    )
+    return (
+        peaks.orderBy(F.col("peak_outstanding").desc(), F.col("pk"))
+        .limit(20)
+        .select(F.col("pk").alias("p_partkey"), "peak_outstanding")
+    )
