@@ -350,6 +350,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     jaccard_threshold: float = 0.8,
     seed: int = 42,
+    margin: float = 0.0,
 ) -> DataFrame:
     """MinHash-LSH near-dup candidates via pyspark.ml MinHashLSH:
     shingle → HashingTF binary vector → minhash band buckets →
@@ -376,8 +377,13 @@ def minhash_lsh_pairs(
         inputCol="features", outputCol="hashes", numHashTables=num_hashes, seed=seed
     )
     model = lsh.fit(feats)
+    # margin widens the candidate net: approxSimilarityJoin's post-filter
+    # is Jaccard on the HASHED-TF vectors, and 2^18-bucket collisions can
+    # nudge a boundary pair's vector-Jaccard just below the string-shingle
+    # threshold (observed at sf0.1). Candidates are a superset by contract;
+    # exact rescoring downstream decides.
     joined = model.approxSimilarityJoin(
-        feats, feats, 1.0 - jaccard_threshold, distCol="jaccard_dist"
+        feats, feats, 1.0 - jaccard_threshold + margin, distCol="jaccard_dist"
     )
     return (
         joined.filter(F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}"))

@@ -5485,7 +5485,11 @@ def minhash_lsh_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     exact = ngram_jaccard_pairs(d, threshold=0.8).select("id_a", "id_b")
-    cand = minhash_lsh_pairs(d, jaccard_threshold=0.8).select(
+    # margin=0.1: the LSH join's post-filter measures Jaccard on hashed
+    # TF vectors, where bucket collisions can underestimate a boundary
+    # pair (seen at sf0.1) — the audit nets candidates wider and lets the
+    # exact side adjudicate, as the production pipeline does
+    cand = minhash_lsh_pairs(d, jaccard_threshold=0.8, margin=0.1).select(
         F.col("id_a").alias("ca"), F.col("id_b").alias("cb")
     )
     # candidates are unordered pairs from approxSimilarityJoin — normalize
@@ -5779,14 +5783,15 @@ def brand_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "event_value_mad_outliers",
     """
-    WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS m
+    WITH med AS (SELECT event_type, round(quantile_cont(value, 0.5), 6) AS m
                  FROM events GROUP BY 1),
     mad AS (SELECT e.event_type,
-                   quantile_cont(abs(e.value - med.m), 0.5) AS md,
+                   round(quantile_cont(abs(e.value - med.m), 0.5), 6) AS md,
                    any_value(med.m) AS m
             FROM events e JOIN med USING (event_type) GROUP BY 1)
     SELECT e.event_id, e.event_type,
-           round(0.6745 * (e.value - mad.m) / mad.md, 4) AS robust_z
+           CAST(round(CAST(0.6745 * (e.value - mad.m) / mad.md
+                           AS DECIMAL(18,6)), 4) AS DOUBLE) AS robust_z
     FROM events e JOIN mad USING (event_type)
     WHERE mad.md > 0
       AND abs(0.6745 * (e.value - mad.m) / mad.md) > 3.5
@@ -5798,14 +5803,18 @@ def event_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     outliers themselves inflating the spread, unlike the stddev-based
     rolling z. Two exact-percentile aggregations per type (bounded
     domain → broadcast joins back), then a map-only filter. MAD = 0
-    groups are skipped before the division (ANSI mode throws on /0)."""
+    groups are skipped before the division (ANSI mode throws on /0).
+    The interpolated median/MAD are quantized to 6dp on BOTH engines
+    before scoring: quantile_cont's (1−h)·lo + h·hi can differ by 1 ulp
+    across engines (observed at sf0.1), and the division amplifies that
+    across the 4dp output rounding boundary."""
     e = _t(spark, sf_dir, "events")
     med = e.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5)").alias("m")
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("m")
     )
     dev = e.join(F.broadcast(med), "event_type")
     mad = dev.groupBy("event_type").agg(
-        F.expr("percentile(abs(value - m), 0.5)").alias("md"),
+        F.round(F.expr("percentile(abs(value - m), 0.5)"), 6).alias("md"),
         F.first("m").alias("m"),
     )
     rz = F.lit(0.6745) * (F.col("value") - F.col("m")) / F.col("md")
@@ -5814,7 +5823,16 @@ def event_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("md") > 0, rz),
     )
     return scored.filter(F.abs(F.col("robust_z")) > 3.5).select(
-        "event_id", "event_type", F.round("robust_z", 4).alias("robust_z")
+        "event_id",
+        "event_type",
+        # double→DECIMAL(18,6)→round(4): engines' round() disagree on
+        # raw doubles sitting a hair under a .xxxx5 boundary (DuckDB
+        # rounds the shortest decimal repr up, JVM rounds the binary
+        # value down — observed at sf0.1); the exact-decimal hop makes
+        # both rounds see the same number
+        F.round(F.col("robust_z").cast("decimal(18,6)"), 4)
+        .cast("double")
+        .alias("robust_z"),
     )
 
 
