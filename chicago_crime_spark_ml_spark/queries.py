@@ -8224,3 +8224,133 @@ def part_outstanding_balance_peak(spark: SparkSession, sf_dir: str) -> DataFrame
         .limit(20)
         .select(F.col("pk").alias("p_partkey"), "peak_outstanding")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-comparison batch: source divergence, document novelty
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "source_unigram_jsd",
+    """
+    WITH toks AS (
+      SELECT source,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      FROM documents WHERE source IN ('src0', 'src1')),
+    cnt AS (SELECT source, tok, count(*) AS n FROM toks
+            WHERE tok <> '' GROUP BY 1, 2),
+    tot AS (SELECT source, sum(n) AS t FROM cnt GROUP BY 1),
+    p AS (
+      SELECT coalesce(a.tok, b.tok) AS tok,
+             coalesce(a.n, 0) * 1.0
+               / (SELECT t FROM tot WHERE source = 'src0') AS pa,
+             coalesce(b.n, 0) * 1.0
+               / (SELECT t FROM tot WHERE source = 'src1') AS pb
+      FROM (SELECT * FROM cnt WHERE source = 'src0') a
+      FULL JOIN (SELECT * FROM cnt WHERE source = 'src1') b
+        ON a.tok = b.tok)
+    SELECT round(sum(
+             CASE WHEN pa > 0
+                  THEN 0.5 * pa * ln(2.0 * pa / (pa + pb)) ELSE 0 END
+           + CASE WHEN pb > 0
+                  THEN 0.5 * pb * ln(2.0 * pb / (pa + pb)) ELSE 0 END), 4)
+             AS jsd_nats,
+           CAST(count(*) AS BIGINT) AS vocab_union
+    FROM p
+    """,
+)
+def source_unigram_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between two sources' unigram
+    distributions — the symmetric, always-finite corpus-drift measure
+    (KL blows up on unshared vocabulary; JSD's mixture denominator
+    doesn't). One token hash agg per side, a vocab-keyed FULL join, and
+    a sum of ln terms whose arguments are single divisions of identical
+    doubles — same ln discipline as entropy/MI. The pairwise building
+    block of a source-similarity matrix for corpus mixing."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1")
+    )
+    from chicago_crime_spark_ml_spark.operators.text import tokens_expr
+
+    toks = docs.select(
+        "source", F.explode(tokens_expr("text", lowercase=True)).alias("tok")
+    ).filter(F.col("tok") != "")
+    cnt = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.groupBy("source").agg(F.sum("n").alias("t"))
+    ct = cnt.join(tot, "source")
+    a = ct.filter(F.col("source") == "src0").select(
+        "tok", (F.col("n") * 1.0 / F.col("t")).alias("pa")
+    )
+    b = ct.filter(F.col("source") == "src1").select(
+        "tok", (F.col("n") * 1.0 / F.col("t")).alias("pb")
+    )
+    p = (
+        a.join(b, "tok", "full")
+        .select(
+            F.coalesce("pa", F.lit(0.0)).alias("pa"),
+            F.coalesce("pb", F.lit(0.0)).alias("pb"),
+        )
+    )
+    term_a = F.when(
+        F.col("pa") > 0,
+        0.5 * F.col("pa") * F.log(2.0 * F.col("pa") / (F.col("pa") + F.col("pb"))),
+    ).otherwise(0.0)
+    term_b = F.when(
+        F.col("pb") > 0,
+        0.5 * F.col("pb") * F.log(2.0 * F.col("pb") / (F.col("pa") + F.col("pb"))),
+    ).otherwise(0.0)
+    return p.agg(
+        F.round(F.sum(term_a + term_b), 4).alias("jsd_nats"),
+        F.count(F.lit(1)).cast("long").alias("vocab_union"),
+    )
+
+
+@query(
+    "doc_novelty_scores",
+    """
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+               FROM documents),
+    sh AS (SELECT doc_id,
+                  unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+                                        for i in range(1, len(w) - 1)]))
+                    AS g
+           FROM t WHERE len(w) >= 3),
+    df AS (SELECT g, count(*) AS d FROM sh GROUP BY 1)
+    SELECT sh.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           round(sum(CASE WHEN df.d = 1 THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 4) AS novelty
+    FROM sh JOIN df USING (g)
+    GROUP BY sh.doc_id
+    """,
+)
+def doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of its distinct trigram
+    shingles that appear in NO other document (document frequency 1) —
+    high novelty marks original content, low novelty boilerplate, the
+    per-doc complement of the pairwise near-dup queries. Reuses the
+    dedup family's shingle machinery; one shingle-keyed df agg joined
+    back, cost identical to the inverted-index build the near-dup join
+    already pays."""
+    from chicago_crime_spark_ml_spark.operators.dedup import shingle_sets
+
+    d = _t(spark, sf_dir, "documents")
+    sh = (
+        shingle_sets(d, "text", "doc_id", n=3)
+        .select("doc_id", F.explode("shingles").alias("g"))
+    )
+    df_t = sh.groupBy("g").agg(F.count(F.lit(1)).alias("d"))
+    return (
+        sh.join(df_t, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.round(
+                F.sum(F.when(F.col("d") == 1, 1).otherwise(0))
+                * 1.0
+                / F.count(F.lit(1)),
+                4,
+            ).alias("novelty"),
+        )
+    )
