@@ -2,14 +2,18 @@
 pipeline surface (north star; absent from the reference, which never
 touches free text — SURVEY.md §2.6 'Absent' row).
 
-All JVM-side Column algebra (split/regexp/aggregate) — no Python UDFs:
-at 100 TB these run per-document in whole-stage codegen.
+All JVM-side Column algebra (split/regexp/aggregate) — no Python UDFs —
+with one documented exception: compression_ratio, an Arrow-batched
+scalar pandas UDF (zlib has no Column-algebra form). At 100 TB the
+Column-algebra operators run per-document in whole-stage codegen.
 """
 
 from __future__ import annotations
 
 from collections.abc import Mapping, Sequence
 from functools import reduce
+
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -461,4 +465,36 @@ def unigram_logprob(
             F.sum("lp").cast("double") / F.count(F.lit(1)), 4
         ).alias("mean_logprob"),
         F.count(F.lit(1)).alias("n_tokens"),
+    )
+
+
+def compression_ratio(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document zlib compression ratio (compressed/raw bytes) — the
+    model-free redundancy signal pretraining filters use alongside the
+    LM scores: boilerplate and repeated spans compress far below ~0.4,
+    high-entropy or natural prose sits higher. zlib is deterministic at
+    a fixed level, so the score is reproducible. Runs as an
+    Arrow-batched SCALAR pandas UDF (one Python roundtrip per batch,
+    never per row) — the documented exception to the JVM-only rule, like
+    the multimodal decode stubs; there is no Column-algebra zlib."""
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    @pandas_udf("double")
+    def ratio(s: pd.Series) -> pd.Series:
+        import zlib  # noqa: PLC0415
+
+        def one(t):
+            if t is None:
+                return None
+            raw = t.encode("utf-8")
+            if not raw:
+                return 1.0
+            return len(zlib.compress(raw, 6)) / len(raw)
+
+        return s.map(one)
+
+    return df.select(
+        id_col, ratio(F.col(text_col)).alias("compression_ratio")
     )

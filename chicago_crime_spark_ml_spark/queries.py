@@ -8354,3 +8354,19 @@ def doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+@query("doc_compression_ratio")  # zlib has no SQL twin — rows-only
+def doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redundancy screen: zlib compressed/raw byte ratio per document
+    (operators/text.py:compression_ratio) — catches repeated-span
+    boilerplate that token-level filters miss. Deterministic (fixed
+    zlib level) but engine-external → rows-only for the driver;
+    monotonicity vs repetitiveness is property-tested."""
+    from chicago_crime_spark_ml_spark.operators.text import compression_ratio
+
+    d = _t(spark, sf_dir, "documents")
+    out = compression_ratio(d)
+    return out.select(
+        "doc_id", F.round("compression_ratio", 4).alias("compression_ratio")
+    )

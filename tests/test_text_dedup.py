@@ -323,3 +323,27 @@ def test_trigram_udtf_equals_explode_path(spark, sf_dir):
         .collect()
     }
     assert via_udtf == via_explode and len(via_udtf) > 0
+
+
+def test_compression_ratio_orders_redundancy(spark):
+    """Repetitive text must compress far below random-ish text, ratios
+    land in (0, ~1.1], and the Arrow-batched UDF is deterministic."""
+    from chicago_crime_spark_ml_spark.operators.text import compression_ratio
+
+    rows = [
+        (1, "the cat sat on the mat " * 50),          # highly repetitive
+        (2, "q8Zw Lx3v N7pK mR2t Yc9d Ub5e Jf1g Hh4i " * 5),  # high entropy
+        (3, "a"),                                      # tiny
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {
+        r.doc_id: r.compression_ratio
+        for r in compression_ratio(df).collect()
+    }
+    assert 0.0 < got[1] < got[2] <= 1.1
+    assert got[1] < 0.2          # repetition collapses
+    again = {
+        r.doc_id: r.compression_ratio
+        for r in compression_ratio(df).collect()
+    }
+    assert got == again
