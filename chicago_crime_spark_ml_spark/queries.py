@@ -8370,3 +8370,86 @@ def doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", F.round("compression_ratio", 4).alias("compression_ratio")
     )
+
+
+@query(
+    "rolling_corr_purchase_error",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                           THEN CAST(coalesce(value, 0) AS DECIMAL(18,4))
+                           ELSE 0 END) AS DOUBLE) AS pv,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS ec
+      FROM events GROUP BY 1),
+    m AS (
+      SELECT d,
+             count(*) OVER w AS n,
+             sum(CAST(pv AS DECIMAL(28,6))) OVER w AS sx,
+             sum(CAST(ec AS DECIMAL(28,6))) OVER w AS sy,
+             sum(CAST(pv * pv AS DECIMAL(38,6))) OVER w AS sxx,
+             sum(CAST(ec * ec AS DECIMAL(38,6))) OVER w AS syy,
+             sum(CAST(pv * ec AS DECIMAL(38,6))) OVER w AS sxy
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)),
+    c AS (
+      SELECT d, n,
+             CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+             CAST(sxx AS DOUBLE) AS sxx, CAST(syy AS DOUBLE) AS syy,
+             CAST(sxy AS DOUBLE) AS sxy
+      FROM m WHERE n >= 10)
+    SELECT d,
+           CAST(n AS BIGINT) AS n_days,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4)
+             AS rolling_corr
+    FROM c
+    WHERE (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+    """,
+)
+def rolling_corr_purchase_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-30-observed-days correlation between daily purchase value
+    and daily error count — the ops dashboard's 'are failures tracking
+    load' signal. All six moments accumulate in exact DECIMAL inside ONE
+    window specification (row frame over observed days — gaps documented;
+    the day rollup makes the window trivially small), so every rolling
+    rho divides bit-identical operands. Zero-variance windows are
+    excluded on the raw discriminants, not post-division NaNs."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.coalesce("value", F.lit(0.0)).cast("decimal(18,4)"),
+            ).otherwise(F.lit(0).cast("decimal(18,4)"))
+        )
+        .cast("double")
+        .alias("pv"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("double")
+        .alias("ec"),
+    )
+    w = Window.orderBy("d").rowsBetween(-29, 0)
+    m = daily.select(
+        "d",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(F.col("pv").cast("decimal(28,6)")).over(w).cast("double").alias("sx"),
+        F.sum(F.col("ec").cast("decimal(28,6)")).over(w).cast("double").alias("sy"),
+        F.sum((F.col("pv") * F.col("pv")).cast("decimal(38,6)")).over(w)
+        .cast("double").alias("sxx"),
+        F.sum((F.col("ec") * F.col("ec")).cast("decimal(38,6)")).over(w)
+        .cast("double").alias("syy"),
+        F.sum((F.col("pv") * F.col("ec")).cast("decimal(38,6)")).over(w)
+        .cast("double").alias("sxy"),
+    ).filter(F.col("n") >= 10)
+    n, sx, sy = F.col("n").cast("double"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    dx, dy = n * sxx - sx * sx, n * syy - sy * sy
+    return m.filter((dx > 0) & (dy > 0)).select(
+        "d",
+        F.col("n").cast("long").alias("n_days"),
+        F.round((n * sxy - sx * sy) / F.sqrt(dx * dy), 4).alias(
+            "rolling_corr"
+        ),
+    )
