@@ -6927,10 +6927,14 @@ def lang_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers on both engines — bit-exact terms; squaring is explicit
     multiplication (pow() may round differently across libms)."""
     docs = _t(spark, sf_dir, "documents")
-    obs = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
-    nl = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
-    ns = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
-    tot = docs.agg(F.count(F.lit(1)).alias("n_tot"))
+    # ONE fact-table agg; every marginal derives from the dims x dims
+    # contingency table (persisted - it is tiny and read four times)
+    obs = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n")
+    ).persist()
+    nl = obs.groupBy("lang").agg(F.sum("n").alias("n_l"))
+    ns = obs.groupBy("source").agg(F.sum("n").alias("n_s"))
+    tot = obs.agg(F.sum("n").alias("n_tot"))
     cells = (
         nl.crossJoin(ns)
         .crossJoin(F.broadcast(tot))
@@ -6972,10 +6976,12 @@ def lang_source_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     the products stay inside double's exact-integer range) — bit-exact
     across engines, same ln/round discipline as priority_entropy."""
     docs = _t(spark, sf_dir, "documents")
-    obs = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
-    nl = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
-    ns = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
-    tot = docs.agg(F.count(F.lit(1)).alias("n_tot"))
+    obs = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n")
+    ).persist()
+    nl = obs.groupBy("lang").agg(F.sum("n").alias("n_l"))
+    ns = obs.groupBy("source").agg(F.sum("n").alias("n_s"))
+    tot = obs.agg(F.sum("n").alias("n_tot"))
     j = (
         obs.join(F.broadcast(nl), "lang")
         .join(F.broadcast(ns), "source")
@@ -7246,9 +7252,11 @@ def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines. Ties in revenue get a custkey tiebreak — the Gini
     value is tie-order invariant, the plan deterministic."""
     o = _t(spark, sf_dir, "orders")
+    # persisted: the customer rollup feeds both the rank window and the
+    # scalar totals - one fact scan, not two
     rev = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("r")
-    )
+    ).persist()
     w = Window.orderBy("r", "o_custkey")
     ranked = rev.select(
         "r",
@@ -7510,28 +7518,20 @@ def order_value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("bin"),
     )
-    counts = binned.groupBy("period", "bin").agg(
-        F.count(F.lit(1)).alias("n")
+    # one fact agg pivots BOTH periods per bin; the per-period totals are
+    # window sums over the <=10-row bin table - no joins, no rescans
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("period") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("period") == 2, 1).otherwise(0)).alias("n2"),
     )
-    tot = counts.groupBy("period").agg(F.sum("n").alias("n_tot"))
-    c1 = (
-        counts.join(tot, "period")
-        .filter(F.col("period") == 1)
-        .select("bin", (F.col("n") * 1.0 / F.col("n_tot")).alias("p1_raw"))
-    )
-    c2 = (
-        counts.join(tot, "period")
-        .filter(F.col("period") == 2)
-        .select("bin", (F.col("n") * 1.0 / F.col("n_tot")).alias("p2_raw"))
-    )
-    bins = counts.select("bin").distinct()
-    p = (
-        bins.join(c1, "bin", "left")
-        .join(c2, "bin", "left")
-        .select(
-            F.greatest(F.coalesce("p1_raw", F.lit(0.0)), F.lit(1e-6)).alias("p1"),
-            F.greatest(F.coalesce("p2_raw", F.lit(0.0)), F.lit(1e-6)).alias("p2"),
-        )
+    wall = Window.partitionBy()
+    p = counts.select(
+        F.greatest(
+            F.col("n1") * 1.0 / F.sum("n1").over(wall), F.lit(1e-6)
+        ).alias("p1"),
+        F.greatest(
+            F.col("n2") * 1.0 / F.sum("n2").over(wall), F.lit(1e-6)
+        ).alias("p2"),
     )
     return p.agg(
         F.round(
@@ -7774,41 +7774,36 @@ def repeat_purchase_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows) as exp∘cumsum∘ln — the associative form of the running
     product, same ln discipline as the entropy queries."""
     o = _t(spark, sf_dir, "orders")
+    # ONE window pass: conditional-min pivot of the first two order
+    # dates per customer (rn<=2), instead of ranking the fact twice and
+    # self-joining; n_total then falls out of the duration grid itself
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     ranked = o.select(
         "o_custkey", "o_orderdate", F.row_number().over(w).alias("rn")
-    )
-    firsts = ranked.filter(F.col("rn") == 1).select(
-        "o_custkey", F.col("o_orderdate").alias("d1")
-    )
-    seconds = ranked.filter(F.col("rn") == 2).select(
-        "o_custkey", F.col("o_orderdate").alias("d2")
+    ).filter(F.col("rn") <= 2)
+    pair = ranked.groupBy("o_custkey").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("o_orderdate"))).alias("d1"),
+        F.min(F.when(F.col("rn") == 2, F.col("o_orderdate"))).alias("d2"),
     )
     maxd = o.agg(F.max("o_orderdate").alias("m"))
-    surv = (
-        firsts.join(seconds, "o_custkey", "left")
-        .crossJoin(F.broadcast(maxd))
-        .select(
-            F.when(
-                F.col("d2").isNotNull(), F.datediff("d2", "d1")
-            )
-            .otherwise(F.datediff("m", "d1"))
-            .alias("dur"),
-            F.when(F.col("d2").isNotNull(), 1).otherwise(0).alias("ev"),
-        )
+    surv = pair.crossJoin(F.broadcast(maxd)).select(
+        F.when(F.col("d2").isNotNull(), F.datediff("d2", "d1"))
+        .otherwise(F.datediff("m", "d1"))
+        .alias("dur"),
+        F.when(F.col("d2").isNotNull(), 1).otherwise(0).alias("ev"),
     )
     grid = surv.groupBy(F.col("dur").alias("t")).agg(
         F.sum("ev").alias("d"), F.count(F.lit(1)).alias("c")
     )
-    total = surv.agg(F.count(F.lit(1)).alias("n_total"))
     wt = Window.orderBy("t")
     removed = F.coalesce(
         F.sum("c").over(wt.rowsBetween(Window.unboundedPreceding, -1)),
         F.lit(0),
     )
     km = (
-        grid.crossJoin(F.broadcast(total))
-        .withColumn("n_risk", F.col("n_total") - removed)
+        grid.withColumn(
+            "n_total", F.sum("c").over(Window.partitionBy())
+        ).withColumn("n_risk", F.col("n_total") - removed)
         .withColumn(
             "s",
             F.exp(

@@ -467,6 +467,21 @@ EXCHANGE_BUDGET = [
     ("rolling_7d_active_users", 3),
     ("orders_pit_priority", 2),
     ("weighted_customer_sample", 0),
+    # round-2 additions - lock the single-fact-scan restructures in place
+    ("order_value_psi_drift", 3),
+    ("repeat_purchase_survival_km", 6),
+    ("customer_revenue_gini", 6),
+    ("spearman_qty_price", 2),
+    ("order_value_ks_two_sample", 4),
+    ("part_outstanding_balance_peak", 3),
+    ("ship_leadtime_percentiles_by_month", 3),
+    ("event_type_transitions", 4),
+    ("session_duration_stats", 2),
+    ("rolling_corr_purchase_error", 3),
+    ("user_activity_burstiness", 3),
+    ("daily_revenue_autocorr", 3),
+    ("monthly_revenue_theil_sen", 6),
+    ("doc_novelty_scores", 4),
 ]
 
 
