@@ -442,3 +442,109 @@ def calibration_bins(
         )
         .orderBy("bin")
     )
+
+
+def als_recommendations(
+    ratings: DataFrame,
+    user_col: str,
+    item_col: str,
+    rating_col: str,
+    k: int = 5,
+    rank: int = 8,
+    max_iter: int = 5,
+    seed: int = 42,
+):
+    """Implicit-feedback collaborative filtering via MLlib ALS: factorize
+    the user×item interaction matrix (alternating least squares — each
+    side solved as embarrassingly-parallel per-entity least squares,
+    factors block-partitioned across executors) and emit top-k item
+    recommendations per user. The classic 'customers who bought X'
+    engine at warehouse scale: interactions shuffle once into blocks,
+    factors stay distributed, only the final top-k per user leaves.
+    Returns (recs_df, model): recs as (user, item, score) exploded rows.
+    """
+    from pyspark.ml.recommendation import ALS  # noqa: PLC0415
+
+    als = ALS(
+        userCol=user_col,
+        itemCol=item_col,
+        ratingCol=rating_col,
+        rank=rank,
+        maxIter=max_iter,
+        implicitPrefs=True,
+        seed=seed,
+        coldStartStrategy="drop",
+    )
+    model = als.fit(ratings)
+    recs = (
+        model.recommendForAllUsers(k)
+        .select(user_col, F.explode("recommendations").alias("rec"))
+        .select(
+            user_col,
+            F.col(f"rec.{item_col}").alias(item_col),
+            F.round(F.col("rec.rating"), 4).alias("score"),
+        )
+    )
+    return recs, model
+
+
+def frequent_event_sequences(
+    events: DataFrame,
+    key_col: str = "user_id",
+    order_col: str = "ts",
+    item_col: str = "event_type",
+    min_support: float = 0.2,
+    max_pattern_length: int = 3,
+) -> DataFrame:
+    """Sequential-pattern mining via MLlib PrefixSpan: frequent ordered
+    subsequences of per-user event types (the projection-based algorithm —
+    the sequence database shuffles once per prefix growth, never
+    all-subsequences materialization). Sequences are built with ONE
+    per-key window pass (collect_list over ordered events, each element a
+    single-item itemset as PrefixSpan expects). Deterministic: support
+    counting is exact, no sampling. Returns (sequence, freq)."""
+    from pyspark.ml.fpm import PrefixSpan  # noqa: PLC0415
+
+    # ONE hash agg per key: collect (order, tiebreak, item) structs,
+    # array_sort orders them by field precedence, transform projects the
+    # item as a single-element itemset (PrefixSpan's expected shape)
+    seqs = events.groupBy(key_col).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(order_col, "event_id", item_col))
+            ),
+            lambda s: F.array(s[item_col]),
+        ).alias("sequence")
+    ).select("sequence")
+    ps = PrefixSpan(
+        minSupport=min_support,
+        maxPatternLength=max_pattern_length,
+        maxLocalProjDBSize=32_000_000,
+    )
+    return ps.findFrequentSequentialPatterns(seqs)
+
+
+def isotonic_recalibration(
+    scored: DataFrame,
+    confidence_col: str,
+    correct_col: str,
+):
+    """Isotonic (PAV) recalibration of classifier confidences: fit the
+    monotone-nondecreasing map confidence → P(correct) that reliability
+    curves call for when calibration_bins shows drift. MLlib's isotonic
+    regression runs pool-adjacent-violators on partition-sorted chunks
+    then merges — deterministic, no seed. Returns (model, calibrated_df)
+    where calibrated_df adds ``calibrated`` to the input."""
+    from pyspark.ml.feature import VectorAssembler  # noqa: PLC0415
+    from pyspark.ml.regression import IsotonicRegression  # noqa: PLC0415
+
+    va = VectorAssembler(inputCols=[confidence_col], outputCol="_f")
+    prepared = va.transform(
+        scored.withColumn("_lab", F.col(correct_col).cast("double"))
+    )
+    iso = IsotonicRegression(
+        featuresCol="_f", labelCol="_lab", predictionCol="calibrated"
+    )
+    model = iso.fit(prepared)
+    out = model.transform(prepared).drop("_f", "_lab")
+    return model, out

@@ -8448,3 +8448,103 @@ def rolling_corr_purchase_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rolling_corr"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# MLlib surface batch: ALS recommendations, PrefixSpan sequences, isotonic
+# ---------------------------------------------------------------------------
+
+
+@query("als_part_recommendations")  # factorization — rows-only check
+def als_part_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 part recommendations per customer from implicit ALS over
+    order history (quantity as confidence) — distributed matrix
+    factorization where interaction blocks and factor matrices never
+    leave the executors (ml.als_recommendations). Seeded; rows-only for
+    the driver (float iteration order varies), structural invariants
+    pytest-asserted."""
+    from chicago_crime_spark_ml_spark.operators.ml import als_recommendations
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    ratings = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").cast("int").alias("user"),
+            F.col("l_partkey").cast("int").alias("item"),
+        )
+        .agg(F.sum("l_quantity").cast("float").alias("qty"))
+    )
+    recs, _model = als_recommendations(ratings, "user", "item", "qty", k=5)
+    return recs
+
+
+@query("frequent_event_sequences")  # PrefixSpan — rows-only check
+def frequent_event_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent ordered event-type subsequences across users (PrefixSpan,
+    min support 0.3, length ≤ 3) — the journey-mining generalization of
+    event_type_transitions' bigrams. Exact support counting, so the
+    result is deterministic; the length-1 patterns are cross-checked in
+    pytest against plain per-type user counts (same numbers, different
+    algorithm)."""
+    from chicago_crime_spark_ml_spark.operators.ml import (
+        frequent_event_sequences,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    out = frequent_event_sequences(ev, min_support=0.3, max_pattern_length=3)
+    return out.select(
+        F.array_join(
+            F.transform("sequence", lambda s: F.array_join(s, "+")), ">"
+        ).alias("pattern"),
+        F.col("freq").cast("long").alias("freq"),
+    )
+
+
+@query("isotonic_calibration_check", "SELECT true AS monotone, true AS bounded")
+def isotonic_calibration_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic-recalibration contract: the PAV-fitted map from model
+    confidence to P(correct) must be monotone non-decreasing and stay in
+    [0,1] — checked on the embeddings classifier's held-out scores. Red
+    means the distributed PAV merge broke its defining invariant."""
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    from chicago_crime_spark_ml_spark.operators.ml import (
+        isotonic_recalibration,
+        train_multiclass,
+    )
+    from chicago_crime_spark_ml_spark.operators.relational import time_split
+
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .withColumn(
+            "features_arr",
+            array_to_vector(F.col("embedding").cast("array<double>")),
+        )
+        .withColumn("label_str", F.col("label").cast("string"))
+        .drop("label")
+    )
+    train, test = time_split(emb, "vec_id", 400)
+    res = train_multiclass(
+        train, test, ["features_arr"], "label_str", weighted=True, seed=42
+    )
+    scored = res.model.transform(test).select(
+        F.array_max(vector_to_array("probability")).alias("conf"),
+        (F.col("prediction") == F.col("label")).alias("correct"),
+    )
+    _model, cal = isotonic_recalibration(scored, "conf", "correct")
+    w = Window.orderBy("conf")
+    stepped = cal.select(
+        "conf",
+        "calibrated",
+        F.lag("calibrated").over(w).alias("prev"),
+    )
+    viol = stepped.filter(
+        F.col("prev").isNotNull() & (F.col("calibrated") < F.col("prev") - 1e-9)
+    ).count()
+    oob = cal.filter(
+        (F.col("calibrated") < -1e-9) | (F.col("calibrated") > 1.0 + 1e-9)
+    ).count()
+    return spark.createDataFrame(
+        [(viol == 0, oob == 0)], "monotone boolean, bounded boolean"
+    )

@@ -296,3 +296,46 @@ def test_calibration_bins_structure(spark, sf_dir):
     # confidences must actually fall inside their bin
     for r in rows:
         assert r.bin / 10 - 1e-9 <= r.mean_confidence <= (r.bin + 1) / 10 + 1e-9
+
+
+def test_als_recommendation_shape(spark, sf_dir):
+    from chicago_crime_spark_ml_spark.queries import QUERIES
+
+    recs = QUERIES["als_part_recommendations"](spark, sf_dir)
+    rows = recs.collect()
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r.user, []).append(r.score)
+    # exactly k=5 per user, every score finite
+    assert all(len(v) == 5 for v in per_user.values())
+    assert all(
+        s == s and abs(s) < 1e6 for v in per_user.values() for s in v
+    )
+    assert len(per_user) > 0
+
+
+def test_prefixspan_length1_equals_support_counts(spark, sf_dir):
+    """PrefixSpan's length-1 patterns must equal plain per-type
+    user-support counts — same numbers via a completely different
+    algorithm (projection growth vs hash agg)."""
+    from pyspark.sql import functions as F
+
+    from chicago_crime_spark_ml_spark.queries import QUERIES
+    from chicago_crime_spark_ml_spark.sources.io import load_table
+
+    out = QUERIES["frequent_event_sequences"](spark, sf_dir)
+    len1 = {
+        r.pattern: r.freq
+        for r in out.collect()
+        if ">" not in r.pattern and "+" not in r.pattern
+    }
+    ev = load_table(spark, sf_dir, "events")
+    n_users = ev.select("user_id").distinct().count()
+    support = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+        if r.n / n_users >= 0.3
+    }
+    assert len1 == support and len(len1) > 0
