@@ -570,3 +570,52 @@ def test_streaming_checkpoint_recovery_no_duplicates(spark, tmp_path):
         (dt.datetime(2026, 3, 1), 3),  # 2 from batch 1 + 1 new, not 5
         (dt.datetime(2026, 3, 2), 1),
     }
+
+
+def test_append_mode_emits_only_watermark_closed_windows(spark, tmp_path):
+    """Append-mode windowed aggregation: a window's row is emitted
+    EXACTLY ONCE, and only after the watermark passes its end — the
+    finalization contract downstream sinks rely on for immutable
+    results (vs update/complete, which re-emit). Batch 1's window must
+    appear only after batch 2 advances the watermark past it; the
+    still-open window must stay unemitted."""
+    import datetime as dt
+
+    src = tmp_path / "append_src"
+    src.mkdir()
+
+    def emit(rows):
+        spark.createDataFrame(rows, "ts TIMESTAMP, v DOUBLE").coalesce(
+            1
+        ).write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema("ts TIMESTAMP, v DOUBLE").parquet(str(src))
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("append_fin")
+        .start()
+    )
+    try:
+        t0 = dt.datetime(2026, 6, 1, 9, 0)
+        emit([(t0, 1.0), (t0 + dt.timedelta(minutes=30), 1.0)])
+        q.processAllAvailable()
+        # watermark hasn't passed the 9:00-10:00 window end yet
+        assert spark.table("append_fin").count() == 0
+
+        # event at 11:30 -> watermark 11:20 > 10:00 -> first window closes
+        emit([(dt.datetime(2026, 6, 1, 11, 30), 1.0)])
+        q.processAllAvailable()
+        q.processAllAvailable()
+        rows = {
+            (r.ws, r.n) for r in spark.table("append_fin").collect()
+        }
+        assert rows == {(t0, 2)}  # closed window emitted once; 11:00 window still open
+    finally:
+        q.stop()
