@@ -8548,3 +8548,148 @@ def isotonic_calibration_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(viol == 0, oob == 0)], "monotone boolean, bounded boolean"
     )
+
+
+@query(
+    "segment_survival_logrank",
+    """
+    WITH ranked AS (
+      SELECT o_custkey, o_orderdate,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders),
+    pair AS (
+      SELECT o_custkey,
+             min(CASE WHEN rn = 1 THEN o_orderdate END) AS d1,
+             min(CASE WHEN rn = 2 THEN o_orderdate END) AS d2
+      FROM ranked WHERE rn <= 2 GROUP BY 1),
+    maxd AS (SELECT max(o_orderdate) AS m FROM orders),
+    surv AS (
+      SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS ga,
+             CASE WHEN p.d2 IS NOT NULL
+                  THEN date_diff('day', p.d1, p.d2)
+                  ELSE date_diff('day', p.d1, maxd.m) END AS dur,
+             CASE WHEN p.d2 IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM pair p JOIN customer c ON p.o_custkey = c.c_custkey
+      CROSS JOIN maxd),
+    grid AS (
+      SELECT dur AS t,
+             sum(CASE WHEN ga = 1 THEN ev ELSE 0 END) AS da,
+             sum(CASE WHEN ga = 0 THEN ev ELSE 0 END) AS db,
+             sum(ga) AS ca,
+             sum(1 - ga) AS cb
+      FROM surv GROUP BY 1),
+    risk AS (
+      SELECT t, da, db,
+             (SELECT sum(ga) FROM surv)
+               - coalesce(sum(ca) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS na,
+             (SELECT sum(1 - ga) FROM surv)
+               - coalesce(sum(cb) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS nb
+      FROM grid),
+    terms AS (
+      SELECT da,
+             CAST(da + db AS DOUBLE) AS d,
+             CAST(na AS DOUBLE) AS na, CAST(nb AS DOUBLE) AS nb,
+             CAST(na + nb AS DOUBLE) AS n
+      FROM risk WHERE da + db > 0 AND na + nb > 1),
+    s AS (
+      SELECT
+        CAST(sum(CAST(da AS DECIMAL(28,10))) AS DOUBLE) AS oa,
+        CAST(sum(CAST(d * na / n AS DECIMAL(28,10))) AS DOUBLE) AS ea,
+        CAST(sum(CAST(d * (na / n) * (nb / n) * (n - d) / (n - 1)
+                      AS DECIMAL(28,10))) AS DOUBLE) AS va
+      FROM terms)
+    SELECT round((oa - ea) / sqrt(va), 4) AS logrank_z,
+           round((oa - ea) * (oa - ea) / va, 4) AS logrank_chi2,
+           round(oa, 4) AS observed_a, round(ea, 4) AS expected_a
+    FROM s
+    """,
+)
+def segment_survival_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test: does the BUILDING segment convert to a second
+    order on a different clock than everyone else? At each event time,
+    observed vs hypergeometric-expected events for group A given the
+    at-risk sets; z = Σ(O−E)/√ΣV. Completes the Kaplan-Meier machinery
+    with the significance test always reported next to survival curves.
+    Same single window pass + duration-grid shape as the KM query (one
+    extra broadcast join for the segment); the per-time E and V terms
+    divide identical integers on both engines and are decimal-quantized
+    before the final sums."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ranked = o.select(
+        "o_custkey", "o_orderdate", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 2)
+    pair = ranked.groupBy("o_custkey").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("o_orderdate"))).alias("d1"),
+        F.min(F.when(F.col("rn") == 2, F.col("o_orderdate"))).alias("d2"),
+    )
+    maxd = o.agg(F.max("o_orderdate").alias("m"))
+    surv = (
+        pair.join(c, pair.o_custkey == c.c_custkey)
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            F.when(F.col("c_mktsegment") == "BUILDING", 1)
+            .otherwise(0)
+            .alias("ga"),
+            F.when(F.col("d2").isNotNull(), F.datediff("d2", "d1"))
+            .otherwise(F.datediff("m", "d1"))
+            .alias("dur"),
+            F.when(F.col("d2").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+    ).persist()
+    grid = surv.groupBy(F.col("dur").alias("t")).agg(
+        F.sum(F.when(F.col("ga") == 1, F.col("ev")).otherwise(0)).alias("da"),
+        F.sum(F.when(F.col("ga") == 0, F.col("ev")).otherwise(0)).alias("db"),
+        F.sum("ga").alias("ca"),
+        F.sum(F.lit(1) - F.col("ga")).alias("cb"),
+    )
+    tot = surv.agg(
+        F.sum("ga").alias("ta"), F.sum(F.lit(1) - F.col("ga")).alias("tb")
+    )
+    wt = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = grid.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "da",
+        "db",
+        (F.col("ta") - F.coalesce(F.sum("ca").over(wt), F.lit(0))).alias("na"),
+        (F.col("tb") - F.coalesce(F.sum("cb").over(wt), F.lit(0))).alias("nb"),
+    )
+    terms = risk.filter(
+        (F.col("da") + F.col("db") > 0) & (F.col("na") + F.col("nb") > 1)
+    ).select(
+        F.col("da").cast("double").alias("oa_t"),
+        (F.col("da") + F.col("db")).cast("double").alias("d"),
+        F.col("na").cast("double").alias("na"),
+        F.col("nb").cast("double").alias("nb"),
+        (F.col("na") + F.col("nb")).cast("double").alias("n"),
+    )
+
+    def dq(c):
+        return F.sum(c.cast("decimal(28,10)")).cast("double")
+
+    e_t = F.col("d") * F.col("na") / F.col("n")
+    v_t = (
+        F.col("d")
+        * (F.col("na") / F.col("n"))
+        * (F.col("nb") / F.col("n"))
+        * (F.col("n") - F.col("d"))
+        / (F.col("n") - 1)
+    )
+    s = terms.agg(
+        dq(F.col("oa_t")).alias("oa"),
+        dq(e_t).alias("ea"),
+        dq(v_t).alias("va"),
+    )
+    oa, ea, va = F.col("oa"), F.col("ea"), F.col("va")
+    return s.select(
+        F.round((oa - ea) / F.sqrt(va), 4).alias("logrank_z"),
+        F.round((oa - ea) * (oa - ea) / va, 4).alias("logrank_chi2"),
+        F.round(oa, 4).alias("observed_a"),
+        F.round(ea, 4).alias("expected_a"),
+    )
