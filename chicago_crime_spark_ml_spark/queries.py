@@ -8693,3 +8693,212 @@ def segment_survival_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(oa, 4).alias("observed_a"),
         F.round(ea, 4).alias("expected_a"),
     )
+
+
+@query(
+    "ab_cuped_adjusted_ztest",
+    """
+    WITH assigned AS (
+      SELECT user_id,
+             CASE WHEN CAST(json_extract(any_value(props), '$.k') AS INTEGER) < 50
+                  THEN 'A' ELSE 'B' END AS variant,
+             CAST(sum(CASE WHEN ts <  TIMESTAMP '2024-01-16'
+                           THEN CAST(coalesce(value, 0) AS DECIMAL(18,4))
+                           ELSE 0 END) AS DOUBLE) AS pre,
+             CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                           THEN CAST(coalesce(value, 0) AS DECIMAL(18,4))
+                           ELSE 0 END) AS DOUBLE) AS post
+      FROM events
+      WHERE event_type = 'purchase'
+      GROUP BY user_id),
+    mom AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(pre AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(post AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(pre * pre AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(pre * post AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+      FROM assigned),
+    theta AS (
+      SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS th,
+             sx / n AS pre_mean
+      FROM mom),
+    adj AS (
+      SELECT variant,
+             post - (SELECT th FROM theta)
+                  * (pre - (SELECT pre_mean FROM theta)) AS y
+      FROM assigned),
+    s AS (
+      SELECT variant,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+      FROM adj GROUP BY 1),
+    m AS (
+      SELECT variant, n, sx / n AS mean,
+             (sxx - sx * sx / n) / (n - 1) AS var
+      FROM s)
+    SELECT round(a.mean - b.mean, 4) AS adj_mean_diff,
+           round((a.mean - b.mean) / sqrt(a.var / a.n + b.var / b.n), 4)
+             AS adj_z_stat,
+           round((SELECT th FROM theta), 4) AS theta,
+           CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b
+    FROM (SELECT * FROM m WHERE variant = 'A') a
+    CROSS JOIN (SELECT * FROM m WHERE variant = 'B') b
+    """,
+)
+def ab_cuped_adjusted_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted A/B readout: each user's post-period purchase value
+    is shifted by θ·(pre − pre_mean), where θ is the pooled OLS slope of
+    post on pre — removing pre-existing per-user spend variance so the
+    same effect needs fewer users (the standard experimentation-platform
+    variance-reduction trick). One per-user agg pivots pre/post in a
+    single fact pass; θ comes from decimal moment sums; the adjusted
+    z-test reuses the ab_value_ztest closed form. Period split is a
+    fixed calendar date (mid-range of the events horizon), identical on
+    both engines."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    assigned = ev.groupBy("user_id").agg(
+        F.when(
+            F.try_variant_get(
+                F.parse_json(F.any_value("props")), "$.k", "int"
+            )
+            < 50,
+            "A",
+        )
+        .otherwise("B")
+        .alias("variant"),
+        F.sum(
+            F.when(
+                F.col("ts") < cutoff,
+                F.coalesce("value", F.lit(0.0)).cast("decimal(18,4)"),
+            ).otherwise(F.lit(0).cast("decimal(18,4)"))
+        )
+        .cast("double")
+        .alias("pre"),
+        F.sum(
+            F.when(
+                F.col("ts") >= cutoff,
+                F.coalesce("value", F.lit(0.0)).cast("decimal(18,4)"),
+            ).otherwise(F.lit(0).cast("decimal(18,4)"))
+        )
+        .cast("double")
+        .alias("post"),
+    ).persist()
+
+    def dq(c, t="decimal(38,6)"):
+        return F.sum(c.cast(t)).cast("double")
+
+    mom = assigned.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dq(F.col("pre"), "decimal(28,6)").alias("sx"),
+        dq(F.col("post"), "decimal(28,6)").alias("sy"),
+        dq(F.col("pre") * F.col("pre")).alias("sxx"),
+        dq(F.col("pre") * F.col("post")).alias("sxy"),
+    )
+    theta = mom.select(
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        ).alias("th"),
+        (F.col("sx") / F.col("n")).alias("pre_mean"),
+    )
+    adj = assigned.crossJoin(F.broadcast(theta)).select(
+        "variant",
+        (
+            F.col("post")
+            - F.col("th") * (F.col("pre") - F.col("pre_mean"))
+        ).alias("y"),
+        "th",
+    )
+    s = adj.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dq(F.col("y"), "decimal(28,6)").alias("sx"),
+        dq(F.col("y") * F.col("y")).alias("sxx"),
+        F.any_value("th").alias("th"),
+    )
+    m = s.select(
+        "variant",
+        "n",
+        (F.col("sx") / F.col("n")).alias("mean"),
+        (
+            (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("var"),
+        "th",
+    )
+    a = m.filter(F.col("variant") == "A").alias("a")
+    b = m.filter(F.col("variant") == "B").alias("b")
+    return a.crossJoin(b).select(
+        F.round(F.col("a.mean") - F.col("b.mean"), 4).alias("adj_mean_diff"),
+        F.round(
+            (F.col("a.mean") - F.col("b.mean"))
+            / F.sqrt(
+                F.col("a.var") / F.col("a.n") + F.col("b.var") / F.col("b.n")
+            ),
+            4,
+        ).alias("adj_z_stat"),
+        F.round(F.col("a.th"), 4).alias("theta"),
+        F.col("a.n").cast("long").alias("n_a"),
+        F.col("b.n").cast("long").alias("n_b"),
+    )
+
+
+@query(
+    "order_totalprice_reconciliation",
+    """
+    WITH li AS (
+      SELECT l_orderkey,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                      * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)
+               AS computed
+      FROM lineitem GROUP BY 1),
+    j AS (
+      SELECT o.o_orderkey, o.o_totalprice, li.computed,
+             abs(o.o_totalprice - li.computed) AS diff
+      FROM orders o JOIN li ON o.o_orderkey = li.l_orderkey)
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN diff > 0.011 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_mismatched,
+           round(max(diff), 2) AS max_diff,
+           round(CAST(sum(CAST(diff AS DECIMAL(18,4))) AS DOUBLE)
+                 / count(*), 4) AS mean_diff
+    FROM j
+    """,
+)
+def order_totalprice_reconciliation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Double-entry reconciliation: does every order's stored total equal
+    the exact-decimal recomputation from its line items (price×(1−disc)
+    ×(1+tax))? The invariant-audit shape behind ledger/billing pipelines
+    — one fact-fact join on the natural key (bucketed layout makes it
+    exchange-free), exact decimal per-order recompute, penny-tolerance
+    mismatch count plus drift magnitude stats."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    computed = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)"))
+            * (F.lit(1).cast("decimal(3,2)") + F.col("l_tax").cast("decimal(4,2)"))
+        )
+        .cast("double")
+        .alias("computed")
+    )
+    j = o.join(computed, o.o_orderkey == computed.l_orderkey).select(
+        (F.abs(F.col("o_totalprice") - F.col("computed"))).alias("diff")
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.when(F.col("diff") > 0.011, 1).otherwise(0))
+        .cast("long")
+        .alias("n_mismatched"),
+        F.round(F.max("diff"), 2).alias("max_diff"),
+        F.round(
+            F.sum(F.col("diff").cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("mean_diff"),
+    )
