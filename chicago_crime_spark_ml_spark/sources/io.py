@@ -396,3 +396,39 @@ def backfill_missing_partitions(
             .parquet(path)
         )
     return [str(v) for v in missing]
+
+
+def schema_diff(spark: SparkSession, path_a: str, path_b: str) -> DataFrame:
+    """Schema-drift report between two parquet snapshots: columns added,
+    removed, or type-changed (the data-contract check a pipeline runs
+    before promoting a new snapshot — silent type widening is how
+    downstream casts start failing at 2 a.m.). Footer-only reads; output
+    is one row per (column, change) with before/after types."""
+    a = dict(spark.read.parquet(path_a).dtypes)
+    b = dict(spark.read.parquet(path_b).dtypes)
+    rows = []
+    for col in sorted(set(a) | set(b)):
+        if col not in b:
+            rows.append((col, "removed", a[col], None))
+        elif col not in a:
+            rows.append((col, "added", None, b[col]))
+        elif a[col] != b[col]:
+            rows.append((col, "type_changed", a[col], b[col]))
+    return spark.createDataFrame(
+        rows or [(None, None, None, None)],
+        "column STRING, change STRING, type_before STRING, type_after STRING",
+    ).filter(F.col("column").isNotNull())
+
+
+def attach_provenance(df: DataFrame) -> DataFrame:
+    """Row-level lineage via the hidden ``_metadata`` struct every file
+    source carries: source file path + size + modification time attached
+    as ordinary columns. The audit-trail primitive — 'which input file
+    produced this bad row' — with zero extra IO (the values come from
+    the scan task's own file split, not a join)."""
+    return df.select(
+        "*",
+        F.col("_metadata.file_path").alias("src_file"),
+        F.col("_metadata.file_size").alias("src_file_size"),
+        F.col("_metadata.file_modification_time").alias("src_file_mtime"),
+    )

@@ -394,3 +394,42 @@ def test_trigger_available_now_drains_and_stops(spark, tmp_path):
     q.awaitTermination(120)
     assert not q.isActive          # stopped itself after draining
     assert sum(seen) == 3
+
+
+def test_schema_diff_reports_add_remove_retype(spark, tmp_path):
+    from chicago_crime_spark_ml_spark.sources.io import schema_diff
+
+    a, b = str(tmp_path / "snap_a"), str(tmp_path / "snap_b")
+    spark.createDataFrame(
+        [(1, "x", 1.5)], "id BIGINT, name STRING, score DOUBLE"
+    ).write.parquet(a)
+    spark.createDataFrame(
+        [(1, 2.5, True)], "id BIGINT, score FLOAT, active BOOLEAN"
+    ).write.parquet(b)
+    diff = {
+        r.column: (r.change, r.type_before, r.type_after)
+        for r in schema_diff(spark, a, b).collect()
+    }
+    assert diff == {
+        "name": ("removed", "string", None),
+        "active": ("added", None, "boolean"),
+        "score": ("type_changed", "double", "float"),
+    }
+    # identical snapshots -> empty report
+    assert schema_diff(spark, a, a).count() == 0
+
+
+def test_attach_provenance_maps_rows_to_files(spark, tmp_path):
+    from chicago_crime_spark_ml_spark.sources.io import attach_provenance
+
+    p = str(tmp_path / "prov")
+    spark.createDataFrame([(1,), (2,)], "id BIGINT").coalesce(1).write.parquet(p)
+    spark.createDataFrame([(3,)], "id BIGINT").coalesce(1).write.mode(
+        "append"
+    ).parquet(p)
+    out = attach_provenance(spark.read.parquet(p)).collect()
+    assert all(r.src_file.endswith(".parquet") for r in out)
+    assert all(r.src_file_size > 0 for r in out)
+    # rows written in different commits carry different source files
+    by_id = {r.id: r.src_file for r in out}
+    assert by_id[3] != by_id[1] and by_id[1] == by_id[2]
