@@ -92,3 +92,32 @@ def merge_rollup(
         else:  # max
             cols.append(F.greatest(F.coalesce(a, b), F.coalesce(b, a)).alias(out))
     return merged.select(*cols)
+
+
+def cascade_rollup(
+    fine: DataFrame,
+    regroup: dict[str, Column],
+    measures: dict[str, tuple[str, str]],
+) -> DataFrame:
+    """Derive a COARSER rollup from a finer one (day → month → year —
+    the continuous-aggregate cascade timeseries stores maintain): each
+    mergeable partial re-aggregates by its own monoid (sum/count partials
+    re-SUM, min/max re-min/max), so the monthly table reads ~30 day rows
+    per group instead of re-scanning the fact table. ``regroup`` maps
+    coarse key name → expression over the fine rollup's columns. Sum
+    partials are cast back to DECIMAL(28,4) so the schema is identical
+    at every level of the cascade (decimal addition would otherwise
+    widen per level)."""
+    aggs = []
+    for out, (_, how) in measures.items():
+        if how == "sum":
+            aggs.append(F.sum(out).cast("decimal(28,4)").alias(out))
+        elif how == "count":
+            aggs.append(F.sum(out).cast("long").alias(out))
+        else:
+            aggs.append(getattr(F, how)(out).alias(out))
+    base = fine.select(
+        *[expr.alias(name) for name, expr in regroup.items()],
+        *[F.col(out) for out in measures],
+    )
+    return base.groupBy(*regroup.keys()).agg(*aggs)

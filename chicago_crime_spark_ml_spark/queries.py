@@ -8902,3 +8902,58 @@ def order_totalprice_reconciliation(
             4,
         ).alias("mean_diff"),
     )
+
+
+@query(
+    "cascading_rollup_check",
+    "SELECT true AS months_match, true AS values_match",
+)
+def cascading_rollup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate cascade contract: the monthly revenue rollup
+    DERIVED from the daily rollup (operators/incremental.cascade_rollup —
+    re-aggregating mergeable partials, ~30 rows per group) must equal the
+    monthly rollup computed directly from the fact table, group for group
+    and value for value. Exact-decimal partials make this equality exact,
+    not approximate — the property that lets a 100 TB pipeline maintain
+    month/year tables without ever rereading the fact."""
+    from chicago_crime_spark_ml_spark.operators.incremental import (
+        cascade_rollup,
+        rollup_aggregate,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    measures = {
+        "revenue": ("o_totalprice", "sum"),
+        "n_orders": ("o_orderkey", "count"),
+        "max_order": ("o_totalprice", "max"),
+    }
+    daily = rollup_aggregate(
+        o.withColumn("day", F.col("o_orderdate")), ["day"], measures
+    )
+    monthly_from_daily = cascade_rollup(
+        daily, {"month": F.date_trunc("month", "day")}, measures
+    )
+    monthly_direct = rollup_aggregate(
+        o.withColumn("month", F.date_trunc("month", "o_orderdate")),
+        ["month"],
+        measures,
+    ).select(
+        "month",
+        F.col("revenue").cast("decimal(28,4)").alias("revenue"),
+        F.col("n_orders").cast("long").alias("n_orders"),
+        "max_order",
+    )
+    mismatches = monthly_from_daily.join(
+        monthly_direct, ["month", "revenue", "n_orders", "max_order"], "full"
+    ).count()
+    n_direct = monthly_direct.count()
+    n_cascaded = monthly_from_daily.count()
+    return spark.createDataFrame(
+        [
+            (
+                n_direct == n_cascaded,
+                mismatches == n_direct,
+            )
+        ],
+        "months_match boolean, values_match boolean",
+    )
