@@ -433,3 +433,37 @@ def test_attach_provenance_maps_rows_to_files(spark, tmp_path):
     # rows written in different commits carry different source files
     by_id = {r.id: r.src_file for r in out}
     assert by_id[3] != by_id[1] and by_id[1] == by_id[2]
+
+
+def test_jsonl_staged_sink_two_phase_commit(spark, tmp_path):
+    """Custom Python DataSource writer: tasks stage, driver commits —
+    published files + _SUCCESS manifest appear only on success, staged
+    temp files are gone, and a round-trip read returns the data."""
+    import json as _json
+    import os
+
+    from chicago_crime_spark_ml_spark.sources.jsonl_sink import (
+        JsonlSinkDataSource,
+    )
+
+    spark.dataSource.register(JsonlSinkDataSource)
+    out = str(tmp_path / "jsonl_out")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id BIGINT, s STRING"
+    ).repartition(2)
+    df.write.format("jsonl_staged").mode("append").option("path", out).save()
+
+    files = sorted(os.listdir(out))
+    assert "_SUCCESS" in files
+    parts = [f for f in files if f.startswith("part-")]
+    assert len(parts) >= 1
+    assert os.listdir(os.path.join(out, "_staging")) == []
+    manifest = _json.load(open(os.path.join(out, "_SUCCESS")))
+    assert manifest["rows"] == 3
+
+    back = {
+        (r["id"], r["s"])
+        for p in parts
+        for r in map(_json.loads, open(os.path.join(out, p)))
+    }
+    assert back == {(1, "a"), (2, "b"), (3, "c")}
