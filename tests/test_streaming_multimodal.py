@@ -619,3 +619,62 @@ def test_append_mode_emits_only_watermark_closed_windows(spark, tmp_path):
         assert rows == {(t0, 2)}  # closed window emitted once; 11:00 window still open
     finally:
         q.stop()
+
+
+def test_streaming_session_window_equals_batch(spark, sf_dir, tmp_path):
+    """session_window under readStream: gap-merged sessions finalize in
+    append mode once the watermark passes; a far-future sentinel event
+    advances the (global) watermark so every real session closes. The
+    emitted (user, session_start, n) rows must equal the batch
+    session_window aggregation on the same data."""
+    import datetime as dt
+
+    from chicago_crime_spark_ml_spark.sources.io import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    ev.coalesce(1).write.mode("append").parquet(str(src))
+
+    batch = {
+        (r.user_id, r["sw"]["start"], r.n)
+        for r in ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("sw")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+    stream = spark.readStream.schema("user_id BIGINT, ts TIMESTAMP").parquet(
+        str(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.col("sw.start").alias("start"), "n")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # sentinel from a reserved user far in the future closes everything
+        far = ev.agg(F.max("ts")).first()[0] + dt.timedelta(days=30)
+        spark.createDataFrame(
+            [(-1, far)], "user_id BIGINT, ts TIMESTAMP"
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r.user_id, r.start, r.n)
+        for r in spark.table("sess_stream").collect()
+        if r.user_id != -1
+    }
+    assert got == batch and len(batch) > 0
