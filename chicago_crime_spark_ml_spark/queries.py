@@ -8957,3 +8957,48 @@ def cascading_rollup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "months_match boolean, values_match boolean",
     )
+
+
+@query(
+    "reference_sort_quirk_parity",
+    """
+    WITH c AS (
+      SELECT n.n_name, year(o.o_orderdate) AS yr, count(*) AS n
+      FROM orders o
+      JOIN customer cu ON o.o_custkey = cu.c_custkey
+      JOIN nation n ON cu.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2)
+    SELECT n_name, CAST(yr AS INTEGER) AS yr, n,
+           row_number() OVER (ORDER BY n_name DESC, yr DESC, n DESC) AS display_order
+    FROM c
+    """,
+)
+def reference_sort_quirk_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preserves the reference's sort-direction quirk (SURVEY §2.5 O3 /
+    hard part b): PySpark's ``orderBy([a, b, c], ascending=False)``
+    applies DESC to EVERY key (Preprocessing.py:324-327 almost certainly
+    wanted count-only desc). The engine's own queries use explicit
+    per-key directions; this query pins the quirk's exact semantics —
+    all keys descending, materialized as a deterministic display_order —
+    so a reference user migrating their script gets identical output
+    order."""
+    o = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    c = (
+        o.join(cu, o.o_custkey == cu.c_custkey)
+        .join(n, cu.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").alias("yr"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # the quirk itself: one ascending=False flag -> every key DESC
+    quirked = c.orderBy(["n_name", "yr", "n"], ascending=False)
+    w = Window.orderBy(
+        F.col("n_name").desc(), F.col("yr").desc(), F.col("n").desc()
+    )
+    return quirked.select(
+        "n_name",
+        F.col("yr").cast("int").alias("yr"),
+        "n",
+        F.row_number().over(w).alias("display_order"),
+    )
