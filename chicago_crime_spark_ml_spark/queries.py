@@ -9002,3 +9002,112 @@ def reference_sort_quirk_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.row_number().over(w).alias("display_order"),
     )
+
+
+@query(
+    "split_leakage_audit",
+    f"""
+    WITH {_NGRAM_JACCARD_CTES},
+    split AS (
+      SELECT doc_id,
+             CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 80 THEN 'train'
+                  WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents)
+    SELECT CAST(count(*) AS BIGINT) AS n_near_dup_pairs,
+           CAST(sum(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_cross_split_pairs,
+           CAST(sum(CASE WHEN sa.split = 'train' AND sb.split = 'test'
+                           OR sa.split = 'test' AND sb.split = 'train'
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_train_test_pairs
+    FROM jac
+    JOIN split sa ON jac.id_a = sa.doc_id
+    JOIN split sb ON jac.id_b = sb.doc_id
+    """,
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage audit: near-duplicate pairs (exact Jaccard ≥
+    0.8, the oracle-checked ground truth) that STRADDLE split
+    boundaries — each one is an eval answer sitting in the training set.
+    The audit every LLM data pipeline must run after hash-splitting,
+    because hash splits are content-blind: composes the near-dup
+    machinery with the deterministic md5 split (doc_split_assignment).
+    At scale the pair list comes from the LSH front-end; the join to
+    split labels is id-keyed either way. The fix when this is red:
+    assign splits by near-dup CLUSTER id (near_dup_canonical_docs), not
+    raw doc id."""
+    from chicago_crime_spark_ml_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from chicago_crime_spark_ml_spark.operators.ml import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, threshold=0.8).select("id_a", "id_b")
+    split = hash_split(d.select("doc_id"), "doc_id").select(
+        "doc_id", "split"
+    )
+    sa = split.select(
+        F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
+    )
+    sb = split.select(
+        F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")
+    )
+    j = pairs.join(sa, "id_a").join(sb, "id_b")
+    cross = F.when(F.col("split_a") != F.col("split_b"), 1).otherwise(0)
+    tt = F.when(
+        ((F.col("split_a") == "train") & (F.col("split_b") == "test"))
+        | ((F.col("split_a") == "test") & (F.col("split_b") == "train")),
+        1,
+    ).otherwise(0)
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_near_dup_pairs"),
+        F.sum(cross).cast("long").alias("n_cross_split_pairs"),
+        F.sum(tt).cast("long").alias("n_train_test_pairs"),
+    )
+
+
+@query(
+    "contrastive_negative_pairs",
+    """
+    WITH n AS (SELECT count(*) AS n_docs FROM documents),
+    anchors AS (SELECT doc_id FROM documents),
+    negs AS (
+      SELECT a.doc_id,
+             (a.doc_id * 31 + j.j) % (SELECT n_docs FROM n) AS neg_id
+      FROM anchors a
+      CROSS JOIN (SELECT unnest([1, 2, 3]) AS j) j)
+    SELECT doc_id, neg_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY neg_id)
+                AS INTEGER) AS k
+    FROM negs WHERE neg_id <> doc_id
+    """,
+)
+def contrastive_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: 3
+    pseudo-random negatives per anchor via modular arithmetic on the id
+    space — content-stable (same corpus → same pairs on any engine or
+    partitioning, unlike rand()-based samplers) and collision-free by
+    construction except self-hits, which are dropped. Map-only: the
+    negatives are COMPUTED, not joined, so the operator costs one
+    projection regardless of corpus size; pair hard-negative mining
+    (LSH candidates with label disagreement) on top when semantics
+    matter more than speed."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    js = spark.range(1, 4).select(F.col("id").alias("j"))
+    negs = (
+        d.crossJoin(F.broadcast(js))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            ((F.col("doc_id") * 31 + F.col("j")) % F.col("n_docs")).alias(
+                "neg_id"
+            ),
+        )
+        .filter(F.col("neg_id") != F.col("doc_id"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("neg_id")
+    return negs.select(
+        "doc_id", "neg_id", F.row_number().over(w).cast("int").alias("k")
+    )
