@@ -9111,3 +9111,56 @@ def contrastive_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negs.select(
         "doc_id", "neg_id", F.row_number().over(w).cast("int").alias("k")
     )
+
+
+@query(
+    "cluster_aware_split_assignment",
+    f"""
+    WITH RECURSIVE {_NGRAM_JACCARD_CTES},
+    edges AS (SELECT id_a AS a, id_b AS b FROM jac
+              UNION ALL SELECT id_b, id_a FROM jac),
+    reach(src, dst) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+    comp AS (SELECT src AS node, least(src, min(dst)) AS label
+             FROM reach GROUP BY src),
+    canon AS (
+      SELECT d.doc_id,
+             CAST(coalesce(c.label, d.doc_id) AS BIGINT) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node)
+    SELECT doc_id, cluster_id,
+           CASE WHEN ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 80 THEN 'train'
+                WHEN ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM canon
+    """,
+)
+def cluster_aware_split_assignment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """THE FIX the split-leakage audit calls for: hash-split by near-dup
+    CLUSTER id instead of raw doc id, so every member of a duplicate
+    cluster lands in the same split and cross-split leakage is zero BY
+    CONSTRUCTION (asserted in tests/test_text_dedup.py). Same md5 bucket
+    arithmetic as doc_split_assignment, applied to the connected-
+    component label; composition of two already-oracle-checked stages."""
+    from chicago_crime_spark_ml_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+    from chicago_crime_spark_ml_spark.operators.ml import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    comp = connected_components(ngram_jaccard_pairs(d, threshold=0.8))
+    canon = (
+        d.select("doc_id")
+        .join(comp, F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("label", "doc_id").cast("long").alias("cluster_id"),
+        )
+    )
+    return hash_split(canon, "cluster_id").select(
+        "doc_id", "cluster_id", "split"
+    )

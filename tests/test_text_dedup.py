@@ -347,3 +347,27 @@ def test_compression_ratio_orders_redundancy(spark):
         for r in compression_ratio(df).collect()
     }
     assert got == again
+
+
+def test_cluster_aware_split_has_zero_leakage(spark, sf_dir):
+    """Splitting by near-dup cluster id must yield ZERO cross-split
+    near-dup pairs — the closing property of the leakage-audit story."""
+    from pyspark.sql import functions as F
+
+    from chicago_crime_spark_ml_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from chicago_crime_spark_ml_spark.queries import QUERIES
+    from chicago_crime_spark_ml_spark.sources.io import load_table
+
+    split = QUERIES["cluster_aware_split_assignment"](spark, sf_dir)
+    pairs = ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.8
+    ).select("id_a", "id_b")
+    sa = split.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa"))
+    sb = split.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb"))
+    crossing = (
+        pairs.join(sa, "id_a").join(sb, "id_b").filter(F.col("sa") != F.col("sb"))
+    )
+    assert crossing.count() == 0
+    assert pairs.count() > 0  # the guarantee is non-vacuous
