@@ -482,6 +482,23 @@ EXCHANGE_BUDGET = [
     ("daily_revenue_autocorr", 3),
     ("monthly_revenue_theil_sen", 6),
     ("doc_novelty_scores", 4),
+    ("lang_source_chi2", 13),
+    ("lang_source_mutual_info", 12),
+    ("k_anonymity_violations", 4),
+    ("benford_first_digit_audit", 5),
+    ("ab_value_ztest", 4),
+    ("ab_cuped_adjusted_ztest", 12),
+    ("order_totalprice_reconciliation", 4),
+    ("segment_survival_logrank", 13),
+    ("source_unigram_jsd", 12),
+    ("doc_bigram_logprob", 11),
+    ("token_zipf_slope", 2),
+    ("split_leakage_audit", 10),
+    ("contrastive_negative_pairs", 5),
+    ("cluster_aware_split_assignment", 3),
+    ("acctbal_percentile_disc_by_segment", 2),
+    ("suppliers_serving_all_regions", 10),
+    ("order_value_ks_two_sample", 4),
 ]
 
 
