@@ -9164,3 +9164,125 @@ def cluster_aware_split_assignment(
     return hash_split(canon, "cluster_id").select(
         "doc_id", "cluster_id", "split"
     )
+
+
+@query(
+    "simpsons_paradox_check",
+    """
+    WITH pts AS (
+      SELECT l_returnflag AS g,
+             CAST(l_quantity AS DOUBLE) AS x,
+             CAST(l_extendedprice AS DOUBLE) AS y
+      FROM lineitem),
+    per_g AS (
+      SELECT g,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+      FROM pts GROUP BY 1),
+    slopes AS (
+      SELECT g,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+      FROM per_g),
+    pooled AS (
+      SELECT (sum(n) * sum(sxy) - sum(sx) * sum(sy))
+               / (sum(n) * sum(sxx) - sum(sx) * sum(sx)) AS slope
+      FROM per_g)
+    SELECT s.g, round(s.slope, 4) AS group_slope,
+           round((SELECT slope FROM pooled), 4) AS pooled_slope,
+           (sign(s.slope) <> sign((SELECT slope FROM pooled)))
+             AS sign_reversed
+    FROM slopes s
+    """,
+)
+def simpsons_paradox_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox screen: per-group OLS slope of price on
+    quantity vs the pooled slope, flagging groups whose trend REVERSES
+    when segmented — the aggregation trap every dashboard metric is one
+    groupBy away from. One moment pass per group; the pooled slope
+    reuses the SAME group moments (summed), so the fact table is
+    scanned once and the comparison costs a groups-sized agg."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_quantity").cast("double").alias("x"),
+        F.col("l_extendedprice").cast("double").alias("y"),
+    )
+
+    def dq(c, t="decimal(38,6)"):
+        return F.sum(c.cast(t)).cast("double")
+
+    per_g = li.groupBy("g").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dq(F.col("x"), "decimal(28,6)").alias("sx"),
+        dq(F.col("y"), "decimal(28,6)").alias("sy"),
+        dq(F.col("x") * F.col("x")).alias("sxx"),
+        dq(F.col("x") * F.col("y")).alias("sxy"),
+    ).persist()
+    slope = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    slopes = per_g.select("g", slope.alias("slope"))
+    pooled = per_g.agg(
+        (
+            (F.sum("n") * F.sum("sxy") - F.sum("sx") * F.sum("sy"))
+            / (F.sum("n") * F.sum("sxx") - F.sum("sx") * F.sum("sx"))
+        ).alias("pooled")
+    )
+    return slopes.crossJoin(F.broadcast(pooled)).select(
+        "g",
+        F.round("slope", 4).alias("group_slope"),
+        F.round("pooled", 4).alias("pooled_slope"),
+        (F.signum("slope") != F.signum("pooled")).alias("sign_reversed"),
+    )
+
+
+@query(
+    "session_bounce_rate",
+    """
+    WITH o AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      FROM events),
+    flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS news
+      FROM o),
+    numbered AS (
+      SELECT user_id,
+             sum(news) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged),
+    sess AS (SELECT user_id, sid, count(*) AS n FROM numbered GROUP BY 1, 2)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+             AS bounce_rate
+    FROM sess GROUP BY 1
+    """,
+)
+def session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate per user: the fraction of 30-minute-gap sessions
+    containing exactly one event — the engagement KPI sitting next to
+    session counts and durations. Same session_window machinery as
+    events_sessionized; one extra conditional aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    per_session = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("sw")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_bounces"),
+        F.round(
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+            * 1.0
+            / F.count(F.lit(1)),
+            4,
+        ).alias("bounce_rate"),
+    )
