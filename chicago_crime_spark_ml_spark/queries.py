@@ -9286,3 +9286,77 @@ def session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("bounce_rate"),
     )
+
+
+@query(
+    "session_event_type_pairs",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_type,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      FROM events),
+    flagged AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS news
+      FROM o),
+    numbered AS (
+      SELECT user_id, event_type,
+             sum(news) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged),
+    baskets AS (
+      SELECT DISTINCT user_id, sid, event_type FROM numbered)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS n_sessions
+    FROM baskets a
+    JOIN baskets b
+      ON a.user_id = b.user_id AND a.sid = b.sid
+     AND a.event_type < b.event_type
+    GROUP BY 1, 2
+    """,
+)
+def session_event_type_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence at SESSION granularity: which event
+    types happen together within one 30-minute session (the behavioral
+    itemset — 'errors co-occur with purchases in the same sitting').
+    User-level sessions come from one gaps-and-islands window pass; the
+    rollup distinct-ifies to (session, type) before the pair self-join,
+    which therefore runs over ≤|types| rows per session, never raw
+    events; same a<b orientation discipline as the brand pair queries."""
+    ev = _t(spark, sf_dir, "events")
+    # USER-level sessions via gaps-and-islands (session_window grouped
+    # with event_type would merge sessions per (user, type) — different
+    # boundaries than the user's actual sitting)
+    wu = Window.partitionBy("user_id").orderBy("ts")
+    news = F.when(
+        F.lag("ts").over(wu).isNull()
+        | (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(wu))
+            >= 30 * 60 * 1_000_000
+        ),
+        1,
+    ).otherwise(0)
+    numbered = ev.select(
+        "user_id",
+        "event_type",
+        F.sum(news)
+        .over(wu.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("sid"),
+    )
+    baskets = numbered.select("user_id", "sid", "event_type").distinct()
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.sid") == F.col("b.sid"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+    )
