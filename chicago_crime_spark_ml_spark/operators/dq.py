@@ -52,6 +52,37 @@ def run_expectations(
                 | (F.col(col) < F.lit(lo))
                 | (F.col(col) > F.lit(hi))
             )
+        elif kind == "freshness":
+            # data recency vs an EXPLICIT reference instant (as_of) —
+            # deterministic and replayable, unlike current_timestamp().
+            # Table-level rule: if the newest value is older than max_age
+            # relative to as_of, every row counts as violating (the table
+            # is stale), else zero — surfaced through the same
+            # (violations, passed) contract as the row rules.
+            as_of = F.lit(r["as_of"]).cast("timestamp")
+            max_age_us = int(r["max_age_seconds"]) * 1_000_000
+            fresh = df.agg(
+                F.max(F.col(col)).alias("__newest"),
+                F.count(F.lit(1)).cast("bigint").alias("__n"),
+            ).select(
+                F.lit(name).alias("rule"),
+                F.lit(col).alias("column"),
+                F.when(
+                    F.unix_micros(as_of) - F.unix_micros(F.col("__newest"))
+                    > F.lit(max_age_us),
+                    F.col("__n"),
+                )
+                .otherwise(F.lit(0))
+                .cast("bigint")
+                .alias("violations"),
+            ).select(
+                "rule",
+                "column",
+                "violations",
+                (F.col("violations") == 0).alias("passed"),
+            )
+            extra_frames.append(fresh)
+            continue
         elif kind == "unique":
             dups = (
                 df.groupBy(col)

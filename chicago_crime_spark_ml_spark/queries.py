@@ -9360,3 +9360,60 @@ def session_event_type_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
     )
+
+
+@query(
+    "revenue_lorenz_points",
+    """
+    WITH rev AS (
+      SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS r
+      FROM orders GROUP BY 1),
+    ranked AS (
+      SELECT r, ntile(10) OVER (ORDER BY r, o_custkey) AS decile
+      FROM rev),
+    d AS (
+      SELECT decile,
+             CAST(count(*) AS BIGINT) AS n_customers,
+             sum(r) AS rev
+      FROM ranked GROUP BY 1),
+    tot AS (SELECT sum(rev) AS t FROM d)
+    SELECT decile,
+           n_customers,
+           round(CAST(rev AS DOUBLE), 2) AS decile_revenue,
+           round(CAST(sum(rev) OVER (ORDER BY decile
+                       ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 / CAST((SELECT t FROM tot) AS DOUBLE), 4)
+             AS cum_revenue_share
+    FROM d
+    """,
+)
+def revenue_lorenz_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz-curve points backing the Gini number: cumulative revenue
+    share by customer decile (poorest→richest) — the 'bottom 80% of
+    customers hold X% of revenue' chart data. ntile runs over the
+    customer ROLLUP (custkey tiebreak makes decile edges deterministic);
+    the cumulative share is a window over 10 rows. Exact-decimal sums
+    throughout; shares divide bit-identical totals."""
+    o = _t(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("r")
+    )
+    ranked = rev.select(
+        "r",
+        F.ntile(10).over(Window.orderBy("r", "o_custkey")).alias("decile"),
+    )
+    d = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("r").alias("rev"),
+    )
+    tot = d.agg(F.sum("rev").alias("t"))
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return d.crossJoin(F.broadcast(tot)).select(
+        "decile",
+        "n_customers",
+        F.round(F.col("rev").cast("double"), 2).alias("decile_revenue"),
+        F.round(
+            F.sum("rev").over(wc).cast("double") / F.col("t").cast("double"),
+            4,
+        ).alias("cum_revenue_share"),
+    )

@@ -107,3 +107,27 @@ def test_clean_pipeline_end_to_end(dirty):
     assert rows["4"].District == 9.0
     dt = dict(out.dtypes)
     assert dt["Ward"] == "double" and dt["Arrest"] == "boolean"
+
+
+def test_dq_freshness_rule(spark):
+    import datetime as dt
+
+    from chicago_crime_spark_ml_spark.operators.dq import run_expectations
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2026, 1, 10, 12, 0)), (2, dt.datetime(2026, 1, 9, 0, 0))],
+        "id BIGINT, ts TIMESTAMP",
+    )
+    fresh = run_expectations(
+        df,
+        [{"type": "freshness", "column": "ts",
+          "as_of": "2026-01-10 13:00:00", "max_age_seconds": 7200}],
+    ).collect()[0]
+    assert fresh.passed and fresh.violations == 0
+
+    stale = run_expectations(
+        df,
+        [{"type": "freshness", "column": "ts",
+          "as_of": "2026-01-12 00:00:00", "max_age_seconds": 3600}],
+    ).collect()[0]
+    assert not stale.passed and stale.violations == 2
