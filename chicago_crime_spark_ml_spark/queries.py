@@ -9417,3 +9417,66 @@ def revenue_lorenz_points(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("cum_revenue_share"),
     )
+
+
+@query(
+    "event_lateness_profile",
+    """
+    WITH arr AS (
+      SELECT ts,
+             max(ts) OVER (ORDER BY event_id
+                           ROWS UNBOUNDED PRECEDING) AS high_water
+      FROM events),
+    late AS (
+      SELECT date_diff('microseconds', ts, high_water) AS late_us
+      FROM arr)
+    SELECT CAST(count(*) AS BIGINT) AS n_events,
+           round(quantile_cont(late_us, 0.5) / 1e6, 4) AS p50_lateness_s,
+           round(quantile_cont(late_us, 0.95) / 1e6, 4) AS p95_lateness_s,
+           round(max(late_us) / 1e6, 4) AS max_lateness_s,
+           round(sum(CASE WHEN late_us > CAST(600 AS BIGINT) * 1000000 THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 4) AS dropped_at_10min,
+           round(sum(CASE WHEN late_us > CAST(3600 AS BIGINT) * 1000000 THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 4) AS dropped_at_1h
+    FROM late
+    """,
+)
+def event_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness profiler — the number you need BEFORE choosing a
+    watermark: each event's lateness is the gap between its event time
+    and the high-water mark of everything that arrived before it
+    (arrival order ≈ event_id, the append sequence). Reports the
+    lateness distribution and the exact fraction of events a 10-minute
+    or 1-hour watermark would drop. One global running-max window over
+    arrival order (inherent to the definition — at scale, run it on a
+    sampled or per-shard basis); everything after is a single agg."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0)
+    late = ev.select(
+        (
+            F.unix_micros(F.max("ts").over(w)) - F.unix_micros("ts")
+        ).alias("late_us")
+    )
+    us = F.col("late_us")
+    return late.agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.expr("percentile(late_us, 0.5)") / 1e6, 4).alias(
+            "p50_lateness_s"
+        ),
+        F.round(F.expr("percentile(late_us, 0.95)") / 1e6, 4).alias(
+            "p95_lateness_s"
+        ),
+        F.round(F.max(us) / 1e6, 4).alias("max_lateness_s"),
+        F.round(
+            F.sum(F.when(us > 600 * 1_000_000, 1).otherwise(0))
+            * 1.0
+            / F.count(F.lit(1)),
+            4,
+        ).alias("dropped_at_10min"),
+        F.round(
+            F.sum(F.when(us > 3600 * 1_000_000, 1).otherwise(0))
+            * 1.0
+            / F.count(F.lit(1)),
+            4,
+        ).alias("dropped_at_1h"),
+    )
