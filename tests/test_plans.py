@@ -504,6 +504,10 @@ EXCHANGE_BUDGET = [
 
 @pytest.mark.parametrize("name,budget", EXCHANGE_BUDGET)
 def test_exchange_budget(spark, sf_dir, name, budget):
+    # A materialized .persist() from an earlier test (e.g. the oracle
+    # replay) makes explain embed the cached child plan at every reuse
+    # site, double-counting its Exchange — count against a cold cache.
+    spark.catalog.clearCache()
     plan = explain_str(QUERIES[name](spark, sf_dir), "simple")
     got = plan.count("Exchange")
     assert got <= budget, (
