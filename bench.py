@@ -78,6 +78,10 @@ def run(sf_dir: str) -> dict:
             force(QUERIES[name](spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        # Queries that persist() intermediates leave them cached; dropping
+        # them between queries keeps later timings free of accumulated
+        # executor-memory/GC pressure from earlier queries' caches.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     return {
