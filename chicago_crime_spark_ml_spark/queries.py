@@ -9480,3 +9480,56 @@ def event_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("dropped_at_1h"),
     )
+
+
+@query(
+    "heavy_hitter_users",
+    """
+    WITH tot AS (SELECT count(*) AS total FROM events)
+    SELECT user_id, count(*) AS n,
+           round(count(*) * 1.0 / any_value(total), 4) AS share
+    FROM events CROSS JOIN tot
+    GROUP BY user_id
+    HAVING count(*) * 200 >= any_value(total)
+    """,
+)
+def heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users producing > 0.5% of all events, via sketch-then-verify
+    (operators/sketches.heavy_hitters): a freqItems candidate pass with
+    a bounded driver collect, then exact counts over the ≤250-key
+    candidate set. The threshold is the integer cross-product
+    n·200 ≥ total — no float support×total that could straddle a
+    rounding boundary between engines — so the output is EXACTLY the
+    SQL GROUP BY/HAVING answer while the Spark plan never shuffles the
+    key long tail."""
+    from chicago_crime_spark_ml_spark.operators.sketches import heavy_hitters
+
+    return heavy_hitters(_t(spark, sf_dir, "events"), "user_id", denom=200)
+
+
+@query(
+    "bitmap_distinct_customers_by_priority",
+    """
+    SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_distinct_customers
+    FROM orders GROUP BY 1
+    """,
+)
+def bitmap_distinct_customers_by_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT distinct buyers per priority through mergeable bitmap
+    partials (operators/sketches.bitmap_distinct, Spark 4
+    bitmap_construct_agg): partitions compress their custkeys into
+    per-bucket bitsets before the shuffle, buckets partition the key
+    space so per-bucket counts add exactly. Same answer as
+    count(DISTINCT) with no Expand in the plan, and the level-1 bitmaps
+    are the incremental-rollup unit (bitmap_or_agg merges daily partials
+    without re-reading history)."""
+    from chicago_crime_spark_ml_spark.operators.sketches import bitmap_distinct
+
+    return bitmap_distinct(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderpriority"],
+        "o_custkey",
+        out_col="n_distinct_customers",
+    )
