@@ -1,0 +1,230 @@
+"""Differential fuzzing: Spark vs DuckDB on hypothesis-generated tables.
+
+The curated oracle catalog (tests/test_oracle.py) checks 200+ queries on
+FIXED testdata — it can't reach the adversarial corners where engines
+classically diverge: NULLs in join keys, NULLs in agg inputs, empty
+groups, bag-semantics set ops, ties in window ordering. This fuzzer
+generates small tables WITH nulls and replays the same relational core
+(agg / join / null-safe filter / set ops / window) through both engines.
+
+Values are integers and short strings only — no floats, so every
+mismatch is a semantic bug, never a rounding artifact. Each comparison
+is order-insensitive (sorted repr rows), mirroring the driver's check.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# keys: small domain forces collisions; nullable. vals: nullable ints.
+rows_st = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(min_value=0, max_value=4)),
+        st.one_of(st.none(), st.sampled_from(["a", "b", "c"])),
+        st.one_of(st.none(), st.integers(min_value=-100, max_value=100)),
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+SCHEMA = "k BIGINT, s STRING, v BIGINT"
+DUCK_SCHEMA = [("k", "BIGINT"), ("s", "VARCHAR"), ("v", "BIGINT")]
+
+FUZZ = settings(
+    max_examples=20,
+    deadline=None,
+    derandomize=True,  # CI-stable: failures reproduce, never flake
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+def duck_with(tables: dict[str, list[tuple]]) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name, rows in tables.items():
+        cols = ", ".join(f"{c} {t}" for c, t in DUCK_SCHEMA)
+        con.execute(f"CREATE TABLE {name} ({cols})")
+        if rows:
+            con.executemany(
+                f"INSERT INTO {name} VALUES (?, ?, ?)", [list(r) for r in rows]
+            )
+    return con
+
+
+def canon(rows) -> list[tuple]:
+    return sorted(tuple(repr(v) for v in r) for r in rows)
+
+
+def assert_same(sdf, con, sql: str) -> None:
+    got = canon(tuple(r) for r in sdf.collect())
+    want = canon(con.execute(sql).fetchall())
+    assert got == want, f"spark={got[:5]} duck={want[:5]}"
+
+
+@FUZZ
+@given(rows=rows_st)
+def test_fuzz_groupby_agg(spark, rows):
+    # NULL group keys form their own group; count(v) skips NULLs while
+    # count(*) doesn't; sum/min/max of all-NULL groups are NULL
+    from pyspark.sql import functions as F
+
+    sdf = (
+        spark.createDataFrame(rows, SCHEMA)
+        .groupBy("k", "s")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("v").alias("n_v"),
+            F.sum("v").alias("sum_v"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        )
+    )
+    con = duck_with({"t": rows})
+    assert_same(
+        sdf,
+        con,
+        """SELECT k, s, count(*) AS n_rows, count(v) AS n_v,
+                  sum(v) AS sum_v, min(v) AS min_v, max(v) AS max_v
+           FROM t GROUP BY k, s""",
+    )
+
+
+@FUZZ
+@given(left=rows_st, right=rows_st)
+def test_fuzz_joins(spark, left, right):
+    # NULL keys never match (SQL three-valued =) in inner/left/semi/anti;
+    # left join fans out on duplicate right keys
+    ldf = spark.createDataFrame(left, SCHEMA)
+    rdf = spark.createDataFrame(right, SCHEMA).selectExpr(
+        "k", "v AS rv"
+    )
+    con = duck_with({"l": left, "r": right})
+    cases = {
+        "inner": (
+            ldf.join(rdf, "k"),
+            "SELECT l.k, l.s, l.v, r.v AS rv FROM l JOIN r ON l.k = r.k",
+        ),
+        "left": (
+            ldf.join(rdf, "k", "left"),
+            "SELECT l.k, l.s, l.v, r.v AS rv FROM l LEFT JOIN r ON l.k = r.k",
+        ),
+        "semi": (
+            ldf.join(rdf, "k", "left_semi"),
+            "SELECT * FROM l WHERE EXISTS"
+            " (SELECT 1 FROM r WHERE r.k = l.k)",
+        ),
+        "anti": (
+            ldf.join(rdf, "k", "left_anti"),
+            "SELECT * FROM l WHERE NOT EXISTS"
+            " (SELECT 1 FROM r WHERE r.k = l.k)",
+        ),
+    }
+    for how, (sdf, sql) in cases.items():
+        try:
+            assert_same(sdf, con, sql)
+        except AssertionError as e:
+            raise AssertionError(f"{how} join diverged: {e}") from e
+
+
+@FUZZ
+@given(rows=rows_st)
+def test_fuzz_null_safe_predicates(spark, rows):
+    # eqNullSafe is IS NOT DISTINCT FROM; plain = drops NULL rows
+    from pyspark.sql import functions as F
+
+    sdf = spark.createDataFrame(rows, SCHEMA)
+    con = duck_with({"t": rows})
+    assert_same(
+        sdf.filter(F.col("v").eqNullSafe(F.lit(None).cast("bigint"))),
+        con,
+        "SELECT * FROM t WHERE v IS NOT DISTINCT FROM NULL",
+    )
+    assert_same(
+        sdf.filter(F.col("k").eqNullSafe(F.col("v"))),
+        con,
+        "SELECT * FROM t WHERE k IS NOT DISTINCT FROM v",
+    )
+    assert_same(
+        sdf.filter(F.col("k") == F.col("v")),
+        con,
+        "SELECT * FROM t WHERE k = v",
+    )
+
+
+@FUZZ
+@given(left=rows_st, right=rows_st)
+def test_fuzz_bag_set_ops(spark, left, right):
+    # exceptAll/intersectAll are BAG ops (multiplicity-aware), matching
+    # SQL EXCEPT ALL / INTERSECT ALL — NULL rows compare equal here,
+    # unlike join keys
+    ldf = spark.createDataFrame(left, SCHEMA)
+    rdf = spark.createDataFrame(right, SCHEMA)
+    con = duck_with({"l": left, "r": right})
+    assert_same(
+        ldf.exceptAll(rdf), con, "SELECT * FROM l EXCEPT ALL SELECT * FROM r"
+    )
+    assert_same(
+        ldf.intersectAll(rdf),
+        con,
+        "SELECT * FROM l INTERSECT ALL SELECT * FROM r",
+    )
+    assert_same(ldf.distinct(), con, "SELECT DISTINCT * FROM l")
+
+
+@FUZZ
+@given(rows=rows_st)
+def test_fuzz_window_rank(spark, rows):
+    # total deterministic order (v NULLS FIRST to match both engines'
+    # default ASC NULL placement, uid tiebreak) -> row_number and
+    # running sum must agree exactly
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    uid_rows = [(i, *r) for i, r in enumerate(rows)]
+    sdf = spark.createDataFrame(uid_rows, "uid BIGINT, " + SCHEMA)
+    w = (
+        Window.partitionBy("k")
+        .orderBy(F.asc_nulls_first("v"), F.asc("uid"))
+    )
+    out = sdf.select(
+        "uid",
+        "k",
+        F.row_number().over(w).alias("rn"),
+        F.sum("v")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("run_v"),
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (uid BIGINT, k BIGINT, s VARCHAR, v BIGINT)")
+    if uid_rows:
+        con.executemany(
+            "INSERT INTO t VALUES (?, ?, ?, ?)", [list(r) for r in uid_rows]
+        )
+    assert_same(
+        out,
+        con,
+        """SELECT uid, k,
+                  row_number() OVER w AS rn,
+                  sum(v) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS run_v
+           FROM t
+           WINDOW w AS (PARTITION BY k ORDER BY v ASC NULLS FIRST, uid)""",
+    )
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "left_semi", "left_anti"])
+def test_join_null_key_never_matches(spark, how):
+    # pin the classic trap explicitly (not just via fuzz): NULL = NULL
+    # is UNKNOWN, so a NULL key matches nothing in any join flavor
+    l = spark.createDataFrame([(None, "x", 1), (1, "y", 2)], SCHEMA)
+    r = spark.createDataFrame([(None, "z", 9), (1, "w", 8)], SCHEMA)
+    joined = l.join(r.selectExpr("k", "v AS rv"), "k", how)
+    ks = [row.k for row in joined.collect()]
+    if how == "left_anti":
+        assert ks == [None]
+    elif how == "left":
+        assert sorted(ks, key=lambda x: (x is None, x)) == [1, None]
+    else:
+        assert ks == [1]
