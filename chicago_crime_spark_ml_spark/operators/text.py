@@ -354,12 +354,14 @@ def trigram_udtf():
     computation a pure explode pipeline is faster (stays in codegen;
     equality-tested in tests/); the UDTF form is the template for
     generators that genuinely need Python per-row logic (tokenizers,
-    samplers, parsers) and runs Arrow-batched like any Python UDF."""
+    samplers, parsers). ``useArrow=True`` makes evaluation
+    Arrow-batched (ArrowEvalPythonUDTF) — the engine-wide no-BatchEval
+    rule (tools/plan_report.py gate) applies to UDTFs too."""
     import re
 
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="idx int, trigram string")
+    @udtf(returnType="idx int, trigram string", useArrow=True)
     class Trigrams:
         def eval(self, text: str):
             if text is None:
