@@ -8700,8 +8700,7 @@ def segment_survival_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH assigned AS (
       SELECT user_id,
-             CASE WHEN CAST(json_extract(any_value(props), '$.k') AS INTEGER) < 50
-                  THEN 'A' ELSE 'B' END AS variant,
+             CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
              CAST(sum(CASE WHEN ts <  TIMESTAMP '2024-01-16'
                            THEN CAST(coalesce(value, 0) AS DECIMAL(18,4))
                            ELSE 0 END) AS DOUBLE) AS pre,
@@ -8758,16 +8757,13 @@ def ab_cuped_adjusted_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines."""
     ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     cutoff = F.lit("2024-01-16").cast("timestamp")
+    # unit-of-assignment = the user key, NOT any_value(props): k varies
+    # across a user's events (up to 24 distinct at sf0.01), so an
+    # any_value-based variant is engine- and partition-order-dependent —
+    # it only cross-checked by the luck of both engines scanning one
+    # file in order. user_id % 2 is total, balanced, and how experiment
+    # platforms actually randomize (hash of the assignment unit).
     assigned = ev.groupBy("user_id").agg(
-        F.when(
-            F.try_variant_get(
-                F.parse_json(F.any_value("props")), "$.k", "int"
-            )
-            < 50,
-            "A",
-        )
-        .otherwise("B")
-        .alias("variant"),
         F.sum(
             F.when(
                 F.col("ts") < cutoff,
@@ -8784,6 +8780,12 @@ def ab_cuped_adjusted_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("double")
         .alias("post"),
+    ).select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("A"))
+        .otherwise("B")
+        .alias("variant"),
+        "pre",
+        "post",
     ).persist()
 
     def dq(c, t="decimal(38,6)"):
