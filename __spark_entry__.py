@@ -45,10 +45,22 @@ def _previously_green() -> set[str]:
 
 
 def _rotated(catalog: dict) -> dict:
+    """Never-green first; within those, oracle-backed before rows-only
+    (a driver slot spent on an oracle-backed query yields a hash row,
+    the strongest evidence class)."""
+    from chicago_crime_spark_ml_spark.queries import ORACLE
+
     green = _previously_green()
-    out = {k: v for k, v in catalog.items() if k not in green}
-    out.update({k: v for k, v in catalog.items() if k in green})
-    return out
+
+    def tier(k: str) -> int:
+        if k in green:
+            return 2
+        return 0 if k in ORACLE else 1
+
+    return {
+        k: catalog[k]
+        for k in sorted(catalog, key=lambda k: (tier(k)))
+    }
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
