@@ -228,3 +228,99 @@ def test_join_null_key_never_matches(spark, how):
         assert sorted(ks, key=lambda x: (x is None, x)) == [1, None]
     else:
         assert ks == [1]
+
+
+# --------------------------------------------------------------------------
+# Custom-operator differentials: as-of and interval joins vs DuckDB's
+# native forms (an oracle independent of the pandas merge_asof property
+# tests in test_properties.py)
+# --------------------------------------------------------------------------
+
+import datetime as dt
+
+_BASE = dt.datetime(2024, 1, 1)
+
+ts_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),      # key
+        st.integers(min_value=0, max_value=600),    # seconds offset
+        st.integers(min_value=-50, max_value=50),   # payload
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+def _t(off: int) -> dt.datetime:
+    return _BASE + dt.timedelta(seconds=off)
+
+
+@FUZZ
+@given(left=ts_rows, right=ts_rows)
+def test_fuzz_asof_join_vs_duckdb(spark, left, right):
+    from chicago_crime_spark_ml_spark.operators.relational import asof_join
+
+    lrows = [(k, _t(o), i) for i, (k, o, _) in enumerate(left)]
+    # distinct right ts per key: DuckDB ASOF picks an arbitrary row among
+    # exact-tie timestamps while asof_join uses a deterministic payload
+    # rule — dedup ties so the comparison is well-defined
+    seen, rrows = set(), []
+    for k, o, v in right:
+        if (k, o) not in seen:
+            seen.add((k, o))
+            rrows.append((k, _t(o), v))
+    ldf = spark.createDataFrame(lrows, "k BIGINT, lts TIMESTAMP, lid BIGINT")
+    rdf = spark.createDataFrame(rrows, "k BIGINT, rts TIMESTAMP, rv BIGINT")
+    got = canon(
+        tuple(r)
+        for r in asof_join(ldf, rdf, "k", "lts", "rts")
+        .select("k", "lts", "lid", "rv")
+        .collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l (k BIGINT, lts TIMESTAMP, lid BIGINT)")
+    con.execute("CREATE TABLE r (k BIGINT, rts TIMESTAMP, rv BIGINT)")
+    if lrows:
+        con.executemany("INSERT INTO l VALUES (?,?,?)", [list(x) for x in lrows])
+    if rrows:
+        con.executemany("INSERT INTO r VALUES (?,?,?)", [list(x) for x in rrows])
+    want = canon(
+        con.execute(
+            """SELECT l.k, l.lts, l.lid, r.rv
+               FROM l ASOF LEFT JOIN r
+               ON l.k = r.k AND l.lts >= r.rts"""
+        ).fetchall()
+    )
+    assert got == want
+
+
+@FUZZ
+@given(left=ts_rows, right=ts_rows)
+def test_fuzz_interval_join_vs_duckdb(spark, left, right):
+    from chicago_crime_spark_ml_spark.operators.relational import interval_join
+
+    lrows = [(k, _t(o), i) for i, (k, o, _) in enumerate(left)]
+    rrows = [(k, _t(o), i) for i, (k, o, _) in enumerate(right)]
+    ldf = spark.createDataFrame(lrows, "k BIGINT, lts TIMESTAMP, lid BIGINT")
+    rdf = spark.createDataFrame(rrows, "k BIGINT, rts TIMESTAMP, rid BIGINT")
+    got = canon(
+        tuple(r)
+        for r in interval_join(ldf, rdf, "k", "lts", "rts", 0.0, 90.0)
+        .select("k", "lid", "rid")
+        .collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l (k BIGINT, lts TIMESTAMP, lid BIGINT)")
+    con.execute("CREATE TABLE r (k BIGINT, rts TIMESTAMP, rid BIGINT)")
+    if lrows:
+        con.executemany("INSERT INTO l VALUES (?,?,?)", [list(x) for x in lrows])
+    if rrows:
+        con.executemany("INSERT INTO r VALUES (?,?,?)", [list(x) for x in rrows])
+    want = canon(
+        con.execute(
+            """SELECT l.k, l.lid, r.rid
+               FROM l JOIN r ON l.k = r.k
+               AND r.rts BETWEEN l.lts AND l.lts + INTERVAL 90 SECOND"""
+        ).fetchall()
+    )
+    assert got == want
