@@ -9510,6 +9510,40 @@ def heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "customer_revenue_global_rank",
+    """
+    WITH rev AS (
+      SELECT o_custkey, CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+                             AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1)
+    SELECT o_custkey, revenue,
+           row_number() OVER (ORDER BY revenue DESC, o_custkey) AS rnk
+    FROM rev
+    """,
+)
+def customer_revenue_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global revenue leaderboard WITHOUT a single-partition window:
+    operators/relational.global_rank range-partitions the customer
+    rollup, ranks locally per range, and adds exact prefix offsets from
+    a bounded per-partition-count collect — bit-identical to
+    row_number() OVER (ORDER BY revenue DESC, o_custkey), the oracle,
+    but every task ranks only its own key range. This is the scale form
+    for entity-level ranking (1e8+ customers); the plain global window
+    stays appropriate only for small rollups (tests assert equality of
+    the two forms)."""
+    from chicago_crime_spark_ml_spark.operators.relational import global_rank
+
+    rev = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(_dsum("o_totalprice").alias("revenue"))
+    )
+    return global_rank(
+        rev, [F.desc("revenue"), F.asc("o_custkey")], out_col="rnk"
+    ).select("o_custkey", "revenue", "rnk")
+
+
+@query(
     "bitmap_distinct_customers_by_priority",
     """
     SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_distinct_customers
