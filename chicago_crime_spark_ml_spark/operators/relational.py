@@ -933,3 +933,89 @@ def global_rank(
         )
         .drop("__pid")
     )
+
+
+def topk_per_group_combiner(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    k: int,
+    ascending: bool = False,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Top-k per group with MAP-SIDE candidate pruning — the scale form
+    of ``top_k_per_group`` when groups are FEW and rows are many.
+
+    The window form shuffles EVERY row onto #groups reducer keys: with 5
+    priorities over 6e9 lineitems that's 5 hot partitions sorting 1.2e9
+    rows each. Here the exchange carries at most k·#map_partitions rows
+    per group instead:
+
+    1. ``sortWithinPartitions(group, order)`` — NO shuffle; a spillable
+       in-partition sort making each group's rows contiguous and ordered.
+    2. an Arrow-batched per-partition pruner (mapInPandas) walks the
+       sorted stream and keeps the first k rows of each group — O(1)
+       state (current group + its count), batch boundaries handled by
+       carrying that state across batches of the same partition.
+    3. the standard window top-k over the surviving ≤ k·P·G candidates —
+       its exchange is now vanishingly small.
+
+    A partition's non-top-k rows can never be in the global top-k, so
+    the result is EXACTLY the window form's (asserted in tests and by a
+    SQL window oracle). A naive groupBy(partition_id, group) +
+    collect_list stage would NOT work: the partial aggregate's exchange
+    ships the full lists — the pruning must happen before any exchange,
+    which is what the sorted mapInPandas walk does.
+    """
+    assert order_col not in group_cols
+    order = [F.asc(order_col) if ascending else F.desc(order_col)]
+    if tiebreak is not None:
+        order.append(F.asc(tiebreak))
+    local = df.sortWithinPartitions(*[F.col(c) for c in group_cols], *order)
+    gcols = list(group_cols)
+    schema = local.schema
+
+    def prune(batches):
+        # Correctness contract: emit a SUPERSET of each group's first k
+        # rows in the sorted stream (the window stage is exact, so
+        # over-emitting is harmless; dropping a true top-k row is the
+        # only bug). Vectorized per batch, O(1) carry state across
+        # batches. NaN group keys compare unequal and so over-emit —
+        # the safe direction.
+        carry_key, carry_n = None, 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.reset_index(drop=True)
+            keys = pdf[gcols]
+            change = keys.ne(keys.shift()).any(axis=1)
+            change.iloc[0] = True
+            gid = change.cumsum()
+            cnt = gid.groupby(gid).cumcount()
+            if carry_key is not None and tuple(keys.iloc[0]) == carry_key:
+                cnt = cnt + (gid == 1) * carry_n
+            out = pdf[(cnt < k).values]
+            last_gid = gid.iloc[-1]
+            n_last = int((gid == last_gid).sum())
+            if (
+                carry_key is not None
+                and last_gid == 1
+                and tuple(keys.iloc[0]) == carry_key
+            ):
+                carry_n += n_last
+            else:
+                carry_n = n_last
+            carry_key = tuple(keys.iloc[-1])
+            if len(out):
+                yield out
+
+    candidates = local.mapInPandas(prune, schema)
+    return top_k_per_group(
+        candidates,
+        gcols,
+        order_col,
+        k,
+        ascending=ascending,
+        tiebreak=tiebreak,
+        keep_rank=True,
+    )

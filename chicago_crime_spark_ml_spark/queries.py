@@ -9510,6 +9510,43 @@ def heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "topk_orders_per_priority_combiner",
+    """
+    SELECT o_orderpriority, o_totalprice, o_orderkey, rn FROM (
+      SELECT o_orderpriority, o_totalprice, o_orderkey,
+             CAST(row_number() OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+      FROM orders)
+    WHERE rn <= 5
+    """,
+)
+def topk_orders_per_priority_combiner(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-5 orders per priority via MAP-SIDE candidate pruning
+    (operators/relational.topk_per_group_combiner): 5 groups over the
+    whole fact table is exactly the shape where the window form's
+    shuffle melts down at scale (every row lands on 5 reducer keys);
+    the combiner ships ≤ k·#partitions candidates per group instead.
+    Result is bit-identical to the window form — the SQL window oracle."""
+    from chicago_crime_spark_ml_spark.operators.relational import (
+        topk_per_group_combiner,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice", "o_orderkey"
+    )
+    return topk_per_group_combiner(
+        o,
+        ["o_orderpriority"],
+        "o_totalprice",
+        k=5,
+        ascending=False,
+        tiebreak="o_orderkey",
+    )
+
+
+@query(
     "customer_revenue_global_rank",
     """
     WITH rev AS (

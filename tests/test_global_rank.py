@@ -68,3 +68,90 @@ def test_global_rank_plan_is_range_partitioned(spark, sf_dir):
 def test_global_rank_empty_frame(spark):
     df = spark.range(0).select(F.col("id").alias("v"))
     assert global_rank(df, ["v"]).count() == 0
+
+
+# --------------------------------------------------------------------------
+# topk_per_group_combiner — map-side pruned top-k ≡ window top-k
+# --------------------------------------------------------------------------
+
+from chicago_crime_spark_ml_spark.operators.relational import (  # noqa: E402
+    top_k_per_group,
+    topk_per_group_combiner,
+)
+
+
+def _window_form(o, k):
+    return top_k_per_group(
+        o,
+        ["o_orderpriority"],
+        "o_totalprice",
+        k,
+        ascending=False,
+        tiebreak="o_orderkey",
+        keep_rank=True,
+    )
+
+
+def test_combiner_topk_equals_window_topk(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice", "o_orderkey"
+    )
+    got = {
+        tuple(r)
+        for r in topk_per_group_combiner(
+            o, ["o_orderpriority"], "o_totalprice", 7,
+            ascending=False, tiebreak="o_orderkey",
+        ).collect()
+    }
+    want = {tuple(r) for r in _window_form(o, 7).collect()}
+    assert got == want
+    assert len(want) == 5 * 7
+
+
+def test_combiner_topk_survives_tiny_arrow_batches(spark):
+    # groups span many partitions AND many Arrow batches: the pruner's
+    # carry state across batch boundaries must never drop a true top-k
+    # row. 3 groups x 400 rows, 8 partitions, batches of 7 rows.
+    from pyspark.sql import functions as F
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+        df = spark.range(0, 1200, 1, 8).select(
+            (F.col("id") % 3).cast("string").alias("o_orderpriority"),
+            (F.col("id") * 37 % 1000).cast("double").alias("o_totalprice"),
+            F.col("id").alias("o_orderkey"),
+        )
+        got = {
+            tuple(r)
+            for r in topk_per_group_combiner(
+                df, ["o_orderpriority"], "o_totalprice", 10,
+                ascending=False, tiebreak="o_orderkey",
+            ).collect()
+        }
+        want = {tuple(r) for r in _window_form(df, 10).collect()}
+        assert got == want
+        assert len(got) == 30
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
+def test_combiner_topk_ascending_and_empty(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 50, 1, 4).select(
+        (F.col("id") % 2).cast("string").alias("o_orderpriority"),
+        F.col("id").cast("double").alias("o_totalprice"),
+        F.col("id").alias("o_orderkey"),
+    )
+    got = topk_per_group_combiner(
+        df, ["o_orderpriority"], "o_totalprice", 3,
+        ascending=True, tiebreak="o_orderkey",
+    ).collect()
+    vals = sorted((r.o_orderpriority, r.o_totalprice) for r in got)
+    assert vals == [("0", 0.0), ("0", 2.0), ("0", 4.0),
+                    ("1", 1.0), ("1", 3.0), ("1", 5.0)]
+    empty = df.filter(F.lit(False))
+    assert topk_per_group_combiner(
+        empty, ["o_orderpriority"], "o_totalprice", 3
+    ).count() == 0
