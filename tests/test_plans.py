@@ -499,6 +499,11 @@ EXCHANGE_BUDGET = [
     ("acctbal_percentile_disc_by_segment", 2),
     ("suppliers_serving_all_regions", 10),
     ("order_value_ks_two_sample", 4),
+    # round-2 scale operators
+    ("heavy_hitter_users", 3),
+    ("bitmap_distinct_customers_by_priority", 2),
+    ("customer_revenue_global_rank", 5),
+    ("topk_orders_per_priority_combiner", 1),
 ]
 
 
