@@ -34,8 +34,8 @@ SCHEMA = "k BIGINT, s STRING, v BIGINT"
 DUCK_SCHEMA = [("k", "BIGINT"), ("s", "VARCHAR"), ("v", "BIGINT")]
 
 FUZZ = settings(
-    max_examples=20,
-    deadline=None,
+    max_examples=10,  # each example runs several Spark jobs; derandomized
+    deadline=None,    # generation front-loads the adversarial smalls
     derandomize=True,  # CI-stable: failures reproduce, never flake
     suppress_health_check=[HealthCheck.too_slow],
 )
