@@ -9510,6 +9510,56 @@ def heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lsh_incremental_index_check",
+    "SELECT true AS incremental_equals_full",
+)
+def lsh_incremental_index_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract query for incremental LSH maintenance
+    (operators/dedup.lsh_band_index + lsh_index_delta): split the corpus
+    80/20, build the index on the 80, probe with the 20, and verify the
+    delta path reproduces EXACTLY the full rebuild's bucket-sharing
+    pairs that touch a delta doc (plus an appended index identical to a
+    rebuild). Bucket hashes are engine-specific, so the driver-checkable
+    output is the equality verdict itself — computed distributedly via
+    exceptAll in both directions (empty ⇔ equal), no driver-side sets."""
+    from chicago_crime_spark_ml_spark.operators.dedup import (
+        lsh_band_index,
+        lsh_index_delta,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    delta = docs.filter(F.col("doc_id") % 5 == 0)
+    index = lsh_band_index(old)
+    new_rows, pairs = lsh_index_delta(index, delta)
+
+    full = lsh_band_index(docs)
+    a = full.select("band", "bucket", F.col("doc_id").alias("ida"))
+    b = full.select("band", "bucket", F.col("doc_id").alias("idb"))
+    is_delta = F.col("ida") % 5 == 0
+    is_delta_b = F.col("idb") % 5 == 0
+    want = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("ida") < F.col("idb"))
+        .filter(is_delta | is_delta_b)
+        .select(F.col("ida").alias("id_a"), F.col("idb").alias("id_b"))
+        .distinct()
+    )
+    pair_diff = (
+        pairs.exceptAll(want).count() + want.exceptAll(pairs).count()
+    )
+    idx_appended = index.unionByName(new_rows)
+    idx_diff = (
+        idx_appended.exceptAll(full).count()
+        + full.exceptAll(idx_appended).count()
+    )
+    return spark.createDataFrame(
+        [(pair_diff == 0 and idx_diff == 0,)],
+        "incremental_equals_full boolean",
+    )
+
+
+@query(
     "topk_orders_per_priority_combiner",
     """
     SELECT o_orderpriority, o_totalprice, o_orderkey, rn FROM (

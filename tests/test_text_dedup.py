@@ -371,3 +371,66 @@ def test_cluster_aware_split_has_zero_leakage(spark, sf_dir):
     )
     assert crossing.count() == 0
     assert pairs.count() > 0  # the guarantee is non-vacuous
+
+
+# --------------------------------------------------------------------------
+# Incremental LSH index maintenance
+# --------------------------------------------------------------------------
+
+
+def test_lsh_index_delta_equals_full_rebuild_on_delta_pairs(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from chicago_crime_spark_ml_spark.operators.dedup import (
+        lsh_band_index,
+        lsh_index_delta,
+    )
+    from chicago_crime_spark_ml_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    delta = docs.filter(F.col("doc_id") % 5 == 0)
+
+    index = lsh_band_index(old)
+    new_rows, pairs = lsh_index_delta(index, delta)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+
+    # full rebuild's bucket-sharing pairs restricted to those touching a
+    # delta doc must match exactly
+    full = lsh_band_index(docs)
+    a = full.select("band", "bucket", F.col("doc_id").alias("ida"))
+    b = full.select("band", "bucket", F.col("doc_id").alias("idb"))
+    delta_ids = {r.doc_id for r in delta.collect()}
+    want = {
+        (min(r.ida, r.idb), max(r.ida, r.idb))
+        for r in a.join(b, ["band", "bucket"])
+        .filter(F.col("ida") < F.col("idb"))
+        .collect()
+        if r.ida in delta_ids or r.idb in delta_ids
+    }
+    assert got == want
+    assert len(got) > 0
+
+    # appended index == rebuilt index (same seed -> same bucket space)
+    appended = {
+        (r.doc_id, r.band, r.bucket)
+        for r in index.unionByName(new_rows).collect()
+    }
+    rebuilt = {(r.doc_id, r.band, r.bucket) for r in full.collect()}
+    assert appended == rebuilt
+
+
+def test_lsh_index_delta_empty_delta(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from chicago_crime_spark_ml_spark.operators.dedup import (
+        lsh_band_index,
+        lsh_index_delta,
+    )
+    from chicago_crime_spark_ml_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    index = lsh_band_index(docs)
+    new_rows, pairs = lsh_index_delta(index, docs.filter(F.lit(False)))
+    assert new_rows.count() == 0
+    assert pairs.count() == 0
