@@ -411,3 +411,89 @@ def test_cube_empty_input_divergence(spark):
         "SELECT k, count(*) AS n FROM t GROUP BY CUBE (k)"
     ).fetchall()
     assert duck_rows == [(None, 0)]  # DuckDB: ANSI grand-total row
+
+
+@FUZZ
+@given(
+    days=st.lists(
+        st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=25
+    )
+)
+def test_fuzz_date_arithmetic(spark, days):
+    # date_add / date_trunc / month extraction / date_diff across engines
+    # over a wide offset range (leap years, month ends, negatives)
+    from pyspark.sql import functions as F
+
+    sdf = (
+        spark.createDataFrame([(d,) for d in days], "off BIGINT")
+        .select(
+            "off",
+            F.date_add(F.lit("2024-02-29").cast("date"), F.col("off").cast("int")).alias("d"),
+        )
+        .select(
+            "off",
+            "d",
+            F.date_trunc("month", "d").cast("date").alias("m_start"),
+            F.month("d").alias("m"),
+            F.dayofmonth("d").alias("dom"),
+            F.datediff(F.lit("2025-01-01").cast("date"), F.col("d")).alias("dd"),
+            F.last_day("d").alias("eom"),
+        )
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (off BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [[d] for d in days])
+    assert_same(
+        sdf,
+        con,
+        """SELECT off,
+                  DATE '2024-02-29' + CAST(off AS INTEGER) AS d,
+                  date_trunc('month', DATE '2024-02-29' + CAST(off AS INTEGER)) AS m_start,
+                  CAST(month(DATE '2024-02-29' + CAST(off AS INTEGER)) AS INTEGER) AS m,
+                  CAST(day(DATE '2024-02-29' + CAST(off AS INTEGER)) AS INTEGER) AS dom,
+                  date_diff('day', DATE '2024-02-29' + CAST(off AS INTEGER),
+                            DATE '2025-01-01') AS dd,
+                  last_day(DATE '2024-02-29' + CAST(off AS INTEGER)) AS eom
+           FROM t""",
+    )
+
+
+@FUZZ
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab -_.😀é\t"), min_size=0, max_size=12
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_fuzz_string_functions(spark, texts):
+    # length is CHARACTERS (not bytes) in both engines — 😀 and é count 1;
+    # substr is 1-indexed; trim strips spaces only (not tabs); upper/lower
+    # agree on ASCII+accents; concat with NULL propagates
+    from pyspark.sql import functions as F
+
+    sdf = spark.createDataFrame([(t,) for t in texts], "s STRING").select(
+        "s",
+        F.length("s").alias("len"),
+        F.substring("s", 2, 3).alias("sub"),
+        F.trim(F.col("s")).alias("tr"),
+        F.upper("s").alias("up"),
+        F.reverse("s").alias("rev"),
+        F.concat(F.col("s"), F.lit("|"), F.col("s")).alias("cc"),
+        F.replace(F.col("s"), F.lit("a"), F.lit("XY")).alias("rep"),
+        F.split(F.col("s"), " ").alias("parts"),
+    ).withColumn("n_parts", F.size("parts")).drop("parts")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [[t] for t in texts])
+    assert_same(
+        sdf,
+        con,
+        """SELECT s, length(s) AS len, substr(s, 2, 3) AS sub,
+                  trim(s, ' ') AS tr, upper(s) AS up, reverse(s) AS rev,
+                  s || '|' || s AS cc, replace(s, 'a', 'XY') AS rep,
+                  CAST(len(str_split_regex(s, ' ')) AS INTEGER) AS n_parts
+           FROM t""",
+    )
