@@ -9510,6 +9510,95 @@ def heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "order_value_distribution_moments",
+    """
+    WITH cents AS (
+      SELECT o_orderpriority,
+             CAST(round(o_totalprice * 100) AS HUGEINT) AS c
+      FROM orders),
+    m AS (
+      SELECT o_orderpriority,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(c) AS DOUBLE) / 1e2 AS s1,
+             CAST(sum(c * c) AS DOUBLE) / 1e4 AS s2,
+             CAST(sum(c * c * c) AS DOUBLE) / 1e6 AS s3,
+             CAST(sum(c * c * c * c) AS DOUBLE) / 1e8 AS s4
+      FROM cents GROUP BY 1),
+    c AS (
+      SELECT o_orderpriority, n,
+             s1 / n AS mu,
+             s2 / n - (s1 / n) * (s1 / n) AS m2,
+             s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+             s4 / n - 4 * (s1 / n) * (s3 / n)
+                  + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                  - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+      FROM m)
+    SELECT o_orderpriority,
+           CAST(n AS BIGINT) AS n_orders,
+           round(mu, 2) AS mean_value,
+           round(m3 / (m2 * sqrt(m2)), 4) AS skewness_g1,
+           round(m4 / (m2 * m2) - 3, 4) AS kurtosis_excess
+    FROM c
+    """,
+)
+def order_value_distribution_moments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Population skewness (g1) and excess kurtosis per priority from
+    EXPLICIT decimal power sums — NOT the engines' skewness()/kurtosis()
+    builtins, which disagree across engines on sample-vs-population
+    correction (Spark: population g1/g2; DuckDB: sample-corrected b1).
+    One fact pass accumulates s1..s4 exactly in DECIMAL; the central
+    moments come from the raw-moment identities in double on both sides,
+    so values are bit-comparable. Accumulation is EXACT integer cents —
+    Spark DECIMAL(38,0) sums ≡ DuckDB HUGEINT sums (the 4th-power
+    decimal·decimal form overflows DuckDB's 38-digit multiply) — cast to
+    identical doubles only after summation. Ceiling: c⁴ ≈ 1.3e31 per
+    row, so the s4 sum holds exact to ~1e7 rows/group at 38 digits;
+    beyond that, switch s4 to centered two-pass form. The mergeable
+    power-sum shape underlies every distributed moment in the catalog
+    (SCALE.md §3)."""
+    o = _t(spark, sf_dir, "orders")
+    c = F.round(F.col("o_totalprice") * 100).cast("decimal(20,0)")
+    m = o.select("o_orderpriority", c.alias("c")).groupBy(
+        "o_orderpriority"
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (F.sum(F.col("c")).cast("double") / F.lit(1e2)).alias("s1"),
+        (F.sum(F.col("c") * F.col("c")).cast("double") / F.lit(1e4)).alias(
+            "s2"
+        ),
+        (
+            F.sum(F.col("c") * F.col("c") * F.col("c")).cast("double")
+            / F.lit(1e6)
+        ).alias("s3"),
+        (
+            F.sum(
+                F.col("c") * F.col("c") * F.col("c") * F.col("c")
+            ).cast("double")
+            / F.lit(1e8)
+        ).alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    mu = s1 / n
+    m2 = s2 / n - mu * mu
+    m3 = s3 / n - F.lit(3) * mu * (s2 / n) + F.lit(2) * mu * mu * mu
+    m4 = (
+        s4 / n
+        - F.lit(4) * mu * (s3 / n)
+        + F.lit(6) * mu * mu * (s2 / n)
+        - F.lit(3) * mu * mu * mu * mu
+    )
+    return m.select(
+        "o_orderpriority",
+        n.cast("long").alias("n_orders"),
+        F.round(mu, 2).alias("mean_value"),
+        F.round(m3 / (m2 * F.sqrt(m2)), 4).alias("skewness_g1"),
+        F.round(m4 / (m2 * m2) - 3, 4).alias("kurtosis_excess"),
+    )
+
+
+@query(
     "lsh_incremental_index_check",
     "SELECT true AS incremental_equals_full",
 )
