@@ -9510,6 +9510,54 @@ def heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "daily_value_ohlc",
+    """
+    WITH px AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, value,
+             row_number() OVER (PARTITION BY date_trunc('day', ts)
+                                ORDER BY ts, event_id) AS rn_open,
+             row_number() OVER (PARTITION BY date_trunc('day', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_close
+      FROM events WHERE value IS NOT NULL)
+    SELECT day,
+           min(CASE WHEN rn_open = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           min(CASE WHEN rn_close = 1 THEN value END) AS close,
+           count(*) AS n_ticks
+    FROM px GROUP BY 1
+    """,
+)
+def daily_value_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC bars over the event value stream — the time-series
+    downsampling primitive (candlesticks, metric rollups). ONE hash
+    aggregation: open/close via min_by/max_by keyed on the TOTAL order
+    struct (ts, event_id) — deterministic under timestamp ties, unlike a
+    bare min_by(value, ts) — high/low/count ride the same partial agg.
+    No window, no sort: the oracle's row_number formulation is the
+    semantic spec, the engine's plan is a single exchange on day.
+    Raw values pass through untouched (bit-identical), so no rounding
+    discipline is needed."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.select(
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            "value",
+            key.alias("k"),
+        )
+        .groupBy("day")
+        .agg(
+            F.min_by("value", F.col("k")).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", F.col("k")).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+    )
+
+
+@query(
     "order_value_distribution_moments",
     """
     WITH cents AS (
