@@ -678,3 +678,37 @@ def test_streaming_session_window_equals_batch(spark, sf_dir, tmp_path):
         if r.user_id != -1
     }
     assert got == batch and len(batch) > 0
+
+
+def test_streaming_ohlc_equals_batch(spark, sf_dir):
+    # min_by/max_by on the total-order struct inside a WATERMARKED
+    # streaming window: daily OHLC bars from the stream must equal the
+    # batch query bit-for-bit (same partial-agg expressions both modes)
+    from pyspark.sql import functions as F
+
+    from chicago_crime_spark_ml_spark.queries import QUERIES
+    from chicago_crime_spark_ml_spark.streaming import (
+        run_stream_to_memory,
+        stream_events,
+    )
+
+    ev = stream_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    agg = (
+        ev.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        .select(F.col("w.start").cast("date").alias("day"), "open", "high",
+                "low", "close", "n_ticks")
+    )
+    run_stream_to_memory(agg, "ohlc_stream", output_mode="complete")
+    got = {tuple(r) for r in spark.sql("SELECT * FROM ohlc_stream").collect()}
+    want = {tuple(r) for r in QUERIES["daily_value_ohlc"](spark, sf_dir).collect()}
+    assert got == want
+    assert len(got) > 0
