@@ -9510,6 +9510,81 @@ def heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "part_inventory_floor_level",
+    """
+    WITH mv AS (
+      SELECT l_partkey,
+             CASE WHEN l_returnflag = 'R'
+                  THEN CAST(round(l_quantity * 100) AS BIGINT)
+                  ELSE -CAST(round(l_quantity * 100) AS BIGINT) END AS d,
+             l_shipdate, l_orderkey, l_linenumber
+      FROM lineitem),
+    cs0 AS (
+      SELECT l_partkey, l_shipdate, l_orderkey, l_linenumber,
+             sum(d) OVER w AS cs
+      FROM mv
+      WINDOW w AS (PARTITION BY l_partkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    cs AS (
+      SELECT l_partkey, l_shipdate, l_orderkey, l_linenumber, cs,
+             min(cs) OVER (PARTITION BY l_partkey
+                           ORDER BY l_shipdate, l_orderkey, l_linenumber
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS run_min
+      FROM cs0),
+    lvl AS (
+      SELECT l_partkey,
+             cs - least(0, run_min) AS bal,
+             row_number() OVER (PARTITION BY l_partkey
+                                ORDER BY l_shipdate, l_orderkey, l_linenumber
+                               ) AS rn
+      FROM cs)
+    SELECT l_partkey,
+           CAST(max(bal) AS DOUBLE) / 100 AS peak_level,
+           CAST(arg_max(bal, rn) AS DOUBLE) / 100 AS final_level
+    FROM lvl
+    GROUP BY 1
+    HAVING count(*) >= 8
+    """,
+)
+def part_inventory_floor_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Floor-bounded running inventory per part (restocks +qty on
+    returnflag R, issues −qty otherwise; stock can't go negative). The
+    recursive recurrence bal_t = max(0, bal_{t−1} + d_t) is NOT a plain
+    window — but it has a closed form, bal_t = cs_t − min(0, min_{s≤t}
+    cs_s), so TWO stacked windows over the same (part, time) order
+    compute it with one shuffle and no iteration/UDF. Deltas are exact
+    integer centi-units; both windows share one partition+sort. Emits
+    (peak_level, final_level) per part with ≥8 movements."""
+    w = Window.partitionBy("l_partkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    frame = w.rowsBetween(Window.unboundedPreceding, 0)
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.round(F.col("l_quantity") * 100).cast("long")
+    d = F.when(F.col("l_returnflag") == "R", qty).otherwise(-qty)
+    cs = F.sum(d).over(frame)
+    run_min = F.min(cs).over(frame)
+    bal = cs - F.least(F.lit(0).cast("long"), run_min)
+    lvl = li.select(
+        "l_partkey",
+        bal.alias("bal"),
+        F.row_number().over(w).alias("rn"),
+    )
+    return (
+        lvl.groupBy("l_partkey")
+        .agg(
+            (F.max("bal").cast("double") / 100).alias("peak_level"),
+            (F.max_by("bal", "rn").cast("double") / 100).alias("final_level"),
+            F.count(F.lit(1)).alias("n_moves"),
+        )
+        .filter(F.col("n_moves") >= 8)
+        .select("l_partkey", "peak_level", "final_level")
+    )
+
+
+@query(
     "daily_value_ohlc",
     """
     WITH px AS (
