@@ -497,3 +497,29 @@ def test_fuzz_string_functions(spark, texts):
                   CAST(len(str_split_regex(s, ' ')) AS INTEGER) AS n_parts
            FROM t""",
     )
+
+
+@FUZZ
+@given(rows=rows_st)
+def test_fuzz_pivot_vs_conditional_agg(spark, rows):
+    # pivot == conditional aggregation; NULL group keys keep their row,
+    # values outside the pivot list fall out, empty cells are NULL (count
+    # pivots yield NULL, not 0, for absent combinations in Spark — match
+    # DuckDB by using sum of CASE with no ELSE)
+    from pyspark.sql import functions as F
+
+    sdf = (
+        spark.createDataFrame(rows, SCHEMA)
+        .groupBy("k")
+        .pivot("s", ["a", "b"])
+        .agg(F.sum("v"))
+    )
+    con = duck_with({"t": rows})
+    assert_same(
+        sdf,
+        con,
+        """SELECT k,
+                  sum(CASE WHEN s = 'a' THEN v END) AS a,
+                  sum(CASE WHEN s = 'b' THEN v END) AS b
+           FROM t GROUP BY k""",
+    )
