@@ -9662,6 +9662,7 @@ def daily_value_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(m3 / (m2 * sqrt(m2)), 4) AS skewness_g1,
            round(m4 / (m2 * m2) - 3, 4) AS kurtosis_excess
     FROM c
+    WHERE m2 > 0
     """,
 )
 def order_value_distribution_moments(
@@ -9712,12 +9713,18 @@ def order_value_distribution_moments(
         + F.lit(6) * mu * mu * (s2 / n)
         - F.lit(3) * mu * mu * mu * mu
     )
-    return m.select(
-        "o_orderpriority",
-        n.cast("long").alias("n_orders"),
-        F.round(mu, 2).alias("mean_value"),
-        F.round(m3 / (m2 * F.sqrt(m2)), 4).alias("skewness_g1"),
-        F.round(m4 / (m2 * m2) - 3, 4).alias("kurtosis_excess"),
+    # degenerate guard: a constant-valued group has m2 = 0, where Spark's
+    # ANSI double division THROWS while DuckDB yields NULL — filter the
+    # group out on both sides (no-op on real data, crash-proof always)
+    return (
+        m.filter(m2 > 0)
+        .select(
+            "o_orderpriority",
+            n.cast("long").alias("n_orders"),
+            F.round(mu, 2).alias("mean_value"),
+            F.round(m3 / (m2 * F.sqrt(m2)), 4).alias("skewness_g1"),
+            F.round(m4 / (m2 * m2) - 3, 4).alias("kurtosis_excess"),
+        )
     )
 
 
