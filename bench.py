@@ -65,19 +65,21 @@ def run(sf_dir: str) -> dict:
     # Warm-up: JVM + codegen + parquet footer caches.
     force(QUERIES["flagship_regional_revenue"](spark, sf_dir))
 
-    # three runs per query, report the min: steady-state plan cost (codegen
-    # compilation amortizes away in production where plans are reused; min
-    # also rejects same-box noise from unrelated activity)
+    # three runs per query, report the MEDIAN: robust to one-off noise in
+    # either direction (min would hide real variance; mean is dragged by a
+    # single GC pause). Codegen compilation lands in run 1 and the median
+    # discards it, so numbers reflect steady-state plan cost — what
+    # matters for cluster extrapolation where plans are reused.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in QUERIES:
             continue
-        best = float("inf")
+        runs = []
         for _ in range(3):
             t0 = time.perf_counter()
             force(QUERIES[name](spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(runs)[1], 3)
         # Queries that persist() intermediates leave them cached; dropping
         # them between queries keeps later timings free of accumulated
         # executor-memory/GC pressure from earlier queries' caches.

@@ -238,20 +238,27 @@ def simhash_hamming_pairs(
     filter via bit_count(xor). Join keys are (band_idx, band_value) —
     fully shuffle-partitionable at scale.
 
-    Plan note (measured at sf0.1): the self-join inlines the signature
-    pipeline into both branches and neither static ReuseExchange nor
-    AQE's runtime stage cache dedupes it (the stages materialize
-    concurrently), so the md5+agg work runs twice — still the fastest
-    form tried: bucket-grouped pair generation via collect_list +
-    flatten(transform×transform) computes signatures once but loses
-    codegen/partial-agg and measured ~3× SLOWER overall; shuffle_hash/
-    merge hints don't change reuse. At 100 TB, don't recompute inline:
-    materialize the signature table once (it's ~16 bytes/doc) and
-    band-join THAT — the two-step layout every production dedup pipeline
-    uses anyway.
+    Plan note: a lazy self-join would inline the signature pipeline into
+    both branches, and neither static ReuseExchange nor AQE's runtime
+    stage cache dedupes it (the stages materialize concurrently), so the
+    md5+agg work would run twice — a 2× tax on the dominant stage at
+    100 TB. So the signature table (~16 bytes/doc: id + one long) is
+    MATERIALIZED once via an eager localCheckpoint before the band
+    self-join — the two-step layout every production dedup pipeline
+    uses. The checkpoint truncates lineage, so the pair-join plan scans
+    the stored signatures (zero md5 nodes — asserted in test_plans) and
+    the storage is executor-local, GC-reclaimed with the DataFrame.
+    (Alternatives measured: bucket-grouped pair generation via
+    collect_list + flatten(transform×transform) also computes signatures
+    once but loses codegen/partial-agg, ~3× slower end-to-end;
+    shuffle_hash/merge hints don't change reuse.)
     """
     n_bands = SIMHASH_BITS // band_bits
-    sh = add_simhash(df, text_col).select(id_col, "simhash")
+    sh = (
+        add_simhash(df, text_col)
+        .select(id_col, "simhash")
+        .localCheckpoint(eager=True)
+    )
     bands = sh.select(
         id_col,
         "simhash",

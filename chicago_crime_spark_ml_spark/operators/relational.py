@@ -870,6 +870,19 @@ def interpolate_time_gaps(
     )
 
 
+def _range_partitioned_with_pid(
+    df: DataFrame, cols: Sequence[Column], n: int
+) -> DataFrame:
+    """Lazy range-partitioned frame with its partition id stamped as
+    __pid — split out of global_rank so plan tests can assert the
+    rangepartitioning exchange directly (global_rank eagerly
+    checkpoints this frame, which truncates lineage and hides the
+    exchange from the final plan)."""
+    return df.repartitionByRange(n, *cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+
+
 def global_rank(
     df: DataFrame,
     order_cols: Sequence[Column | str],
@@ -886,17 +899,25 @@ def global_rank(
     1. ``repartitionByRange(order_cols)`` — one shuffle; partition i
        holds a contiguous key range, ranges ordered by partition id.
     2. per-partition local row_number (Window PARTITIONED BY the range
-       partition id — parallel, no single-task sort).
+       partition id — parallel, no single-task sort; the window's
+       ``partitionBy(__pid)`` does add one hash exchange on __pid, so
+       the full plan is range-exchange + pid-hash-exchange — what it
+       avoids is the single-partition global sort, not all shuffling).
     3. exact prefix offsets from per-partition counts — a bounded
        driver collect (≤ num_partitions rows), mapped back as a
-       literal CASE, no second shuffle.
+       literal map lookup on __pid.
 
     Requires ``order_cols`` to be a TOTAL order (append a unique
     tiebreak): with ties straddling a range boundary the local+offset
-    rank would depend on placement. The partitioned frame is persisted
-    so the counts pass and the rank pass see the same range boundaries
+    rank would depend on placement. The partitioned frame is
+    materialized ONCE via an eager ``localCheckpoint`` so the counts
+    pass and the rank pass provably see the same range boundaries
     (RangePartitioner samples its bounds; two separate evaluations could
-    legally re-sample).
+    legally re-sample) — checkpointing rather than ``persist()`` both
+    freezes the boundaries in stored data (lineage is truncated, a
+    recompute is impossible) and avoids leaking a session-lifetime
+    cache entry per call (checkpoint blocks are GC-reclaimed with the
+    DataFrame; a persist() here would need the CALLER to unpersist).
 
     The global-window form stays correct for SMALL ranked sets (a few
     thousand group rollups); this operator is for ranking entity-level
@@ -906,10 +927,9 @@ def global_rank(
     n = num_partitions or df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions"
     )
-    part = df.repartitionByRange(int(n), *cols).withColumn(
-        "__pid", F.spark_partition_id()
+    part = _range_partitioned_with_pid(df, cols, int(n)).localCheckpoint(
+        eager=True
     )
-    part = part.persist()
     sizes = {
         r["__pid"]: r["cnt"]
         for r in part.groupBy("__pid").agg(

@@ -44,17 +44,24 @@ def heavy_hitters(
        support×total product that could straddle a rounding boundary
        between engines.
 
+    NULL keys are counted as their own group, matching SQL GROUP BY /
+    HAVING on a nullable key: the verify filter's IN-list alone would
+    silently drop them (three-valued IN semantics — NULL IN (...) is
+    never true), so an explicit ``isNull()`` branch is OR-ed in. NULL is
+    a single extra group, so the candidate-set bound still holds.
+
     At 100 TB the first pass shuffles nothing (freqItems is a map-side
     fold + driver merge) and the second shuffles only rows whose key is
-    one of ≤ denom/slack candidates. Compare the naive GROUP BY over
-    every key: same answer, but its shuffle carries the full long tail.
-    Returns (key, n, share) with share = round(n/total, 4).
+    one of ≤ denom/slack candidates (plus the NULL group). Compare the
+    naive GROUP BY over every key: same answer, but its shuffle carries
+    the full long tail. Returns (key, n, share) with
+    share = round(n/total, 4).
     """
     support = freq_items_slack / denom
     cand = df.stat.freqItems([key], support).collect()[0][0]
     total = df.groupBy().agg(F.count(F.lit(1)).alias("total"))
     counts = (
-        df.filter(F.col(key).isin(list(cand)))
+        df.filter(F.col(key).isin(list(cand)) | F.col(key).isNull())
         .groupBy(key)
         .agg(F.count(F.lit(1)).alias("n"))
     )

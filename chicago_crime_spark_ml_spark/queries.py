@@ -15,6 +15,7 @@ columns are bit-identical and stay unrounded.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1426,15 +1427,54 @@ def label_index_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frequency_index_expr(d, "lang", "label_index").drop("n")
 
 
-@query("train_eval_embeddings")  # stochastic ML — rows-only check
+@query(
+    "train_eval_embeddings",
+    """
+    SELECT CAST(count(DISTINCT CASE WHEN vec_id <= 400 THEN label END)
+                AS BIGINT) AS n_classes,
+           CAST(sum(CASE WHEN vec_id > 400 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_eval,
+           true AS label_index_freq_ordered,
+           true AS weights_match_closed_form,
+           true AS accuracy_in_unit_interval,
+           true AS all_eval_rows_scored
+    FROM embeddings
+    """,
+)
 def train_eval_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed train+eval smoke (M5/M6): classify embeddings.label
-    from the 64-dim embedding via the engine's pipeline (indexer →
-    assembler → distributed trainer). Returns one metrics row. Replaces
-    the reference's driver-side XGBoost-after-toPandas (XGBoost.py:225-298)."""
+    """Distributed train+eval with DRIVER-CHECKABLE invariants (M5/M6):
+    classify embeddings.label from the 64-dim embedding via the engine's
+    pipeline (indexer → assembler → class weights → distributed
+    trainer). Replaces the reference's driver-side
+    XGBoost-after-toPandas (XGBoost.py:225-298).
+
+    The raw metric values are stochastic (and the synthetic labels carry
+    no signal — measured accuracy ≈ majority share), so instead of
+    metric parity this emits the recall-check pattern's oracle-pinnable
+    facts — each one red if the corresponding pipeline stage breaks:
+
+    - n_classes: indexer label-map size == SQL count(DISTINCT) on the
+      train split (vec_id <= 400) — the split AND the indexer's domain.
+    - n_eval / all_eval_rows_scored: the fitted model scores EVERY
+      held-out row (no rows dropped by assembly/prediction).
+    - label_index_freq_ordered: StringIndexer's frequencyDesc mapping
+      == the SQL-expressible frequency-desc/alphabetical order
+      (XGBoost.py:207-214 parity).
+    - weights_match_closed_form: class_weights' window formulation ==
+      the closed-form total/(k·n) clipped to [0.1, 5]
+      (XGBoost.py:247-257), recomputed via an independent
+      crossJoin-of-totals plan, tolerance 1e-12.
+    - accuracy_in_unit_interval: evaluator sanity on the same metrics
+      the rows-only form reported.
+
+    All collects are bounded: per-class tables (≤ #labels rows) and
+    scalar counts."""
     from pyspark.ml.functions import array_to_vector
 
-    from chicago_crime_spark_ml_spark.operators.ml import train_multiclass
+    from chicago_crime_spark_ml_spark.operators.ml import (
+        class_weights,
+        train_multiclass,
+    )
     from chicago_crime_spark_ml_spark.operators.relational import time_split
 
     emb = (
@@ -1449,14 +1489,61 @@ def train_eval_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = train_multiclass(
         train, test, ["features_arr"], "label_str", weighted=True, seed=42
     )
+
+    # invariant 1: indexer order == frequency-desc, alphabetical tiebreak
+    freq_order = [
+        r.label_str
+        for r in train.groupBy("label_str")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("label_str"))
+        .collect()
+    ]
+    freq_ordered = res.label_mapping == freq_order
+
+    # invariant 2: window-formulated class_weights == closed form via an
+    # independent crossJoin-of-totals plan
+    counts = train.groupBy("label_str").agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.agg(
+        F.sum("n").alias("tot"), F.count(F.lit(1)).alias("k")
+    )
+    expected = counts.crossJoin(F.broadcast(totals)).select(
+        "label_str",
+        F.least(
+            F.lit(5.0),
+            F.greatest(F.lit(0.1), F.col("tot") / (F.col("k") * F.col("n"))),
+        ).alias("w_exp"),
+    )
+    wdiff = (
+        class_weights(train, "label_str")
+        .join(expected, "label_str")
+        .agg(F.max(F.abs(F.col("weight") - F.col("w_exp"))).alias("d"))
+        .first()["d"]
+    )
+    weights_ok = wdiff is not None and wdiff < 1e-12
+
+    # invariant 3: every held-out row is scored, predictions in domain
+    n_eval = test.count()
+    preds = res.model.transform(test)
+    n_scored = preds.filter(
+        F.col("prediction").isNotNull()
+        & (F.col("prediction") >= 0)
+        & (F.col("prediction") <= len(res.label_mapping))  # +1 'keep' bucket
+    ).count()
+
     return spark.createDataFrame(
         [
-            {
-                "accuracy": float(res.accuracy),
-                "f1_weighted": float(res.f1_weighted),
-                "n_classes": len(res.label_mapping),
-            }
-        ]
+            (
+                len(res.label_mapping),
+                n_eval,
+                freq_ordered,
+                weights_ok,
+                0.0 <= res.accuracy <= 1.0 and 0.0 <= res.f1_weighted <= 1.0,
+                n_scored == n_eval,
+            )
+        ],
+        "n_classes long, n_eval long, label_index_freq_ordered boolean, "
+        "weights_match_closed_form boolean, accuracy_in_unit_interval "
+        "boolean, all_eval_rows_scored boolean",
     )
 
 
@@ -2417,10 +2504,10 @@ def nations_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "late_shipment_priorities",
     """
     SELECT l_returnflag,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE l_shipdate >= o_orderdate + INTERVAL 90 DAY
     GROUP BY l_returnflag
@@ -2816,8 +2903,8 @@ def orders_lateral_top_item(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY user_id),
     daily AS (SELECT d, count(*) AS new_users FROM first_seen GROUP BY d)
     SELECT d, new_users,
-           sum(new_users) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
-             AS cum_users
+           CAST(sum(new_users) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cum_users
     FROM daily
     """,
 )
@@ -2906,11 +2993,12 @@ def user_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY user_id)
     SELECT
       count(*) AS n_users,
-      sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS viewed,
-      sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
-               THEN 1 ELSE 0 END) AS clicked_after_view,
-      sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
-                AND t_purchase > t_click THEN 1 ELSE 0 END)
+      CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS viewed,
+      CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+               THEN 1 ELSE 0 END) AS BIGINT) AS clicked_after_view,
+      CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                AND t_purchase > t_click THEN 1 ELSE 0 END) AS BIGINT)
         AS purchased_after_click
     FROM per_user
     """,
@@ -3023,12 +3111,12 @@ def embedding_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ansi_safe_arithmetic",
     """
     SELECT
-      sum(CASE WHEN TRY_CAST(regexp_extract(trim(text), '^\\S+') AS INTEGER)
-               IS NULL THEN 1 ELSE 0 END) AS non_numeric_first_tokens,
-      sum(CASE WHEN TRY_CAST(regexp_extract(trim(text), '^\\S+') AS INTEGER)
-               IS NOT NULL THEN 1 ELSE 0 END) AS numeric_first_tokens,
-      sum(CASE WHEN n_chars / NULLIF(doc_id % 5, 0) IS NULL
-               THEN 1 ELSE 0 END) AS div_by_zero_nulls
+      CAST(sum(CASE WHEN TRY_CAST(regexp_extract(trim(text), '^\\S+') AS INTEGER)
+               IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS non_numeric_first_tokens,
+      CAST(sum(CASE WHEN TRY_CAST(regexp_extract(trim(text), '^\\S+') AS INTEGER)
+               IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS numeric_first_tokens,
+      CAST(sum(CASE WHEN n_chars / NULLIF(doc_id % 5, 0) IS NULL
+               THEN 1 ELSE 0 END) AS BIGINT) AS div_by_zero_nulls
     FROM documents
     """,
 )
@@ -3866,20 +3954,36 @@ def doc_context_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_quantized_top10")  # int8 codes are engine-specific — rows-only
+@query(
+    "ann_quantized_top10",
+    "SELECT true AS top1_found, true AS recall_ok",
+)
 def ann_quantized_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Asymmetric int8 brute-force cosine top-10 (corpus quantized 4×
-    smaller, query kept float) for the vec_id=0 query vector — the
-    memory-bandwidth-bound scale path; recall vs the exact float path is
-    property-tested."""
+    """Asymmetric int8 quantized cosine top-10 (corpus quantized 4×
+    smaller, query kept float) — the memory-bandwidth-bound scale path —
+    checked at driver scale via the recall-check pattern: the quantized
+    top-10 for the vec_id=0 query must contain the exact float top-1 and
+    ≥ 7 of the exact top-10 (measured 9–10 at sf0.001/sf0.01; the
+    threshold leaves headroom so a red row means the int8 codes actually
+    degraded, not rounding luck). Exact reference = the same brute-force
+    cosine_topk the all-pairs oracle validates."""
     from chicago_crime_spark_ml_spark.operators.similarity import (
+        cosine_topk,
         cosine_topk_quantized,
         quantize_embeddings,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    return cosine_topk_quantized(quantize_embeddings(emb), qvec, k=10)
+    exact = cosine_topk(emb, qvec, k=10).select("vec_id")
+    top1 = exact.limit(1)
+    approx = cosine_topk_quantized(
+        quantize_embeddings(emb), qvec, k=10
+    ).select("vec_id")
+    hits = exact.join(approx, "vec_id", "left_semi")
+    return top1.join(approx, "vec_id", "left_semi").agg(
+        (F.count(F.lit(1)) == 1).alias("top1_found")
+    ).crossJoin(hits.agg((F.count(F.lit(1)) >= 7).alias("recall_ok")))
 
 
 @query(
@@ -4645,32 +4749,66 @@ def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("acctbal_kll_quantiles")
+@query(
+    "acctbal_kll_quantiles",
+    """
+    SELECT c_mktsegment,
+           CAST(count(c_acctbal) AS BIGINT) AS n,
+           true AS p50_in_rank_bounds,
+           true AS p90_in_rank_bounds
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
 def acctbal_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile sketch (Datasketches KLL): one KLL sketch of
     c_acctbal per NATION, merged up to one sketch per market segment,
     then p50/p90 extracted — the two-level rollup proving the 100 TB
     path (per-partition sketches, tree-merged; never a global sort).
-    Rows-only: DuckDB has no KLL; a property test bounds the estimates
-    against exact percentiles (tests/test_properties.py)."""
+
+    DuckDB has no KLL, so the driver row pins the sketch's ACCURACY
+    CONTRACT (recall-check pattern): the sketch's stream count per
+    segment must equal SQL count(c_acctbal), and each estimate must lie
+    within the value range spanned by the EXACT ±5%-rank quantiles
+    (default-k KLL's 99%-confidence rank error is ~1.65%, so ±5% rank
+    slack means a red row is a broken merge, not sketch noise). Exact
+    reference = Spark's exact percentile over the same groups; a
+    property test additionally bounds estimates at test SF."""
     per_nation = (
         _t(spark, sf_dir, "customer")
         .groupBy("c_mktsegment", "c_nationkey")
         .agg(F.kll_sketch_agg_double("c_acctbal").alias("sk"))
     )
-    return (
+    est = (
         per_nation.groupBy("c_mktsegment")
         .agg(F.kll_merge_agg_double("sk").alias("sk"))
         .select(
             "c_mktsegment",
-            F.round(
-                F.kll_sketch_get_quantile_double("sk", F.lit(0.5)), 2
-            ).alias("p50_est"),
-            F.round(
-                F.kll_sketch_get_quantile_double("sk", F.lit(0.9)), 2
-            ).alias("p90_est"),
+            F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("p50_est"),
+            F.kll_sketch_get_quantile_double("sk", F.lit(0.9)).alias("p90_est"),
             F.kll_sketch_get_n_double("sk").alias("n"),
         )
+    )
+    exact = (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.percentile("c_acctbal", F.lit(0.45)).alias("q45"),
+            F.percentile("c_acctbal", F.lit(0.55)).alias("q55"),
+            F.percentile("c_acctbal", F.lit(0.85)).alias("q85"),
+            F.percentile("c_acctbal", F.lit(0.95)).alias("q95"),
+        )
+    )
+    return est.join(exact, "c_mktsegment").select(
+        "c_mktsegment",
+        F.col("n").cast("long").alias("n"),
+        (
+            (F.col("p50_est") >= F.col("q45") - 0.01)
+            & (F.col("p50_est") <= F.col("q55") + 0.01)
+        ).alias("p50_in_rank_bounds"),
+        (
+            (F.col("p90_est") >= F.col("q85") - 0.01)
+            & (F.col("p90_est") <= F.col("q95") + 0.01)
+        ).alias("p90_in_rank_bounds"),
     )
 
 
@@ -7111,14 +7249,53 @@ def k_anonymity_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("user_value_holt_forecast")
+@query(
+    "user_value_holt_forecast",
+    """
+    WITH RECURSIVE daily AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             sum(coalesce(value, CAST(0.0 AS DOUBLE))) AS y
+      FROM events GROUP BY 1, 2),
+    seq AS (
+      SELECT user_id, CAST(y AS DOUBLE) AS y,
+             row_number() OVER (PARTITION BY user_id ORDER BY day) AS t,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM daily),
+    rec AS (
+      SELECT s.user_id, s.n, 1 AS t, s.y AS level,
+             CAST(coalesce(s2.y - s.y, 0.0) AS DOUBLE) AS trend
+      FROM seq s LEFT JOIN seq s2
+        ON s2.user_id = s.user_id AND s2.t = 2
+      WHERE s.t = 1
+      UNION ALL
+      SELECT r.user_id, r.n, r.t + 1,
+             0.5 * s.y + (1 - 0.5) * (r.level + r.trend),
+             0.3 * ((0.5 * s.y + (1 - 0.5) * (r.level + r.trend))
+                    - r.level)
+               + (1 - 0.3) * r.trend
+      FROM rec r JOIN seq s
+        ON s.user_id = r.user_id AND s.t = r.t + 1)
+    SELECT user_id, CAST(n AS BIGINT) AS n_obs,
+           round(level, 4) AS level, round(trend, 4) AS trend,
+           round(level + trend, 4) AS forecast
+    FROM rec WHERE t = n
+    """,
+)
 def user_value_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt linear-trend forecast of each user's next-day event value —
     per-series coupled recursion (level+trend), which no window
     aggregate can express; runs as one Arrow batch per user via
     applyInPandas (operators/features.py:holt_linear_forecast).
-    Rows-only for the driver (order-dependent recursion has no SQL
-    oracle); exactness vs an independent NumPy loop is property-tested."""
+
+    Oracle: the SAME recursion as a DuckDB recursive CTE (one anchor row
+    per user at t=1 with level₀ = y₀, trend₀ = y₁ − y₀; each recursive
+    step replays level/trend updates in the identical floating-point
+    operation order — α = 0.5 and 1−α, β = 0.3 and 1−β are all exactly
+    the doubles NumPy uses), so the driver hash checks the actual
+    forecast VALUES, not just invariants. 4-dp rounding on both sides
+    absorbs the only legitimate divergence (per-day sum accumulation
+    order). Exactness vs an independent NumPy loop is additionally
+    property-tested."""
     from chicago_crime_spark_ml_spark.operators.features import (
         holt_linear_forecast,
     )
@@ -8026,15 +8203,35 @@ def monthly_revenue_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("prediction_calibration_bins")  # stochastic ML — rows-only check
+@query(
+    "prediction_calibration_bins",
+    """
+    SELECT CAST(sum(CASE WHEN vec_id > 400 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_test,
+           true AS bins_in_domain,
+           true AS counts_cover_test_set,
+           true AS bin_stats_bounded,
+           true AS ece_finite
+    FROM embeddings
+    """,
+)
 def prediction_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calibration audit of the embeddings classifier (M6 extension):
-    reliability bins over the held-out split via ml.calibration_bins —
-    per-bin confidence vs realized accuracy, the input to an ECE gate
-    or a Platt/isotonic recalibration step. Training is seeded but
-    algorithm-stochastic across environments → rows-only for the
-    driver; structural invariants (bins partition [0,1], counts sum to
-    the test set) are pytest-asserted."""
+    reliability bins over the held-out split via ml.calibration_bins.
+    The per-bin values are algorithm-stochastic across environments, so
+    the driver row pins the recall-check-style STRUCTURAL contract
+    instead — each boolean red if the audit itself breaks:
+
+    - n_test: SQL-pinned held-out size (vec_id > 400).
+    - bins_in_domain: every emitted bin id ∈ [0, 9] (10-bin layout).
+    - counts_cover_test_set: Σ bin counts == n_test — no scored row
+      dropped or double-bucketed by the floor(conf·10) bucketing.
+    - bin_stats_bounded: mean_confidence and accuracy ∈ [0, 1].
+    - ece_finite: Σ (n_b/N)·|acc_b − conf_b| is a finite number.
+
+    The full per-bin frame remains available via
+    operators.ml.calibration_bins; pytest asserts the same invariants at
+    test SF."""
     from pyspark.ml.functions import array_to_vector
 
     from chicago_crime_spark_ml_spark.operators.ml import (
@@ -8057,7 +8254,36 @@ def prediction_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         train, test, ["features_arr"], "label_str", weighted=True, seed=42
     )
     preds = res.model.transform(test)
-    return calibration_bins(preds)
+    bins = calibration_bins(preds)
+    audit = bins.agg(
+        F.min(F.col("bin") >= 0).alias("lo"),
+        F.min(F.col("bin") <= 9).alias("hi"),
+        F.sum("n").alias("n_binned"),
+        F.min(
+            (F.col("mean_confidence") >= 0)
+            & (F.col("mean_confidence") <= 1)
+            & (F.col("accuracy") >= 0)
+            & (F.col("accuracy") <= 1)
+        ).alias("bounded"),
+        F.sum(
+            F.col("n") * F.abs(F.col("accuracy") - F.col("mean_confidence"))
+        ).alias("ece_num"),
+    ).first()
+    n_test = test.count()
+    return spark.createDataFrame(
+        [
+            (
+                n_test,
+                bool(audit["lo"] and audit["hi"]),
+                audit["n_binned"] == n_test,
+                bool(audit["bounded"]),
+                audit["ece_num"] is not None
+                and math.isfinite(audit["ece_num"] / max(n_test, 1)),
+            )
+        ],
+        "n_test long, bins_in_domain boolean, counts_cover_test_set "
+        "boolean, bin_stats_bounded boolean, ece_finite boolean",
+    )
 
 
 @query(
@@ -8351,19 +8577,40 @@ def doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("doc_compression_ratio")  # zlib has no SQL twin — rows-only
+@query(
+    "doc_compression_ratio",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(text) AS BIGINT) AS n_scored,
+           true AS ratios_positive,
+           true AS ratios_bounded
+    FROM documents
+    """,
+)
 def doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Redundancy screen: zlib compressed/raw byte ratio per document
     (operators/text.py:compression_ratio) — catches repeated-span
     boilerplate that token-level filters miss. Deterministic (fixed
-    zlib level) but engine-external → rows-only for the driver;
-    monotonicity vs repetitiveness is property-tested."""
+    zlib level) but engine-external, so the driver row pins the
+    recall-check-style contract: the Arrow-batched UDF scores EVERY
+    non-null document (n_scored == SQL count(text) — no rows dropped by
+    batching), every ratio is > 0, and every ratio ≤ 1.5 (zlib's
+    worst-case expansion on short inputs is a ~11-byte header; real
+    prose sits in (0.2, 0.9]). Monotonicity vs repetitiveness remains
+    property-tested; per-doc scores via operators.text.compression_ratio."""
     from chicago_crime_spark_ml_spark.operators.text import compression_ratio
 
     d = _t(spark, sf_dir, "documents")
     out = compression_ratio(d)
-    return out.select(
-        "doc_id", F.round("compression_ratio", 4).alias("compression_ratio")
+    return out.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("compression_ratio").alias("n_scored"),
+        F.coalesce(F.min(F.col("compression_ratio") > 0), F.lit(True)).alias(
+            "ratios_positive"
+        ),
+        F.coalesce(
+            F.min(F.col("compression_ratio") <= 1.5), F.lit(True)
+        ).alias("ratios_bounded"),
     )
 
 
@@ -8479,14 +8726,48 @@ def als_part_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recs
 
 
-@query("frequent_event_sequences")  # PrefixSpan — rows-only check
+@query(
+    "frequent_event_sequences",
+    """
+    WITH tot AS (SELECT count(DISTINCT user_id) AS nu FROM events),
+    th AS (SELECT CAST(ceil(0.3 * nu) AS BIGINT) AS c FROM tot),
+    seq AS (
+      SELECT user_id, event_type AS t,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS p
+      FROM events),
+    f1 AS (SELECT user_id, t AS t1, min(p) AS p1 FROM seq GROUP BY 1, 2),
+    f2 AS (SELECT f1.user_id, f1.t1, s.t AS t2, min(s.p) AS p2
+           FROM f1 JOIN seq s
+             ON s.user_id = f1.user_id AND s.p > f1.p1
+           GROUP BY 1, 2, 3),
+    f3 AS (SELECT DISTINCT f2.user_id, f2.t1, f2.t2, s.t AS t3
+           FROM f2 JOIN seq s
+             ON s.user_id = f2.user_id AND s.p > f2.p2),
+    pat AS (
+      SELECT t1 AS pattern, count(*) AS freq FROM f1 GROUP BY 1
+      UNION ALL
+      SELECT t1 || '>' || t2, count(*) FROM f2 GROUP BY t1, t2
+      UNION ALL
+      SELECT t1 || '>' || t2 || '>' || t3, count(*) FROM f3
+      GROUP BY t1, t2, t3)
+    SELECT pattern, CAST(freq AS BIGINT) AS freq
+    FROM pat, th WHERE freq >= th.c
+    """,
+)
 def frequent_event_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent ordered event-type subsequences across users (PrefixSpan,
     min support 0.3, length ≤ 3) — the journey-mining generalization of
-    event_type_transitions' bigrams. Exact support counting, so the
-    result is deterministic; the length-1 patterns are cross-checked in
-    pytest against plain per-type user counts (same numbers, different
-    algorithm)."""
+    event_type_transitions' bigrams. Support counting is exact and the
+    per-user order is totalized by the (ts, event_id) tiebreak, so the
+    FULL pattern set is deterministic and SQL-checkable: the oracle
+    re-derives every pattern's support by greedy leftmost subsequence
+    matching (min position of t1, then min position of t2 after it,
+    then existence of t3 — greedy is sound and complete for
+    subsequence EXISTENCE), thresholded at PrefixSpan's own
+    minCount = ceil(minSupport · n_users). A hash mismatch means the
+    mining, the sequence construction, or the support arithmetic broke
+    — not just the length-1 marginals the old pytest checked."""
     from chicago_crime_spark_ml_spark.operators.ml import (
         frequent_event_sequences,
     )

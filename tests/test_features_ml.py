@@ -273,29 +273,54 @@ def test_pca_full_rank_preserves_pairwise_distances(spark, sf_dir):
     assert 0.0 < sum(ev) <= 1.0 + 1e-9
 
 
-def test_calibration_bins_structure(spark, sf_dir):
+def test_calibration_bins_structure(spark):
     """Bins partition the confidence range, counts sum to the scored
-    rows, accuracy/confidence stay in [0,1], and ECE is finite —
-    structural contract of the reliability-diagram operator."""
-    from chicago_crime_spark_ml_spark.queries import QUERIES
+    rows, accuracy/confidence stay in [0,1], and confidences fall inside
+    their bin — structural contract of the reliability-diagram operator,
+    checked on a hand-built scored frame (no training needed)."""
+    from pyspark.ml.linalg import Vectors
 
-    rows = QUERIES["prediction_calibration_bins"](spark, sf_dir).collect()
+    from chicago_crime_spark_ml_spark.operators.ml import calibration_bins
+
+    data = [
+        # (probability, label, prediction): confidences 0.5..0.95 + the
+        # boundary cases 1.0 (must clamp into bin 9) and ~0.34
+        (Vectors.dense([0.5, 0.3, 0.2]), 0.0, 0.0),
+        (Vectors.dense([0.55, 0.25, 0.2]), 1.0, 0.0),
+        (Vectors.dense([0.05, 0.95, 0.0]), 1.0, 1.0),
+        (Vectors.dense([0.1, 0.2, 0.7]), 2.0, 2.0),
+        (Vectors.dense([0.34, 0.33, 0.33]), 0.0, 0.0),
+        (Vectors.dense([1.0, 0.0, 0.0]), 0.0, 0.0),
+        (Vectors.dense([0.0, 1.0, 0.0]), 0.0, 1.0),
+    ]
+    preds = spark.createDataFrame(data, ["probability", "label", "prediction"])
+    rows = calibration_bins(preds).collect()
     assert len(rows) >= 1
     assert all(0 <= r.bin <= 9 for r in rows)
     assert all(0.0 <= r.mean_confidence <= 1.0 for r in rows)
     assert all(0.0 <= r.accuracy <= 1.0 for r in rows)
-    from chicago_crime_spark_ml_spark.operators.relational import time_split
-    from chicago_crime_spark_ml_spark.sources.io import load_table
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    _, test_split = time_split(emb, "vec_id", 400)
     n_total = sum(r.n for r in rows)
-    assert n_total == test_split.count()
+    assert n_total == len(data)
     ece = sum(r.n / n_total * abs(r.accuracy - r.mean_confidence) for r in rows)
     assert 0.0 <= ece <= 1.0
-    # confidences must actually fall inside their bin
+    # confidences must actually fall inside their bin (1.0 clamps to 9)
     for r in rows:
         assert r.bin / 10 - 1e-9 <= r.mean_confidence <= (r.bin + 1) / 10 + 1e-9
+    # exact spot-checks: the 0.95 and two 1.0-conf rows land in bin 9
+    # (1.0 clamps); the 0.5/0.55 rows in bin 5
+    by_bin = {r.bin: r for r in rows}
+    assert by_bin[9].n == 3 and by_bin[5].n == 2
+
+
+def test_calibration_query_contract(spark, sf_dir):
+    """The registered driver query emits the structural booleans — all
+    must hold on the real trained pipeline at test SF."""
+    from chicago_crime_spark_ml_spark.queries import QUERIES
+
+    row = QUERIES["prediction_calibration_bins"](spark, sf_dir).first()
+    assert row.n_test > 0
+    assert row.bins_in_domain and row.counts_cover_test_set
+    assert row.bin_stats_bounded and row.ece_finite
 
 
 def test_als_recommendation_shape(spark, sf_dir):

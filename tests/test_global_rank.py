@@ -51,18 +51,27 @@ def test_global_rank_with_heavy_ties_and_many_partitions(spark):
 
 
 def test_global_rank_plan_is_range_partitioned(spark, sf_dir):
+    from chicago_crime_spark_ml_spark.operators.relational import (
+        _range_partitioned_with_pid,
+    )
+
     rev = (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(F.sum("o_totalprice").alias("r"))
     )
-    plan = explain_str(
-        global_rank(rev, [F.desc("r"), F.asc("o_custkey")]), "simple"
-    )
-    # ranked via a range-partitioned exchange + partitioned window —
-    # never the single-partition SinglePartition/Window.orderBy shape
-    assert "rangepartitioning" in plan
+    cols = [F.desc("r"), F.asc("o_custkey")]
+    # stage 1 (checkpointed inside global_rank, so asserted on the lazy
+    # helper): the distribution step must be a range-partitioned
+    # exchange, never a single-partition global sort
+    pre = explain_str(_range_partitioned_with_pid(rev, cols, 8), "simple")
+    assert "rangepartitioning" in pre
+    assert "SinglePartition" not in pre
+    # stage 2 (the returned frame): window partitioned by __pid over the
+    # checkpointed scan — still no single-partition shape anywhere
+    plan = explain_str(global_rank(rev, cols), "simple")
     assert "SinglePartition" not in plan
+    assert "hashpartitioning(__pid" in plan
 
 
 def test_global_rank_empty_frame(spark):

@@ -1,23 +1,32 @@
 """Oracle-differential tests — replicates the driver's correctness gate.
 
 For every query in the catalog with an oracle, run the Spark DataFrame AND
-the DuckDB SQL over the same parquet tables and compare: row count, sorted
-column names, and order-insensitive values (exact for non-floats, tiny
-tolerance for floats — the catalog already rounds accumulated floats on
-both sides, so mismatches here mean a real semantic bug).
+the DuckDB SQL over the same parquet tables and compare row count, sorted
+column names, and the driver's pandas value-hash.
+
+Bit-faithful to the grading driver (round-2 lesson): both sides are
+materialized exactly as the driver materializes them — Spark ``toPandas()``
+(Arrow) and DuckDB ``.df()`` — and hashed with the same canonicalizer as
+tools/driver_preflight.py. ``collect()``/``fetchall()`` would yield Python
+ints on both sides and hide driver-visible dtype drift (DuckDB sum(CASE…)
+returns HUGEINT → pandas float64 vs Spark int64: identical values, red
+driver hash).
+
+Default SF is sf0.01 — the driver's correctness scale. Set
+ORACLE_SF_DIR=/root/testdata/sf0.001 for a quick pass while iterating.
 """
 
 from __future__ import annotations
 
-import math
 import os
 
 import duckdb
 import pytest
 
 from chicago_crime_spark_ml_spark.queries import ORACLE, QUERIES
+from tools.driver_preflight import canon_hash
 
-SF = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
+SF = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
@@ -32,59 +41,40 @@ def duck_con():
     return con
 
 
-def normalize(rows, colnames):
-    """Sort columns by name, then rows; stringify with float rounding."""
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    out = []
-    for row in rows:
-        vals = []
-        for i in order:
-            v = row[i]
-            if isinstance(v, float):
-                if math.isnan(v):
-                    vals.append("nan")
-                else:
-                    vals.append(f"{v + 0.0 if v != 0 else 0.0:.6f}")
-            else:
-                vals.append(repr(v))
-        out.append(tuple(vals))
-    out.sort()
-    return [colnames[i] for i in order], out
-
-
 @pytest.mark.parametrize("name", sorted(ORACLE))
 def test_oracle_match(spark, name):
     sdf = QUERIES[name](spark, SF)
-    spark_cols = sdf.columns
-    spark_rows = [tuple(r) for r in sdf.collect()]
+    spdf = sdf.toPandas()
 
     con = duck_con()
-    res = con.execute(ORACLE[name])
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
+    dpdf = con.execute(ORACLE[name]).df()
     con.close()
 
-    assert sorted(spark_cols) == sorted(duck_cols), (
-        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    assert sorted(spdf.columns) == sorted(dpdf.columns), (
+        f"{name}: column mismatch {list(spdf.columns)} vs {list(dpdf.columns)}"
     )
-    assert len(spark_rows) == len(duck_rows), (
-        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    assert len(spdf) == len(dpdf), (
+        f"{name}: row count {len(spdf)} vs {len(dpdf)}"
     )
-    _, s_norm = normalize(spark_rows, spark_cols)
-    _, d_norm = normalize(duck_rows, duck_cols)
-    mism = [i for i, (a, b) in enumerate(zip(s_norm, d_norm)) if a != b]
-    assert not mism, (
-        f"{name}: {len(mism)} mismatched rows; first: "
-        f"spark={s_norm[mism[0]]} duck={d_norm[mism[0]]}"
-    )
-
-
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLE)))
-def test_rows_only_queries_run(spark, name):
-    """Non-SQL-expressible ops at least run and return a stable schema."""
-    df = QUERIES[name](spark, SF)
-    assert df.columns
-    assert df.count() >= 0
+    hs, hd = canon_hash(spdf), canon_hash(dpdf)
+    if hs != hd:
+        # hash differs — rebuild a readable first-difference for the report
+        s = spdf.reindex(sorted(spdf.columns), axis=1)
+        d = dpdf.reindex(sorted(dpdf.columns), axis=1)
+        if len(s):
+            s = s.sort_values(list(s.columns)).reset_index(drop=True)
+            d = d.sort_values(list(d.columns)).reset_index(drop=True)
+        detail = ""
+        for i in range(len(s)):
+            if canon_hash(s.iloc[[i]]) != canon_hash(d.iloc[[i]]):
+                detail = (
+                    f"first diff at sorted row {i}: "
+                    f"spark={s.iloc[i].to_dict()} duck={d.iloc[i].to_dict()} "
+                    f"(dtypes spark={dict(s.dtypes.astype(str))} "
+                    f"duck={dict(d.dtypes.astype(str))})"
+                )
+                break
+        raise AssertionError(f"{name}: driver value-hash mismatch. {detail}")
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLE)))

@@ -460,7 +460,7 @@ EXCHANGE_BUDGET = [
     ("user_value_ewma", 3),
     ("winsorized_acctbal", 2),
     ("ngram_jaccard_near_dups", 6),
-    ("simhash_near_dups", 3),
+    ("simhash_near_dups", 2),
     ("ann_cosine_top10", 0),
     ("doc_chunks", 0),
     ("incremental_daily_revenue", 2),
@@ -505,6 +505,22 @@ EXCHANGE_BUDGET = [
     ("customer_revenue_global_rank", 5),
     ("topk_orders_per_priority_combiner", 1),
 ]
+
+
+def test_simhash_signature_computed_once(spark, sf_dir):
+    # simhash_near_dups materializes the ~16-byte/doc signature table via
+    # an eager localCheckpoint before the band self-join. A regression to
+    # the lazy form would inline the md5+agg signature pipeline into BOTH
+    # join branches (neither ReuseExchange nor AQE dedupes concurrently
+    # materializing stages) — a 2× tax on the dominant stage at 100 TB.
+    # Post-checkpoint, the pair-join plan must scan stored signatures and
+    # contain ZERO signature-hash (md5) nodes.
+    spark.catalog.clearCache()
+    plan = explain_str(QUERIES["simhash_near_dups"](spark, sf_dir), "simple")
+    assert plan.count("md5") == 0, (
+        "signature pipeline inlined into the band self-join (md5 present "
+        f"in pair plan — computed per-branch, not once):\n{plan}"
+    )
 
 
 @pytest.mark.parametrize("name,budget", EXCHANGE_BUDGET)

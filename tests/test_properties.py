@@ -288,10 +288,31 @@ def test_kll_quantile_estimates_bounded(spark, sf_dir):
     from chicago_crime_spark_ml_spark.queries import QUERIES
     from chicago_crime_spark_ml_spark.sources.io import load_table
 
+    # the registered query now reports pass/fail booleans for the driver;
+    # the raw estimates are rebuilt here with the same two-level rollup
+    per_nation = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment", "c_nationkey")
+        .agg(F.kll_sketch_agg_double("c_acctbal").alias("sk"))
+    )
     est = {
         r.c_mktsegment: (r.p50_est, r.p90_est)
-        for r in QUERIES["acctbal_kll_quantiles"](spark, sf_dir).collect()
+        for r in per_nation.groupBy("c_mktsegment")
+        .agg(F.kll_merge_agg_double("sk").alias("sk"))
+        .select(
+            "c_mktsegment",
+            F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias(
+                "p50_est"
+            ),
+            F.kll_sketch_get_quantile_double("sk", F.lit(0.9)).alias(
+                "p90_est"
+            ),
+        )
+        .collect()
     }
+    # and the driver-facing booleans must all hold
+    audit = QUERIES["acctbal_kll_quantiles"](spark, sf_dir).collect()
+    assert all(r.p50_in_rank_bounds and r.p90_in_rank_bounds for r in audit)
     exact = {
         r.c_mktsegment: (r.lo50, r.hi50, r.lo90, r.hi90)
         for r in load_table(spark, sf_dir, "customer")

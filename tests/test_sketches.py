@@ -32,6 +32,17 @@ def test_heavy_hitters_equals_exact_groupby(spark):
     assert got == exact == {("hot", 100), ("edge", 10)}
 
 
+def test_heavy_hitters_null_key_group(spark):
+    # A NULL key that IS a true heavy hitter must be reported, matching
+    # SQL GROUP BY/HAVING on a nullable key. The IN-list verify filter
+    # alone drops NULLs (three-valued IN), so the operator OR-s in an
+    # isNull() branch — this pins that behavior.
+    rows = [(None,)] * 10 + [("a",)] * 2
+    df = spark.createDataFrame(rows, "k string").repartition(4)
+    got = {(r.k, r.n) for r in heavy_hitters(df, "k", denom=4).collect()}
+    assert got == {(None, 10)}
+
+
 def test_heavy_hitters_share_column(spark):
     df = spark.createDataFrame([("a",)] * 3 + [("b",)], "k string")
     out = {r.k: r.share for r in heavy_hitters(df, "k", denom=2).collect()}
