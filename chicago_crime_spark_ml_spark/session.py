@@ -16,10 +16,17 @@ from pyspark.sql import SparkSession
 
 
 def _env_cpus() -> int:
+    """$SPARK_GRAFT_CPUS as an int, or 0 when unset/invalid — 0 means
+    "let local[*] use every core". (A previous version clamped with
+    max(1, ...), which turned the unset sentinel 0 into 1 and silently
+    pinned every session to local[1] with 2 shuffle partitions — the
+    whole engine ran single-threaded. Regression-locked in
+    tests/test_plans.py::test_session_uses_all_cores.)"""
     try:
-        return max(1, int(os.environ.get("SPARK_GRAFT_CPUS", "0")))
+        v = int(os.environ.get("SPARK_GRAFT_CPUS", "0"))
     except ValueError:
         return 0
+    return v if v > 0 else 0
 
 
 def get_spark(

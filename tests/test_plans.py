@@ -445,7 +445,9 @@ EXCHANGE_BUDGET = [
     ("flagship_regional_revenue", 4),
     ("pricing_summary", 1),
     ("top10_orders", 0),
-    ("doc_simhash", 1),
+    # 2 = scan-spread repartition (bench-scale only; no-op on real
+    # multi-split inputs) + the signature hash-agg
+    ("doc_simhash", 2),
     ("dedup_documents_exact", 1),
     ("events_asof_last_purchase", 2),
     ("top3_orders_per_customer", 1),
@@ -459,7 +461,9 @@ EXCHANGE_BUDGET = [
     ("customer_running_revenue", 1),
     ("user_value_ewma", 3),
     ("winsorized_acctbal", 2),
-    ("ngram_jaccard_near_dups", 6),
+    # post-localCheckpoint plan: the shingle/hash/df-prune stages run
+    # once before the checkpoint; the final plan is join + pair-agg
+    ("ngram_jaccard_near_dups", 3),
     ("simhash_near_dups", 2),
     ("ann_cosine_top10", 0),
     ("doc_chunks", 0),
@@ -505,6 +509,19 @@ EXCHANGE_BUDGET = [
     ("customer_revenue_global_rank", 5),
     ("topk_orders_per_priority_combiner", 1),
 ]
+
+
+def test_session_uses_all_cores(spark):
+    # With SPARK_GRAFT_CPUS unset, get_spark must run local[*] — i.e.
+    # defaultParallelism == machine cores, not 1. A max(1, ...) clamp on
+    # the env sentinel once pinned every session (bench, tests, driver)
+    # to local[1]/2-shuffle-partitions; this locks the fix. Skips when
+    # the env var legitimately pins the core count.
+    import os
+
+    if os.environ.get("SPARK_GRAFT_CPUS"):
+        pytest.skip("core count pinned by env")
+    assert spark.sparkContext.defaultParallelism == (os.cpu_count() or 1)
 
 
 def test_simhash_signature_computed_once(spark, sf_dir):
