@@ -48,6 +48,13 @@ HEADLINE = [
     "user_value_ewma",
     "winsorized_acctbal",
     "simhash_near_dups",
+    # scale-operator tier (round 3): distributed global rank,
+    # sketch-then-verify heavy hitters, exact bitmap distinct — the
+    # operators whose whole point is the 100 TB plan shape; benched so a
+    # plan regression shows up as a number, not just a test failure
+    "customer_revenue_global_rank",
+    "heavy_hitter_users",
+    "bitmap_distinct_customers_by_priority",
 ]
 
 

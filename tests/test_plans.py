@@ -508,6 +508,11 @@ EXCHANGE_BUDGET = [
     ("bitmap_distinct_customers_by_priority", 2),
     ("customer_revenue_global_rank", 5),
     ("topk_orders_per_priority_combiner", 1),
+    # round-3 oracle-ized queries — lock their plans too
+    ("acctbal_kll_quantiles", 4),
+    ("user_value_holt_forecast", 2),
+    ("doc_compression_ratio", 1),
+    ("ann_quantized_top10", 3),
 ]
 
 
