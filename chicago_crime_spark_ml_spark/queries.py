@@ -1685,25 +1685,65 @@ def multimodal_blob_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_feature_extract")  # Python-side stub decode — rows-only
+@query(
+    "multimodal_feature_extract",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           4 AS n_features,
+           true AS features_bounded
+    FROM documents
+    """,
+)
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction over blobs (decode
     stubbed — deterministic byte-stat features; real pipelines drop in
     PIL/ffmpeg per batch). Schema/batch plumbing is the operator under
-    test."""
+    test, so the driver row hash-checks the plumbing PER ROW: the
+    operator must emit exactly one row per doc, report the true blob
+    byte count (== SQL octet_length of the UTF-8 text the blob wraps),
+    a fixed FEATURE_DIM vector, and features inside [0,1]. A red row
+    means the Arrow batch schema, 1:1 row contract, or byte accounting
+    broke — exactly what would silently corrupt a real decode swap-in."""
     from chicago_crime_spark_ml_spark.operators.multimodal import (
         attach_blob,
         extract_features,
     )
 
     d = attach_blob(_t(spark, sf_dir, "documents").select("doc_id", "text"))
-    return extract_features(d)
+    out = extract_features(d)
+    bounded = F.aggregate(
+        F.transform(
+            "features", lambda x: (x >= 0.0) & (x <= 1.0)
+        ),
+        F.lit(True),
+        lambda acc, x: acc & x,
+    )
+    return out.select(
+        "doc_id",
+        "n_bytes",
+        F.size("features").alias("n_features"),
+        bounded.alias("features_bounded"),
+    )
 
 
-@query("multimodal_resize")  # stubbed codec — rows-only check
+@query(
+    "multimodal_resize",
+    """
+    SELECT doc_id, 32 AS width, 32 AS height,
+           CAST(CASE WHEN octet_length(encode(text)) > 0 THEN 1024 ELSE 0 END
+                AS INT) AS n_out_bytes,
+           true AS mean_byte_in_unit
+    FROM documents
+    """,
+)
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-resize plumbing (mapInPandas, stubbed codec): fixed 32x32
-    target, one output row per blob with the resized byte count."""
+    target, one output row per blob. Driver row pins the exact-bytes
+    contract per row: every non-empty blob must resize to exactly
+    width×height = 1024 bytes (empty → 0), with the stub's mean byte in
+    [0,1]. The SQL twin recomputes the byte counts from the text the
+    blob wraps."""
     from chicago_crime_spark_ml_spark.operators.multimodal import (
         attach_blob,
         resize_images,
@@ -1711,14 +1751,38 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = attach_blob(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     out = resize_images(d, width=32, height=32)
-    return out.withColumn("mean_byte", F.round("mean_byte", 4))
+    return out.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_out_bytes",
+        (
+            (F.col("mean_byte") >= 0.0) & (F.col("mean_byte") <= 1.0)
+        ).alias("mean_byte_in_unit"),
+    )
 
 
-@query("multimodal_frame_sample")  # stubbed codec — rows-only check
+@query(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id,
+           CAST(i AS INT) AS frame_idx,
+           CAST(octet_length(encode(text)) // 4
+                + CASE WHEN i < octet_length(encode(text)) % 4 THEN 1 ELSE 0 END
+                AS INT) AS n_frame_bytes,
+           true AS features_bounded
+    FROM documents, (SELECT unnest(range(4)) AS i)
+    WHERE octet_length(encode(text)) > 0
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plumbing (mapInPandas 1->N explosion, stubbed
-    codec): 4 evenly-spaced 'frames' per blob, deterministic per-frame
-    features rounded for stability."""
+    codec): 4 evenly-spaced 'frames' per blob. Driver row pins the
+    fan-out arithmetic PER FRAME: exactly 4 frames per non-empty blob,
+    each frame's byte count equal to numpy array_split's split sizes
+    (first len%4 chunks get one extra byte — recomputed by the SQL twin
+    from octet_length), mean/std features in [0,1]. A red row means the
+    1→N explosion or the chunk accounting broke."""
     from chicago_crime_spark_ml_spark.operators.multimodal import (
         attach_blob,
         sample_frames,
@@ -1726,12 +1790,14 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = attach_blob(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     out = sample_frames(d, n_frames=4)
+    f = F.col("frame_features")
     return out.select(
         "doc_id",
         "frame_idx",
-        F.transform("frame_features", lambda x: F.round(x, 4)).alias(
-            "frame_features"
-        ),
+        f[2].cast("int").alias("n_frame_bytes"),
+        (
+            (f[0] >= 0.0) & (f[0] <= 1.0) & (f[1] >= 0.0) & (f[1] <= 1.0)
+        ).alias("features_bounded"),
     )
 
 
@@ -3073,11 +3139,34 @@ def dq_orders_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_audio_envelope")  # stubbed codec — rows-only check
+@query(
+    "multimodal_audio_envelope",
+    """
+    WITH d AS (SELECT doc_id, octet_length(encode(text)) AS len FROM documents),
+    w AS (
+      SELECT doc_id, len,
+             CAST(unnest(range(CASE WHEN len = 0 THEN 1
+                                    ELSE CAST(ceil(len / 256.0) AS BIGINT)
+                               END)) AS INT) AS window_idx
+      FROM d)
+    SELECT doc_id, window_idx,
+           CAST(CASE WHEN len = 0 THEN 0
+                     ELSE least(256, len - 256 * window_idx) END
+                AS INT) AS n_samples,
+           true AS rms_in_unit,
+           true AS peak_in_unit
+    FROM w
+    """,
+)
 def multimodal_audio_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio windowed-envelope plumbing (mapInPandas 1->N explosion,
-    stubbed PCM decode): RMS + peak per 256-'sample' window,
-    deterministic from blob bytes, rounded for stability."""
+    stubbed PCM decode): RMS + peak per 256-'sample' window. Driver row
+    pins the windowing arithmetic PER WINDOW: ceil(len/256) windows per
+    blob (one empty window for empty blobs), each window's sample count
+    equal to min(256, len − 256·idx) — recomputed by the SQL twin from
+    the wrapped text's octet_length — and RMS/peak of the centered
+    uint8 'PCM' inside [0,1]. A red row means the fan-out, the tail
+    window, or the sample accounting broke."""
     from chicago_crime_spark_ml_spark.operators.multimodal import (
         attach_blob,
         audio_window_envelope,
@@ -3088,9 +3177,11 @@ def multimodal_audio_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id",
         "window_idx",
-        F.round("rms", 4).alias("rms"),
-        F.round("peak", 4).alias("peak"),
         "n_samples",
+        ((F.col("rms") >= 0.0) & (F.col("rms") <= 1.0)).alias("rms_in_unit"),
+        ((F.col("peak") >= 0.0) & (F.col("peak") <= 1.0)).alias(
+            "peak_in_unit"
+        ),
     )
 
 
