@@ -86,11 +86,14 @@ def run(sf_dir: str) -> dict:
             t0 = time.perf_counter()
             force(QUERIES[name](spark, sf_dir))
             runs.append(time.perf_counter() - t0)
+            # Clear INSIDE the run loop: queries that persist() a small
+            # intermediate would otherwise serve runs 2-3 from the
+            # plan-keyed cache (CacheManager dedupes identical plans
+            # across calls), making the median a cache-hit time instead
+            # of the honest per-execution cost. Also keeps later queries
+            # free of accumulated executor-memory pressure.
+            spark.catalog.clearCache()
         timings[name] = round(sorted(runs)[1], 3)
-        # Queries that persist() intermediates leave them cached; dropping
-        # them between queries keeps later timings free of accumulated
-        # executor-memory/GC pressure from earlier queries' caches.
-        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     return {
