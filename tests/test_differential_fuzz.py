@@ -392,6 +392,108 @@ def test_fuzz_range_frame_window(spark, rows):
     )
 
 
+@FUZZ
+@given(rows=rows_st)
+def test_fuzz_sliding_frames_and_offsets(spark, rows):
+    # Bounded sliding frames + offset functions — the window semantics
+    # engines classically get subtly different: ROWS frames ignore
+    # peer-ness (exact physical neighbors), lead's default fires only
+    # past the partition edge, first_value(IGNORE NULLS) must skip
+    # leading nulls not rows, and a bounded RANGE frame widens over
+    # peers. Order is totalized over (v, s) with explicit NULLS FIRST on
+    # both engines (Spark asc = nulls-first, DuckDB asc = nulls-LAST —
+    # spelled out so the frames align); rows equal in (k, v, s) are
+    # fully identical, so every output multiset is deterministic.
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    sdf = spark.createDataFrame(rows, SCHEMA)
+    w = Window.partitionBy("k").orderBy(
+        F.asc_nulls_first("v"), F.asc_nulls_first("s")
+    )
+    out = sdf.select(
+        "k",
+        "s",
+        "v",
+        F.sum("v").over(w.rowsBetween(-1, 1)).alias("roll3"),
+        F.lag("v", 1).over(w).alias("lag1"),
+        F.lead("v", 2, -999).over(w).alias("lead2"),
+        F.first("v", ignorenulls=True)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("first_nn"),
+    )
+    con = duck_with({"t": rows})
+    assert_same(
+        out,
+        con,
+        """SELECT k, s, v,
+                  sum(v) OVER w_rows AS roll3,
+                  lag(v, 1) OVER w_base AS lag1,
+                  lead(v, 2, -999) OVER w_base AS lead2,
+                  first_value(v IGNORE NULLS) OVER w_cum AS first_nn
+           FROM t
+           WINDOW
+             w_base AS (PARTITION BY k
+                        ORDER BY v ASC NULLS FIRST, s ASC NULLS FIRST),
+             w_rows AS (w_base ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING),
+             w_cum  AS (w_base ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW)""",
+    )
+    # bounded numeric RANGE frame (peers widen the frame): non-null order
+    # keys only — null-ordering-key frames are engine-defined
+    w2 = Window.partitionBy("k").orderBy("v").rangeBetween(-2, 1)
+    nn = sdf.filter(F.col("v").isNotNull())
+    out2 = nn.select(
+        "k", "v", F.sum("v").over(w2).alias("win_sum")
+    )
+    assert_same(
+        out2,
+        con,
+        """SELECT k, v,
+                  sum(v) OVER (PARTITION BY k ORDER BY v
+                               RANGE BETWEEN 2 PRECEDING AND 1 FOLLOWING)
+                    AS win_sum
+           FROM t WHERE v IS NOT NULL""",
+    )
+
+
+@FUZZ
+@given(rows=rows_st)
+def test_fuzz_distinct_aggs_and_variance(spark, rows):
+    # DISTINCT aggregates under NULLs + the sample-variance edge: DuckDB
+    # var_samp/stddev_samp of a single value is NULL; Spark returns NaN.
+    # The catalog normalizes that edge with nullif(isnan(...)) — this
+    # fuzz replays the same normalization so any OTHER divergence
+    # (distinct counting, NULL skipping, integer-avg typing) surfaces.
+    from pyspark.sql import functions as F
+
+    sdf = spark.createDataFrame(rows, SCHEMA)
+    out = sdf.groupBy("k").agg(
+        F.countDistinct("v").alias("nd_v"),
+        F.countDistinct("s").alias("nd_s"),
+        F.sum_distinct(F.col("v")).alias("sd_v"),
+        F.round(F.avg("v"), 6).alias("avg_v"),
+        F.round(
+            F.when(
+                F.isnan(F.var_samp("v")), F.lit(None)
+            ).otherwise(F.var_samp("v")),
+            6,
+        ).alias("var_v"),
+    )
+    con = duck_with({"t": rows})
+    assert_same(
+        out,
+        con,
+        """SELECT k,
+                  count(DISTINCT v) AS nd_v,
+                  count(DISTINCT s) AS nd_s,
+                  sum(DISTINCT v) AS sd_v,
+                  round(avg(v), 6) AS avg_v,
+                  round(var_samp(v), 6) AS var_v
+           FROM t GROUP BY k""",
+    )
+
+
 def test_cube_empty_input_divergence(spark):
     # Pinned engine divergence found by the fuzzer: ANSI semantics (and
     # DuckDB/Postgres) emit the grand-total grouping set's row even on
