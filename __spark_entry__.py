@@ -44,22 +44,51 @@ def _previously_green() -> set[str]:
     return green
 
 
+# Queries whose verification status changed THIS round — oracles fixed
+# (the four round-2 dtype reds) or converted from rows-only to
+# oracle-backed (the round-3 recall-check / per-row-oracle conversions).
+# They jump the rotation queue so the driver's bounded per-round budget
+# lands on the rows where fresh evidence matters most; once green they
+# fall into the verified tier like everything else.
+_ROUND_PRIORITY = [
+    "late_shipment_priorities",
+    "events_cumulative_users",
+    "event_funnel_stages",
+    "ansi_safe_arithmetic",
+    "train_eval_embeddings",
+    "prediction_calibration_bins",
+    "ann_quantized_top10",
+    "user_value_holt_forecast",
+    "frequent_event_sequences",
+    "acctbal_kll_quantiles",
+    "doc_compression_ratio",
+    "multimodal_feature_extract",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "multimodal_audio_envelope",
+]
+
+
 def _rotated(catalog: dict) -> dict:
-    """Never-green first; within those, oracle-backed before rows-only
-    (a driver slot spent on an oracle-backed query yields a hash row,
-    the strongest evidence class)."""
+    """Never-green first; within those, this round's status-changed
+    queries, then oracle-backed before rows-only (a driver slot spent on
+    an oracle-backed query yields a hash row, the strongest evidence
+    class)."""
     from chicago_crime_spark_ml_spark.queries import ORACLE
 
     green = _previously_green()
+    prio = {n: i for i, n in enumerate(_ROUND_PRIORITY)}
 
-    def tier(k: str) -> int:
+    def tier(k: str) -> tuple[int, int]:
         if k in green:
-            return 2
-        return 0 if k in ORACLE else 1
+            return (3, 0)
+        if k in prio:
+            return (0, prio[k])
+        return (1, 0) if k in ORACLE else (2, 0)
 
     return {
         k: catalog[k]
-        for k in sorted(catalog, key=lambda k: (tier(k)))
+        for k in sorted(catalog, key=tier)
     }
 
 
