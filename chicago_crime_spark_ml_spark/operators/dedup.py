@@ -13,6 +13,14 @@ target near-duplicates at corpus scale:
 - MinHash-LSH: pyspark.ml MinHashLSH over shingle hash vectors —
   the sublinear candidate-generation path for 100 TB (band-bucket
   join instead of all-pairs); engine-specific hashes → rows-only check.
+
+Several operators materialize a reused intermediate via eager
+``localCheckpoint`` (no session-lifetime cache entry, lineage truncated
+so iterative plans stay bounded). Cluster caveat: truncated lineage
+means an executor loss that takes checkpoint blocks with it is
+unrecoverable, and localCheckpoint is unsafe under dynamic allocation.
+On a real cluster, set a reliable checkpoint dir and use
+``checkpoint()`` — or materialize to a table — at the same points.
 """
 
 from __future__ import annotations
@@ -82,6 +90,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     prune_unique_shingles: bool = True,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (a<b) via inverted-index
     self-join: explode shingles → join on shingle → |∩| per pair →
@@ -91,6 +100,20 @@ def ngram_jaccard_pairs(
     document-frequencies — selective shingles keep it near-linear. At
     100 TB: band with MinHash-LSH first (minhash_lsh_pairs) and feed the
     candidate pairs through this exact scorer.
+
+    ``max_df`` is the scale guard for corpus-wide use: postings whose
+    shingle appears in more than ``max_df`` documents are DROPPED before
+    the self-join, so one boilerplate shingle shared by 10⁶ docs can
+    never emit its df² ≈ 10¹² candidate pairs from a single posting
+    list (the default bounds any one shingle at 10⁶ pairs; test-scale
+    corpora never reach it — max df at sf0.1 is 25 — so test results
+    are exact). Recall effect: dropped shingles still count in |A| and |B|
+    (n_shingles is computed from the full set) but can no longer
+    contribute to |∩|, so Jaccard is UNDERESTIMATED for pairs whose
+    overlap is concentrated in ultra-common shingles — strictly a
+    recall reduction, never a false positive, and ultra-common
+    shingles carry ~no near-duplicate signal to begin with.
+    ``max_df=None`` disables the cap (exact, post-LSH-rescorer mode).
 
     The pruned posting list (id, n_shingles, tok-hash — 8+8+8 bytes per
     posting) is materialized ONCE via an eager localCheckpoint before
@@ -127,22 +150,27 @@ def ngram_jaccard_pairs(
             F.transform("shingles", lambda s: F.xxhash64(s))
         ).alias("tok"),
     )
-    if prune_unique_shingles:
-        # Prune df_t == 1 shingles before the self-join: a shingle seen in
-        # one document can't produce a pair, and in real corpora MOST
-        # shingles are unique — this cuts the join input (and its Σ df_t²
-        # output) without changing a single result row. The window shares
-        # the join's hash partitioning on tok (one exchange gets reused);
-        # measured cost when the corpus is dense (testdata sf0.1: df=1 is
-        # only 207 of 27k shingles) is ~10% — disable for corpora known to
-        # repeat nearly every shingle.
+    if prune_unique_shingles or max_df is not None:
+        # Prune by document frequency before the self-join, both ends:
+        #  - df_t == 1 shingles can't produce a pair, and in real corpora
+        #    MOST shingles are unique — dropping them cuts the join input
+        #    (and its Σ df_t² output) without changing a single result
+        #    row. Measured cost when the corpus is dense (testdata sf0.1:
+        #    df=1 is only 207 of 27k shingles) is ~10% — disable for
+        #    corpora known to repeat nearly every shingle.
+        #  - df_t > max_df shingles are the quadratic blowup (docstring);
+        #    dropping them bounds the worst posting list.
+        # The window shares the join's hash partitioning on tok (one
+        # exchange gets reused).
         from pyspark.sql.window import Window  # noqa: PLC0415
 
+        lo = 1 if prune_unique_shingles else 0
+        hi = max_df if max_df is not None else (1 << 62)
         ex = (
             ex.withColumn(
                 "_df", F.count(F.lit(1)).over(Window.partitionBy("tok"))
             )
-            .filter(F.col("_df") > 1)
+            .filter((F.col("_df") > lo) & (F.col("_df") <= hi))
             .drop("_df")
         )
     ex = ex.localCheckpoint(eager=True)

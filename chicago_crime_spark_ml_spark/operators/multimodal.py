@@ -76,11 +76,18 @@ def extract_features(
                     "real media decode requires image/audio libs not in "
                     "this container; run with decode_stub=True"
                 )
+            ids = []
             feats = []
             nbytes = []
-            for buf in pdf[blob_col]:
+            # NULL blobs are SKIPPED (no sentinel row): the operators are
+            # general plumbing and bytes(None) would TypeError inside the
+            # Python worker, killing the whole query for one bad row.
+            for did, buf in zip(pdf[id_col], pdf[blob_col]):
+                if buf is None:
+                    continue
                 arr = np.frombuffer(bytes(buf), dtype=np.uint8)
                 n = int(arr.size)
+                ids.append(did)
                 nbytes.append(n)
                 feats.append(
                     [
@@ -90,9 +97,11 @@ def extract_features(
                         float(n % 997) / 997.0,
                     ]
                 )
-            yield pd.DataFrame(
-                {"doc_id": pdf[id_col], "n_bytes": nbytes, "features": feats}
-            )
+            if ids:  # an all-NULL batch yields nothing (empty ndarray
+                # columns defeat Arrow's list<double> inference)
+                yield pd.DataFrame(
+                    {"doc_id": ids, "n_bytes": nbytes, "features": feats}
+                )
 
     narrow = df.select(F.col(id_col), F.col(blob_col))
     return narrow.mapInPandas(batches, schema=FEATURES_SCHEMA)
@@ -130,9 +139,12 @@ def resize_images(
                 raise NotImplementedError(
                     "real resize requires image libs not in this container"
                 )
-            out, means = [], []
-            for buf in pdf[blob_col]:
+            ids, out, means = [], [], []
+            for did, buf in zip(pdf[id_col], pdf[blob_col]):
+                if buf is None:  # NULL blob: skip, don't TypeError
+                    continue
                 arr = np.frombuffer(bytes(buf), dtype=np.uint8)
+                ids.append(did)
                 if arr.size == 0:
                     out.append(0)
                     means.append(0.0)
@@ -141,15 +153,16 @@ def resize_images(
                 resized = arr[idx]
                 out.append(int(resized.size))
                 means.append(float(resized.mean()) / 255.0)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf[id_col],
-                    "width": width,
-                    "height": height,
-                    "n_out_bytes": out,
-                    "mean_byte": means,
-                }
-            )
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": ids,
+                        "width": width,
+                        "height": height,
+                        "n_out_bytes": out,
+                        "mean_byte": means,
+                    }
+                )
 
     return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(
         batches, schema=RESIZE_SCHEMA
@@ -181,6 +194,8 @@ def sample_frames(
                 )
             ids, idxs, feats = [], [], []
             for doc_id, buf in zip(pdf[id_col], pdf[blob_col]):
+                if buf is None:  # NULL blob: skip, don't TypeError
+                    continue
                 arr = np.frombuffer(bytes(buf), dtype=np.uint8)
                 chunks = np.array_split(arr, n_frames) if arr.size else []
                 for i, ch in enumerate(chunks):
@@ -193,9 +208,10 @@ def sample_frames(
                             float(ch.size),
                         ]
                     )
-            yield pd.DataFrame(
-                {"doc_id": ids, "frame_idx": idxs, "frame_features": feats}
-            )
+            if ids:
+                yield pd.DataFrame(
+                    {"doc_id": ids, "frame_idx": idxs, "frame_features": feats}
+                )
 
     return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(
         batches, schema=FRAMES_SCHEMA
@@ -236,6 +252,8 @@ def audio_window_envelope(
                 )
             out = {k: [] for k in ("doc_id", "window_idx", "rms", "peak", "n_samples")}
             for did, buf in zip(pdf[id_col], pdf[blob_col]):
+                if buf is None:  # NULL blob: skip, don't TypeError
+                    continue
                 arr = np.frombuffer(bytes(buf), dtype=np.uint8).astype(np.float64)
                 arr = (arr - 128.0) / 128.0  # center like signed PCM
                 for w in range(max(1, -(-arr.size // window_samples))):
@@ -248,7 +266,8 @@ def audio_window_envelope(
                     )
                     out["peak"].append(float(np.abs(seg).max()) if n else 0.0)
                     out["n_samples"].append(n)
-            yield pd.DataFrame(out)
+            if out["doc_id"]:
+                yield pd.DataFrame(out)
 
     return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(
         batches, schema=AUDIO_SCHEMA

@@ -918,6 +918,13 @@ def global_rank(
     recompute is impossible) and avoids leaking a session-lifetime
     cache entry per call (checkpoint blocks are GC-reclaimed with the
     DataFrame; a persist() here would need the CALLER to unpersist).
+    Cluster caveat: because lineage is truncated, losing an executor
+    that holds checkpoint blocks makes the job unrecoverable, and
+    localCheckpoint is unsafe under dynamic allocation (executors may
+    be decommissioned with the only copy). On a real 100 TB cluster,
+    point ``spark.sparkContext.setCheckpointDir`` at reliable storage
+    and use ``checkpoint()``, or materialize the partitioned frame to a
+    table; the algorithm is unchanged.
 
     The global-window form stays correct for SMALL ranked sets (a few
     thousand group rollups); this operator is for ranking entity-level

@@ -712,3 +712,33 @@ def test_streaming_ohlc_equals_batch(spark, sf_dir):
     want = {tuple(r) for r in QUERIES["daily_value_ohlc"](spark, sf_dir).collect()}
     assert got == want
     assert len(got) > 0
+
+
+def test_multimodal_operators_skip_null_blobs(spark):
+    """NULL blobs must be skipped (no TypeError in the Python worker,
+    no sentinel row) — the operators are general plumbing, and one bad
+    row must not kill a 100 TB job."""
+    from pyspark.sql import functions as F
+
+    from chicago_crime_spark_ml_spark.operators.multimodal import (
+        audio_window_envelope,
+        extract_features,
+        resize_images,
+        sample_frames,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"hello media bytes")), (2, None), (3, bytearray(b""))],
+        "doc_id BIGINT, blob BINARY",
+    )
+    feats = extract_features(df)
+    assert {r.doc_id for r in feats.collect()} == {1, 3}
+    rs = resize_images(df, width=4, height=4)
+    assert {r.doc_id for r in rs.collect()} == {1, 3}
+    fr = sample_frames(df, n_frames=2)
+    assert {r.doc_id for r in fr.collect()} == {1}  # empty blob: 0 frames
+    au = audio_window_envelope(df, window_samples=8)
+    got = au.groupBy("doc_id").count().collect()
+    assert {r.doc_id for r in got} == {1, 3}
+    # non-null rows keep exact per-row contracts despite the skip path
+    assert feats.filter(F.col("doc_id") == 1).first().n_bytes == 17

@@ -434,3 +434,59 @@ def test_lsh_index_delta_empty_delta(spark, sf_dir):
     new_rows, pairs = lsh_index_delta(index, docs.filter(F.lit(False)))
     assert new_rows.count() == 0
     assert pairs.count() == 0
+
+
+# --------------------------------------------------------------------------
+# max_df ceiling — the corpus-wide quadratic-blowup guard
+# --------------------------------------------------------------------------
+
+
+def test_max_df_caps_boilerplate_shingle_blowup(spark):
+    """A boilerplate shingle shared by EVERY doc must not emit its df²
+    candidate pairs once capped: with max_df below the plant's df the
+    pair count collapses to the genuinely-similar pairs; uncapped, the
+    plant alone yields O(n²) candidates (here the docs share ONLY the
+    boilerplate, so no pair survives the threshold at all)."""
+    from pyspark.sql import functions as F
+
+    from chicago_crime_spark_ml_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        shingle_sets,
+    )
+
+    boiler = "all rights reserved copyright notice "
+    rows = [
+        (i, boiler + f"unique tail {i} alpha beta gamma delta{i} epsilon{i}")
+        for i in range(40)
+    ]
+    # two planted true near-dups sharing their whole tail
+    rows.append((100, boiler + "same long tail here repeated token stream"))
+    rows.append((101, boiler + "same long tail here repeated token stream"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    # sanity: the boilerplate shingles really are high-df (df = 42)
+    sh = shingle_sets(df, "text", "doc_id", 3).select(
+        F.explode("shingles").alias("g")
+    )
+    max_df_actual = (
+        sh.groupBy("g").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert max_df_actual == 42
+
+    capped = ngram_jaccard_pairs(df, threshold=0.5, max_df=10)
+    uncapped = ngram_jaccard_pairs(df, threshold=0.5, max_df=None)
+
+    # Uncapped: boilerplate inflates |∩| for all 861 doc pairs; with a
+    # 0.5 threshold the truly-identical pair qualifies either way, and
+    # several boilerplate-only pairs qualify ONLY uncapped.
+    capped_pairs = {(r.id_a, r.id_b) for r in capped.collect()}
+    uncapped_pairs = {(r.id_a, r.id_b) for r in uncapped.collect()}
+    assert (100, 101) in capped_pairs
+    assert capped_pairs <= uncapped_pairs
+
+    # The guard's purpose: the JOIN input (posting lists) is bounded.
+    # With the cap, no posting with df>10 reaches the self-join, so the
+    # candidate pair space is the df<=10 shingles' pairs only.
+    assert len(capped_pairs) < len(uncapped_pairs) or capped_pairs == {
+        (100, 101)
+    }
