@@ -44,47 +44,89 @@ def _previously_green() -> set[str]:
     return green
 
 
-# Queries whose verification status changed THIS round — oracles fixed
-# (the four round-2 dtype reds) or converted from rows-only to
-# oracle-backed (the round-3 recall-check / per-row-oracle conversions).
-# They jump the rotation queue so the driver's bounded per-round budget
-# lands on the rows where fresh evidence matters most; once green they
-# fall into the verified tier like everything else.
-_ROUND_PRIORITY = [
-    "late_shipment_priorities",
-    "events_cumulative_users",
-    "event_funnel_stages",
-    "ansi_safe_arithmetic",
-    "train_eval_embeddings",
-    "prediction_calibration_bins",
-    "ann_quantized_top10",
-    "user_value_holt_forecast",
-    "frequent_event_sequences",
-    "acctbal_kll_quantiles",
-    "doc_compression_ratio",
-    "multimodal_feature_extract",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "multimodal_audio_envelope",
+def _latest_reds() -> set[str]:
+    """Names checked in the MOST RECENT round that did not hash-match —
+    they were just fixed (or still need eyes) and should be re-checked
+    first. Derived from the status files, never hardcoded (ADVICE r3:
+    a hardcoded priority snapshot silently goes stale)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    files = sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
+    if not files:
+        return set()
+    try:
+        with open(files[-1]) as f:
+            rows = json.load(f)
+    except (OSError, ValueError):
+        return set()
+    return {
+        n
+        for n, r in rows.items()
+        if isinstance(r, dict) and not r.get("hash_match")
+    }
+
+
+def _new_since_snapshot(catalog: dict) -> set[str]:
+    """Names registered since the last round's catalog snapshot
+    (tools/catalog_snapshot.json, regenerated per round by
+    tools/update_catalog_snapshot.py) — brand-new queries with no
+    driver row anywhere jump the queue."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "tools", "catalog_snapshot.json")) as f:
+            snap = set(json.load(f)["names"])
+    except (OSError, ValueError, KeyError):
+        return set()
+    return {n for n in catalog if n not in snap}
+
+
+# Round-4 risk nudge: the float-heavy statistics tier sits past position
+# ~50 in catalog order, so without a nudge it would only be
+# driver-checked in the FINAL coverage round, leaving no round to fix a
+# red. Names here are only boosted while never-green (greens self-demote
+# to the back), so a stale entry costs nothing.
+_STATS_TIER_NUDGE = [
+    "benford_first_digit_audit",
+    "daily_revenue_autocorr",
+    "ab_value_ztest",
+    "order_value_psi_drift",
+    "order_value_ks_two_sample",
+    "revenue_cusum_changepoint",
+    "daily_revenue_dow_anomalies",
+    "repeat_purchase_survival_km",
+    "token_zipf_slope",
+    "doc_bigram_logprob",
+    "monthly_revenue_theil_sen",
+    "user_activity_burstiness",
+    "source_unigram_jsd",
+    "segment_survival_logrank",
+    "ab_cuped_adjusted_ztest",
+    "simpsons_paradox_check",
 ]
 
 
 def _rotated(catalog: dict) -> dict:
-    """Never-green first; within those, this round's status-changed
-    queries, then oracle-backed before rows-only (a driver slot spent on
-    an oracle-backed query yields a hash row, the strongest evidence
-    class)."""
+    """Never-green first. Within never-green: last round's reds (just
+    fixed — re-verify), then queries new since the last catalog
+    snapshot, then the stats-tier risk nudge, then oracle-backed before
+    rows-only (a driver slot spent on an oracle-backed query yields a
+    hash row, the strongest evidence class). Greens rotate to the back."""
     from chicago_crime_spark_ml_spark.queries import ORACLE
 
     green = _previously_green()
-    prio = {n: i for i, n in enumerate(_ROUND_PRIORITY)}
+    reds = _latest_reds()
+    new = _new_since_snapshot(catalog)
+    nudge = {n: i for i, n in enumerate(_STATS_TIER_NUDGE)}
 
     def tier(k: str) -> tuple[int, int]:
         if k in green:
-            return (3, 0)
-        if k in prio:
-            return (0, prio[k])
-        return (1, 0) if k in ORACLE else (2, 0)
+            return (5, 0)
+        if k in reds:
+            return (0, 0)
+        if k in new:
+            return (1, 0)
+        if k in nudge:
+            return (2, nudge[k])
+        return (3, 0) if k in ORACLE else (4, 0)
 
     return {
         k: catalog[k]

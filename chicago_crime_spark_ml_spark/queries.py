@@ -10269,3 +10269,319 @@ def bitmap_distinct_customers_by_priority(
         "o_custkey",
         out_col="n_distinct_customers",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: check-twins for the last rows-only queries, and the
+# reference's own crimes-domain pipeline certified through the driver
+# (VERDICT r3 items 5 and 7 — the catalog otherwise stays frozen).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_lsh_recall_check",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+    SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs, true AS all_recovered
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.e, b.e), 4) >= 0.4
+    """,
+)
+def embedding_lsh_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completeness audit for the rows-only embedding_lsh_near_dup_pairs
+    path: every exact cosine ≥ 0.4 pair (ground truth = the brute-force
+    all-pairs operator, independently recomputed by the oracle's
+    quadratic SQL) must appear among the LSH band candidates. The
+    candidate net is cast at threshold 0.35 (the same margin discipline
+    as minhash_lsh_recall_check): the LSH side scores unit-normalized
+    vectors, whose ~1e-15 normalization noise could flip a pair sitting
+    exactly on the 0.4 round boundary — the margin lets the exact side
+    adjudicate, as the production pipeline does. A red row means the
+    banding actually lost a true near-duplicate."""
+    from chicago_crime_spark_ml_spark.operators.similarity import (
+        embedding_near_dup_pairs as brute_force_pairs,
+    )
+    from chicago_crime_spark_ml_spark.operators.similarity import (
+        lsh_near_dup_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    exact = brute_force_pairs(emb, threshold=0.4).select("id_a", "id_b")
+    cand = lsh_near_dup_pairs(emb, threshold=0.35).select("id_a", "id_b")
+    missed = exact.join(cand, ["id_a", "id_b"], "left_anti")
+    return exact.agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact_pairs")
+    ).crossJoin(missed.agg((F.count(F.lit(1)) == 0).alias("all_recovered")))
+
+
+@query(
+    "als_coverage_check",
+    """
+    SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_users,
+           true AS five_recs_each,
+           true AS items_in_catalog,
+           true AS scores_finite
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    """,
+)
+def als_coverage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural contract for the rows-only als_part_recommendations
+    (factor values are float-iteration-order dependent; these invariants
+    are not): every customer with at least one lineitem gets EXACTLY
+    k=5 recommendations (n_users oracle-pinned against the interaction
+    join), every recommended part exists in the part catalog, and every
+    score is finite/non-null. A red row means the factorization dropped
+    users, leaked unknown items, or emitted NaNs — the failure modes
+    that silently corrupt a recommender, independent of seed noise."""
+    recs = QUERIES["als_part_recommendations"](spark, sf_dir)
+    parts = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("int").alias("item")
+    )
+    per_user = recs.groupBy("user").agg(F.count(F.lit(1)).alias("k"))
+    bad_items = recs.join(parts, "item", "left_anti")
+    return (
+        per_user.agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            (F.min("k") == 5).alias("_mn"),
+            (F.max("k") == 5).alias("_mx"),
+        )
+        .select(
+            "n_users", (F.col("_mn") & F.col("_mx")).alias("five_recs_each")
+        )
+        .crossJoin(
+            bad_items.agg((F.count(F.lit(1)) == 0).alias("items_in_catalog"))
+        )
+        .crossJoin(
+            recs.agg(
+                (
+                    F.sum(
+                        F.when(
+                            F.col("score").isNull()
+                            | F.isnan("score"),
+                            1,
+                        ).otherwise(0)
+                    )
+                    == 0
+                ).alias("scores_finite")
+            )
+        )
+    )
+
+
+# The reference's own dataset flow (dirty string ingest → clean → parse →
+# categorize → split → density features), certified by the driver: a
+# crimes-shaped dirty frame is derived DETERMINISTICALLY from the events
+# table — identical CASE/format expressions on both engines — then pushed
+# through the engine's cleaning/feature operators, while the oracle
+# replays the same semantics in pure SQL. This turns the pytest-only
+# e2e replay (tests/test_crime_pipeline_e2e.py) into hash-green rows.
+
+_CRIMES_RAW_SQL = """
+    crimes_raw AS (
+      SELECT CAST(event_id AS VARCHAR) AS id,
+             CASE WHEN event_id % 37 = 0 THEN 'UNKNOWN'
+                  ELSE strftime(ts, '%m/%d/%Y %I:%M:%S %p') END AS date,
+             upper(event_type) AS primary_type,
+             CASE WHEN event_id % 10 = 0 THEN 'NULL'
+                  ELSE CAST(user_id % 50 + 1 AS VARCHAR) END AS ward,
+             CAST(user_id % 8 + 1 AS VARCHAR) AS district,
+             CASE WHEN event_id % 3 = 0 THEN 'True'
+                  WHEN event_id % 3 = 1 THEN 'false'
+                  ELSE 'NULL' END AS arrest
+      FROM events),
+    crimes_norm AS (
+      SELECT id,
+             CASE WHEN date IN ('NULL', '') THEN NULL ELSE date END AS date,
+             primary_type,
+             CASE WHEN ward IN ('NULL', '') THEN NULL ELSE ward END AS ward,
+             district,
+             CASE WHEN arrest IN ('NULL', '') THEN NULL ELSE arrest
+                  END AS arrest
+      FROM crimes_raw),
+    crimes_parsed AS (
+      SELECT *, try_strptime(date, '%m/%d/%Y %I:%M:%S %p') AS ts
+      FROM crimes_norm)
+"""
+
+
+def _crimes_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dirty string-typed crimes-shaped frame (reference ingest shape:
+    every column string, sentinel 'NULL' strings, unparseable dates),
+    derived deterministically from events so both engines construct
+    byte-identical input."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").cast("string").alias("id"),
+        F.when(F.col("event_id") % 37 == 0, F.lit("UNKNOWN"))
+        .otherwise(F.date_format("ts", "MM/dd/yyyy hh:mm:ss a"))
+        .alias("date"),
+        F.upper("event_type").alias("primary_type"),
+        F.when(F.col("event_id") % 10 == 0, F.lit("NULL"))
+        .otherwise((F.col("user_id") % 50 + 1).cast("string"))
+        .alias("ward"),
+        (F.col("user_id") % 8 + 1).cast("string").alias("district"),
+        F.when(F.col("event_id") % 3 == 0, F.lit("True"))
+        .when(F.col("event_id") % 3 == 1, F.lit("false"))
+        .otherwise(F.lit("NULL"))
+        .alias("arrest"),
+    )
+
+
+def _crimes_cleaned(spark: SparkSession, sf_dir: str):
+    """(parsed_rows, quarantined_rows) through the REAL cleaning
+    operators — normalize_nulls then parse_timestamp_quarantine with the
+    reference's 12-hour format (/root/reference/XGBoost.py:80-81)."""
+    from chicago_crime_spark_ml_spark.operators.cleaning import (
+        normalize_nulls,
+        parse_timestamp_quarantine,
+    )
+
+    norm = normalize_nulls(_crimes_raw(spark, sf_dir))
+    return parse_timestamp_quarantine(
+        norm, "date", "MM/dd/yyyy hh:mm:ss a", out_col="ts"
+    )
+
+
+@query(
+    "crimes_ingest_null_profile",
+    f"""
+    WITH {_CRIMES_RAW_SQL}
+    SELECT CAST(count(*) AS BIGINT) AS n_raw,
+           CAST(sum(CASE WHEN ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_parsed,
+           CAST(sum(CASE WHEN ts IS NULL AND date IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+           CAST(sum(CASE WHEN ward IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_wards,
+           CAST(sum(CASE WHEN arrest IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_arrests
+    FROM crimes_parsed
+    """,
+)
+def crimes_ingest_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's dirty-ingest audit (Preprocessing.py:43-46 null
+    counting + XGBoost.py:80-81 date parse) as ONE driver-checked row:
+    sentinel-'NULL' normalization, the lenient 12-hour timestamp parse,
+    and the quarantine split all certified against a pure-SQL replay.
+    Unlike the reference's per-column count loop (one scan per column),
+    the engine profiles every column in a single aggregate pass."""
+    good, bad = _crimes_cleaned(spark, sf_dir)
+    from chicago_crime_spark_ml_spark.operators.cleaning import (
+        normalize_nulls,
+    )
+
+    norm = normalize_nulls(_crimes_raw(spark, sf_dir))
+    profile = norm.agg(
+        F.count(F.lit(1)).cast("long").alias("n_raw"),
+        F.sum(F.when(F.col("ward").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_wards"),
+        F.sum(F.when(F.col("arrest").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_arrests"),
+    )
+    return (
+        profile.crossJoin(
+            F.broadcast(
+                good.agg(F.count(F.lit(1)).cast("long").alias("n_parsed"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                bad.agg(F.count(F.lit(1)).cast("long").alias("n_quarantined"))
+            )
+        )
+        .select(
+            "n_raw", "n_parsed", "n_quarantined", "n_null_wards",
+            "n_null_arrests",
+        )
+    )
+
+
+@query(
+    "crimes_category_distribution",
+    f"""
+    WITH {_CRIMES_RAW_SQL}
+    SELECT CAST(month(ts) AS INT) AS month,
+           CASE WHEN primary_type IN ('PURCHASE', 'SIGNUP')
+                  THEN 'TRANSACTIONAL'
+                WHEN primary_type IN ('VIEW', 'CLICK') THEN 'BROWSING'
+                ELSE 'OTHER' END AS crime_category,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN arrest = 'True' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_arrests
+    FROM crimes_parsed WHERE ts IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def crimes_category_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The reference's Crime_Category CASE chain (XGBoost.py:101-114)
+    + boolean arrest mapping with its casing quirk
+    (Preprocessing.py:119-126 matches 'True', XGBoost.py:92 matches
+    'true' — cast_booleans accepts both) + temporal extraction, grouped
+    per month over the PARSED rows only — the post-quarantine
+    distribution the reference eyeballs as a bar chart, here a
+    hash-checked driver row."""
+    from chicago_crime_spark_ml_spark.operators.cleaning import cast_booleans
+
+    good, _bad = _crimes_cleaned(spark, sf_dir)
+    good = cast_booleans(good, ["arrest"])
+    cat = categorize(
+        good,
+        "primary_type",
+        {
+            "TRANSACTIONAL": ["PURCHASE", "SIGNUP"],
+            "BROWSING": ["VIEW", "CLICK"],
+        },
+        default="OTHER",
+        out_col="crime_category",
+    )
+    return cat.groupBy(
+        F.month("ts").cast("int").alias("month"), "crime_category"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("arrest"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_arrests"),
+    )
+
+
+@query(
+    "crimes_density_features",
+    f"""
+    WITH {_CRIMES_RAW_SQL},
+    good AS (SELECT * FROM crimes_parsed WHERE ts IS NOT NULL),
+    train AS (SELECT district, count(*) AS c FROM good
+              WHERE ts <= TIMESTAMP '2024-01-21 00:00:00' GROUP BY 1)
+    SELECT g.district,
+           CAST(coalesce(t.c, 0) AS BIGINT) AS district_train_count,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM good g LEFT JOIN train t USING (district)
+    GROUP BY 1, 2
+    """,
+)
+def crimes_density_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's leakage-safe density features (XGBoost.py:168-187:
+    count per District on TRAIN only, left-joined onto every row, fill
+    0) behind a time split (XGBoost.py:139-140) — certified per
+    district: the broadcast count-feature value each row received, and
+    the total row count it was attached to. The oracle replays the
+    train-only window + left join in SQL; a mismatch means the split
+    leaked, the join dropped rows, or the fill broke."""
+    good, _bad = _crimes_cleaned(spark, sf_dir)
+    import datetime
+
+    train, _test = time_split(
+        good, "ts", datetime.datetime(2024, 1, 21, 0, 0, 0)
+    )
+    feat = add_group_count_feature(
+        good, train, "district", "district_train_count", fill=0,
+        hint_broadcast=True,
+    )
+    return feat.groupBy(
+        "district", F.col("district_train_count").cast("long").alias(
+            "district_train_count"
+        )
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
