@@ -77,7 +77,16 @@ def run(sf_dir: str) -> dict:
     # single GC pause). Codegen compilation lands in run 1 and the median
     # discards it, so numbers reflect steady-state plan cost — what
     # matters for cluster extrapolation where plans are reused.
+    #
+    # HARNESS FREEZE (round 4): cache is cleared between RUNS (every run
+    # priced cold) — the mode introduced in round 3, now the permanent
+    # comparison anchor. BENCH_r03 is the baseline for cross-round deltas;
+    # r1/r2 numbers were warmer (cache cleared only between queries) and
+    # are not apples-to-apples. ``queries`` stays the driver-contract
+    # median map; ``queries_min`` (best of 3) is emitted alongside so
+    # warm-vs-cold spread is visible without changing the contract.
     timings: dict[str, float] = {}
+    best: dict[str, float] = {}
     for name in HEADLINE:
         if name not in QUERIES:
             continue
@@ -86,14 +95,16 @@ def run(sf_dir: str) -> dict:
             t0 = time.perf_counter()
             force(QUERIES[name](spark, sf_dir))
             runs.append(time.perf_counter() - t0)
-            # Clear INSIDE the run loop: queries that persist() a small
+            # Clear INSIDE the run loop: queries that cache a small
             # intermediate would otherwise serve runs 2-3 from the
             # plan-keyed cache (CacheManager dedupes identical plans
             # across calls), making the median a cache-hit time instead
             # of the honest per-execution cost. Also keeps later queries
             # free of accumulated executor-memory pressure.
             spark.catalog.clearCache()
-        timings[name] = round(sorted(runs)[1], 3)
+        runs.sort()
+        timings[name] = round(runs[1], 3)
+        best[name] = round(runs[0], 3)
 
     total = round(sum(timings.values()), 3)
     return {
@@ -101,6 +112,7 @@ def run(sf_dir: str) -> dict:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_min": best,
         "sf": sf_num,
     }
 

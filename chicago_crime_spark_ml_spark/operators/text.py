@@ -471,7 +471,10 @@ def unigram_logprob(
 
 
 def compression_ratio(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_raw_len: bool = False,
 ) -> DataFrame:
     """Per-document zlib compression ratio (compressed/raw bytes) — the
     model-free redundancy signal pretraining filters use alongside the
@@ -497,6 +500,10 @@ def compression_ratio(
 
         return s.map(one)
 
-    return df.select(
-        id_col, ratio(F.col(text_col)).alias("compression_ratio")
-    )
+    cols = [F.col(id_col), ratio(F.col(text_col)).alias("compression_ratio")]
+    if keep_raw_len:
+        # JVM-side in the same select — callers that bound the ratio
+        # conditionally on raw length (zlib's ~11-byte header dominates
+        # tiny inputs) get it without a join-back shuffle.
+        cols.insert(1, F.octet_length(F.col(text_col)).alias("n_raw_bytes"))
+    return df.select(*cols)

@@ -8709,9 +8709,7 @@ def doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chicago_crime_spark_ml_spark.operators.text import compression_ratio
 
     d = _t(spark, sf_dir, "documents")
-    out = compression_ratio(d).join(
-        d.select("doc_id", F.octet_length("text").alias("_nb")), "doc_id"
-    )
+    out = compression_ratio(d, keep_raw_len=True)
     return out.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.count("compression_ratio").alias("n_scored"),
@@ -8720,7 +8718,8 @@ def doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.coalesce(
             F.min(
-                (F.col("compression_ratio") <= 1.5) | (F.col("_nb") < 32)
+                (F.col("compression_ratio") <= 1.5)
+                | (F.col("n_raw_bytes") < 32)
             ),
             F.lit(True),
         ).alias("ratios_bounded"),
