@@ -1,0 +1,86 @@
+"""Driver-rotation ordering — the bounded per-round check budget must
+land on the strongest-evidence-first order: last round's reds, then
+queries new since the catalog snapshot, then the risk nudge, then
+oracle-backed never-checked, then rows-only, greens last (ADVICE r3:
+priority must be DERIVED from status files, not a stale hardcode)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import __spark_entry__ as entry  # noqa: E402
+from chicago_crime_spark_ml_spark.queries import ORACLE, QUERIES  # noqa: E402
+
+
+def test_new_queries_jump_the_queue():
+    new = entry._new_since_snapshot(dict(QUERIES))
+    order = list(entry.queries())
+    green = entry._previously_green()
+    reds = entry._latest_reds()
+    # every snapshot-new name sits before every non-new, non-red
+    # never-green name
+    if new:
+        worst_new = max(order.index(n) for n in new)
+        first_plain = min(
+            order.index(n)
+            for n in order
+            if n not in new and n not in green and n not in reds
+            and n not in entry._STATS_TIER_NUDGE
+        )
+        assert worst_new < first_plain
+
+
+def test_greens_rotate_to_the_back():
+    order = list(entry.queries())
+    green = entry._previously_green()
+    assert green, "rounds 1-3 produced green rows"
+    first_green = min(order.index(n) for n in green)
+    last_nongreen = max(
+        order.index(n) for n in order if n not in green
+    )
+    assert last_nongreen < first_green
+
+
+def test_never_checked_oracle_backed_before_rows_only():
+    order = list(entry.queries())
+    green = entry._previously_green()
+    rows_only = [
+        n for n in order
+        if n not in green and n not in ORACLE
+    ]
+    oracle_backed = [
+        n for n in order
+        if n not in green and n in ORACLE
+    ]
+    assert rows_only and oracle_backed
+    assert max(order.index(n) for n in oracle_backed) < min(
+        order.index(n) for n in rows_only
+    )
+
+
+def test_latest_reds_derivation(tmp_path, monkeypatch):
+    # a red row (hash_match false) in the most recent file is priority 0
+    import glob as _glob
+    import json
+
+    r1 = tmp_path / "CORRECTNESS_r01.json"
+    r2 = tmp_path / "CORRECTNESS_r02.json"
+    r1.write_text(json.dumps({"a": {"hash_match": True}}))
+    r2.write_text(
+        json.dumps({"b": {"hash_match": False}, "c": {"hash_match": True}})
+    )
+    real_glob = _glob.glob
+    monkeypatch.setattr(
+        entry.glob,
+        "glob",
+        lambda pat: sorted(
+            str(p) for p in tmp_path.glob("CORRECTNESS_r*.json")
+        )
+        if "CORRECTNESS" in pat
+        else real_glob(pat),
+    )
+    assert entry._latest_reds() == {"b"}
+    assert entry._previously_green() == {"a", "c"}
