@@ -2072,10 +2072,18 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
-@query("minhash_lsh_near_dups")  # engine-specific hash functions — rows-only
+@query(
+    "minhash_lsh_near_dups",
+    f"WITH {_NGRAM_JACCARD_CTES} SELECT id_a, id_b, jaccard FROM jac",
+)
 def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate pairs (the sublinear 100 TB dedup path).
-    A pytest asserts it recovers the exact-Jaccard planted pairs."""
+    """MinHash-LSH near-dup pairs (the sublinear 100 TB dedup path):
+    band-bucket self-join candidates + EXACT shingle-Jaccard rescore.
+    Formerly rows-only; the round-4 rewrite rescoring candidates with
+    the exact set Jaccard makes the output the exact near-dup pair set
+    whenever banding recalls it (per-pair miss ≤ 2.6e-6 at J ≥ 0.8 with
+    8 OR tables), so the all-pairs SQL oracle applies — a red row means
+    the banding genuinely lost a pair or the rescore arithmetic broke."""
     from chicago_crime_spark_ml_spark.operators.dedup import minhash_lsh_pairs
 
     d = _t(spark, sf_dir, "documents")
@@ -5719,10 +5727,11 @@ def minhash_lsh_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     exact = ngram_jaccard_pairs(d, threshold=0.8).select("id_a", "id_b")
-    # margin=0.1: the LSH join's post-filter measures Jaccard on hashed
-    # TF vectors, where bucket collisions can underestimate a boundary
-    # pair (seen at sf0.1) — the audit nets candidates wider and lets the
-    # exact side adjudicate, as the production pipeline does
+    # margin=0.1: nets candidates wider than the audit threshold and lets
+    # the exact side adjudicate, as the production pipeline does (the
+    # rescore is exact since the round-4 rewrite, so the margin now only
+    # guards the audit against its own threshold sitting on a pair's
+    # exact value)
     cand = minhash_lsh_pairs(d, jaccard_threshold=0.8, margin=0.1).select(
         F.col("id_a").alias("ca"), F.col("id_b").alias("cb")
     )
