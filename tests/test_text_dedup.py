@@ -201,36 +201,33 @@ def test_hash_split_partitions_and_ratios(spark, docs):
     assert counts["train"] > counts.get("val", 0) + counts.get("test", 0)
 
 
-def test_lsh_near_dup_pairs_matches_bruteforce(spark, emb):
+def test_blocked_near_dup_pairs_equals_bruteforce(spark, emb):
+    # the registered query's operator: blocked-BLAS candidates + exact
+    # float64 rescoring must reproduce the brute-force pair set AND
+    # scores bit-for-bit (this is what keeps the driver's exact-SQL
+    # oracle green without a row-level all-pairs join in the plan)
     from chicago_crime_spark_ml_spark.operators.similarity import (
         embedding_near_dup_pairs,
-        lsh_near_dup_pairs,
-    )
-
-    t = 0.4  # the corpus's planted near-dup level (no pairs exist above ~0.5)
-    brute = {(r.id_a, r.id_b) for r in embedding_near_dup_pairs(emb, t).collect()}
-    lsh = {(r.id_a, r.id_b) for r in lsh_near_dup_pairs(emb, t).collect()}
-    assert lsh <= brute                      # precision 1.0 (exact verify)
-    assert len(brute) > 0
-    assert len(lsh & brute) / len(brute) >= 0.9  # measured 1.0 at 8 tables
-
-
-def test_lsh_exact_rescoring_equals_bruteforce(spark, emb):
-    # the registered query's operator: LSH candidates + exact float64
-    # rescoring must reproduce the brute-force pair set AND scores
-    # bit-for-bit (this is what keeps the driver's exact-SQL oracle green
-    # without an all-pairs join in the plan)
-    from chicago_crime_spark_ml_spark.operators.similarity import (
-        embedding_near_dup_pairs,
-        near_dup_pairs_lsh_exact,
+        near_dup_pairs_blocked,
     )
 
     t = 0.4
     brute = {(r.id_a, r.id_b): r.cosine
              for r in embedding_near_dup_pairs(emb, t).collect()}
     fast = {(r.id_a, r.id_b): r.cosine
-            for r in near_dup_pairs_lsh_exact(emb, t).collect()}
+            for r in near_dup_pairs_blocked(emb, t).collect()}
     assert fast == brute and len(brute) > 0
+
+
+def test_blocked_near_dup_pairs_block_count_invariance(spark, emb):
+    # the pair set must not depend on the block partitioning
+    from chicago_crime_spark_ml_spark.operators.similarity import (
+        near_dup_pairs_blocked,
+    )
+
+    a = {(r.id_a, r.id_b) for r in near_dup_pairs_blocked(emb, 0.4, n_blocks=3).collect()}
+    b = {(r.id_a, r.id_b) for r in near_dup_pairs_blocked(emb, 0.4, n_blocks=16).collect()}
+    assert a == b and len(a) > 0
 
 
 def test_quantized_cosine_recall(spark, sf_dir):
