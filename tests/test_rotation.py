@@ -84,3 +84,8 @@ def test_latest_reds_derivation(tmp_path, monkeypatch):
     )
     assert entry._latest_reds() == {"b"}
     assert entry._previously_green() == {"a", "c"}
+
+
+def test_stats_nudge_names_exist():
+    # a typo in the nudge list silently no-ops; lock the names
+    assert not [n for n in entry._STATS_TIER_NUDGE if n not in QUERIES]
