@@ -55,6 +55,11 @@ HEADLINE = [
     "customer_revenue_global_rank",
     "heavy_hitter_users",
     "bitmap_distinct_customers_by_priority",
+    # round-4 rewrites: the two operators the sf1 stress pass caught
+    # superlinear (MLlib approxSimilarityJoin pathologies) — benched so
+    # a regression back to the slow path shows up as a number
+    "minhash_lsh_near_dups",
+    "embedding_near_dup_pairs",
 ]
 
 
