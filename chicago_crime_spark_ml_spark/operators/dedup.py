@@ -493,16 +493,18 @@ def _minhash_bands(sets: DataFrame, id_col: str, num_hashes: int, seed: int) -> 
     contract). min-hash property: P(bucket_a == bucket_b) = J(A,B) per
     band, identical in law to the MLlib family this replaced — measured
     4×+ faster end-to-end at sf0.1/sf1."""
-    buckets = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    "hshingles", lambda h, i=i: F.xxhash64(h, F.lit(seed + i))
-                )
-            )
-            for i in range(num_hashes)
-        ]
-    )
+    def band_bucket(i: int):
+        # NB: the band seed must be captured via this factory scope, NOT a
+        # `lambda h, i=i:` default argument — PySpark introspects the
+        # lambda's arity and treats a two-parameter lambda as the
+        # (element, index) form of transform(), silently binding i to the
+        # ELEMENT INDEX and collapsing every band to one position-seeded
+        # hash (caught by the sf0.1 oracle sweep: high-J pairs missed).
+        return F.array_min(
+            F.transform("hshingles", lambda h: F.xxhash64(h, F.lit(seed + i)))
+        )
+
+    buckets = F.array(*[band_bucket(i) for i in range(num_hashes)])
     return sets.select(
         F.col(id_col), F.posexplode(buckets).alias("band", "bucket")
     )
