@@ -487,3 +487,38 @@ def test_max_df_caps_boilerplate_shingle_blowup(spark):
     assert len(capped_pairs) < len(uncapped_pairs) or capped_pairs == {
         (100, 101)
     }
+
+
+def test_minhash_bands_are_distinct_hash_functions(spark):
+    """Regression lock for the transform-lambda arity trap: a
+    two-parameter lambda (`lambda h, i=i:`) is PySpark's (element,
+    index) form, which silently bound the band seed to the ELEMENT
+    INDEX and collapsed all 8 bands to one position-seeded hash —
+    recall then depended on shingle ORDER, missing J≥0.92 pairs at
+    sf0.1. Real per-band seeding must give a generic doc distinct
+    buckets across bands, and bucket values must be invariant to
+    shingle order (set semantics)."""
+    from pyspark.sql import functions as F
+
+    from chicago_crime_spark_ml_spark.operators.dedup import (
+        _hashed_shingle_sets,
+        _minhash_bands,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        ["doc_id", "text"],
+    )
+    sets = _hashed_shingle_sets(df, "text", "doc_id", 3)
+    buckets = [
+        r.bucket for r in _minhash_bands(sets, "doc_id", 8, 42).collect()
+    ]
+    assert len(buckets) == 8
+    assert len(set(buckets)) > 1, "all bands identical — seeding broken"
+
+    # order invariance: same shingle SET, different array order
+    shuffled = sets.select(
+        "doc_id", F.reverse("hshingles").alias("hshingles"), "n_shingles"
+    )
+    b2 = [r.bucket for r in _minhash_bands(shuffled, "doc_id", 8, 42).collect()]
+    assert buckets == b2, "bucket depends on shingle order — not a set hash"
