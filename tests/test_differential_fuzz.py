@@ -625,3 +625,72 @@ def test_fuzz_pivot_vs_conditional_agg(spark, rows):
                   sum(CASE WHEN s = 'b' THEN v END) AS b
            FROM t GROUP BY k""",
     )
+
+
+# ---------------------------------------------------------------------------
+# Array/set algebra — the dedup-rescore primitives (array_distinct /
+# array_intersect / array_min and the exact set-Jaccard built from them).
+# The minhash band-seeding bug showed this layer can break in
+# order-dependent ways invisible on curated data; fuzz the algebra
+# against DuckDB's list functions on adversarial small arrays
+# (duplicates, empties, disjoint, identical).
+# ---------------------------------------------------------------------------
+
+arrays_st = st.lists(
+    st.tuples(
+        st.lists(st.integers(min_value=-3, max_value=6), max_size=8),
+        st.lists(st.integers(min_value=-3, max_value=6), max_size=8),
+    ),
+    min_size=0,
+    max_size=15,
+)
+
+
+@FUZZ
+@given(rows=arrays_st)
+def test_fuzz_array_set_algebra(spark, rows):
+    from pyspark.sql import functions as F
+
+    data = [(i, a, b) for i, (a, b) in enumerate(rows)]
+    sdf = spark.createDataFrame(
+        data, "i BIGINT, a ARRAY<BIGINT>, b ARRAY<BIGINT>"
+    )
+    da = F.array_distinct("a")
+    db = F.array_distinct("b")
+    inter = F.size(F.array_intersect(da, db))
+    out = sdf.select(
+        "i",
+        F.size(da).alias("na"),
+        F.size(db).alias("nb"),
+        inter.alias("ni"),
+        # exact set Jaccard scaled to integers (x10000, floor) — no floats
+        F.when(
+            F.size(da) + F.size(db) - inter > 0,
+            F.floor(inter * 10000 / (F.size(da) + F.size(db) - inter)),
+        ).otherwise(F.lit(None)).alias("jac4"),
+        F.array_min(da).alias("mn"),
+        F.array_sort(F.array_union(da, db)).alias("u"),
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, a BIGINT[], b BIGINT[])")
+    if data:
+        con.executemany(
+            "INSERT INTO t VALUES (?, ?, ?)", [list(r) for r in data]
+        )
+    sql = """
+    WITH s AS (SELECT i, list_distinct(a) AS da, list_distinct(b) AS db
+               FROM t),
+    m AS (SELECT i, len(da) AS na, len(db) AS nb,
+                 len(list_intersect(da, db)) AS ni, da, db
+          FROM s)
+    SELECT i, na, nb, ni,
+           CASE WHEN na + nb - ni > 0
+                THEN CAST(floor(ni * 10000 / (na + nb - ni)) AS BIGINT)
+                END AS jac4,
+           list_min(da) AS mn,
+           list_sort(list_distinct(list_concat(da, db))) AS u
+    FROM m
+    """
+    assert_same(out, con, sql)
+    con.close()
