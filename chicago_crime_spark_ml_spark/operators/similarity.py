@@ -283,7 +283,13 @@ def near_dup_pairs_blocked(
     v = F.col(vec_col).cast("array<double>")
     unit = F.transform(v, lambda x: x / norm_expr(v))
     blocks = (
-        df.select(
+        # NULL vectors are dropped BEFORE the block aggregation: the two
+        # parallel collect_lists see rows in the same order, but
+        # collect_list skips NULL values per-column — one NULL embedding
+        # would silently misalign ids against vectors for its whole
+        # block. (A NULL can't be a near-dup of anything anyway.)
+        df.filter(F.col(vec_col).isNotNull())
+        .select(
             F.col(id_col).alias("_id"),
             unit.alias("_u"),
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("_bid"),

@@ -522,3 +522,22 @@ def test_minhash_bands_are_distinct_hash_functions(spark):
     )
     b2 = [r.bucket for r in _minhash_bands(shuffled, "doc_id", 8, 42).collect()]
     assert buckets == b2, "bucket depends on shingle order — not a set hash"
+
+
+def test_blocked_near_dup_pairs_ignores_null_vectors(spark):
+    """A NULL embedding must be dropped, not misalign the block's
+    id/vector collect_lists (collect_list skips NULLs per-column)."""
+    from chicago_crime_spark_ml_spark.operators.similarity import (
+        near_dup_pairs_blocked,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.01, 0.0]),   # near-dup of 1
+        (3, None),
+        (4, [0.0, 1.0, 0.0]),    # orthogonal
+    ]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    got = {(r.id_a, r.id_b) for r in
+           near_dup_pairs_blocked(df, threshold=0.9, n_blocks=2).collect()}
+    assert got == {(1, 2)}
