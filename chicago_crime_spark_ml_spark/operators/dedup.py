@@ -551,7 +551,7 @@ def minhash_lsh_pairs(
     (recall note: at J ≥ 0.8 a pair colliding only in capped buckets has
     probability ≈ (1−J·p_cap)^8 of loss; ultra-popular buckets are
     hash-degenerate crowds, not near-dup signal). Default 10 000 never
-    binds at test scale (max occupancy 30 at sf1); ``None`` disables.
+    binds at test scale (max occupancy 144 at sf1); ``None`` disables.
     """
     from pyspark.sql.window import Window  # noqa: PLC0415
 
