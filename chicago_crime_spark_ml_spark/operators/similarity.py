@@ -410,3 +410,84 @@ def cosine_topk_quantized(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+def write_ivf_index(
+    df: DataFrame,
+    path: str,
+    n_clusters: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> None:
+    """Materialize the IVF index the way ann_ivf_topk's docstring
+    promises: cell assignments written as parquet PARTITIONED BY cell
+    (each k-means cell is its own directory), centroids as a tiny
+    sidecar parquet at ``<path>__centers``. A probe then reads only the
+    ``n_probe`` matching directories — directory-level partition
+    pruning, no scan of the other cells — which is the difference
+    between an ANN lookup and a corpus scan at 100 TB. Build cost is
+    one KMeans fit + one partitioned write, amortized over every
+    subsequent query (ann_ivf_topk refits per call — fine for ad-hoc,
+    wrong for a query service)."""
+    from pyspark.ml.clustering import KMeans  # noqa: PLC0415
+    from pyspark.ml.functions import array_to_vector  # noqa: PLC0415
+
+    vecs = df.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("feat", array_to_vector("v"))
+    vecs = vecs.persist()
+    km = KMeans(
+        k=n_clusters, seed=seed, featuresCol="feat", predictionCol="cell"
+    )
+    model = km.fit(vecs)
+    assigned = model.transform(vecs).select(id_col, "v", "cell")
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    vecs.unpersist()
+    spark = df.sparkSession
+    centers = [
+        (int(i), [float(x) for x in c])
+        for i, c in enumerate(model.clusterCenters())
+    ]
+    spark.createDataFrame(
+        centers, "cell INT, center ARRAY<DOUBLE>"
+    ).coalesce(1).write.mode("overwrite").parquet(path + "__centers")
+
+
+def probe_ivf_index(
+    spark,
+    path: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Query a materialized IVF index (write_ivf_index): rank the stored
+    centroids against the query (bounded collect — n_clusters rows),
+    then scan ONLY the n_probe best cell directories. The cell filter is
+    a partition filter (`PartitionFilters: [cell IN (...)]` — asserted
+    in tests), so unprobed cells are never read. Scoring/top-k is the
+    same exact float64 cosine + TakeOrderedAndProject as every other
+    ANN tier."""
+    import numpy as np  # noqa: PLC0415
+
+    q = np.asarray(list(query_vec), dtype=float)
+    centers = spark.read.parquet(path + "__centers").collect()
+    sims = {
+        r.cell: float(
+            np.dot(q, r.center)
+            / (np.linalg.norm(q) * np.linalg.norm(r.center) + 1e-12)
+        )
+        for r in centers
+    }
+    probes = [c for c, _ in sorted(sims.items(), key=lambda kv: -kv[1])][:n_probe]
+    idx = spark.read.parquet(path)
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    score = cosine_expr(F.col("v"), qcol)
+    return (
+        idx.filter(F.col("cell").isin([int(p) for p in probes]))
+        .select(F.col(id_col), F.round(score, 4).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

@@ -541,3 +541,31 @@ def test_blocked_near_dup_pairs_ignores_null_vectors(spark):
     got = {(r.id_a, r.id_b) for r in
            near_dup_pairs_blocked(df, threshold=0.9, n_blocks=2).collect()}
     assert got == {(1, 2)}
+
+
+def test_ivf_index_probe_equals_refit_and_prunes_partitions(spark, sf_dir, emb, tmp_path):
+    """The materialized IVF index must (a) return exactly what the
+    refit-per-call form returns for the same (k, seed, probes), and
+    (b) read only the probed cell directories — the cell filter shows
+    up as a partition filter, which is the entire 100 TB point."""
+    from chicago_crime_spark_ml_spark.operators.similarity import (
+        ann_ivf_topk,
+        probe_ivf_index,
+        write_ivf_index,
+    )
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(emb, path, n_clusters=8)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+
+    probed = probe_ivf_index(spark, path, qvec, k=10, n_probe=2)
+    refit = ann_ivf_topk(emb, qvec, k=10, n_clusters=8, n_probe=2)
+    assert [tuple(r) for r in probed.collect()] == [
+        tuple(r) for r in refit.collect()
+    ]
+
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    tail = plan.split("PartitionFilters", 1)[1][:200]
+    assert "cell" in tail
