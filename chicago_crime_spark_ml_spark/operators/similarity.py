@@ -491,3 +491,100 @@ def probe_ivf_index(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+def cosine_topk_batch(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    corpus_vec_col: str = "embedding",
+    corpus_id_col: str = "vec_id",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Exact cosine top-k corpus neighbors for EVERY query row — the
+    batch form a real retrieval/dedup pipeline runs (the single-vector
+    cosine_topk is the per-lookup demo). Output: (query_id, vec_id,
+    cosine, rank) with rank 1..k per query, ties broken by corpus id.
+
+    Same blocked-BLAS shape as near_dup_pairs_blocked: both sides are
+    unit-normalized JVM-side and grouped into id-hashed blocks; every
+    (query-block × corpus-block) pair — B_q·B_c bounded aggregated
+    rows — computes one numpy matmul and emits only each query's local
+    top-k against that corpus block (≤ k rows per query per corpus
+    block cross the Arrow boundary, never the full score matrix). A
+    final per-query window over the ≤ k·B_c local candidates selects
+    the exact global top-k: local-then-global top-k is lossless, and
+    the (−score, corpus_id) tiebreak is applied identically in the
+    numpy selection and the window, so results are deterministic.
+    Shuffle cost: O(|Q|·d + |C|·d) block build + O(|Q|·k·B_c) candidate
+    rows; compute O(|Q|·|C|·d/B_q·B_c) FLOPs per task in BLAS. Ranking
+    uses the 4-decimal-rounded score with the corpus-id tiebreak — the
+    same convention as cosine_topk — so summation-order float drift
+    between BLAS and the Column-algebra fold can never reorder results.
+    NULL vectors on either side are dropped (see near_dup_pairs_blocked).
+    """
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    def blockify(df, vec_col, id_col, nb):
+        v = F.col(vec_col).cast("array<double>")
+        unit = F.transform(v, lambda x: x / norm_expr(v))
+        return (
+            df.filter(F.col(vec_col).isNotNull())
+            .select(
+                F.col(id_col).alias("_id"),
+                unit.alias("_u"),
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(nb)).alias("_bid"),
+            )
+            .groupBy("_bid")
+            .agg(
+                F.collect_list("_id").alias("_ids"),
+                F.collect_list("_u").alias("_vecs"),
+            )
+        )
+
+    qb = blockify(queries, query_vec_col, query_id_col, n_blocks)
+    cb = blockify(corpus, corpus_vec_col, corpus_id_col, n_blocks)
+    pairs = qb.alias("q").crossJoin(cb.alias("c")).select(
+        F.col("q._ids").alias("qids"),
+        F.col("q._vecs").alias("qv"),
+        F.col("c._ids").alias("cids"),
+        F.col("c._vecs").alias("cv"),
+    )
+
+    def gen(it):
+        import numpy as np  # noqa: PLC0415
+
+        for pdf in it:
+            out = {"query_id": [], "vec_id": [], "cosine": []}
+            for qids, qv, cids, cv in zip(
+                pdf["qids"], pdf["qv"], pdf["cids"], pdf["cv"]
+            ):
+                Q = np.array([np.asarray(r) for r in qv])
+                C = np.array([np.asarray(r) for r in cv])
+                cid = np.asarray(cids)
+                S = np.round(Q @ C.T, 4)
+                kk = min(k, S.shape[1])
+                for row, qid in enumerate(qids):
+                    # (−rounded score, corpus_id) order — same key as the
+                    # final window, so local pruning is lossless
+                    order = np.lexsort((cid, -S[row]))[:kk]
+                    out["query_id"].extend([qid] * len(order))
+                    out["vec_id"].extend(cid[order].tolist())
+                    out["cosine"].extend(S[row][order].tolist())
+            if out["query_id"]:
+                yield pd.DataFrame(out)
+
+    local = pairs.mapInPandas(
+        gen, schema="query_id BIGINT, vec_id BIGINT, cosine DOUBLE"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )

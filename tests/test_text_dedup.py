@@ -569,3 +569,31 @@ def test_ivf_index_probe_equals_refit_and_prunes_partitions(spark, sf_dir, emb, 
     assert "PartitionFilters" in plan
     tail = plan.split("PartitionFilters", 1)[1][:200]
     assert "cell" in tail
+
+
+def test_cosine_topk_batch_equals_per_query_bruteforce(spark, emb):
+    """Batch blocked top-k must return, for every query, exactly the
+    brute-force single-query top-k id set in score order."""
+    from pyspark.sql import functions as F
+
+    from chicago_crime_spark_ml_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_batch,
+    )
+
+    queries = (
+        emb.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    got = cosine_topk_batch(
+        queries, emb, k=7, n_blocks=3
+    ).collect()
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r.query_id, r.rank)):
+        by_q.setdefault(r.query_id, []).append(r.vec_id)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for qid, ids in by_q.items():
+        qvec = emb.filter(F.col("vec_id") == qid).first().embedding
+        want = [r.vec_id for r in cosine_topk(emb, qvec, k=7).collect()]
+        assert ids == want, (qid, ids, want)
+        assert len(ids) == 7
