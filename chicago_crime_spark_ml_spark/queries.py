@@ -10590,3 +10590,45 @@ def crimes_density_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "district_train_count"
         )
     ).agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+
+
+@query(
+    "embedding_batch_topk",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (SELECT vec_id AS query_id, e FROM v WHERE vec_id < 20),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             round(list_cosine_similarity(q.e, c.e), 4) AS cosine
+      FROM q CROSS JOIN v c),
+    ranked AS (
+      SELECT query_id, vec_id, cosine,
+             CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+      FROM scored)
+    SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def embedding_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch retrieval: exact cosine top-5 corpus neighbors for EVERY
+    query row (the first 20 vectors) via cosine_topk_batch — blocked
+    BLAS matmuls per bounded block pair, per-query local top-k across
+    the Arrow boundary, lossless global window. Ranking uses the
+    4-decimal-rounded score with the corpus-id tiebreak on BOTH
+    engines, so the oracle's quadratic window replay is deterministic;
+    a red row means the blocking, the local-top-k pruning, or the
+    tiebreak contract broke. The production shape of similarity search
+    (single-vector cosine_topk is the per-lookup demo)."""
+    from chicago_crime_spark_ml_spark.operators.similarity import (
+        cosine_topk_batch,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk_batch(queries, emb, k=5)
+    return out.select(
+        "query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
