@@ -60,6 +60,7 @@ HEADLINE = [
     # a regression back to the slow path shows up as a number
     "minhash_lsh_near_dups",
     "embedding_near_dup_pairs",
+    "embedding_batch_topk",
 ]
 
 
