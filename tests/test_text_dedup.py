@@ -597,3 +597,35 @@ def test_cosine_topk_batch_equals_per_query_bruteforce(spark, emb):
         want = [r.vec_id for r in cosine_topk(emb, qvec, k=7).collect()]
         assert ids == want, (qid, ids, want)
         assert len(ids) == 7
+
+
+def test_gen_sf1_replication_preserves_near_dup_structure(spark, tmp_path):
+    """The scale-stress generator's core claim: replicating the corpus
+    with copy-marker tokens makes near-dup pairs replicate LINEARLY
+    (each copy contributes its own pairs; cross-copy Jaccard falls far
+    below threshold). If this breaks, sf1 ratios measure a different
+    workload than claimed."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from pyspark.sql import functions as F
+
+    from chicago_crime_spark_ml_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from gen_sf1 import replicate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base_pairs = ngram_jaccard_pairs(docs, threshold=0.8).count()
+    assert base_pairs > 0
+
+    def doc_special(c, name, col):
+        if name == "text" and c > 0:
+            return F.regexp_replace(
+                col, r"((?:\S+\s+){5})", r"$1cp" + str(c) + " "
+            )
+        return None
+
+    twice = replicate(docs, 2, doc_special)
+    assert twice.count() == 2 * docs.count()
+    assert ngram_jaccard_pairs(twice, threshold=0.8).count() == 2 * base_pairs
