@@ -281,17 +281,22 @@ def near_dup_pairs_blocked(
     import pandas as pd  # noqa: PLC0415
 
     v = F.col(vec_col).cast("array<double>")
-    unit = F.transform(v, lambda x: x / norm_expr(v))
     blocks = (
         # NULL vectors are dropped BEFORE the block aggregation: the two
         # parallel collect_lists see rows in the same order, but
         # collect_list skips NULL values per-column — one NULL embedding
         # would silently misalign ids against vectors for its whole
         # block. (A NULL can't be a near-dup of anything anyway.)
+        # RAW vectors are shipped; normalization happens in numpy inside
+        # gen() (one vectorized divide) — a JVM-side
+        # transform(x → x/norm(v)) re-evaluates the norm fold PER
+        # ELEMENT (interpreted higher-order functions, no CSE): O(d²)
+        # per vector, measured ~10 s of pure normalization on 20k×64
+        # vectors at sf1.
         df.filter(F.col(vec_col).isNotNull())
         .select(
             F.col(id_col).alias("_id"),
-            unit.alias("_u"),
+            v.alias("_u"),
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("_bid"),
         )
         .groupBy("_bid")
@@ -323,7 +328,11 @@ def near_dup_pairs_blocked(
             ):
                 X = np.array([np.asarray(r) for r in xv])
                 Y = np.array([np.asarray(r) for r in yv])
-                S = X @ Y.T
+                xn = np.linalg.norm(X, axis=1)
+                yn = np.linalg.norm(Y, axis=1)
+                xn[xn == 0] = np.inf  # zero vectors: cosine 0, never pair
+                yn[yn == 0] = np.inf
+                S = (X / xn[:, None]) @ (Y / yn[:, None]).T
                 ii, jj = np.nonzero(S >= cut)
                 xa = np.asarray(xids)[ii]
                 yb = np.asarray(yids)[jj]
@@ -529,13 +538,15 @@ def cosine_topk_batch(
     from pyspark.sql.window import Window  # noqa: PLC0415
 
     def blockify(df, vec_col, id_col, nb):
+        # raw vectors; normalization is one vectorized numpy divide in
+        # gen() — JVM transform(x → x/norm(v)) re-evaluates the norm
+        # fold per element (see near_dup_pairs_blocked)
         v = F.col(vec_col).cast("array<double>")
-        unit = F.transform(v, lambda x: x / norm_expr(v))
         return (
             df.filter(F.col(vec_col).isNotNull())
             .select(
                 F.col(id_col).alias("_id"),
-                unit.alias("_u"),
+                v.alias("_u"),
                 F.pmod(F.xxhash64(F.col(id_col)), F.lit(nb)).alias("_bid"),
             )
             .groupBy("_bid")
@@ -565,7 +576,11 @@ def cosine_topk_batch(
                 Q = np.array([np.asarray(r) for r in qv])
                 C = np.array([np.asarray(r) for r in cv])
                 cid = np.asarray(cids)
-                S = np.round(Q @ C.T, 4)
+                qn = np.linalg.norm(Q, axis=1)
+                cn = np.linalg.norm(C, axis=1)
+                qn[qn == 0] = np.inf  # zero vectors score 0 everywhere
+                cn[cn == 0] = np.inf
+                S = np.round((Q / qn[:, None]) @ (C / cn[:, None]).T, 4)
                 kk = min(k, S.shape[1])
                 for row, qid in enumerate(qids):
                     # (−rounded score, corpus_id) order — same key as the
