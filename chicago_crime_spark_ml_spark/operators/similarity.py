@@ -389,10 +389,23 @@ def quantize_embeddings(
         v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
     )
     scale = (max_abs / F.lit(127.0)).alias(scale_col)
-    q = F.when(
-        max_abs > 0,
-        F.transform(v, lambda x: F.round(x / (max_abs / 127.0)).cast("tinyint")),
-    ).otherwise(F.transform(v, lambda x: F.lit(0).cast("tinyint")))
+    # The max-abs aggregate is bound ONCE via aggregate()'s finish
+    # lambda (mx is a lambda variable, not a re-inlined expression) —
+    # writing max_abs inside the per-element transform would re-run the
+    # O(d) fold PER ELEMENT (interpreted higher-order functions have no
+    # CSE): O(d²) per vector, the same trap the blocked-BLAS
+    # normalization fix removed.
+    q = F.aggregate(
+        v,
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x)),
+        lambda mx: F.when(
+            mx > 0,
+            F.transform(
+                v, lambda x: F.round(x / (mx / F.lit(127.0))).cast("tinyint")
+            ),
+        ).otherwise(F.transform(v, lambda x: F.lit(0).cast("tinyint"))),
+    )
     return df.withColumns({scale_col: scale, q_col: q})
 
 
