@@ -462,11 +462,34 @@ def unigram_logprob(
             F.log(F.col("c") / F.col("t")).cast("decimal(18,6)").alias("lp"),
         )
     )
-    return scored.groupBy(id_col).agg(
-        F.round(
-            F.sum("lp").cast("double") / F.count(F.lit(1)), 4
-        ).alias("mean_logprob"),
-        F.count(F.lit(1)).alias("n_tokens"),
+    # The mean is rounded to 4dp in PURE INTEGER arithmetic: the
+    # quantized-lp sum divided by an int count is a 6dp rational that
+    # routinely terminates EXACTLY on a rounding half-boundary
+    # (−64.0719/18 = −3.55955; −86.581188/24 = −3.6075495 — both caught
+    # by the sf1 sweep), where any float path diverges across engines
+    # (JVM rounds the binary value, DuckDB the shortest repr; a decimal
+    # hop just moves the same boundary to the cast). With s6 = Σlp·10⁶
+    # (exact long) and D = n·100, half-away-from-zero at 1e-4 is
+    # sign(s6) · ((2·|s6| + D) div (2·D)) / 10⁴ — integer div, bit-
+    # identical everywhere (mirrored in every oracle).
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.sum((F.col("lp") * 1_000_000).cast("long")).alias("_s6"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+        .select(
+            F.col(id_col),
+            (
+                F.when(F.col("_s6") < 0, -1).otherwise(1)
+                * F.expr(
+                    "(2 * abs(_s6) + n_tokens * 100)"
+                    " div (2 * n_tokens * 100)"
+                )
+                / F.lit(10_000.0)
+            ).alias("mean_logprob"),
+            "n_tokens",
+        )
     )
 
 

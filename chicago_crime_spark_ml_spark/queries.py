@@ -5587,13 +5587,20 @@ def user_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
                          unnest(string_split_regex(trim(text), '\\s+')) AS tok
                   FROM documents),
     vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
-    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM vocab)
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM vocab),
+    sums AS (
+      SELECT doc_id,
+             CAST(sum(CAST(ln(c / t) AS DECIMAL(18,6))) * 1000000
+                  AS BIGINT) AS s6,
+             count(*) AS n_tokens
+      FROM toks JOIN vocab USING (tok) CROSS JOIN tot
+      GROUP BY doc_id)
     SELECT doc_id,
-           round(CAST(sum(CAST(ln(c / t) AS DECIMAL(18,6))) AS DOUBLE)
-                 / count(*), 4) AS mean_logprob,
-           count(*) AS n_tokens
-    FROM toks JOIN vocab USING (tok) CROSS JOIN tot
-    GROUP BY doc_id
+           (CASE WHEN s6 < 0 THEN -1 ELSE 1 END)
+             * ((2 * abs(s6) + n_tokens * 100)
+                // (2 * n_tokens * 100)) / 10000.0 AS mean_logprob,
+           n_tokens
+    FROM sums
     """,
 )
 def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6288,11 +6295,17 @@ def weighted_median_balance_by_segment(spark: SparkSession, sf_dir: str) -> Data
     toks2 AS (SELECT doc_id, unnest(toks) AS tok FROM rep),
     vocab AS (SELECT tok, count(*) AS c FROM toks2 GROUP BY tok),
     tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM vocab),
+    lpsum AS (SELECT doc_id,
+                     CAST(sum(CAST(ln(c / t) AS DECIMAL(18,6))) * 1000000
+                          AS BIGINT) AS s6,
+                     count(*) AS nt
+              FROM toks2 JOIN vocab USING (tok) CROSS JOIN tot
+              GROUP BY doc_id),
     lp AS (SELECT doc_id,
-                  round(CAST(sum(CAST(ln(c / t) AS DECIMAL(18,6))) AS DOUBLE)
-                        / count(*), 4) AS mlp
-           FROM toks2 JOIN vocab USING (tok) CROSS JOIN tot
-           GROUP BY doc_id),
+                  (CASE WHEN s6 < 0 THEN -1 ELSE 1 END)
+                    * ((2 * abs(s6) + nt * 100)
+                       // (2 * nt * 100)) / 10000.0 AS mlp
+           FROM lpsum),
     lm AS (SELECT rep.doc_id, rep.text
            FROM rep JOIN lp USING (doc_id) WHERE lp.mlp >= -3.42)
     SELECT 'raw' AS stage, count(*) AS n_docs FROM t
@@ -8197,14 +8210,20 @@ def token_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1),
     c12 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
     v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vsz
-          FROM (SELECT unnest(w) AS tok FROM t))
+          FROM (SELECT unnest(w) AS tok FROM t)),
+    sums AS (
+      SELECT doc_id,
+             CAST(sum(CAST(ln((c12 + 1.0) / (c1 + vsz))
+                           AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS s6,
+             count(*) AS n_bigrams
+      FROM big JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+      GROUP BY doc_id)
     SELECT doc_id,
-           round(CAST(sum(CAST(ln((c12 + 1.0) / (c1 + vsz))
-                               AS DECIMAL(18,6))) AS DOUBLE)
-                 / count(*), 4) AS mean_bigram_logprob,
-           count(*) AS n_bigrams
-    FROM big JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
-    GROUP BY doc_id
+           (CASE WHEN s6 < 0 THEN -1 ELSE 1 END)
+             * ((2 * abs(s6) + n_bigrams * 100)
+                // (2 * n_bigrams * 100)) / 10000.0 AS mean_bigram_logprob,
+           n_bigrams
+    FROM sums
     """,
 )
 def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8240,12 +8259,24 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(v))
         .groupBy("doc_id")
         .agg(
-            F.round(
-                F.sum(F.log(p).cast("decimal(18,6)")).cast("double")
-                / F.count(F.lit(1)),
-                4,
-            ).alias("mean_bigram_logprob"),
+            # integer-exact 4dp rounding — same boundary discipline as
+            # text.unigram_logprob (see its comment)
+            F.sum(
+                (F.log(p).cast("decimal(18,6)") * 1_000_000).cast("long")
+            ).alias("_s6"),
             F.count(F.lit(1)).alias("n_bigrams"),
+        )
+        .select(
+            "doc_id",
+            (
+                F.when(F.col("_s6") < 0, -1).otherwise(1)
+                * F.expr(
+                    "(2 * abs(_s6) + n_bigrams * 100)"
+                    " div (2 * n_bigrams * 100)"
+                )
+                / F.lit(10_000.0)
+            ).alias("mean_bigram_logprob"),
+            "n_bigrams",
         )
     )
 
