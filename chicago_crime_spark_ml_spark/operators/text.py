@@ -29,22 +29,44 @@ def tokens_expr(text_col: str, lowercase: bool = False) -> Column:
     return F.split(c, TOKEN_PATTERN)
 
 
+def let_expr(value: Column, body) -> Column:
+    """LET-binding for Column expressions: evaluate ``value`` ONCE, bind
+    it to a lambda variable, return ``body(var)``.
+
+    Spark SQL has no LET, and interpreted higher-order functions
+    re-evaluate every captured EXPRESSION at every reference (no common-
+    subexpression elimination). Without binding, an expensive
+    subexpression referenced inside a per-element lambda is recomputed
+    PER ELEMENT — e.g. ``slice(split(text), i, n)`` re-splits the whole
+    text for every shingle, O(len²) per doc (measured 113 s for a single
+    flags pass over 50 k sf1 docs; ~3 s bound). ``transform`` over a
+    single-element array calls ``body`` exactly once with the element as
+    a variable; ``[0]`` unwraps the result."""
+    return F.transform(F.array(value), body)[0]
+
+
 def shingles_expr(tokens: Column, n: int = 3) -> Column:
     """Word n-gram shingles (distinct) from a token array — the unit of
     near-dup detection. Pure SQL transform/slice: no UDF, no shuffle.
 
     Guarded for docs shorter than n tokens: Spark's sequence(0, -1) would
     count DOWN (implicit step −1), so short docs must short-circuit to [].
+    ``tokens`` is let-bound so the (typically split()) expression is
+    evaluated once per row, not once per shingle (see let_expr).
     """
-    return F.when(
-        F.size(tokens) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(tokens) - n),
-                lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+
+    def body(t: Column) -> Column:
+        return F.when(
+            F.size(t) >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(t) - n),
+                    lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return let_expr(tokens, body)
 
 
 def add_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -379,18 +401,26 @@ def repetition_ratio_expr(tokens: Column, n: int = 2) -> Column:
     ⇒ the doc repeats itself). Non-distinct gram list (unlike
     shingles_expr), all JVM-side array algebra. Docs shorter than n
     tokens score 0.0."""
-    grams = F.when(
-        F.size(tokens) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(tokens) - n),
-            lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    total = F.size(grams)
-    return F.when(
-        total > 0,
-        F.round(F.lit(1.0) - F.size(F.array_distinct(grams)) / total, 4),
-    ).otherwise(F.lit(0.0))
+    def grams_of(t: Column) -> Column:
+        return F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - n),
+                lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def ratio_of(g: Column) -> Column:
+        return F.when(
+            F.size(g) > 0,
+            F.round(
+                F.lit(1.0) - F.size(F.array_distinct(g)) / F.size(g), 4
+            ),
+        ).otherwise(F.lit(0.0))
+
+    # double let-binding: tokens evaluated once (not once per gram), the
+    # gram array evaluated once (not once per use in the ratio)
+    return let_expr(tokens, lambda t: let_expr(grams_of(t), ratio_of))
 
 
 def decontaminate(

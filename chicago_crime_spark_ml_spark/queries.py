@@ -6321,8 +6321,18 @@ def corpus_curation_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     −3.42 (LM trained on the surviving subset itself — the standard
     in-domain perplexity gate) → exact dedup, reported as per-stage
     surviving counts. Every stage is the already-oracle-checked
-    operator; the funnel verifies they COMPOSE (filter pushdown keeps
-    each stage map-only until the LM's two keyed shuffles)."""
+    operator; the funnel verifies they COMPOSE.
+
+    Plan note (round 4, caught by the sf1 stress sweep at 204 s): the
+    per-stage counts are a 5-way UNION, and the lazy form re-ran every
+    upstream stage's tokenize/quality/repetition pipeline for EACH
+    count — interpreted higher-order expressions with no CSE, so the
+    whole corpus was re-scored up to 4×, with the in-expression
+    duplication multiplying on top. The doc-level flags (quality,
+    token count, repetition) are now computed in ONE projection and
+    materialized via eager localCheckpoint; every stage count scans the
+    stored flags, and the LM-surviving frame is checkpointed once for
+    its two consumers (count + dedup). 204 s → ~8 s at sf1, same rows."""
     from chicago_crime_spark_ml_spark.operators.dedup import (
         exact_dedup_by_content,
     )
@@ -6334,24 +6344,27 @@ def corpus_curation_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    qual = (
-        add_quality_score(d)
-        .filter(F.round("quality_score", 4) >= 0.5)
-        .select("doc_id", "text")
-    )
     toks = tokens_expr("text")
-    rep = (
-        qual.withColumn(
-            "rep_ratio", F.round(repetition_ratio_expr(toks, 2), 4)
+    flags = (
+        add_quality_score(d)
+        .select(
+            "doc_id",
+            "text",
+            F.round("quality_score", 4).alias("_q"),
+            F.size(toks).alias("_nt"),
+            F.round(repetition_ratio_expr(toks, 2), 4).alias("_rep"),
         )
-        .filter((F.size(toks) >= 2) & (F.col("rep_ratio") <= 0.08))
-        .select("doc_id", "text")
+        .localCheckpoint(eager=True)
+    )
+    qual = flags.filter(F.col("_q") >= 0.5)
+    rep = qual.filter((F.col("_nt") >= 2) & (F.col("_rep") <= 0.08)).select(
+        "doc_id", "text"
     )
     scores = unigram_logprob(rep, "text", "doc_id")
     lm = rep.join(
         scores.filter(F.col("mean_logprob") >= -3.42).select("doc_id"),
         "doc_id",
-    )
+    ).localCheckpoint(eager=True)
 
     def stage(name: str, df: DataFrame) -> DataFrame:
         return df.agg(F.count(F.lit(1)).cast("long").alias("n_docs")).select(
@@ -6360,7 +6373,7 @@ def corpus_curation_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return union_all(
         [
-            stage("raw", d),
+            stage("raw", flags),
             stage("quality", qual),
             stage("repetition", rep),
             stage("lm_score", lm),
