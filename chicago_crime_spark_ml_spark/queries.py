@@ -8702,12 +8702,17 @@ def doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup family's shingle machinery; one shingle-keyed df agg joined
     back, cost identical to the inverted-index build the near-dup join
     already pays."""
-    from chicago_crime_spark_ml_spark.operators.dedup import shingle_sets
+    from chicago_crime_spark_ml_spark.operators.dedup import (
+        _hashed_shingle_sets,
+    )
 
     d = _t(spark, sf_dir, "documents")
-    sh = (
-        shingle_sets(d, "text", "doc_id", n=3)
-        .select("doc_id", F.explode("shingles").alias("g"))
+    # hashed shingle keys (8-byte longs, materialized once) instead of
+    # ~25-byte n-gram strings: the df agg + join-back shuffles shrink
+    # ~3× and the shingle pipeline is evaluated once (the same
+    # discipline as ngram_jaccard_pairs; 64-bit collisions ~2^-64)
+    sh = _hashed_shingle_sets(d, "text", "doc_id", 3).select(
+        "doc_id", F.explode("hshingles").alias("g")
     )
     df_t = sh.groupBy("g").agg(F.count(F.lit(1)).alias("d"))
     return (
