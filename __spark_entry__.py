@@ -24,8 +24,22 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["flagship_regional_revenue"](spark, SMOKE_SF_DIR)
 
 
+def _row_is_green(name: str, row: dict) -> bool:
+    """A driver row counts as green at the strongest evidence class the
+    query supports: hash_match for oracle-backed queries; rows-only
+    queries (no ORACLE entry) can never hash-match, so their green signal
+    is rows_match with no error."""
+    if row.get("hash_match"):
+        return True
+    return (
+        name not in ORACLE
+        and bool(row.get("rows_match"))
+        and row.get("err") is None
+    )
+
+
 def _previously_green() -> set[str]:
-    """Query names with a hash-green row in any prior CORRECTNESS_r*.json.
+    """Query names with a green row in any prior CORRECTNESS_r*.json.
 
     The driver checks a bounded prefix of queries() per round; rotating
     already-verified names to the back means every round spends its budget
@@ -39,7 +53,7 @@ def _previously_green() -> set[str]:
         except (OSError, ValueError):
             continue
         for name, row in rows.items():
-            if isinstance(row, dict) and row.get("hash_match"):
+            if isinstance(row, dict) and _row_is_green(name, row):
                 green.add(name)
     return green
 
@@ -61,7 +75,7 @@ def _latest_reds() -> set[str]:
     return {
         n
         for n, r in rows.items()
-        if isinstance(r, dict) and not r.get("hash_match")
+        if isinstance(r, dict) and not _row_is_green(n, r)
     }
 
 

@@ -530,25 +530,33 @@ def cosine_topk_batch(
     cosine_topk is the per-lookup demo). Output: (query_id, vec_id,
     cosine, rank) with rank 1..k per query, ties broken by corpus id.
 
-    Same blocked-BLAS shape as near_dup_pairs_blocked: both sides are
-    unit-normalized JVM-side and grouped into id-hashed blocks; every
-    (query-block × corpus-block) pair — B_q·B_c bounded aggregated
-    rows — computes one numpy matmul and emits only each query's local
-    top-k against that corpus block (≤ k rows per query per corpus
-    block cross the Arrow boundary, never the full score matrix). A
-    final per-query window over the ≤ k·B_c local candidates selects
-    the exact global top-k: local-then-global top-k is lossless, and
-    the (−score, corpus_id) tiebreak is applied identically in the
-    numpy selection and the window, so results are deterministic.
-    Shuffle cost: O(|Q|·d + |C|·d) block build + O(|Q|·k·B_c) candidate
-    rows; compute O(|Q|·|C|·d/B_q·B_c) FLOPs per task in BLAS. Ranking
-    uses the 4-decimal-rounded score with the corpus-id tiebreak — the
-    same convention as cosine_topk — so summation-order float drift
-    between BLAS and the Column-algebra fold can never reorder results.
+    Same blocked-BLAS shape as near_dup_pairs_blocked, including its
+    exact-rescore phase: both sides are grouped into id-hashed blocks;
+    every (query-block × corpus-block) pair — B_q·B_c bounded
+    aggregated rows — computes one numpy matmul and emits only each
+    query's local top-(k+pad) CANDIDATE IDS against that corpus block
+    (never the full score matrix, and no numpy scores leave the
+    boundary). The candidates are then re-scored with the same float64
+    cosine_expr Column algebra as cosine_topk on the ORIGINAL vectors,
+    and a per-query window over the ≤ (k+pad)·B_c candidates selects
+    the global top-k by (round(cosine,4) desc, corpus_id asc) — the
+    exact path's key. Emitted values are therefore bit-identical to
+    cosine_topk's (same fold order, same half-away F.round — numpy's
+    half-to-even np.round never touches the output); the pad rows
+    absorb BLAS-vs-fold summation drift at a rounding boundary, the
+    only way local selection could disagree with the exact key
+    (rounding is monotonic, so raw-score order can never strictly
+    invert rounded order — only boundary ties are at risk).
+    Shuffle cost: O(|Q|·d + |C|·d) block build + O(|Q|·(k+pad)·B_c)
+    candidate rows + two id-keyed rescore joins; compute
+    O(|Q|·|C|·d/B_q·B_c) FLOPs per task in BLAS. The corpus is scanned
+    twice (block build + rescore join) — the price of exactness.
     NULL vectors on either side are dropped (see near_dup_pairs_blocked).
     """
     import pandas as pd  # noqa: PLC0415
     from pyspark.sql.window import Window  # noqa: PLC0415
+
+    pad = 8  # candidate margin per (query, corpus block) over k
 
     def blockify(df, vec_col, id_col, nb):
         # raw vectors; normalization is one vectorized numpy divide in
@@ -582,7 +590,7 @@ def cosine_topk_batch(
         import numpy as np  # noqa: PLC0415
 
         for pdf in it:
-            out = {"query_id": [], "vec_id": [], "cosine": []}
+            out = {"query_id": [], "vec_id": []}
             for qids, qv, cids, cv in zip(
                 pdf["qids"], pdf["qv"], pdf["cids"], pdf["cv"]
             ):
@@ -593,26 +601,44 @@ def cosine_topk_batch(
                 cn = np.linalg.norm(C, axis=1)
                 qn[qn == 0] = np.inf  # zero vectors score 0 everywhere
                 cn[cn == 0] = np.inf
-                S = np.round((Q / qn[:, None]) @ (C / cn[:, None]).T, 4)
-                kk = min(k, S.shape[1])
+                S = (Q / qn[:, None]) @ (C / cn[:, None]).T
+                kk = min(k + pad, S.shape[1])
                 for row, qid in enumerate(qids):
-                    # (−rounded score, corpus_id) order — same key as the
-                    # final window, so local pruning is lossless
+                    # local cut by (−raw score, corpus_id); the pad rows
+                    # cover any disagreement with the exact rounded key
+                    # at a 0.00005 boundary (ADVICE r4: np.round is
+                    # half-to-even, the fold sums in a different order)
                     order = np.lexsort((cid, -S[row]))[:kk]
                     out["query_id"].extend([qid] * len(order))
                     out["vec_id"].extend(cid[order].tolist())
-                    out["cosine"].extend(S[row][order].tolist())
             if out["query_id"]:
                 yield pd.DataFrame(out)
 
-    local = pairs.mapInPandas(
-        gen, schema="query_id BIGINT, vec_id BIGINT, cosine DOUBLE"
+    cand = pairs.mapInPandas(gen, schema="query_id BIGINT, vec_id BIGINT")
+    qside = queries.filter(F.col(query_vec_col).isNotNull()).select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).cast("array<double>").alias("_vq"),
+    )
+    cside = corpus.filter(F.col(corpus_vec_col).isNotNull()).select(
+        F.col(corpus_id_col).alias("vec_id"),
+        F.col(corpus_vec_col).cast("array<double>").alias("_vc"),
+    )
+    exact = (
+        cand.join(qside, "query_id")
+        .join(cside, "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_expr(F.col("_vq"), F.col("_vc")), 4).alias(
+                "cosine"
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("vec_id")
     )
     return (
-        local.withColumn("rank", F.row_number().over(w))
+        exact.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
     )
