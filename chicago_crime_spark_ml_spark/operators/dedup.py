@@ -116,6 +116,11 @@ def ngram_jaccard_pairs(
     recall reduction, never a false positive, and ultra-common
     shingles carry ~no near-duplicate signal to begin with.
     ``max_df=None`` disables the cap (exact, post-LSH-rescorer mode).
+    Every oracle-backed registered query passes ``max_df=None``: their
+    DuckDB oracles compute uncapped all-pairs Jaccard, and a silent
+    df-cap divergence on a corpus with df > max_df would read as an
+    engine bug (ADVICE r4). The capped default is for corpus-wide
+    production use where the oracle contract doesn't apply.
 
     The pruned posting list (id, n_shingles, tok-hash — 8+8+8 bytes per
     posting) is materialized ONCE via an eager localCheckpoint before
@@ -523,13 +528,15 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs: shingle → minhash band buckets
     (shared xxhash64 family, _minhash_bands) → band-bucket SELF-JOIN
-    for candidates → EXACT string-shingle Jaccard rescore → pairs with
-    jaccard ≥ threshold − margin.
+    for candidates → set-Jaccard rescore on the hashed shingle sets
+    (exact up to 2^-64 xxhash64 collisions — array_intersect runs on
+    64-bit shingle hashes and set sizes come from the hashed arrays,
+    see _hashed_shingle_sets) → pairs with jaccard ≥ threshold − margin.
 
     THE scale path: candidate generation is a bucket equi-join
     (sublinear), never an all-pairs comparison. Because candidates are
-    rescored with the exact set Jaccard (array_intersect on the distinct
-    shingle arrays), the output is the exact near-dup pair set whenever
+    rescored with the set Jaccard (array_intersect on the distinct
+    hashed-shingle arrays), the output is the exact near-dup pair set whenever
     banding recalls it — miss probability per pair is (1−J)^num_hashes
     (OR-amplification: 8 tables ⇒ ≤ 2.6e-6 at J = 0.8), which makes the
     query SQL-oracle-checkable rather than rows-only.

@@ -1996,7 +1996,7 @@ def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chicago_crime_spark_ml_spark.operators.dedup import ngram_jaccard_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(d, threshold=0.8)
+    return ngram_jaccard_pairs(d, threshold=0.8, max_df=None)
 
 
 @query(
@@ -2029,7 +2029,7 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _t(spark, sf_dir, "documents")
-    comp = connected_components(ngram_jaccard_pairs(d, threshold=0.8))
+    comp = connected_components(ngram_jaccard_pairs(d, threshold=0.8, max_df=None))
     return d.select("doc_id").join(
         comp, d["doc_id"] == comp["node"], "left"
     ).select(
@@ -2081,13 +2081,16 @@ def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     band-bucket self-join candidates + EXACT shingle-Jaccard rescore.
     Formerly rows-only; the round-4 rewrite rescoring candidates with
     the exact set Jaccard makes the output the exact near-dup pair set
-    whenever banding recalls it (per-pair miss ≤ 2.6e-6 at J ≥ 0.8 with
-    8 OR tables), so the all-pairs SQL oracle applies — a red row means
-    the banding genuinely lost a pair or the rescore arithmetic broke."""
+    whenever banding recalls it, so the all-pairs SQL oracle applies.
+    The registered query runs 16 OR tables (per-pair miss (1−J)^16 ≤
+    6.6e-12 at J ≥ 0.8, vs 2.6e-6 at the operator's default 8): at that
+    probability a red row means the rescore arithmetic broke, not that
+    the seed happened to miss a boundary pair (ADVICE r4 — don't
+    conflate 'banding recall < 1' with 'code broken')."""
     from chicago_crime_spark_ml_spark.operators.dedup import minhash_lsh_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(d, jaccard_threshold=0.8)
+    return minhash_lsh_pairs(d, num_hashes=16, jaccard_threshold=0.8)
 
 
 @query(
@@ -5724,7 +5727,7 @@ def minhash_lsh_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _t(spark, sf_dir, "documents")
-    exact = ngram_jaccard_pairs(d, threshold=0.8).select("id_a", "id_b")
+    exact = ngram_jaccard_pairs(d, threshold=0.8, max_df=None).select("id_a", "id_b")
     # margin=0.1: nets candidates wider than the audit threshold and lets
     # the exact side adjudicate, as the production pipeline does (the
     # rescore is exact since the round-4 rewrite, so the margin now only
@@ -6832,7 +6835,7 @@ def near_dup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chicago_crime_spark_ml_spark.operators.text import add_quality_score
 
     d = _t(spark, sf_dir, "documents")
-    comp = connected_components(ngram_jaccard_pairs(d, threshold=0.8))
+    comp = connected_components(ngram_jaccard_pairs(d, threshold=0.8, max_df=None))
     clusters = d.select("doc_id").join(
         comp, d["doc_id"] == comp["node"], "left"
     ).select("doc_id", F.coalesce("label", "doc_id").alias("cluster_id"))
@@ -9487,7 +9490,7 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chicago_crime_spark_ml_spark.operators.ml import hash_split
 
     d = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, threshold=0.8).select("id_a", "id_b")
+    pairs = ngram_jaccard_pairs(d, threshold=0.8, max_df=None).select("id_a", "id_b")
     split = hash_split(d.select("doc_id"), "doc_id").select(
         "doc_id", "split"
     )
@@ -9596,7 +9599,7 @@ def cluster_aware_split_assignment(
     from chicago_crime_spark_ml_spark.operators.ml import hash_split
 
     d = _t(spark, sf_dir, "documents")
-    comp = connected_components(ngram_jaccard_pairs(d, threshold=0.8))
+    comp = connected_components(ngram_jaccard_pairs(d, threshold=0.8, max_df=None))
     canon = (
         d.select("doc_id")
         .join(comp, F.col("doc_id") == F.col("node"), "left")
