@@ -930,6 +930,18 @@ def global_rank(
     thousand group rollups); this operator is for ranking entity-level
     frames (customers, documents) that at 100 TB are 1e8+ rows.
     """
+    return _global_rank_with_total(df, order_cols, out_col, num_partitions)[0]
+
+
+def _global_rank_with_total(
+    df: DataFrame,
+    order_cols: Sequence[Column | str],
+    out_col: str,
+    num_partitions: int | None,
+) -> tuple[DataFrame, int]:
+    """global_rank plus the frame's total row count — the count falls out
+    of the per-partition sizes pass for free, and global_ntile needs it
+    (a separate df.count() would re-run the input's whole lineage)."""
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     n = num_partitions or df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions"
@@ -954,12 +966,54 @@ def global_rank(
         F.col("__pid"),
     ) if offsets else F.lit(0)
     w = Window.partitionBy("__pid").orderBy(*cols)
-    return (
+    ranked = (
         part.withColumn(
             out_col, (F.row_number().over(w) + off_expr).cast("long")
         )
         .drop("__pid")
     )
+    return ranked, acc
+
+
+def global_ntile(
+    df: DataFrame,
+    order_cols: Sequence[Column | str],
+    k: int,
+    out_col: str = "ntile",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed ntile(k) over a TOTAL order — ``ntile(k) OVER
+    (ORDER BY ...)`` without the single-partition WindowExec, for
+    entity-level frames (customers, documents) that are 1e8+ rows at
+    100 TB (VERDICT r4: the RFM/Lorenz global quintile windows were the
+    repo's last unbounded-frame sorts).
+
+    Tile from rank by the exact SQL NTILE rule — with n rows the first
+    n mod k tiles hold ceil(n/k) rows, the rest floor(n/k); identical to
+    Spark's and DuckDB's NTILE for every n, k (the folklore
+    ceil(rank·k/n) shortcut disagrees whenever k ∤ n). Rank and the
+    total-count scalar both come from one global_rank pass (the count
+    is the sum of the per-partition sizes it already collects); ranks
+    stay < 2^53 so the double-division ceil is exact. Same total-order
+    requirement as global_rank: append a unique tiebreak."""
+    ranked, total = _global_rank_with_total(
+        df, order_cols, "__gnt_rank", num_partitions
+    )
+    q, rem = divmod(total, k)
+    cut = rem * (q + 1)
+    r = F.col("__gnt_rank")
+
+    def ceil_div(x: Column, b: int) -> Column:
+        return (F.floor((x - 1) / F.lit(b)) + 1).cast("int")
+
+    if q == 0:
+        # n < k: every row is its own tile (rank itself)
+        tile = r.cast("int")
+    else:
+        tile = F.when(r <= cut, ceil_div(r, q + 1)).otherwise(
+            F.lit(rem) + ceil_div(r - cut, q)
+        )
+    return ranked.withColumn(out_col, tile).drop("__gnt_rank")
 
 
 def topk_per_group_combiner(

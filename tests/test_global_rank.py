@@ -79,6 +79,43 @@ def test_global_rank_empty_frame(spark):
     assert global_rank(df, ["v"]).count() == 0
 
 
+def test_global_ntile_equals_global_window(spark):
+    # heavy ties + n not divisible by k (5003 rows, k ∈ {5, 10, 7}):
+    # the remainder tiles must match Spark's NTILE exactly, including
+    # tie rows split across a tile edge by the uid tiebreak
+    from chicago_crime_spark_ml_spark.operators.relational import global_ntile
+
+    df = spark.range(0, 5003, 1, 16).select(
+        (F.col("id") % 3).alias("v"), F.col("id").alias("uid")
+    )
+    for k in (5, 10, 7):
+        got = {
+            (r.uid, r.t)
+            for r in global_ntile(
+                df, ["v", "uid"], k, out_col="t", num_partitions=16
+            ).collect()
+        }
+        want = {
+            (r.uid, r.t)
+            for r in df.withColumn(
+                "t", F.ntile(k).over(Window.orderBy("v", "uid"))
+            ).collect()
+        }
+        assert got == want
+
+
+def test_global_ntile_fewer_rows_than_tiles(spark):
+    from chicago_crime_spark_ml_spark.operators.relational import global_ntile
+
+    df = spark.range(0, 4, 1, 2).select(F.col("id").alias("v"))
+    got = sorted(
+        (r.v, r.t)
+        for r in global_ntile(df, ["v"], 10, out_col="t").collect()
+    )
+    # n < k: each row is its own tile, 1..n — Spark/DuckDB NTILE semantics
+    assert got == [(0, 1), (1, 2), (2, 3), (3, 4)]
+
+
 # --------------------------------------------------------------------------
 # topk_per_group_combiner — map-side pruned top-k ≡ window top-k
 # --------------------------------------------------------------------------
