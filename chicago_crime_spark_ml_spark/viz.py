@@ -14,6 +14,8 @@ at 100 TB).
 Rendering itself (PNG/HTML) is a thin optional layer: ``render_heatmap``
 and ``render_line`` work when matplotlib is importable and raise a clear
 error otherwise — chart DATA is the engine contract, pixels are not.
+``render_map_html`` (the folium-parity map sink) is dependency-free:
+self-contained SVG-in-HTML, no tile servers.
 """
 
 from __future__ import annotations
@@ -269,4 +271,130 @@ def render_line(pdf: pd.DataFrame, x: str, y: str, path: str, title: str = "") -
     fig.tight_layout()
     fig.savefig(path, dpi=150)
     plt.close(fig)
+    return path
+
+
+# Fixed categorical cycle for the point-map legend (ColorBrewer Set1-ish;
+# deterministic category → color assignment in first-seen order).
+_MAP_COLORS = [
+    "#e41a1c", "#377eb8", "#4daf4a", "#984ea3", "#ff7f00",
+    "#a65628", "#f781bf", "#17becf", "#999999", "#66c2a5",
+]
+
+
+def render_map_html(
+    pdf: pd.DataFrame,
+    lat_col: str,
+    lon_col: str,
+    path: str,
+    weight_col: str | None = None,
+    category_col: str | None = None,
+    label_col: str | None = None,
+    title: str = "",
+    width: int = 900,
+    height: int = 600,
+) -> str:
+    """Standalone HTML map sink — the folium-parity artifact
+    (Preprocessing.py:488 ``crime_type_map.save`` and :534
+    ``district_map.save``): same bounded inputs (a ``centroid_map_data``
+    or ``sampled_points`` frame), same output (a self-contained .html
+    the browser opens directly).
+
+    Rendered as inline SVG over a linear lat/lon projection instead of
+    folium + network tile layers: zero dependencies, works in a hermetic
+    cluster environment, and the artifact is deterministic (same frame →
+    byte-identical file, testable). Reference parity per mode:
+
+    - ``weight_col`` (district map): circle radius ∝ √weight (area ∝
+      count — the reference's linear-radius scaling makes a 2× count
+      look 4× bigger), hover tooltip with label + weight via SVG
+      ``<title>`` standing in for folium's popup.
+    - ``category_col`` (crime-type map): per-category colors in
+      first-seen order + the reference's fixed-position legend box
+      (its legend_html div, Preprocessing.py:471-484).
+
+    Input must already be driver-bounded — the helpers producing it
+    enforce ``collect_for_viz`` caps, so this never sees more than a few
+    thousand rows.
+    """
+    import html as _html  # noqa: PLC0415
+
+    pad = 0.05
+    lats = pdf[lat_col].astype(float)
+    lons = pdf[lon_col].astype(float)
+    lat_span = max(float(lats.max() - lats.min()), 1e-9) if len(pdf) else 1.0
+    lon_span = max(float(lons.max() - lons.min()), 1e-9) if len(pdf) else 1.0
+    lat0 = float(lats.min()) if len(pdf) else 0.0
+    lon0 = float(lons.min()) if len(pdf) else 0.0
+    inner_w, inner_h = width * (1 - 2 * pad), height * (1 - 2 * pad)
+
+    def xy(lat: float, lon: float) -> tuple[float, float]:
+        x = width * pad + (lon - lon0) / lon_span * inner_w
+        y = height * pad + (1 - (lat - lat0) / lat_span) * inner_h
+        return round(x, 2), round(y, 2)
+
+    colors: dict[str, str] = {}
+    if category_col is not None:
+        for c in pdf[category_col].astype(str):
+            if c not in colors:
+                colors[c] = _MAP_COLORS[len(colors) % len(_MAP_COLORS)]
+    wmax = (
+        max(float(pdf[weight_col].max()), 1.0)
+        if weight_col is not None and len(pdf)
+        else 1.0
+    )
+
+    circles = []
+    for _, row in pdf.iterrows():
+        x, y = xy(float(row[lat_col]), float(row[lon_col]))
+        if weight_col is not None:
+            r = round(4 + 16 * (float(row[weight_col]) / wmax) ** 0.5, 2)
+        else:
+            r = 4
+        color = (
+            colors[str(row[category_col])]
+            if category_col is not None
+            else "#b22222"
+        )
+        tip_bits = []
+        if label_col is not None:
+            tip_bits.append(str(row[label_col]))
+        if weight_col is not None:
+            tip_bits.append(f"{weight_col}: {row[weight_col]:,}")
+        tip = _html.escape(" | ".join(tip_bits)) if tip_bits else ""
+        circles.append(
+            f'<circle cx="{x}" cy="{y}" r="{r}" fill="{color}" '
+            f'fill-opacity="0.6" stroke="{color}">'
+            + (f"<title>{tip}</title>" if tip else "")
+            + "</circle>"
+        )
+
+    legend = ""
+    if colors:
+        items = "".join(
+            f'<p style="margin:5px;"><span style="color:{c};">&#9679;</span> '
+            f"{_html.escape(k)}</p>"
+            for k, c in colors.items()
+        )
+        legend = (
+            '<div style="position: fixed; bottom: 50px; right: 50px; '
+            "width: 220px; background-color: white; z-index:9999; "
+            "font-size:14px; border:2px solid grey; border-radius: 5px; "
+            'padding: 10px"><h4 style="margin-top:0; margin-bottom:10px;">'
+            f"{_html.escape(title or category_col)}</h4>{items}</div>"
+        )
+
+    doc = (
+        "<!DOCTYPE html><html><head><meta charset='utf-8'>"
+        f"<title>{_html.escape(title)}</title></head><body>"
+        f"<h3>{_html.escape(title)}</h3>"
+        f'<svg width="{width}" height="{height}" '
+        'style="border:1px solid #ccc; background:#f8f8f6">'
+        + "".join(circles)
+        + "</svg>"
+        + legend
+        + "</body></html>"
+    )
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(doc)
     return path

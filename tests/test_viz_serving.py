@@ -133,6 +133,96 @@ def test_render_requires_matplotlib_or_works(spark, sf_dir, tmp_path):
             render_heatmap(m, str(tmp_path / "hm.png"))
 
 
+def test_render_map_html_weighted_centroids(spark, sf_dir, tmp_path):
+    # the district-map artifact (Preprocessing.py:534 district_map.save):
+    # one circle per centroid row, radius scaled by weight, tooltip with
+    # label + count — standalone HTML, no external deps
+    from chicago_crime_spark_ml_spark.viz import centroid_map_data, render_map_html
+
+    ev = load_table(spark, sf_dir, "events").withColumns(
+        {
+            "lat": (F.col("user_id") % 10).cast("double") / 10 + 41.6,
+            "lon": -(F.col("user_id") % 7).cast("double") / 10 - 87.5,
+        }
+    )
+    pdf = centroid_map_data(ev, "event_type", "lat", "lon")
+    out = render_map_html(
+        pdf,
+        "avg_lat",
+        "avg_lon",
+        str(tmp_path / "districts.html"),
+        weight_col="count",
+        label_col="event_type",
+        title="events by type",
+    )
+    htmlsrc = open(out, encoding="utf-8").read()
+    assert htmlsrc.count("<circle") == len(pdf)
+    assert htmlsrc.count("</title></circle>") == len(pdf)  # per-row tooltip
+    assert "<svg" in htmlsrc and "</html>" in htmlsrc
+    # radius must scale with weight: the max-count row gets the max radius
+    assert 'r="20' in htmlsrc  # 4 + 16·√(wmax/wmax)
+    # deterministic artifact: same frame → byte-identical file
+    out2 = render_map_html(
+        pdf,
+        "avg_lat",
+        "avg_lon",
+        str(tmp_path / "districts2.html"),
+        weight_col="count",
+        label_col="event_type",
+        title="events by type",
+    )
+    assert open(out2, encoding="utf-8").read() == htmlsrc
+
+
+def test_render_map_html_categorical_legend(spark, sf_dir, tmp_path):
+    # the crime-type-map artifact (Preprocessing.py:488): color-coded
+    # categories + the fixed-position legend box listing each category
+    from chicago_crime_spark_ml_spark.viz import sampled_points, render_map_html
+
+    ev = load_table(spark, sf_dir, "events").withColumns(
+        {
+            "lat": (F.col("user_id") % 10).cast("double") / 10 + 41.6,
+            "lon": -(F.col("user_id") % 7).cast("double") / 10 - 87.5,
+        }
+    )
+    cats = ["view", "purchase"]
+    pdf = sampled_points(ev, "event_type", cats, ["lat", "lon"], 15)
+    out = render_map_html(
+        pdf,
+        "lat",
+        "lon",
+        str(tmp_path / "types.html"),
+        category_col="event_type",
+        title="event types",
+    )
+    htmlsrc = open(out, encoding="utf-8").read()
+    assert htmlsrc.count("<circle") == len(pdf)
+    # legend present with one entry per category, distinct colors
+    assert "position: fixed" in htmlsrc
+    for c in cats:
+        assert c in htmlsrc
+    assert "#e41a1c" in htmlsrc and "#377eb8" in htmlsrc
+
+
+def test_render_map_html_degenerate_inputs(tmp_path):
+    # single point (zero lat/lon span) and empty frame must not divide
+    # by zero or emit NaN coordinates
+    import pandas as pd
+
+    from chicago_crime_spark_ml_spark.viz import render_map_html
+
+    one = pd.DataFrame({"lat": [41.8], "lon": [-87.6], "n": [5]})
+    out = render_map_html(
+        one, "lat", "lon", str(tmp_path / "one.html"), weight_col="n"
+    )
+    src = open(out, encoding="utf-8").read()
+    assert src.count("<circle") == 1 and "nan" not in src.lower()
+    empty = one.iloc[0:0]
+    out = render_map_html(empty, "lat", "lon", str(tmp_path / "empty.html"))
+    src = open(out, encoding="utf-8").read()
+    assert src.count("<circle") == 0 and "</html>" in src
+
+
 # ---------------------------------------------------------------------------
 # serving: feature store + bundle
 # ---------------------------------------------------------------------------
