@@ -123,18 +123,14 @@ def run(sf_dir: str) -> dict:
     }
 
 
-if __name__ == "__main__":
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
-        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
-    )
-    payload = run(sf_dir)
-    # The driver captures a bounded tail of stdout and parses the JSON it
-    # finds there; r4's single line (31 queries + queries_min) outgrew the
-    # capture and recorded "parsed": null. Emit the full payload on its own
-    # line for the archive, then the driver-contract line LAST and bounded:
-    # drop queries_min always, drop queries too if the line would still
-    # overflow the capture window.
-    print(json.dumps(payload))
+def emit_lines(payload: dict) -> list[str]:
+    """stdout lines for a bench payload. The driver captures a bounded
+    (2000-char) tail of the output and parses the JSON it finds there;
+    r4's single line (31 queries + queries_min) outgrew the capture and
+    recorded "parsed": null. So: the full payload goes on its own line
+    for the archive, and a driver-contract line goes LAST and bounded —
+    no queries_min, and no queries either if the line would still
+    overflow the capture window."""
     contract = {
         k: payload[k] for k in ("metric", "value", "unit", "queries", "sf")
     }
@@ -142,4 +138,12 @@ if __name__ == "__main__":
     if len(line) > 1800:
         del contract["queries"]
         line = json.dumps(contract)
-    print(line)
+    return [json.dumps(payload), line]
+
+
+if __name__ == "__main__":
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    for out_line in emit_lines(run(sf_dir)):
+        print(out_line)

@@ -116,6 +116,34 @@ def test_global_ntile_fewer_rows_than_tiles(spark):
     assert got == [(0, 1), (1, 2), (2, 3), (3, 4)]
 
 
+def test_global_ntile_remainder_edges(spark):
+    # n around multiples of k — the remainder rule's boundary cases
+    # (n = k−1, k, k+1, 2k+3) for several k, all vs Spark's own NTILE
+    from chicago_crime_spark_ml_spark.operators.relational import global_ntile
+
+    for k in (2, 5, 16):
+        for n in (max(k - 1, 1), k, k + 1, 2 * k + 3):
+            df = spark.range(0, n, 1, 4).select(F.col("id").alias("v"))
+            got = {
+                (r.v, r.t)
+                for r in global_ntile(
+                    df, ["v"], k, out_col="t", num_partitions=4
+                ).collect()
+            }
+            want = {
+                (r.v, r.t)
+                for r in df.withColumn(
+                    "t", F.ntile(k).over(Window.orderBy("v"))
+                ).collect()
+            }
+            assert got == want, (n, k)
+
+    empty = spark.range(0).select(F.col("id").alias("v"))
+    from chicago_crime_spark_ml_spark.operators.relational import global_ntile
+
+    assert global_ntile(empty, ["v"], 5, out_col="t").count() == 0
+
+
 # --------------------------------------------------------------------------
 # topk_per_group_combiner — map-side pruned top-k ≡ window top-k
 # --------------------------------------------------------------------------

@@ -90,3 +90,35 @@ def test_latest_reds_derivation(tmp_path, monkeypatch):
 def test_stats_nudge_names_exist():
     # a typo in the nudge list silently no-ops; lock the names
     assert not [n for n in entry._STATS_TIER_NUDGE if n not in QUERIES]
+
+
+def test_bench_contract_line_bounded():
+    # the driver's tail capture is 2000 chars; bench must always end with
+    # a parseable contract line that fits (r4 regression: one long line,
+    # "parsed": null). Simulate both a normal and an oversized payload.
+    import json
+
+    import bench
+
+    payload = {
+        "metric": "headline_queries_total",
+        "value": 1.0,
+        "unit": "sec",
+        "queries": {f"q{i}": 0.123 for i in range(31)},
+        "queries_min": {f"q{i}": 0.1 for i in range(31)},
+        "sf": 0.1,
+    }
+    lines = bench.emit_lines(payload)
+    last = json.loads(lines[-1])
+    assert len(lines[-1]) <= 1800
+    assert last["metric"] == "headline_queries_total" and "queries" in last
+    assert "queries_min" not in last  # the fat key never rides the contract
+    # oversized: 200 long-named queries — the contract line must shed the
+    # queries dict rather than overflow
+    payload["queries"] = {
+        f"a_very_long_query_name_number_{i:04d}": 0.123 for i in range(200)
+    }
+    lines = bench.emit_lines(payload)
+    last = json.loads(lines[-1])
+    assert len(lines[-1]) <= 1800 and "queries" not in last
+    assert last["value"] == 1.0
