@@ -32,6 +32,9 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from chicago_crime_spark_ml_spark.operators.text import (
+    parallelize_narrow_scan as _parallelize_narrow_scan,
+)
 from chicago_crime_spark_ml_spark.operators.text import shingles_expr, tokens_expr
 
 SIMHASH_BITS = 60  # 15 hex chars of md5 → fits a signed 64-bit int
@@ -48,31 +51,6 @@ def exact_dedup_by_content(
     )
 
 
-def _parallelize_narrow_scan(df: DataFrame) -> DataFrame:
-    """Spread a low-partition input across the cluster before heavy
-    per-row map work (shingling, per-token hashing).
-
-    A small parquet file arrives as ONE scan partition (a 50 MB file at
-    bench scale), which serializes the CPU-dominant map stage on a
-    single core while the rest of the cluster idles. Repartitioning
-    costs one shuffle of the raw rows — trivially repaid when the map
-    work is the bottleneck. At 100 TB the scan already has thousands of
-    splits, so the guard makes this a no-op there (getNumPartitions is
-    file-listing metadata, no job).
-
-    Width: 8× the current split count, capped at the cluster's
-    parallelism — each ≤128 MB input split spreads over ~16 MB chunks.
-    Fanning a small file all the way to every core is
-    counterproductive: measured on a 50 MB/5000-doc file (32 cores),
-    8-way repartition runs the simhash pipeline in ~0.57 s vs ~0.95 s
-    at 32-way (scheduling + shuffle overhead) and ~4.6 s cold at 1-way.
-    """
-    sc = df.sparkSession.sparkContext
-    n = df.rdd.getNumPartitions()
-    target = min(sc.defaultParallelism, n * 8)
-    if n < target:
-        return df.repartition(target)
-    return df
 
 
 def shingle_sets(

@@ -45,6 +45,33 @@ def let_expr(value: Column, body) -> Column:
     return F.transform(F.array(value), body)[0]
 
 
+def parallelize_narrow_scan(df: DataFrame) -> DataFrame:
+    """Spread a low-partition input across the cluster before heavy
+    per-row map work (shingling, per-token hashing, per-char-gram md5).
+
+    A small parquet file arrives as ONE scan partition (a 50 MB file at
+    bench scale), which serializes the CPU-dominant map stage on a
+    single core while the rest of the cluster idles. Repartitioning
+    costs one shuffle of the raw rows — trivially repaid when the map
+    work is the bottleneck. At 100 TB the scan already has thousands of
+    splits, so the guard makes this a no-op there (getNumPartitions is
+    file-listing metadata, no job).
+
+    Width: 8× the current split count, capped at the cluster's
+    parallelism — each ≤128 MB input split spreads over ~16 MB chunks.
+    Fanning a small file all the way to every core is
+    counterproductive: measured on a 50 MB/5000-doc file (32 cores),
+    8-way repartition runs the simhash pipeline in ~0.57 s vs ~0.95 s
+    at 32-way (scheduling + shuffle overhead) and ~4.6 s cold at 1-way.
+    """
+    sc = df.sparkSession.sparkContext
+    n = df.rdd.getNumPartitions()
+    target = min(sc.defaultParallelism, n * 8)
+    if n < target:
+        return df.repartition(target)
+    return df
+
+
 def shingles_expr(tokens: Column, n: int = 3) -> Column:
     """Word n-gram shingles (distinct) from a token array — the unit of
     near-dup detection. Pure SQL transform/slice: no UDF, no shuffle.
@@ -154,23 +181,31 @@ def winnow_fingerprints(
     no shuffle until the caller aggregates. Output: (id_col, fp) exploded.
     Short docs (< k chars) produce no fingerprints — guarded explicitly
     because Spark's sequence(1, 0) counts DOWN instead of being empty.
-    """
-    hashes = F.when(
-        F.length(text_col) >= k,
-        F.expr(
-            f"transform(sequence(1, length({text_col}) - {k - 1}),"
-            f" i -> cast(conv(substr(md5(substr({text_col}, i, {k})), 1, 15),"
-            " 16, 10) AS BIGINT))"
-        ),
+
+    The per-gram hash array is LET-bound (see let_expr): projected as a
+    named column it gets re-inlined by CollapseProject into every window's
+    ``slice`` — re-hashing the whole doc per window, O(len²) md5 calls
+    (measured 82.5 s for the sf1 corpus; ~9 s bound)."""
+    hashes = F.expr(
+        f"transform(sequence(1, length({text_col}) - {k - 1}),"
+        f" i -> cast(conv(substr(md5(substr({text_col}, i, {k})), 1, 15),"
+        " 16, 10) AS BIGINT))"
+    )
+
+    def windows(h: Column) -> Column:
+        return F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size(h) - (w - 1), F.lit(1))
+                ),
+                lambda j: F.array_min(F.slice(h, j, w)),
+            )
+        )
+
+    fps = F.when(
+        F.length(text_col) >= k, let_expr(hashes, windows)
     ).otherwise(F.array().cast("array<bigint>"))
-    out = df.select(F.col(id_col), hashes.alias("h")).filter(F.size("h") > 0)
-    mins = F.expr(
-        f"transform(sequence(1, greatest(size(h) - {w - 1}, 1)),"
-        f" j -> array_min(slice(h, j, {w})))"
-    )
-    return out.select(
-        id_col, F.explode(F.array_distinct(mins)).alias("fp")
-    )
+    return df.select(F.col(id_col), F.explode(fps).alias("fp"))
 
 
 def chunk_documents(

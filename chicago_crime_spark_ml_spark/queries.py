@@ -57,6 +57,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with the narrow scan fanned out (text.parallelize_
+    narrow_scan): the corpus parquet arrives as 1–2 splits at bench
+    scales, which serializes the CPU-dominant per-token / per-char-gram
+    map stages of the text queries on as many cores. No-op at real
+    scale where the scan already has thousands of splits. r5 scale
+    sweep: the heavy text queries ran ×7–×11 at sf1/sf0.1 purely from
+    the 2-split scan; fanned out they return to the core-parallel band.
+    """
+    from chicago_crime_spark_ml_spark.operators.text import (
+        parallelize_narrow_scan,
+    )
+
+    return parallelize_narrow_scan(load_table(spark, sf_dir, "documents"))
+
+
 def _dsum(c, scale: int = 2):
     """Order-independent cross-engine sum of doubles: cast each term to
     DECIMAL(18,4) (exact, associative addition), round, back to double.
@@ -506,14 +522,24 @@ def approx_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     counting (single pass, no shuffle of raw values). The raw estimate is
     engine-specific, so the oracle-comparable output is the exact count
     plus a within-5% boolean judging the HLL++ estimate (rsd 0.01, so 5%
-    is a > 4σ bound) — a drifting estimate turns the driver row red."""
+    is a > 4σ bound) — a drifting estimate turns the driver row red.
+
+    The exact and approximate counts are computed in SEPARATE single-row
+    aggregations joined at the end: mixing countDistinct (which plans an
+    Expand + two-phase distinct agg) with approx_count_distinct in one
+    ``agg`` drags the wide HLL++ buffers (rsd 0.01 ⇒ 2^14 registers)
+    through the expanded 3×-row sort-fallback path — measured 224 s vs
+    ~10 s split at sf1 (scale-sweep r5 finding)."""
     li = _t(spark, sf_dir, "lineitem")
-    agg = li.agg(
+    approx = li.agg(
         F.approx_count_distinct("l_partkey", 0.01).alias("parts_approx"),
         F.approx_count_distinct("l_orderkey", 0.01).alias("orders_approx"),
+    )
+    exact = li.agg(
         F.countDistinct("l_partkey").alias("n_parts_exact"),
         F.countDistinct("l_orderkey").alias("n_orders_exact"),
     )
+    agg = exact.crossJoin(F.broadcast(approx))
     ok = lambda est, exact: (  # noqa: E731
         F.abs(F.col(est) - F.col(exact)) / F.col(exact) <= F.lit(0.05)
     )
@@ -1958,7 +1984,7 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints bit-identical with the DuckDB oracle."""
     from chicago_crime_spark_ml_spark.operators.text import winnow_fingerprints
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _docs(spark, sf_dir).select("doc_id", "text")
     return winnow_fingerprints(d, k=8, w=4)
 
 
@@ -2847,7 +2873,7 @@ def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     size training corpora before running a real tokenizer. Pure
     regexp_extract_all Column algebra — map-only, identical regex
     semantics in both engines (value-hash-checked)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
 
     def n(pat):
         return F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0)))
@@ -4293,7 +4319,7 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     survives a 100 TB corpus."""
     from chicago_crime_spark_ml_spark.operators.text import decontaminate
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     bench = docs.filter(F.col("source") == "src0")
     corpus = docs.filter(F.col("source") != "src0")
     _, contam = decontaminate(corpus, bench, n=5)
@@ -4335,7 +4361,7 @@ def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokens_expr,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     toks = tokens_expr("text")
     ratio = repetition_ratio_expr(toks, n=2)
     return docs.filter(F.size(toks) >= 2).select(
@@ -5615,7 +5641,7 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-ulp differences can't cross a boundary (text.unigram_logprob)."""
     from chicago_crime_spark_ml_spark.operators.text import unigram_logprob
 
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return unigram_logprob(d, "text", "doc_id")
 
 
@@ -5646,7 +5672,7 @@ def duplicated_passages_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokens_expr,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     sh = d.select(
         "doc_id",
         F.explode(shingles_expr(tokens_expr("text"), 5)).alias("passage"),
@@ -6346,7 +6372,7 @@ def corpus_curation_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         unigram_logprob,
     )
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _docs(spark, sf_dir).select("doc_id", "text")
     toks = tokens_expr("text")
     flags = (
         add_quality_score(d)
@@ -8264,7 +8290,7 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(18,6) ln-term quantization as the unigram query."""
     from chicago_crime_spark_ml_spark.operators.text import tokens_expr
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     toks = docs.select(
         "doc_id", F.posexplode(tokens_expr("text")).alias("pos", "tok")
     )
@@ -8720,7 +8746,7 @@ def doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         _hashed_shingle_sets,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     # hashed shingle keys (8-byte longs, materialized once) instead of
     # ~25-byte n-gram strings: the df agg + join-back shuffles shrink
     # ~3× and the shingle pipeline is evaluated once (the same
