@@ -1016,6 +1016,73 @@ def global_ntile(
     return ranked.withColumn(out_col, tile).drop("__gnt_rank")
 
 
+def global_cumsum(
+    df: DataFrame,
+    order_cols: Sequence[Column | str],
+    weight_col: str,
+    out_col: str = "cumsum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed INCLUSIVE prefix sum of an integer weight over a
+    TOTAL order — ``sum(w) OVER (ORDER BY ... ROWS UNBOUNDED
+    PRECEDING)`` without the single-partition WindowExec. The weighted
+    generalization of global_rank (global_rank ≡ global_cumsum with
+    w=1): range partition (one shuffle), per-partition running sum
+    (parallel window keyed on the range pid), exact per-partition
+    weight totals collected (≤ num_partitions rows, long arithmetic)
+    and added back as prefix offsets.
+
+    The natural consumer is a VALUE HISTOGRAM (value, count): rank
+    statistics of an n-row column reduce to prefix sums over its d ≤ n
+    distinct values — average tie rank = cum − cnt + (cnt+1)/2 — so an
+    exact Spearman/CDF pass shuffles d histogram rows instead of
+    sorting n raw rows on one reducer. Same total-order and
+    localCheckpoint caveats as global_rank (see its docstring);
+    ``weight_col`` must be integral (counts) — totals accumulate in
+    exact long arithmetic, and a null weight is treated as 0.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    n = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"
+    )
+    part = _range_partitioned_with_pid(df, cols, int(n)).localCheckpoint(
+        eager=True
+    )
+    totals = {
+        r["__pid"]: r["w"] or 0
+        for r in part.groupBy("__pid")
+        .agg(F.sum(F.col(weight_col).cast("long")).alias("w"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    off_expr = (
+        F.element_at(
+            F.create_map(
+                *[
+                    F.lit(x)
+                    for pid in sorted(offsets)
+                    for x in (pid, offsets[pid])
+                ]
+            ),
+            F.col("__pid"),
+        )
+        if offsets
+        else F.lit(0)
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum(F.coalesce(F.col(weight_col), F.lit(0)).cast("long"))
+    return part.withColumn(
+        out_col, (running.over(w) + off_expr).cast("long")
+    ).drop("__pid")
+
+
 def topk_per_group_combiner(
     df: DataFrame,
     group_cols: Sequence[str],

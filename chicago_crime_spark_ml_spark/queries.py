@@ -2752,25 +2752,65 @@ def supplier_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation candidate pairs, not the full cross product. This blocking-key
     pattern (exact key ⋈, expensive distance post-filter) is how fuzzy
     joins stay feasible at scale; the dedup family's LSH operators are
-    the same idea with learned/hashed blocking keys."""
-    s = _t(spark, sf_dir, "supplier")
-    a = s.select(
+    the same idea with learned/hashed blocking keys.
+
+    Blocking is the deletion neighborhood (FastSS): two strings at edit
+    distance ≤ 1 (substitution, insertion, deletion, or equality) MUST
+    share a member of {name} ∪ {name with one char deleted}, so the
+    equi-join key (nation, xxhash64(variant)) recalls every true pair
+    while generating only Σ block² candidates instead of the within-
+    nation cross product — the nation-only blocking ran ×30 at sf1/sf0.1
+    (r5 scale sweep: 0.45 s → 13.9 s) because within-nation pairs are
+    quadratic in supplier count. Hash collisions can only ADD candidates
+    (equality is preserved), and the exact levenshtein rescore removes
+    them, so the result set is identical."""
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_nationkey", "s_suppkey", "s_name"
+    )
+    variants = F.array_distinct(
+        F.concat(
+            F.array(F.col("s_name")),
+            F.when(
+                F.length("s_name") > 0,
+                F.expr(
+                    "transform(sequence(1, length(s_name)),"
+                    " i -> concat(left(s_name, i - 1), substr(s_name, i + 1)))"
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        )
+    )
+    keyed = s.select(
         "s_nationkey",
+        "s_suppkey",
+        "s_name",
+        F.explode(variants).alias("v"),
+    ).select(
+        "s_nationkey", "s_suppkey", "s_name", F.xxhash64("v").alias("k")
+    )
+    a = keyed.select(
+        "s_nationkey",
+        "k",
         F.col("s_suppkey").alias("suppkey_a"),
         F.col("s_name").alias("name_a"),
     )
-    b = s.select(
+    b = keyed.select(
         F.col("s_nationkey").alias("nk_b"),
+        F.col("k").alias("k_b"),
         F.col("s_suppkey").alias("suppkey_b"),
         F.col("s_name").alias("name_b"),
     )
-    return (
+    cand = (
         a.join(
             b,
             (a["s_nationkey"] == b["nk_b"])
+            & (a["k"] == b["k_b"])
             & (a["suppkey_a"] < b["suppkey_b"]),
         )
-        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .select("s_nationkey", "suppkey_a", "suppkey_b", "name_a", "name_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
         .filter(F.col("edit_dist") <= 1)
         .select("s_nationkey", "suppkey_a", "suppkey_b", "edit_dist")
     )
@@ -7329,36 +7369,75 @@ def spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman rank correlation (tie-corrected via average ranks =
     rank() + (ties−1)/2) between quantity and extended price —
     complements lineitem_correlations' Pearson with the monotonic-
-    association view. Ranks need two global sorts (inherent to exact
-    Spearman; at 100 TB you'd bucket into approximate ranks via KLL
-    sketch CDFs instead — the sketch path already in the catalog). All
-    five moment sums accumulate in exact DECIMAL so the closed-form rho
-    is computed from bit-identical operands on both engines; ranks are
-    half-integers, exactly representable, and their products stay inside
-    double's exact range."""
+    association view.
+
+    Exact, but WITHOUT the oracle's two n-row global sorts (31 s at sf1
+    as single-reducer windows, r5 scale sweep): every rank moment
+    depends only on the VALUE HISTOGRAMS. One shuffle builds the joint
+    (x, y) histogram with map-side partial aggregation; the marginals
+    fall out of it; average tie ranks come from relational.global_cumsum
+    (range-partitioned exact prefix sums) over each d-row marginal
+    (avg rank = cum − cnt + (cnt+1)/2); the five moment sums then weight
+    each histogram row by its count. At 100 TB this shuffles d distinct
+    values instead of sorting n rows. All arithmetic is exact: ranks are
+    half-integers (k/2 ≤ n ≤ 2^52 in double), their pairwise products
+    are quarter-integers ≤ n² (decimal(28,2) holds them), and
+    count-weighted sums accumulate in DECIMAL before the single final
+    cast to double — bit-identical to the oracle's per-row
+    decimal(38,6) sums."""
+    from chicago_crime_spark_ml_spark.operators.relational import (
+        global_cumsum,
+    )
+
     li = _t(spark, sf_dir, "lineitem").select(
         F.col("l_quantity").cast("double").alias("x"),
         F.col("l_extendedprice").cast("double").alias("y"),
     )
-    rx = F.rank().over(Window.orderBy("x")) + (
-        F.count(F.lit(1)).over(Window.partitionBy("x")) - 1
-    ) / 2.0
-    ry = F.rank().over(Window.orderBy("y")) + (
-        F.count(F.lit(1)).over(Window.partitionBy("y")) - 1
-    ) / 2.0
-    rk = li.select(rx.alias("rx"), ry.alias("ry"))
-
-    def dsum38(c):
-        return F.sum(c.cast("decimal(38,6)")).cast("double")
-
-    s = rk.agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        dsum38(F.col("rx")).alias("sx"),
-        dsum38(F.col("ry")).alias("sy"),
-        dsum38(F.col("rx") * F.col("rx")).alias("sxx"),
-        dsum38(F.col("ry") * F.col("ry")).alias("syy"),
-        dsum38(F.col("rx") * F.col("ry")).alias("sxy"),
+    # materialized once: the joint histogram feeds both marginals and the
+    # sxy agg — without the barrier each branch re-runs the scan+shuffle
+    pairs = (
+        li.groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
     )
+
+    def avg_ranks(col: str) -> DataFrame:
+        h = pairs.groupBy(col).agg(F.sum("cnt").alias("cnt"))
+        h = global_cumsum(h, [col], "cnt", "cum")
+        r = F.col("cum") - F.col("cnt") + (F.col("cnt") + 1) / 2.0
+        return h.select(col, F.col("cnt").alias(f"cnt_{col}"), r.alias(f"r{col}"))
+
+    hx, hy = avg_ranks("x"), avg_ranks("y")
+
+    def wsum(w: Column, v: Column) -> Column:
+        # v is a half/quarter-integer double ≤ n² — decimal(28,2) exact;
+        # the count weight multiplies INSIDE decimal (w·v can pass 2^53)
+        return F.sum(w.cast("decimal(10,0)") * v.cast("decimal(28,2)"))
+
+    # marginal moments: one tiny agg per axis
+    mx = hx.agg(
+        F.sum("cnt_x").cast("double").alias("n"),
+        wsum(F.col("cnt_x"), F.col("rx")).cast("double").alias("sx"),
+        wsum(F.col("cnt_x"), F.col("rx") * F.col("rx"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    my = hy.agg(
+        wsum(F.col("cnt_y"), F.col("ry")).cast("double").alias("sy"),
+        wsum(F.col("cnt_y"), F.col("ry") * F.col("ry"))
+        .cast("double")
+        .alias("syy"),
+    )
+    jxy = (
+        pairs.join(F.broadcast(hx.drop("cnt_x")), "x")
+        .join(hy.drop("cnt_y"), "y")
+        .agg(
+            wsum(F.col("cnt"), F.col("rx") * F.col("ry"))
+            .cast("double")
+            .alias("sxy")
+        )
+    )
+    s = mx.crossJoin(F.broadcast(my)).crossJoin(F.broadcast(jxy))
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
     return s.select(

@@ -478,7 +478,9 @@ EXCHANGE_BUDGET = [
     ("order_value_psi_drift", 3),
     ("repeat_purchase_survival_km", 6),
     ("customer_revenue_gini", 6),
-    ("spearman_qty_price", 2),
+    # r5 histogram rewrite: the exchanges are windows/aggs over d-row
+    # value histograms (global_cumsum two-pass), not n-row global sorts
+    ("spearman_qty_price", 11),
     ("order_value_ks_two_sample", 4),
     ("part_outstanding_balance_peak", 3),
     ("ship_leadtime_percentiles_by_month", 3),
@@ -498,7 +500,8 @@ EXCHANGE_BUDGET = [
     ("order_totalprice_reconciliation", 4),
     ("segment_survival_logrank", 13),
     ("source_unigram_jsd", 12),
-    ("doc_bigram_logprob", 11),
+    # +3 r5: parallelize_narrow_scan repartition per scan branch
+    ("doc_bigram_logprob", 14),
     ("token_zipf_slope", 2),
     ("split_leakage_audit", 10),
     ("contrastive_negative_pairs", 5),
