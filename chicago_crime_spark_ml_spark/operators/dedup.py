@@ -394,7 +394,13 @@ def connected_components(
     callers re-attach edge-free rows with label = own id.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # materialized ONCE: und is re-joined every round, and without the
+    # barrier each round re-executes the caller's whole pair-generation
+    # pipeline (shingle → band → join → rescore) through the lazy plan —
+    # measured as the dominant cost of the cluster queries (r5 sweep)
+    und = e.union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
     labels = (
         und.select(F.col("a").alias("node"))
         .distinct()

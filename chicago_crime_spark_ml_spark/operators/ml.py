@@ -462,7 +462,15 @@ def als_recommendations(
     engine at warehouse scale: interactions shuffle once into blocks,
     factors stay distributed, only the final top-k per user leaves.
     Returns (recs_df, model): recs as (user, item, score) exploded rows.
-    """
+
+    Scale note: training cost is linear in interactions, but
+    ``recommendForAllUsers`` scores every user against every item
+    (blocked factor matmuls — |U|·|I|·rank FLOPs; the r5 scale sweep
+    measured its superlinear growth: 10× data ⇒ ~100× score space).
+    At real catalog sizes serve top-k from the factor matrices with the
+    engine's ANN operators instead (write_ivf_index / probe_ivf_index
+    over ``model.itemFactors``) — exact full-catalog scoring is a
+    certification-scale tool, not the 100 TB serving path."""
     from pyspark.ml.recommendation import ALS  # noqa: PLC0415
 
     als = ALS(

@@ -2043,19 +2043,26 @@ def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup CLUSTER assignment: connected components over the exact
+    """Near-dup CLUSTER assignment: connected components over the
     Jaccard≥0.8 pair graph — every document labeled with the min doc_id
     reachable from it (the canonical representative to keep). The
     pairs→components→representative chain is the complete corpus-dedup
     pipeline at scale; the oracle computes the same components with a
-    DuckDB recursive CTE (transitive closure + min label)."""
+    DuckDB recursive CTE (transitive closure + min label).
+
+    Pairs come from the banded MinHash front-end with the exact
+    set-Jaccard rescore (16 OR tables ⇒ per-pair miss ≤ 6.6e-12 at
+    J ≥ 0.8 — the same certainty contract minhash_lsh_near_dups holds
+    against its exact oracle): the r5 scale sweep measured the uncapped
+    inverted-index generator at ×11 on 10× data (Σdf² growth), while
+    banding keeps candidate generation sublinear."""
     from chicago_crime_spark_ml_spark.operators.dedup import (
         connected_components,
-        ngram_jaccard_pairs,
+        minhash_lsh_pairs,
     )
 
     d = _t(spark, sf_dir, "documents")
-    comp = connected_components(ngram_jaccard_pairs(d, threshold=0.8, max_df=None))
+    comp = connected_components(minhash_lsh_pairs(d, num_hashes=16, jaccard_threshold=0.8))
     return d.select("doc_id").join(
         comp, d["doc_id"] == comp["node"], "left"
     ).select(
@@ -6896,19 +6903,21 @@ def null_safe_segment_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def near_dup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup ENDGAME: which document survives each near-dup
-    cluster. Components over the Jaccard≥0.8 graph, then per-cluster
-    argmax on (quality score, smallest-id tiebreak) via one struct-max
+    cluster. Components over the Jaccard≥0.8 graph (banded MinHash
+    candidates + exact set-Jaccard rescore, miss ≤ 6.6e-12 per pair at
+    16 bands — see near_dup_clusters), then per-cluster argmax on
+    (quality score, smallest-id tiebreak) via one struct-max
     aggregation — no per-cluster sort, no second join. Output is the
     keep-list every curation run materializes: cluster → canonical doc,
     member count, winning quality."""
     from chicago_crime_spark_ml_spark.operators.dedup import (
         connected_components,
-        ngram_jaccard_pairs,
+        minhash_lsh_pairs,
     )
     from chicago_crime_spark_ml_spark.operators.text import add_quality_score
 
     d = _t(spark, sf_dir, "documents")
-    comp = connected_components(ngram_jaccard_pairs(d, threshold=0.8, max_df=None))
+    comp = connected_components(minhash_lsh_pairs(d, num_hashes=16, jaccard_threshold=0.8))
     clusters = d.select("doc_id").join(
         comp, d["doc_id"] == comp["node"], "left"
     ).select("doc_id", F.coalesce("label", "doc_id").alias("cluster_id"))
@@ -9590,23 +9599,24 @@ def reference_sort_quirk_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train/test leakage audit: near-duplicate pairs (exact Jaccard ≥
-    0.8, the oracle-checked ground truth) that STRADDLE split
-    boundaries — each one is an eval answer sitting in the training set.
-    The audit every LLM data pipeline must run after hash-splitting,
-    because hash splits are content-blind: composes the near-dup
-    machinery with the deterministic md5 split (doc_split_assignment).
-    At scale the pair list comes from the LSH front-end; the join to
-    split labels is id-keyed either way. The fix when this is red:
-    assign splits by near-dup CLUSTER id (near_dup_canonical_docs), not
-    raw doc id."""
+    """Train/test leakage audit: near-duplicate pairs (Jaccard ≥ 0.8)
+    that STRADDLE split boundaries — each one is an eval answer sitting
+    in the training set. The audit every LLM data pipeline must run
+    after hash-splitting, because hash splits are content-blind:
+    composes the near-dup machinery with the deterministic md5 split
+    (doc_split_assignment). The pair list comes from the banded MinHash
+    front-end with exact rescore (16 bands, per-pair miss ≤ 6.6e-12 at
+    J ≥ 0.8 — the 100 TB shape; the r5 sweep measured the uncapped
+    inverted-index generator superlinear); the join to split labels is
+    id-keyed either way. The fix when this is red: assign splits by
+    near-dup CLUSTER id (near_dup_canonical_docs), not raw doc id."""
     from chicago_crime_spark_ml_spark.operators.dedup import (
-        ngram_jaccard_pairs,
+        minhash_lsh_pairs,
     )
     from chicago_crime_spark_ml_spark.operators.ml import hash_split
 
     d = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, threshold=0.8, max_df=None).select("id_a", "id_b")
+    pairs = minhash_lsh_pairs(d, num_hashes=16, jaccard_threshold=0.8).select("id_a", "id_b")
     split = hash_split(d.select("doc_id"), "doc_id").select(
         "doc_id", "split"
     )
@@ -9707,15 +9717,17 @@ def cluster_aware_split_assignment(
     cluster lands in the same split and cross-split leakage is zero BY
     CONSTRUCTION (asserted in tests/test_text_dedup.py). Same md5 bucket
     arithmetic as doc_split_assignment, applied to the connected-
-    component label; composition of two already-oracle-checked stages."""
+    component label (banded MinHash pairs + exact rescore, see
+    near_dup_clusters); composition of two already-oracle-checked
+    stages."""
     from chicago_crime_spark_ml_spark.operators.dedup import (
         connected_components,
-        ngram_jaccard_pairs,
+        minhash_lsh_pairs,
     )
     from chicago_crime_spark_ml_spark.operators.ml import hash_split
 
     d = _t(spark, sf_dir, "documents")
-    comp = connected_components(ngram_jaccard_pairs(d, threshold=0.8, max_df=None))
+    comp = connected_components(minhash_lsh_pairs(d, num_hashes=16, jaccard_threshold=0.8))
     canon = (
         d.select("doc_id")
         .join(comp, F.col("doc_id") == F.col("node"), "left")

@@ -125,13 +125,29 @@ def main() -> None:
         "documents": lambda df: replicate(df, copies, doc_special),
         "embeddings": lambda df: replicate(df, copies, emb_special),
     }
+    # Files per table: real 100 TB tables arrive as MANY splits, so the
+    # stress data must too — a single-file/single-row-group table caps
+    # every scan stage at one task regardless of spark.sql.files.
+    # maxPartitionBytes (a row group is indivisible), which measured as
+    # a phantom x5-x10 "superlinear" band across the whole catalog in
+    # the first r5 sweep (the map stages serialized on 1-2 cores).
+    width = {
+        "region": 1,
+        "nation": 1,
+        "supplier": 2,
+        "customer": 4,
+        "part": 4,
+        "orders": 8,
+        "events": 8,
+        "documents": 8,
+        "embeddings": 8,
+        "lineitem": 16,
+    }
     os.makedirs(dst, exist_ok=True)
     for t, fn in plans.items():
         df = fn(load_table(spark, src, t))
         path = os.path.join(dst, f"{t}.parquet")
-        df.coalesce(max(1, 4 if t == "lineitem" else 1)).write.mode(
-            "overwrite"
-        ).parquet(path)
+        df.repartition(width[t]).write.mode("overwrite").parquet(path)
         print(f"{t}: {spark.read.parquet(path).count()} rows -> {path}")
     spark.stop()
 

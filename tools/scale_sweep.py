@@ -26,6 +26,16 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+# By-design-superlinear certification queries, skipped (and logged) so a
+# sweep doesn't spend 8+ minutes re-measuring a documented O(n²) oracle
+# side: embedding_blocked_exact_parity's whole point is comparing the
+# blocked path against a brute-force twin (501 s at sf1, ×16 — measured
+# once in the r5 sweep and recorded in SCALE.md). The blocked production
+# path itself IS swept, as embedding_near_dup_pairs.
+SKIP = {
+    "embedding_blocked_exact_parity": "brute-force parity twin, O(n^2 d)"
+}
+
 
 def sweep(sf_dir: str, names, spark) -> dict[str, float]:
     from chicago_crime_spark_ml_spark.queries import QUERIES
@@ -51,7 +61,9 @@ def main(small: str, big: str, out_path: str | None) -> int:
     from chicago_crime_spark_ml_spark.queries import QUERIES
 
     spark = get_spark("scale-sweep")
-    names = list(QUERIES)
+    names = [n for n in QUERIES if n not in SKIP]
+    for n, why in SKIP.items():
+        print(f"SKIPPED {n}: {why}", flush=True)
     print(f"== {small} ==", flush=True)
     t_small = sweep(small, names, spark)
     print(f"== {big} ==", flush=True)
