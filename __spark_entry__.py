@@ -117,6 +117,22 @@ _STATS_TIER_NUDGE = [
     "simpsons_paradox_check",
 ]
 
+# Green queries whose ENGINE side was rewritten in round 5 (scale-sweep
+# fixes: HLL/exact split, LET-bound winnowing, histogram Spearman,
+# deletion-neighborhood fuzzy blocking, banded cluster pair-gen): their
+# existing driver rows certified the OLD implementation, so they outrank
+# the other greens for re-certification when the driver's bounded budget
+# reaches past the never-checked tier. Self-demoting: once re-checked
+# green they are indistinguishable from (and sorted with) other greens
+# in later rounds' evidence, and the list is refreshed per round.
+_REWRITTEN_GREENS = [
+    "approx_distinct_counts",
+    "spearman_qty_price",
+    "supplier_name_fuzzy_pairs",
+    "doc_winnow_fingerprints",
+    "near_dup_clusters",
+]
+
 
 def _rotated(catalog: dict) -> dict:
     """Never-green first. Within never-green: last round's reds (just
@@ -131,9 +147,11 @@ def _rotated(catalog: dict) -> dict:
     new = _new_since_snapshot(catalog)
     nudge = {n: i for i, n in enumerate(_STATS_TIER_NUDGE)}
 
+    rewritten = {n: i for i, n in enumerate(_REWRITTEN_GREENS)}
+
     def tier(k: str) -> tuple[int, int]:
         if k in green:
-            return (5, 0)
+            return (5, rewritten.get(k, len(_REWRITTEN_GREENS)))
         if k in reds:
             return (0, 0)
         if k in new:
