@@ -229,3 +229,83 @@ def test_combiner_topk_ascending_and_empty(spark):
     assert topk_per_group_combiner(
         empty, ["o_orderpriority"], "o_totalprice", 3
     ).count() == 0
+
+
+def test_global_cumsum_equals_global_window(spark, sf_dir):
+    from chicago_crime_spark_ml_spark.operators.relational import (
+        global_cumsum,
+    )
+
+    # value histogram of order priorities per day — the operator's
+    # natural consumer shape (distinct key, integer weight)
+    h = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderdate")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    got = {
+        (r.o_orderdate, r.cum)
+        for r in global_cumsum(
+            h, ["o_orderdate"], "cnt", out_col="cum", num_partitions=8
+        ).collect()
+    }
+    want = {
+        (r.o_orderdate, r.cum)
+        for r in h.withColumn(
+            "cum",
+            F.sum("cnt").over(
+                Window.orderBy("o_orderdate").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_global_cumsum_weights_spanning_partitions(spark):
+    from chicago_crime_spark_ml_spark.operators.relational import (
+        global_cumsum,
+    )
+
+    # 4001 distinct keys over 16 range partitions with non-uniform
+    # weights: every per-partition offset is exercised, and the final
+    # cumulative value must equal the exact total
+    df = spark.range(0, 4001, 1, 16).select(
+        F.col("id").alias("v"), (F.col("id") % 7 + 1).alias("w")
+    )
+    rows = global_cumsum(df, ["v"], "w", out_col="cum", num_partitions=16)
+    got = {(r.v, r.cum) for r in rows.collect()}
+    acc, want = 0, set()
+    for v in range(4001):
+        acc += v % 7 + 1
+        want.add((v, acc))
+    assert got == want
+
+
+def test_global_cumsum_plan_has_no_single_partition_window(spark):
+    from chicago_crime_spark_ml_spark.operators.relational import (
+        global_cumsum,
+    )
+
+    df = spark.range(0, 100, 1, 4).select(
+        F.col("id").alias("v"), F.lit(1).alias("w")
+    )
+    plan = explain_str(global_cumsum(df, ["v"], "w"), "simple")
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(__pid" in plan
+
+
+def test_global_cumsum_null_weight_is_zero(spark):
+    from chicago_crime_spark_ml_spark.operators.relational import (
+        global_cumsum,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, None), (3, 7)], "v int, w int"
+    )
+    got = {
+        (r.v, r.cum)
+        for r in global_cumsum(df, ["v"], "w", out_col="cum").collect()
+    }
+    assert got == {(1, 5), (2, 5), (3, 12)}
