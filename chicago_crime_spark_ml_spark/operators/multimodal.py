@@ -10,11 +10,16 @@ Design for 100 TB of media:
 - decode/feature-extraction runs as Arrow-batched ``mapInPandas``
   (one Python worker per partition, vectorized batches — never
   row-at-a-time UDFs);
-- the actual codec step is STUBBED here (no image/audio libs in this
-  container): ``decode_stub=True`` produces deterministic fake features
-  from the bytes, ``decode_stub=False`` raises NotImplementedError where
-  a real pillow/ffmpeg call would go. The Spark-side plumbing — schema,
-  batch shape, partitioning — is real and tested.
+- the codec step has TWO paths. ``decode_stub=True`` (default in this
+  hermetic environment) produces deterministic fake features from the
+  raw bytes. ``decode_stub=False`` runs a REAL decode for the formats
+  the standard library + numpy can genuinely parse: RIFF/WAVE PCM audio
+  (8/16/24/32-bit, any channel count, via stdlib ``wave``) and binary
+  netpbm images (P5 PGM grayscale / P6 PPM RGB, 8- and 16-bit samples)
+  — no third-party codec libs required. Compressed formats (JPEG/PNG/
+  FLAC/MP4) still require PIL/soundfile/ffmpeg and raise a clear
+  ``ValueError``/``NotImplementedError`` naming the gap; the dispatch,
+  schema, batch shape, and partitioning are identical for both paths.
 """
 
 from __future__ import annotations
@@ -29,6 +34,97 @@ FEATURE_DIM = 4
 FEATURES_SCHEMA = (
     "doc_id BIGINT, n_bytes INT, features ARRAY<DOUBLE>"
 )
+
+
+def decode_netpbm(buf: bytes):
+    """Real binary-netpbm image decode (pure numpy, no codec libs).
+
+    Returns an (height, width, channels) float64 array in [0, 1] for
+    P5 (PGM, 1 channel) / P6 (PPM, 3 channels) blobs with 8- or 16-bit
+    samples (16-bit rasters are big-endian per the netpbm spec), or
+    ``None`` when the magic number is not P5/P6 so callers can
+    dispatch. Header comments (``#`` to end-of-line) are honored.
+    Truncated rasters raise ``ValueError`` — a short file is corrupt
+    data, not a different format.
+    """
+    import numpy as np  # noqa: PLC0415
+
+    buf = bytes(buf)
+    if buf[:2] not in (b"P5", b"P6"):
+        return None
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(buf) and buf[pos : pos + 1].isspace():
+            pos += 1
+        if buf[pos : pos + 1] == b"#":
+            while pos < len(buf) and buf[pos] not in (10, 13):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("netpbm: truncated header")
+        vals.append(int(buf[start:pos]))
+    pos += 1  # exactly one whitespace byte separates maxval from raster
+    width, height, maxval = vals
+    channels = 1 if buf[:2] == b"P5" else 3
+    dtype = np.dtype(">u2") if maxval > 255 else np.dtype("u1")
+    n = width * height * channels
+    raster = buf[pos : pos + n * dtype.itemsize]
+    if len(raster) < n * dtype.itemsize:
+        raise ValueError(
+            f"netpbm: raster truncated ({len(raster)} bytes, "
+            f"expected {n * dtype.itemsize})"
+        )
+    pix = np.frombuffer(raster, dtype=dtype).astype(np.float64) / maxval
+    return pix.reshape(height, width, channels)
+
+
+def decode_wav(buf: bytes):
+    """Real RIFF/WAVE PCM decode via the standard-library ``wave``
+    module — no third-party audio libs. Returns mono float64 samples in
+    [-1, 1] (channels averaged), or ``None`` when the blob is not
+    RIFF/WAVE so callers can dispatch. Supports 8-bit unsigned and
+    16/24/32-bit signed little-endian PCM; 24-bit is sign-extended by
+    hand (numpy has no int24). Compressed WAV (e.g. μ-law) raises
+    ``ValueError``.
+    """
+    import io  # noqa: PLC0415
+    import wave  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    buf = bytes(buf)
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        return None
+    try:
+        with wave.open(io.BytesIO(buf)) as w:
+            nch, width = w.getnchannels(), w.getsampwidth()
+            frames = w.readframes(w.getnframes())
+    except wave.Error as e:
+        raise ValueError(f"WAV: unsupported encoding ({e})") from e
+    if width == 1:
+        x = np.frombuffer(frames, dtype=np.uint8).astype(np.float64)
+        x = (x - 128.0) / 128.0
+    elif width in (2, 4):
+        x = np.frombuffer(frames, dtype=f"<i{width}").astype(np.float64)
+        x /= float(2 ** (8 * width - 1))
+    elif width == 3:
+        raw = np.frombuffer(frames, dtype=np.uint8).reshape(-1, 3)
+        ext = np.where(raw[:, 2] >= 0x80, 0xFF, 0x00).astype(np.uint8)
+        x = (
+            np.column_stack([raw, ext])
+            .view("<i4")
+            .ravel()
+            .astype(np.float64)
+            / float(2**23)
+        )
+    else:
+        raise ValueError(f"WAV: unsupported sample width {width}")
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    return x
 
 
 def attach_blob(
@@ -61,9 +157,12 @@ def extract_features(
     the bytes actually needed cross it (column pruning stops at
     mapInPandas; do it by hand).
 
-    The decode itself is a stub: deterministic features from byte stats
-    (mean/spread/len — reproducible across runs) where a real pipeline
-    would call PIL/torchvision/ffmpeg per batch.
+    ``decode_stub=True``: deterministic features from raw byte stats
+    (mean/spread/len — reproducible across runs). ``decode_stub=False``:
+    REAL image decode (netpbm P5/P6 via :func:`decode_netpbm`) —
+    features are pixel statistics (mean, std, min, aspect ratio) of the
+    decoded raster; non-netpbm blobs raise ``ValueError`` naming the
+    supported codecs (JPEG/PNG need PIL, absent here).
     """
 
     def batches(it: Iterator) -> Iterator:
@@ -71,11 +170,6 @@ def extract_features(
         import pandas as pd
 
         for pdf in it:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real media decode requires image/audio libs not in "
-                    "this container; run with decode_stub=True"
-                )
             ids = []
             feats = []
             nbytes = []
@@ -84,6 +178,26 @@ def extract_features(
             # Python worker, killing the whole query for one bad row.
             for did, buf in zip(pdf[id_col], pdf[blob_col]):
                 if buf is None:
+                    continue
+                if not decode_stub:
+                    pix = decode_netpbm(bytes(buf))
+                    if pix is None:
+                        raise ValueError(
+                            "extract_features(decode_stub=False) decodes "
+                            "binary netpbm (P5/P6) only; JPEG/PNG need "
+                            "image libs not in this container"
+                        )
+                    ids.append(did)
+                    nbytes.append(len(bytes(buf)))
+                    h, w = pix.shape[0], pix.shape[1]
+                    feats.append(
+                        [
+                            float(pix.mean()),
+                            float(pix.std()),
+                            float(pix.min()),
+                            float(w) / float(h) if h else 0.0,
+                        ]
+                    )
                     continue
                 arr = np.frombuffer(bytes(buf), dtype=np.uint8)
                 n = int(arr.size)
@@ -122,12 +236,17 @@ def resize_images(
     id_col: str = "doc_id",
     decode_stub: bool = True,
 ) -> DataFrame:
-    """Batch image resize over binary blobs (mapInPandas). The codec is
-    stubbed (no PIL in this container): deterministic byte-stride
-    downsample to width×height bytes stands in for decode→resize→encode.
-    The Spark side is the real contract: project only (id, blob) across
-    the Arrow boundary, one Python worker per partition, output schema
-    fixed so downstream pruning works."""
+    """Batch image resize over binary blobs (mapInPandas).
+
+    ``decode_stub=True``: deterministic byte-stride downsample to
+    width×height bytes stands in for decode→resize→encode.
+    ``decode_stub=False``: REAL decode (netpbm P5/P6) + 2-D
+    nearest-neighbor resize to (height, width) preserving channels —
+    ``n_out_bytes`` is the resized 8-bit raster size, ``mean_byte`` the
+    resized mean sample. The Spark side is identical for both paths:
+    project only (id, blob) across the Arrow boundary, one Python
+    worker per partition, output schema fixed so downstream pruning
+    works."""
 
     def batches(it):
         import numpy as np  # noqa: PLC0415
@@ -135,13 +254,29 @@ def resize_images(
 
         target = width * height
         for pdf in it:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real resize requires image libs not in this container"
-                )
             ids, out, means = [], [], []
             for did, buf in zip(pdf[id_col], pdf[blob_col]):
                 if buf is None:  # NULL blob: skip, don't TypeError
+                    continue
+                if not decode_stub:
+                    pix = decode_netpbm(bytes(buf))
+                    if pix is None:
+                        raise ValueError(
+                            "resize_images(decode_stub=False) decodes "
+                            "binary netpbm (P5/P6) only; JPEG/PNG need "
+                            "image libs not in this container"
+                        )
+                    h_in, w_in = pix.shape[0], pix.shape[1]
+                    rows = np.minimum(
+                        (np.arange(height) * h_in) // height, h_in - 1
+                    )
+                    cols = np.minimum(
+                        (np.arange(width) * w_in) // width, w_in - 1
+                    )
+                    resized = pix[rows][:, cols]
+                    ids.append(did)
+                    out.append(int(resized.size))
+                    means.append(float(resized.mean()))
                     continue
                 arr = np.frombuffer(bytes(buf), dtype=np.uint8)
                 ids.append(did)
@@ -233,11 +368,14 @@ def audio_window_envelope(
     """Windowed audio envelope (RMS + peak per fixed-size sample window)
     over binary audio blobs — the waveform-summarization step an audio
     training pipeline runs before filtering/captioning. mapInPandas,
-    Arrow-batched; the PCM decode is STUBBED (no audio libs in this
-    container): bytes are interpreted as uint8 "samples" deterministically,
-    where a real pipeline would call soundfile/ffmpeg per batch. Fan-out
+    Arrow-batched. ``decode_stub=True``: bytes are interpreted as uint8
+    "samples" deterministically. ``decode_stub=False``: REAL RIFF/WAVE
+    PCM decode via :func:`decode_wav` (stdlib ``wave`` — 8/16/24/32-bit,
+    channels averaged to mono); non-WAV blobs raise ``ValueError``
+    (compressed audio needs soundfile/ffmpeg, absent here). Fan-out
     (one row per window) happens inside the Python stage — no shuffle;
-    the schema, batching, and windowing arithmetic are the real thing.
+    the schema, batching, and windowing arithmetic are identical for
+    both paths.
     """
 
     def batches(it):
@@ -245,14 +383,30 @@ def audio_window_envelope(
         import pandas as pd  # noqa: PLC0415
 
         for pdf in it:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real PCM decode requires audio libs not in this "
-                    "container; run with decode_stub=True"
-                )
             out = {k: [] for k in ("doc_id", "window_idx", "rms", "peak", "n_samples")}
             for did, buf in zip(pdf[id_col], pdf[blob_col]):
                 if buf is None:  # NULL blob: skip, don't TypeError
+                    continue
+                if not decode_stub:
+                    arr = decode_wav(bytes(buf))
+                    if arr is None:
+                        raise ValueError(
+                            "audio_window_envelope(decode_stub=False) "
+                            "decodes RIFF/WAVE PCM only; compressed "
+                            "audio needs libs not in this container"
+                        )
+                    for w in range(max(1, -(-arr.size // window_samples))):
+                        seg = arr[w * window_samples:(w + 1) * window_samples]
+                        n = int(seg.size)
+                        out["doc_id"].append(int(did))
+                        out["window_idx"].append(w)
+                        out["rms"].append(
+                            float(np.sqrt((seg**2).mean())) if n else 0.0
+                        )
+                        out["peak"].append(
+                            float(np.abs(seg).max()) if n else 0.0
+                        )
+                        out["n_samples"].append(n)
                     continue
                 arr = np.frombuffer(bytes(buf), dtype=np.uint8).astype(np.float64)
                 arr = (arr - 128.0) / 128.0  # center like signed PCM

@@ -1,0 +1,191 @@
+"""Real codec paths behind the multimodal operators (decode_stub=False):
+RIFF/WAVE PCM audio via stdlib ``wave`` and binary netpbm (P5 PGM / P6
+PPM) images via pure numpy — genuinely decoded, verified against
+numpy-computed ground truth through the full Spark mapInPandas path.
+Compressed formats (JPEG/FLAC/…) stay gated: unrecognized blobs raise.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+import numpy as np
+import pytest
+
+from chicago_crime_spark_ml_spark.operators.multimodal import (
+    audio_window_envelope,
+    decode_netpbm,
+    decode_wav,
+    extract_features,
+    resize_images,
+)
+
+
+def make_wav(samples: np.ndarray, width: int, nch: int = 1,
+             rate: int = 8000) -> bytes:
+    """Encode float samples in [-1, 1] as PCM WAV bytes. ``samples`` is
+    (n,) for mono or (n, nch); 24-bit is packed by hand (wave writes
+    whatever 3-byte frames it is given)."""
+    x = np.asarray(samples, dtype=np.float64).reshape(-1, nch)
+    if width == 1:
+        raw = (np.clip(x, -1, 1) * 127 + 128).astype(np.uint8).tobytes()
+    elif width in (2, 4):
+        scale = 2 ** (8 * width - 1) - 1
+        raw = (np.clip(x, -1, 1) * scale).astype(f"<i{width}").tobytes()
+    else:  # 24-bit: low 3 bytes of the int32 little-endian encoding
+        ints = (np.clip(x, -1, 1) * (2**23 - 1)).astype("<i4")
+        b4 = ints.tobytes()
+        raw = b"".join(
+            b4[i : i + 3] for i in range(0, len(b4), 4)
+        )
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        w.writeframes(raw)
+    return bio.getvalue()
+
+
+def make_pgm(pix: np.ndarray, maxval: int = 255,
+             comment: bool = False) -> bytes:
+    """Encode a (h, w) integer array as binary PGM (P5)."""
+    h, w = pix.shape
+    hdr = b"P5\n" + (b"# synthetic\n" if comment else b"")
+    hdr += f"{w} {h}\n{maxval}\n".encode()
+    body = pix.astype(">u2" if maxval > 255 else "u1").tobytes()
+    return hdr + body
+
+
+def make_ppm(pix: np.ndarray, maxval: int = 255) -> bytes:
+    """Encode a (h, w, 3) integer array as binary PPM (P6)."""
+    h, w, _ = pix.shape
+    hdr = f"P6\n{w} {h}\n{maxval}\n".encode()
+    return hdr + pix.astype(">u2" if maxval > 255 else "u1").tobytes()
+
+
+# ---------------------------------------------------------------- decoders
+
+
+def test_decode_wav_16bit_roundtrip():
+    rng = np.random.default_rng(7)
+    x = rng.uniform(-0.9, 0.9, size=300)
+    got = decode_wav(make_wav(x, width=2))
+    assert got.shape == (300,)
+    # encoder truncates to int16 at scale 2^15-1, decoder divides by
+    # 2^15: per-sample error <= (|x| + 1) / 2^15 <= 2 / 2^15
+    assert np.abs(got - x).max() < 2.0 / 2**15
+
+
+def test_decode_wav_widths_and_channels():
+    rng = np.random.default_rng(11)
+    x = rng.uniform(-0.9, 0.9, size=(128, 2))
+    mono = x.mean(axis=1)
+    for width in (1, 2, 3, 4):
+        got = decode_wav(make_wav(x, width=width, nch=2))
+        assert got.shape == (128,), width
+        # truncation + scale mismatch bound, as in the roundtrip test
+        assert np.abs(got - mono).max() < 2.0 / 2 ** (8 * width - 1), width
+
+
+def test_decode_wav_dispatch_and_errors():
+    assert decode_wav(b"not a wav at all") is None
+    assert decode_wav(b"RIFF\x00\x00\x00\x00AIFF") is None
+    # RIFF/WAVE magic but a garbage chunk structure -> ValueError
+    junk = b"RIFF" + struct.pack("<I", 4) + b"WAVE" + b"\x00" * 8
+    with pytest.raises(ValueError, match="WAV"):
+        decode_wav(junk)
+
+
+def test_decode_netpbm_pgm_ppm():
+    pg = np.arange(12, dtype=np.int64).reshape(3, 4) * 20
+    got = decode_netpbm(make_pgm(pg, comment=True))
+    assert got.shape == (3, 4, 1)
+    assert np.allclose(got[:, :, 0], pg / 255.0)
+
+    pp = np.arange(24, dtype=np.int64).reshape(2, 4, 3) * 10
+    got3 = decode_netpbm(make_ppm(pp))
+    assert got3.shape == (2, 4, 3)
+    assert np.allclose(got3, pp / 255.0)
+
+    # 16-bit samples are big-endian per spec
+    hi = np.array([[0, 40000], [65535, 12345]], dtype=np.int64)
+    got16 = decode_netpbm(make_pgm(hi, maxval=65535))
+    assert np.allclose(got16[:, :, 0], hi / 65535.0)
+
+    assert decode_netpbm(b"\x89PNG\r\n") is None
+    with pytest.raises(ValueError, match="truncated"):
+        decode_netpbm(b"P5\n4 4\n255\n\x00\x01")
+
+
+# ------------------------------------------------- through the Spark path
+
+
+def _blob_df(spark, blobs):
+    return spark.createDataFrame(
+        [(i, b) for i, b in enumerate(blobs)], "doc_id LONG, blob BINARY"
+    )
+
+
+def test_audio_envelope_real_wav_through_spark(spark):
+    rng = np.random.default_rng(3)
+    x = rng.uniform(-0.8, 0.8, size=500)
+    df = _blob_df(spark, [make_wav(x, width=2)])
+    rows = audio_window_envelope(
+        df, window_samples=128, decode_stub=False
+    ).orderBy("window_idx").collect()
+    dec = decode_wav(make_wav(x, width=2))
+    assert [r.n_samples for r in rows] == [128, 128, 128, 116]
+    for r in rows:
+        seg = dec[r.window_idx * 128 : (r.window_idx + 1) * 128]
+        assert r.rms == pytest.approx(float(np.sqrt((seg**2).mean())))
+        assert r.peak == pytest.approx(float(np.abs(seg).max()))
+
+
+def test_extract_features_real_netpbm_through_spark(spark):
+    pg = (np.arange(64).reshape(8, 8) * 3).astype(np.int64)
+    blob = make_pgm(pg)
+    rows = extract_features(
+        _blob_df(spark, [blob, None]), decode_stub=False
+    ).collect()
+    assert len(rows) == 1  # NULL blob skipped on the real path too
+    r = rows[0]
+    pix = pg / 255.0
+    assert r.n_bytes == len(blob)
+    assert r.features[0] == pytest.approx(float(pix.mean()))
+    assert r.features[1] == pytest.approx(float(pix.std()))
+    assert r.features[2] == pytest.approx(float(pix.min()))
+    assert r.features[3] == pytest.approx(1.0)  # 8x8 aspect
+
+
+def test_resize_real_nearest_neighbor_through_spark(spark):
+    # 2x2 checkerboard upsampled to 4x4: exact nearest-neighbor blocks
+    pix = np.array([[0, 255], [255, 0]], dtype=np.int64)
+    rows = resize_images(
+        _blob_df(spark, [make_pgm(pix)]), width=4, height=4,
+        decode_stub=False,
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.width, r.height, r.n_out_bytes) == (4, 4, 16)
+    assert r.mean_byte == pytest.approx(0.5)
+
+    # RGB downsample 4x4 -> 2x2 picks the top-left of each block
+    rgb = np.arange(48, dtype=np.int64).reshape(4, 4, 3) * 5
+    rows3 = resize_images(
+        _blob_df(spark, [make_ppm(rgb)]), width=2, height=2,
+        decode_stub=False,
+    ).collect()
+    expected = rgb[[0, 2]][:, [0, 2]] / 255.0
+    assert rows3[0].n_out_bytes == 12
+    assert rows3[0].mean_byte == pytest.approx(float(expected.mean()))
+
+
+def test_real_path_rejects_unknown_codec(spark):
+    df = _blob_df(spark, [b"\xff\xd8\xff\xe0 fake jpeg bytes"])
+    with pytest.raises(Exception, match="netpbm"):
+        extract_features(df, decode_stub=False).collect()
+    with pytest.raises(Exception, match="RIFF/WAVE"):
+        audio_window_envelope(df, decode_stub=False).collect()
