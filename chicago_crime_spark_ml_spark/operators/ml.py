@@ -467,10 +467,13 @@ def als_recommendations(
     ``recommendForAllUsers`` scores every user against every item
     (blocked factor matmuls — |U|·|I|·rank FLOPs; the r5 scale sweep
     measured its superlinear growth: 10× data ⇒ ~100× score space).
-    At real catalog sizes serve top-k from the factor matrices with the
-    engine's ANN operators instead (write_ivf_index / probe_ivf_index
-    over ``model.itemFactors``) — exact full-catalog scoring is a
-    certification-scale tool, not the 100 TB serving path."""
+    At real catalog sizes serve top-k from the factor matrices with
+    :func:`als_serve_topk` (blocked-BLAS inner-product batch top-k with
+    bounded candidate emission; parity-tested against this exact form)
+    or, sub-full-catalog, the ANN operators (write_ivf_index /
+    probe_ivf_index over ``model.itemFactors``) — MLlib's exact
+    full-catalog scoring is a certification-scale tool, not the 100 TB
+    serving path."""
     from pyspark.ml.recommendation import ALS  # noqa: PLC0415
 
     als = ALS(
@@ -494,6 +497,55 @@ def als_recommendations(
         )
     )
     return recs, model
+
+
+def als_serve_topk(
+    model,
+    user_col: str,
+    item_col: str,
+    k: int = 5,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """The 100 TB ALS SERVING path the als_recommendations docstring
+    promises: top-k items per user by raw inner product over the
+    trained factor matrices, via the blocked-BLAS batch top-k
+    (similarity.cosine_topk_batch, metric="dot") instead of
+    ``recommendForAllUsers``.
+
+    Same |U|·|I|·rank score space, but the shape scales: factor blocks
+    shuffle O(|U|·rank + |I|·rank) rows, every (user-block × item-block)
+    matmul runs in BLAS inside one task, and only ≤(k+pad) candidate ids
+    per (user, item-block) leave the Python boundary before the exact
+    float64 Column-algebra rescore. recommendForAllUsers materializes
+    the blocked score matrix through MLlib's own topByKey aggregation —
+    correct, but its per-pair tuple stream is what the r5 scale sweep
+    measured growing superlinearly. For sub-full-catalog serving, cap
+    further with the IVF path (write_ivf_index over model.itemFactors).
+
+    Output: (user_col, item_col, score, rank), rank 1..k per user by
+    (round(score,4) desc, item id asc) — deterministic given factors.
+    Parity with recommendForAllUsers is asserted in tests (same items
+    per user up to float32-vs-float64 boundary ties).
+    """
+    from .similarity import cosine_topk_batch  # noqa: PLC0415
+
+    out = cosine_topk_batch(
+        model.userFactors.select("id", "features"),
+        model.itemFactors.select("id", "features"),
+        k=k,
+        query_vec_col="features",
+        query_id_col="id",
+        corpus_vec_col="features",
+        corpus_id_col="id",
+        n_blocks=n_blocks,
+        metric="dot",
+    )
+    return out.select(
+        F.col("query_id").cast("int").alias(user_col),
+        F.col("vec_id").cast("int").alias(item_col),
+        F.col("cosine").alias("score"),
+        "rank",
+    )
 
 
 def frequent_event_sequences(

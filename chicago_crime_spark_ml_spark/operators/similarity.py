@@ -524,11 +524,16 @@ def cosine_topk_batch(
     corpus_vec_col: str = "embedding",
     corpus_id_col: str = "vec_id",
     n_blocks: int = 8,
+    metric: str = "cosine",
 ) -> DataFrame:
-    """Exact cosine top-k corpus neighbors for EVERY query row — the
+    """Exact top-k corpus neighbors for EVERY query row — the
     batch form a real retrieval/dedup pipeline runs (the single-vector
     cosine_topk is the per-lookup demo). Output: (query_id, vec_id,
     cosine, rank) with rank 1..k per query, ties broken by corpus id.
+    ``metric``: "cosine" (default) or "dot" (raw inner product — the
+    matrix-factorization serving score, see ml.als_serve_topk; the
+    score column keeps the name "cosine" so both metrics share one
+    schema).
 
     Same blocked-BLAS shape as near_dup_pairs_blocked, including its
     exact-rescore phase: both sides are grouped into id-hashed blocks;
@@ -556,6 +561,8 @@ def cosine_topk_batch(
     import pandas as pd  # noqa: PLC0415
     from pyspark.sql.window import Window  # noqa: PLC0415
 
+    if metric not in ("cosine", "dot"):
+        raise ValueError(f"metric must be 'cosine' or 'dot', got {metric!r}")
     pad = 8  # candidate margin per (query, corpus block) over k
 
     def blockify(df, vec_col, id_col, nb):
@@ -597,11 +604,14 @@ def cosine_topk_batch(
                 Q = np.array([np.asarray(r) for r in qv])
                 C = np.array([np.asarray(r) for r in cv])
                 cid = np.asarray(cids)
-                qn = np.linalg.norm(Q, axis=1)
-                cn = np.linalg.norm(C, axis=1)
-                qn[qn == 0] = np.inf  # zero vectors score 0 everywhere
-                cn[cn == 0] = np.inf
-                S = (Q / qn[:, None]) @ (C / cn[:, None]).T
+                if metric == "cosine":
+                    qn = np.linalg.norm(Q, axis=1)
+                    cn = np.linalg.norm(C, axis=1)
+                    qn[qn == 0] = np.inf  # zero vectors score 0 everywhere
+                    cn[cn == 0] = np.inf
+                    S = (Q / qn[:, None]) @ (C / cn[:, None]).T
+                else:  # raw inner product
+                    S = Q @ C.T
                 kk = min(k + pad, S.shape[1])
                 for row, qid in enumerate(qids):
                     # local cut by (−raw score, corpus_id); the pad rows
@@ -623,13 +633,14 @@ def cosine_topk_batch(
         F.col(corpus_id_col).alias("vec_id"),
         F.col(corpus_vec_col).cast("array<double>").alias("_vc"),
     )
+    score_expr = cosine_expr if metric == "cosine" else dot_expr
     exact = (
         cand.join(qside, "query_id")
         .join(cside, "vec_id")
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine_expr(F.col("_vq"), F.col("_vc")), 4).alias(
+            F.round(score_expr(F.col("_vq"), F.col("_vc")), 4).alias(
                 "cosine"
             ),
         )

@@ -364,3 +364,50 @@ def test_prefixspan_length1_equals_support_counts(spark, sf_dir):
         if r.n / n_users >= 0.3
     }
     assert len1 == support and len(len1) > 0
+
+
+def test_als_serve_topk_parity_with_recommend_for_all_users(spark):
+    """The blocked-BLAS serving path (als_serve_topk) must reproduce
+    recommendForAllUsers: same top-k item set per user, scores equal to
+    the float64 u·i dot product within float32-factor tolerance."""
+    import numpy as np
+
+    from chicago_crime_spark_ml_spark.operators.ml import (
+        als_recommendations,
+        als_serve_topk,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (int(u), int(i), float(rng.integers(1, 20)))
+        for u in range(30)
+        for i in rng.choice(60, size=12, replace=False)
+    ]
+    ratings = spark.createDataFrame(rows, "user INT, item INT, qty FLOAT")
+    recs, model = als_recommendations(ratings, "user", "item", "qty", k=5)
+    served = als_serve_topk(model, "user", "item", k=5).collect()
+
+    mllib = {}
+    for r in recs.collect():
+        mllib.setdefault(r.user, {})[r.item] = r.score
+    ours = {}
+    for r in served:
+        ours.setdefault(r.user, {})[r.item] = r.score
+    assert set(ours) == set(mllib)
+
+    uf = {r.id: np.asarray(r.features, dtype=np.float64)
+          for r in model.userFactors.collect()}
+    itf = {r.id: np.asarray(r.features, dtype=np.float64)
+           for r in model.itemFactors.collect()}
+    for u, items in ours.items():
+        assert len(items) == 5
+        # scores are the float64 dot product of the trained factors
+        for i, s in items.items():
+            assert s == pytest.approx(float(uf[u] @ itf[i]), abs=2e-4)
+        # same item set as MLlib unless the k-th score ties at 4dp
+        if set(items) != set(mllib[u]):
+            ours_kth = min(items.values())
+            only_mllib = set(mllib[u]) - set(items)
+            assert all(
+                abs(mllib[u][i] - ours_kth) <= 1e-3 for i in only_mllib
+            ), (u, items, mllib[u])
