@@ -36,23 +36,17 @@ FEATURES_SCHEMA = (
 )
 
 
-def decode_netpbm(buf: bytes):
-    """Real binary-netpbm image decode (pure numpy, no codec libs).
-
-    Returns an (height, width, channels) float64 array in [0, 1] for
-    P5 (PGM, 1 channel) / P6 (PPM, 3 channels) blobs with 8- or 16-bit
-    samples (16-bit rasters are big-endian per the netpbm spec), or
-    ``None`` when the magic number is not P5/P6 so callers can
-    dispatch. Header comments (``#`` to end-of-line) are honored.
-    Truncated rasters raise ``ValueError`` — a short file is corrupt
-    data, not a different format.
-    """
+def _parse_netpbm_at(buf: bytes, pos: int):
+    """Parse one binary-netpbm (P5/P6) image starting at ``pos``.
+    Returns ``(pixels, next_pos)`` where pixels is (h, w, c) float64 in
+    [0, 1] and next_pos is the first byte after the raster — the frame
+    iterator for concatenated-netpbm streams. Raises ``ValueError`` on
+    truncation; caller checks the magic before calling."""
     import numpy as np  # noqa: PLC0415
 
-    buf = bytes(buf)
-    if buf[:2] not in (b"P5", b"P6"):
-        return None
-    pos, vals = 2, []
+    magic = buf[pos : pos + 2]
+    pos += 2
+    vals = []
     while len(vals) < 3:
         while pos < len(buf) and buf[pos : pos + 1].isspace():
             pos += 1
@@ -68,17 +62,60 @@ def decode_netpbm(buf: bytes):
         vals.append(int(buf[start:pos]))
     pos += 1  # exactly one whitespace byte separates maxval from raster
     width, height, maxval = vals
-    channels = 1 if buf[:2] == b"P5" else 3
+    channels = 1 if magic == b"P5" else 3
     dtype = np.dtype(">u2") if maxval > 255 else np.dtype("u1")
     n = width * height * channels
-    raster = buf[pos : pos + n * dtype.itemsize]
+    end = pos + n * dtype.itemsize
+    raster = buf[pos:end]
     if len(raster) < n * dtype.itemsize:
         raise ValueError(
             f"netpbm: raster truncated ({len(raster)} bytes, "
             f"expected {n * dtype.itemsize})"
         )
     pix = np.frombuffer(raster, dtype=dtype).astype(np.float64) / maxval
-    return pix.reshape(height, width, channels)
+    return pix.reshape(height, width, channels), end
+
+
+def decode_netpbm(buf: bytes):
+    """Real binary-netpbm image decode (pure numpy, no codec libs).
+
+    Returns an (height, width, channels) float64 array in [0, 1] for
+    P5 (PGM, 1 channel) / P6 (PPM, 3 channels) blobs with 8- or 16-bit
+    samples (16-bit rasters are big-endian per the netpbm spec), or
+    ``None`` when the magic number is not P5/P6 so callers can
+    dispatch. Header comments (``#`` to end-of-line) are honored.
+    Truncated rasters raise ``ValueError`` — a short file is corrupt
+    data, not a different format.
+    """
+    buf = bytes(buf)
+    if buf[:2] not in (b"P5", b"P6"):
+        return None
+    return _parse_netpbm_at(buf, 0)[0]
+
+
+def decode_netpbm_stream(buf: bytes):
+    """Real decode of a concatenated-netpbm "video" stream (back-to-back
+    P5/P6 frames — the mjpeg-style raw-frame container a capture
+    pipeline emits before real encoding). Returns a list of (h, w, c)
+    float64 frames, or ``None`` when the first bytes are not a netpbm
+    magic. Trailing whitespace between/after frames is tolerated;
+    garbage after a frame boundary raises ``ValueError``."""
+    buf = bytes(buf)
+    if buf[:2] not in (b"P5", b"P6"):
+        return None
+    frames, pos = [], 0
+    while pos < len(buf):
+        if buf[pos : pos + 1].isspace():
+            pos += 1
+            continue
+        if buf[pos : pos + 2] not in (b"P5", b"P6"):
+            raise ValueError(
+                f"netpbm stream: junk at offset {pos} after frame "
+                f"{len(frames)}"
+            )
+        pix, pos = _parse_netpbm_at(buf, pos)
+        frames.append(pix)
+    return frames
 
 
 def decode_wav(buf: bytes):
@@ -312,24 +349,49 @@ def sample_frames(
     decode_stub: bool = True,
 ) -> DataFrame:
     """Video frame sampling (mapInPandas, 1→N row explosion): each blob
-    ("video") yields ``n_frames`` evenly-spaced frame rows with per-frame
-    features. Variable output cardinality is the point — mapInPandas
-    yields as many rows as the batch produces, unlike a scalar UDF. The
-    decode is stubbed: equal byte-chunks stand in for ffmpeg frame
-    extraction; per-frame features are deterministic chunk stats."""
+    ("video") yields up to ``n_frames`` evenly-spaced frame rows with
+    per-frame features. Variable output cardinality is the point —
+    mapInPandas yields as many rows as the batch produces, unlike a
+    scalar UDF. ``decode_stub=True``: equal byte-chunks stand in for
+    frame extraction. ``decode_stub=False``: REAL decode of
+    concatenated-netpbm streams (:func:`decode_netpbm_stream`) —
+    ``frame_idx`` is the source frame's position in the stream, features
+    are (mean, std, n_pixels) of the decoded raster; containers needing
+    ffmpeg (mp4/webm) raise ``ValueError``."""
 
     def batches(it):
         import numpy as np  # noqa: PLC0415
         import pandas as pd  # noqa: PLC0415
 
         for pdf in it:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real frame sampling requires ffmpeg, not in this container"
-                )
             ids, idxs, feats = [], [], []
             for doc_id, buf in zip(pdf[id_col], pdf[blob_col]):
                 if buf is None:  # NULL blob: skip, don't TypeError
+                    continue
+                if not decode_stub:
+                    frames = decode_netpbm_stream(bytes(buf))
+                    if frames is None:
+                        raise ValueError(
+                            "sample_frames(decode_stub=False) decodes "
+                            "concatenated netpbm (P5/P6) streams only; "
+                            "mp4/webm need ffmpeg, not in this container"
+                        )
+                    take = np.unique(
+                        np.linspace(
+                            0, len(frames) - 1, num=min(n_frames, len(frames))
+                        ).astype(np.int64)
+                    ) if frames else []
+                    for i in take:
+                        pix = frames[i]
+                        ids.append(doc_id)
+                        idxs.append(int(i))
+                        feats.append(
+                            [
+                                float(pix.mean()),
+                                float(pix.std()),
+                                float(pix.size),
+                            ]
+                        )
                     continue
                 arr = np.frombuffer(bytes(buf), dtype=np.uint8)
                 chunks = np.array_split(arr, n_frames) if arr.size else []

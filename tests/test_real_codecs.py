@@ -189,3 +189,39 @@ def test_real_path_rejects_unknown_codec(spark):
         extract_features(df, decode_stub=False).collect()
     with pytest.raises(Exception, match="RIFF/WAVE"):
         audio_window_envelope(df, decode_stub=False).collect()
+
+
+def test_decode_netpbm_stream_and_frame_sampling(spark):
+    from chicago_crime_spark_ml_spark.operators.multimodal import (
+        decode_netpbm_stream,
+        sample_frames,
+    )
+
+    rng = np.random.default_rng(9)
+    frames = [rng.integers(0, 256, size=(4, 6)) for _ in range(7)]
+    video = b"".join(make_pgm(f) for f in frames)
+    dec = decode_netpbm_stream(video)
+    assert len(dec) == 7
+    for got, src in zip(dec, frames):
+        assert np.allclose(got[:, :, 0], src / 255.0)
+
+    # evenly-spaced sampling of 3 from 7 -> source frames 0, 3, 6
+    rows = sample_frames(
+        _blob_df(spark, [video]), n_frames=3, decode_stub=False
+    ).orderBy("frame_idx").collect()
+    assert [r.frame_idx for r in rows] == [0, 3, 6]
+    for r in rows:
+        pix = frames[r.frame_idx] / 255.0
+        assert r.frame_features[0] == pytest.approx(float(pix.mean()))
+        assert r.frame_features[1] == pytest.approx(float(pix.std()))
+        assert r.frame_features[2] == 24.0
+
+    # asking for more frames than the stream has yields every frame once
+    rows_all = sample_frames(
+        _blob_df(spark, [video]), n_frames=20, decode_stub=False
+    ).collect()
+    assert sorted(r.frame_idx for r in rows_all) == list(range(7))
+
+    assert decode_netpbm_stream(b"\x00\x01") is None
+    with pytest.raises(ValueError, match="junk at offset"):
+        decode_netpbm_stream(make_pgm(frames[0]) + b"garbage")
