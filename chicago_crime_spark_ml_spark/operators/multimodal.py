@@ -118,6 +118,60 @@ def decode_netpbm_stream(buf: bytes):
     return frames
 
 
+def encode_netpbm(pix, maxval: int = 255) -> bytes:
+    """Encode an integer pixel array as binary netpbm: (h, w) → P5
+    grayscale, (h, w, 3) → P6 RGB; ``maxval`` > 255 selects 16-bit
+    big-endian samples per the spec. The write half of the decode pair
+    — a resize/normalize pipeline re-encodes through this before the
+    sink. Pure bytes; roundtrip with :func:`decode_netpbm` is
+    property-tested."""
+    import numpy as np  # noqa: PLC0415
+
+    pix = np.asarray(pix)
+    if pix.ndim == 2:
+        magic, (h, w) = b"P5", pix.shape
+    elif pix.ndim == 3 and pix.shape[2] == 3:
+        magic, (h, w) = b"P6", pix.shape[:2]
+    else:
+        raise ValueError(f"expected (h,w) or (h,w,3) array, got {pix.shape}")
+    hdr = magic + f"\n{w} {h}\n{maxval}\n".encode()
+    return hdr + pix.astype(">u2" if maxval > 255 else "u1").tobytes()
+
+
+def encode_wav(
+    samples, width: int = 2, nch: int = 1, rate: int = 8000
+) -> bytes:
+    """Encode float samples in [-1, 1] as PCM WAV bytes via stdlib
+    ``wave``: ``samples`` is (n,) mono or (n, nch); widths 1 (unsigned
+    8-bit), 2, 4 (signed little-endian), and 3 (24-bit, packed by hand
+    — numpy has no int24). Truncating quantizer at scale 2^(8w−1)−1;
+    roundtrip with :func:`decode_wav` is property-tested."""
+    import io  # noqa: PLC0415
+    import wave  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    x = np.asarray(samples, dtype=np.float64).reshape(-1, nch)
+    if width == 1:
+        raw = (np.clip(x, -1, 1) * 127 + 128).astype(np.uint8).tobytes()
+    elif width in (2, 4):
+        scale = 2 ** (8 * width - 1) - 1
+        raw = (np.clip(x, -1, 1) * scale).astype(f"<i{width}").tobytes()
+    elif width == 3:  # low 3 bytes of the int32 little-endian encoding
+        ints = (np.clip(x, -1, 1) * (2**23 - 1)).astype("<i4")
+        b4 = ints.tobytes()
+        raw = b"".join(b4[i : i + 3] for i in range(0, len(b4), 4))
+    else:
+        raise ValueError(f"unsupported sample width {width}")
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        w.writeframes(raw)
+    return bio.getvalue()
+
+
 def decode_wav(buf: bytes):
     """Real RIFF/WAVE PCM decode via the standard-library ``wave``
     module — no third-party audio libs. Returns mono float64 samples in

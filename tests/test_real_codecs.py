@@ -7,9 +7,7 @@ Compressed formats (JPEG/FLAC/…) stay gated: unrecognized blobs raise.
 
 from __future__ import annotations
 
-import io
 import struct
-import wave
 
 import numpy as np
 import pytest
@@ -18,6 +16,8 @@ from chicago_crime_spark_ml_spark.operators.multimodal import (
     audio_window_envelope,
     decode_netpbm,
     decode_wav,
+    encode_netpbm,
+    encode_wav,
     extract_features,
     resize_images,
 )
@@ -25,45 +25,19 @@ from chicago_crime_spark_ml_spark.operators.multimodal import (
 
 def make_wav(samples: np.ndarray, width: int, nch: int = 1,
              rate: int = 8000) -> bytes:
-    """Encode float samples in [-1, 1] as PCM WAV bytes. ``samples`` is
-    (n,) for mono or (n, nch); 24-bit is packed by hand (wave writes
-    whatever 3-byte frames it is given)."""
-    x = np.asarray(samples, dtype=np.float64).reshape(-1, nch)
-    if width == 1:
-        raw = (np.clip(x, -1, 1) * 127 + 128).astype(np.uint8).tobytes()
-    elif width in (2, 4):
-        scale = 2 ** (8 * width - 1) - 1
-        raw = (np.clip(x, -1, 1) * scale).astype(f"<i{width}").tobytes()
-    else:  # 24-bit: low 3 bytes of the int32 little-endian encoding
-        ints = (np.clip(x, -1, 1) * (2**23 - 1)).astype("<i4")
-        b4 = ints.tobytes()
-        raw = b"".join(
-            b4[i : i + 3] for i in range(0, len(b4), 4)
-        )
-    bio = io.BytesIO()
-    with wave.open(bio, "wb") as w:
-        w.setnchannels(nch)
-        w.setsampwidth(width)
-        w.setframerate(rate)
-        w.writeframes(raw)
-    return bio.getvalue()
+    return encode_wav(samples, width=width, nch=nch, rate=rate)
 
 
 def make_pgm(pix: np.ndarray, maxval: int = 255,
              comment: bool = False) -> bytes:
-    """Encode a (h, w) integer array as binary PGM (P5)."""
-    h, w = pix.shape
-    hdr = b"P5\n" + (b"# synthetic\n" if comment else b"")
-    hdr += f"{w} {h}\n{maxval}\n".encode()
-    body = pix.astype(">u2" if maxval > 255 else "u1").tobytes()
-    return hdr + body
+    blob = encode_netpbm(pix, maxval=maxval)
+    if comment:  # decoder must honor header comments; encoder emits none
+        blob = b"P5\n# synthetic" + blob[2:]
+    return blob
 
 
 def make_ppm(pix: np.ndarray, maxval: int = 255) -> bytes:
-    """Encode a (h, w, 3) integer array as binary PPM (P6)."""
-    h, w, _ = pix.shape
-    hdr = f"P6\n{w} {h}\n{maxval}\n".encode()
-    return hdr + pix.astype(">u2" if maxval > 255 else "u1").tobytes()
+    return encode_netpbm(pix, maxval=maxval)
 
 
 # ---------------------------------------------------------------- decoders
