@@ -544,6 +544,107 @@ def audio_window_envelope(
     )
 
 
+TRANSCODE_SCHEMA = "doc_id BIGINT, blob BINARY, n_out_bytes INT"
+
+
+def transcode_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+    maxval: int = 255,
+) -> DataFrame:
+    """Full decode→resize→re-encode over binary image blobs — the shape
+    of a real media-prep job (normalize a 100 TB corpus to a canonical
+    resolution/encoding before training). Netpbm in, netpbm out
+    (:func:`decode_netpbm` / :func:`encode_netpbm`; nearest-neighbor
+    resize as in :func:`resize_images`); output blobs are themselves
+    decodable, so stages chain. mapInPandas, map-only — no shuffle;
+    NULL blobs are skipped, non-netpbm blobs raise."""
+
+    def batches(it):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in it:
+            ids, blobs, sizes = [], [], []
+            for did, buf in zip(pdf[id_col], pdf[blob_col]):
+                if buf is None:
+                    continue
+                pix = decode_netpbm(bytes(buf))
+                if pix is None:
+                    raise ValueError(
+                        "transcode_images decodes binary netpbm (P5/P6) "
+                        "only; JPEG/PNG need libs not in this container"
+                    )
+                h_in, w_in = pix.shape[0], pix.shape[1]
+                rows = np.minimum(
+                    (np.arange(height) * h_in) // height, h_in - 1
+                )
+                cols = np.minimum((np.arange(width) * w_in) // width, w_in - 1)
+                resized = pix[rows][:, cols]
+                quant = np.rint(resized * maxval).astype(np.int64)
+                out = encode_netpbm(
+                    quant[:, :, 0] if quant.shape[2] == 1 else quant,
+                    maxval=maxval,
+                )
+                ids.append(did)
+                blobs.append(out)
+                sizes.append(len(out))
+            if ids:
+                yield pd.DataFrame(
+                    {"doc_id": ids, "blob": blobs, "n_out_bytes": sizes}
+                )
+
+    return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(
+        batches, schema=TRANSCODE_SCHEMA
+    )
+
+
+def transcode_audio(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+    width: int = 2,
+    rate: int = 8000,
+) -> DataFrame:
+    """Decode→downmix→requantize→re-encode over binary audio blobs:
+    normalize a corpus to canonical mono PCM at the given sample width
+    (the audio twin of :func:`transcode_images`; no resampling — the
+    frame RATE header is set but samples pass through 1:1). WAV in,
+    WAV out via :func:`decode_wav` / :func:`encode_wav`; output blobs
+    decode again, so stages chain. Map-only; NULL blobs skipped,
+    non-WAV blobs raise."""
+
+    def batches(it):
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in it:
+            ids, blobs, sizes = [], [], []
+            for did, buf in zip(pdf[id_col], pdf[blob_col]):
+                if buf is None:
+                    continue
+                x = decode_wav(bytes(buf))
+                if x is None:
+                    raise ValueError(
+                        "transcode_audio decodes RIFF/WAVE PCM only; "
+                        "compressed audio needs libs not in this container"
+                    )
+                out = encode_wav(x, width=width, nch=1, rate=rate)
+                ids.append(did)
+                blobs.append(out)
+                sizes.append(len(out))
+            if ids:
+                yield pd.DataFrame(
+                    {"doc_id": ids, "blob": blobs, "n_out_bytes": sizes}
+                )
+
+    return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(
+        batches, schema=TRANSCODE_SCHEMA
+    )
+
+
 def extract_features_arrow(
     df: DataFrame,
     blob_col: str = "blob",

@@ -199,3 +199,45 @@ def test_decode_netpbm_stream_and_frame_sampling(spark):
     assert decode_netpbm_stream(b"\x00\x01") is None
     with pytest.raises(ValueError, match="junk at offset"):
         decode_netpbm_stream(make_pgm(frames[0]) + b"garbage")
+
+
+def test_transcode_images_chains_and_roundtrips(spark):
+    from chicago_crime_spark_ml_spark.operators.multimodal import (
+        transcode_images,
+    )
+
+    rng = np.random.default_rng(13)
+    src = rng.integers(0, 256, size=(8, 8))
+    out = transcode_images(
+        _blob_df(spark, [make_pgm(src), None]), width=4, height=4
+    )
+    rows = out.collect()
+    assert len(rows) == 1  # NULL skipped
+    dec = decode_netpbm(bytes(rows[0].blob))
+    # nearest-neighbor 8->4 picks every other pixel, exactly
+    assert np.array_equal(
+        (dec[:, :, 0] * 255).round().astype(int), src[::2, ::2]
+    )
+    # output blobs are themselves decodable: chain a second resize
+    again = transcode_images(out, width=2, height=2).collect()
+    dec2 = decode_netpbm(bytes(again[0].blob))
+    assert np.array_equal(
+        (dec2[:, :, 0] * 255).round().astype(int), src[::4, ::4]
+    )
+
+
+def test_transcode_audio_normalizes_to_mono_pcm(spark):
+    from chicago_crime_spark_ml_spark.operators.multimodal import (
+        transcode_audio,
+    )
+
+    rng = np.random.default_rng(17)
+    stereo = rng.uniform(-0.9, 0.9, size=(200, 2))
+    blob24 = make_wav(stereo, width=3, nch=2)
+    rows = transcode_audio(
+        _blob_df(spark, [blob24]), width=2
+    ).collect()
+    dec = decode_wav(bytes(rows[0].blob))
+    assert dec.shape == (200,)
+    # downmix then requantize: within the two quantizers' summed error
+    assert np.abs(dec - stereo.mean(axis=1)).max() < 2 / 2**23 + 2 / 2**15
