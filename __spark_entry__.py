@@ -131,6 +131,8 @@ _REWRITTEN_GREENS = [
     "supplier_name_fuzzy_pairs",
     "doc_winnow_fingerprints",
     "near_dup_clusters",
+    "minhash_lsh_near_dups",  # r5: 16 OR tables (band-miss bound)
+    "ngram_jaccard_near_dups",  # r5: max_df=None at oracle sites
 ]
 
 
