@@ -117,22 +117,22 @@ _STATS_TIER_NUDGE = [
     "simpsons_paradox_check",
 ]
 
-# Green queries whose ENGINE side was rewritten in round 5 (scale-sweep
-# fixes: HLL/exact split, LET-bound winnowing, histogram Spearman,
-# deletion-neighborhood fuzzy blocking, banded cluster pair-gen): their
-# existing driver rows certified the OLD implementation, so they outrank
-# the other greens for re-certification when the driver's bounded budget
-# reaches past the never-checked tier. Self-demoting: once re-checked
-# green they are indistinguishable from (and sorted with) other greens
-# in later rounds' evidence, and the list is refreshed per round.
+# Green queries whose ENGINE side was rewritten AFTER their last driver
+# row: their existing rows certified the OLD implementation, so they
+# outrank the other greens for re-certification when the driver's
+# bounded budget reaches past the never-checked tier. Self-demoting:
+# once re-checked green they sort with other greens in later rounds'
+# evidence. REFRESHED per round (r5's approx_distinct_counts /
+# spearman_qty_price earned green r5 rows on the new impls and dropped
+# off; the six below were NOT in r5's 50-query window — VERDICT r5 #2).
 _REWRITTEN_GREENS = [
-    "approx_distinct_counts",
-    "spearman_qty_price",
-    "supplier_name_fuzzy_pairs",
-    "doc_winnow_fingerprints",
-    "near_dup_clusters",
     "minhash_lsh_near_dups",  # r5: 16 OR tables (band-miss bound)
     "ngram_jaccard_near_dups",  # r5: max_df=None at oracle sites
+    "near_dup_clusters",  # r5: banded pair front-end + edge checkpoint
+    "embedding_batch_topk",  # r5: exact Column-algebra rescore
+    "doc_winnow_fingerprints",  # r5: LET-bound grams
+    "supplier_name_fuzzy_pairs",  # r5: FastSS deletion-neighborhood
+    "corpus_shard_assignment",  # r6: global_rank reroute
 ]
 
 

@@ -11,8 +11,17 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+import pytest  # noqa: E402
+
 import __spark_entry__ as entry  # noqa: E402
 from chicago_crime_spark_ml_spark.queries import ORACLE, QUERIES  # noqa: E402
+
+# Ordering tests below assert RELATIVE order between two tiers. Either
+# tier may legitimately be EMPTY in a terminal state (e.g. every
+# oracle-backed query driver-green, or no new queries this round) —
+# that is success, not a failure, so each test skips rather than
+# asserting its precondition (ADVICE r4+r5: two consecutive rounds
+# broke on "assumes unchecked work remains" preconditions).
 
 
 def test_new_queries_jump_the_queue():
@@ -23,25 +32,28 @@ def test_new_queries_jump_the_queue():
     green = entry._previously_green()
     reds = entry._latest_reds()
     new = entry._new_since_snapshot(dict(QUERIES)) - green - reds
-    if new:
-        worst_new = max(order.index(n) for n in new)
-        first_plain = min(
-            order.index(n)
-            for n in order
-            if n not in new and n not in green and n not in reds
-            and n not in entry._STATS_TIER_NUDGE
-        )
-        assert worst_new < first_plain
+    plain = [
+        n
+        for n in order
+        if n not in new and n not in green and n not in reds
+        and n not in entry._STATS_TIER_NUDGE
+    ]
+    if not (new and plain):
+        pytest.skip("terminal state: no new or no plain never-green names")
+    worst_new = max(order.index(n) for n in new)
+    first_plain = min(order.index(n) for n in plain)
+    assert worst_new < first_plain
 
 
 def test_greens_rotate_to_the_back():
     order = list(entry.queries())
     green = entry._previously_green()
     assert green, "rounds 1-3 produced green rows"
+    nongreen = [n for n in order if n not in green]
+    if not nongreen:
+        pytest.skip("terminal state: every catalog query is driver-green")
     first_green = min(order.index(n) for n in green)
-    last_nongreen = max(
-        order.index(n) for n in order if n not in green
-    )
+    last_nongreen = max(order.index(n) for n in nongreen)
     assert last_nongreen < first_green
 
 
@@ -56,10 +68,32 @@ def test_never_checked_oracle_backed_before_rows_only():
         n for n in order
         if n not in green and n in ORACLE
     ]
-    assert rows_only and oracle_backed
+    if not (rows_only and oracle_backed):
+        pytest.skip("terminal state: a never-green tier is empty")
     assert max(order.index(n) for n in oracle_backed) < min(
         order.index(n) for n in rows_only
     )
+
+
+def test_rewritten_greens_front_the_green_tier():
+    # A green query rewritten this round outranks all other greens so the
+    # driver re-certifies the CURRENT implementation (VERDICT r5 #2). Only
+    # meaningful while the list is non-empty and its names are green.
+    order = list(entry.queries())
+    green = entry._previously_green()
+    rewritten = [n for n in entry._REWRITTEN_GREENS if n in green]
+    other_green = [
+        n for n in order if n in green and n not in entry._REWRITTEN_GREENS
+    ]
+    if not (rewritten and other_green):
+        pytest.skip("terminal state: no rewritten greens to front")
+    assert max(order.index(n) for n in rewritten) < min(
+        order.index(n) for n in other_green
+    )
+
+
+def test_rewritten_greens_names_exist():
+    assert not [n for n in entry._REWRITTEN_GREENS if n not in QUERIES]
 
 
 def test_latest_reds_derivation(tmp_path, monkeypatch):
