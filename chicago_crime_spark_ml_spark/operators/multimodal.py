@@ -179,8 +179,18 @@ def decode_wav(buf: bytes):
     RIFF/WAVE so callers can dispatch. Supports 8-bit unsigned and
     16/24/32-bit signed little-endian PCM; 24-bit is sign-extended by
     hand (numpy has no int24). Compressed WAV (e.g. μ-law) raises
-    ``ValueError``.
+    ``ValueError``. Callers that must preserve the source framerate
+    (e.g. :func:`transcode_audio`) use :func:`decode_wav_meta`.
     """
+    meta = decode_wav_meta(buf)
+    return None if meta is None else meta[0]
+
+
+def decode_wav_meta(buf: bytes):
+    """:func:`decode_wav` plus the header framerate: returns
+    ``(samples, framerate_hz)`` or ``None`` for non-RIFF/WAVE blobs.
+    The rate must survive a decode→re-encode roundtrip or the output
+    misdeclares duration/pitch (ADVICE r5)."""
     import io  # noqa: PLC0415
     import wave  # noqa: PLC0415
 
@@ -192,6 +202,7 @@ def decode_wav(buf: bytes):
     try:
         with wave.open(io.BytesIO(buf)) as w:
             nch, width = w.getnchannels(), w.getsampwidth()
+            rate = w.getframerate()
             frames = w.readframes(w.getnframes())
     except wave.Error as e:
         raise ValueError(f"WAV: unsupported encoding ({e})") from e
@@ -215,7 +226,7 @@ def decode_wav(buf: bytes):
         raise ValueError(f"WAV: unsupported sample width {width}")
     if nch > 1:
         x = x.reshape(-1, nch).mean(axis=1)
-    return x
+    return x, rate
 
 
 def attach_blob(
@@ -332,12 +343,15 @@ def resize_images(
     ``decode_stub=True``: deterministic byte-stride downsample to
     width×height bytes stands in for decode→resize→encode.
     ``decode_stub=False``: REAL decode (netpbm P5/P6) + 2-D
-    nearest-neighbor resize to (height, width) preserving channels —
-    ``n_out_bytes`` is the resized 8-bit raster size, ``mean_byte`` the
-    resized mean sample. The Spark side is identical for both paths:
-    project only (id, blob) across the Arrow boundary, one Python
-    worker per partition, output schema fixed so downstream pruning
-    works."""
+    nearest-neighbor resize to (height, width) preserving channels.
+    BOTH paths share one output contract (ADVICE r5 — a silent unit
+    change when toggling decode_stub): the resized raster is quantized
+    to 8-bit, ``n_out_bytes`` is that 8-bit raster's byte count
+    (== sample count, even for 16-bit inputs), and ``mean_byte`` is its
+    mean sample normalized to [0, 1]. The Spark side is identical for
+    both paths: project only (id, blob) across the Arrow boundary, one
+    Python worker per partition, output schema fixed so downstream
+    pruning works."""
 
     def batches(it):
         import numpy as np  # noqa: PLC0415
@@ -365,9 +379,13 @@ def resize_images(
                         (np.arange(width) * w_in) // width, w_in - 1
                     )
                     resized = pix[rows][:, cols]
+                    # quantize to the 8-bit output raster BEFORE stats
+                    # so n_out_bytes is true bytes and mean_byte is
+                    # SQL-recomputable from the emitted pixels
+                    q8 = np.floor(resized * 255.0 + 0.5).astype(np.uint8)
                     ids.append(did)
-                    out.append(int(resized.size))
-                    means.append(float(resized.mean()))
+                    out.append(int(q8.size))
+                    means.append(float(q8.mean()) / 255.0)
                     continue
                 arr = np.frombuffer(bytes(buf), dtype=np.uint8)
                 ids.append(did)
@@ -607,15 +625,17 @@ def transcode_audio(
     blob_col: str = "blob",
     id_col: str = "doc_id",
     width: int = 2,
-    rate: int = 8000,
+    rate: int | None = None,
 ) -> DataFrame:
     """Decode→downmix→requantize→re-encode over binary audio blobs:
     normalize a corpus to canonical mono PCM at the given sample width
-    (the audio twin of :func:`transcode_images`; no resampling — the
-    frame RATE header is set but samples pass through 1:1). WAV in,
-    WAV out via :func:`decode_wav` / :func:`encode_wav`; output blobs
-    decode again, so stages chain. Map-only; NULL blobs skipped,
-    non-WAV blobs raise."""
+    (the audio twin of :func:`transcode_images`). Samples pass through
+    1:1 — no resampling — so the output framerate header defaults to
+    the SOURCE blob's rate (:func:`decode_wav_meta`; ADVICE r5: a fixed
+    8 kHz stamp misdeclared duration/pitch for non-8kHz inputs). Pass
+    ``rate`` explicitly only to relabel on purpose. WAV in, WAV out via
+    :func:`encode_wav`; output blobs decode again, so stages chain.
+    Map-only; NULL blobs skipped, non-WAV blobs raise."""
 
     def batches(it):
         import pandas as pd  # noqa: PLC0415
@@ -625,13 +645,16 @@ def transcode_audio(
             for did, buf in zip(pdf[id_col], pdf[blob_col]):
                 if buf is None:
                     continue
-                x = decode_wav(bytes(buf))
-                if x is None:
+                meta = decode_wav_meta(bytes(buf))
+                if meta is None:
                     raise ValueError(
                         "transcode_audio decodes RIFF/WAVE PCM only; "
                         "compressed audio needs libs not in this container"
                     )
-                out = encode_wav(x, width=width, nch=1, rate=rate)
+                x, src_rate = meta
+                out = encode_wav(
+                    x, width=width, nch=1, rate=rate or src_rate
+                )
                 ids.append(did)
                 blobs.append(out)
                 sizes.append(len(out))

@@ -40,7 +40,17 @@ def norm_expr(a: Column) -> Column:
 
 
 def cosine_expr(a: Column, b: Column) -> Column:
-    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+    """Cosine similarity with pinned zero-vector semantics: a zero-norm
+    vector scores 0.0 against everything (ADVICE r5 — under this
+    session's ANSI mode an unguarded 0/0 double division THROWS
+    DIVIDE_BY_ZERO mid-query; non-ANSI would yield NULL and sort
+    NULLS-LAST through every top-k window). NULL *inputs* stay NULL:
+    a NULL array gives a NULL norm, the guard predicate is NULL, and
+    both branches fall through to NULL."""
+    denom = norm_expr(a) * norm_expr(b)
+    return F.when(denom != F.lit(0.0), dot_expr(a, b) / denom).otherwise(
+        F.when(a.isNotNull() & b.isNotNull(), F.lit(0.0))
+    )
 
 
 def cosine_topk(
@@ -84,7 +94,10 @@ def embedding_near_dup_pairs(
         F.col(vec_col).cast("array<double>").alias("v"),
     ).withColumn("nrm", norm_expr(F.col("v")))
     a, b = withn.alias("a"), withn.alias("b")
-    cos = dot_expr(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    denom = F.col("a.nrm") * F.col("b.nrm")  # ANSI: guard 0/0 (throws)
+    cos = F.when(
+        denom != F.lit(0.0), dot_expr(F.col("a.v"), F.col("b.v")) / denom
+    ).otherwise(F.lit(0.0))
     return (
         a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
@@ -354,9 +367,7 @@ def near_dup_pairs_blocked(
     sb = df.select(
         F.col(id_col).alias("id_b"), v.alias("_vb")
     )
-    cos = dot_expr(F.col("_va"), F.col("_vb")) / (
-        norm_expr(F.col("_va")) * norm_expr(F.col("_vb"))
-    )
+    cos = cosine_expr(F.col("_va"), F.col("_vb"))
     return (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
@@ -425,7 +436,7 @@ def cosine_topk_quantized(
     qcol = F.col(q_col)
     qv = F.array(*[F.lit(float(x)) for x in query_vec])
     widened = F.transform(qcol, lambda x: x.cast("double"))
-    score = dot_expr(widened, qv) / (norm_expr(widened) * norm_expr(qv))
+    score = cosine_expr(widened, qv)
     return (
         df.select(id_col, F.round(score, 6).alias("cosine"))
         .filter(F.col("cosine").isNotNull())
@@ -525,6 +536,7 @@ def cosine_topk_batch(
     corpus_id_col: str = "vec_id",
     n_blocks: int = 8,
     metric: str = "cosine",
+    pad: int = 8,
 ) -> DataFrame:
     """Exact top-k corpus neighbors for EVERY query row — the
     batch form a real retrieval/dedup pipeline runs (the single-vector
@@ -545,13 +557,17 @@ def cosine_topk_batch(
     cosine_expr Column algebra as cosine_topk on the ORIGINAL vectors,
     and a per-query window over the ≤ (k+pad)·B_c candidates selects
     the global top-k by (round(cosine,4) desc, corpus_id asc) — the
-    exact path's key. Emitted values are therefore bit-identical to
-    cosine_topk's (same fold order, same half-away F.round — numpy's
-    half-to-even np.round never touches the output); the pad rows
-    absorb BLAS-vs-fold summation drift at a rounding boundary, the
-    only way local selection could disagree with the exact key
-    (rounding is monotonic, so raw-score order can never strictly
-    invert rounded order — only boundary ties are at risk).
+    exact path's key. Emitted VALUES come from the same float64
+    fold + half-away F.round as cosine_topk, so any candidate that
+    survives is scored bit-identically; the local cut uses the SAME
+    key shape (half-away-rounded BLAS score, corpus_id asc — not the
+    raw score), so selection can only disagree with the exact path
+    when BLAS-vs-fold summation drift flips a score across a 0.00005
+    rounding boundary, and the ``pad`` extra candidates per
+    (query, corpus-block) absorb up to ``pad`` such flips. pad is
+    configurable; at the default 8 a wrong top-k row requires >8
+    last-ulp boundary flips within one block — raise it for corpora
+    engineered with mass ties at rounding boundaries.
     Shuffle cost: O(|Q|·d + |C|·d) block build + O(|Q|·(k+pad)·B_c)
     candidate rows + two id-keyed rescore joins; compute
     O(|Q|·|C|·d/B_q·B_c) FLOPs per task in BLAS. The corpus is scanned
@@ -563,7 +579,6 @@ def cosine_topk_batch(
 
     if metric not in ("cosine", "dot"):
         raise ValueError(f"metric must be 'cosine' or 'dot', got {metric!r}")
-    pad = 8  # candidate margin per (query, corpus block) over k
 
     def blockify(df, vec_col, id_col, nb):
         # raw vectors; normalization is one vectorized numpy divide in
@@ -607,18 +622,24 @@ def cosine_topk_batch(
                 if metric == "cosine":
                     qn = np.linalg.norm(Q, axis=1)
                     cn = np.linalg.norm(C, axis=1)
-                    qn[qn == 0] = np.inf  # zero vectors score 0 everywhere
+                    # zero-norm vectors score 0.0 everywhere — matches
+                    # the coalesce in cosine_expr, so the rescore keeps
+                    # the same ranking for any candidate emitted here
+                    qn[qn == 0] = np.inf
                     cn[cn == 0] = np.inf
                     S = (Q / qn[:, None]) @ (C / cn[:, None]).T
                 else:  # raw inner product
                     S = Q @ C.T
+                # local cut key == final window key shape: half-away
+                # round to 4 decimals (Spark's F.round; np.round is
+                # half-to-even, never use it here), then corpus_id asc.
+                # Only a BLAS-vs-fold last-ulp flip across a 0.00005
+                # boundary can make this key disagree with the exact
+                # rescored key; pad rows absorb those.
+                R = np.copysign(np.floor(np.abs(S) * 1e4 + 0.5), S)
                 kk = min(k + pad, S.shape[1])
                 for row, qid in enumerate(qids):
-                    # local cut by (−raw score, corpus_id); the pad rows
-                    # cover any disagreement with the exact rounded key
-                    # at a 0.00005 boundary (ADVICE r4: np.round is
-                    # half-to-even, the fold sums in a different order)
-                    order = np.lexsort((cid, -S[row]))[:kk]
+                    order = np.lexsort((cid, -R[row]))[:kk]
                     out["query_id"].extend([qid] * len(order))
                     out["vec_id"].extend(cid[order].tolist())
             if out["query_id"]:

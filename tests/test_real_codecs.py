@@ -241,3 +241,54 @@ def test_transcode_audio_normalizes_to_mono_pcm(spark):
     assert dec.shape == (200,)
     # downmix then requantize: within the two quantizers' summed error
     assert np.abs(dec - stereo.mean(axis=1)).max() < 2 / 2**23 + 2 / 2**15
+
+
+def test_transcode_audio_preserves_source_framerate(spark):
+    """ADVICE r5: samples pass through 1:1, so the output header must
+    carry the SOURCE framerate by default (a fixed 8 kHz stamp would
+    misdeclare duration/pitch for a 44.1 kHz input); an explicit rate
+    still relabels on purpose."""
+    from chicago_crime_spark_ml_spark.operators.multimodal import (
+        decode_wav_meta,
+        transcode_audio,
+    )
+
+    rng = np.random.default_rng(23)
+    x = rng.uniform(-0.9, 0.9, size=150)
+    blob = make_wav(x, width=2, rate=44100)
+
+    rows = transcode_audio(_blob_df(spark, [blob]), width=2).collect()
+    dec, rate = decode_wav_meta(bytes(rows[0].blob))
+    assert rate == 44100 and dec.shape == (150,)
+
+    forced = transcode_audio(
+        _blob_df(spark, [blob]), width=2, rate=16000
+    ).collect()
+    _, forced_rate = decode_wav_meta(bytes(forced[0].blob))
+    assert forced_rate == 16000
+
+
+def test_resize_units_consistent_across_decode_paths(spark):
+    """ADVICE r5: toggling decode_stub must not silently change units —
+    both paths emit n_out_bytes as the 8-bit raster byte count and
+    mean_byte in [0,1] from the quantized raster."""
+    pix = np.array([[0, 255], [255, 0]], dtype=np.int64)
+    blob = make_pgm(pix)
+    real = resize_images(
+        _blob_df(spark, [blob]), width=4, height=4, decode_stub=False
+    ).collect()[0]
+    stub = resize_images(
+        _blob_df(spark, [blob]), width=4, height=4, decode_stub=True
+    ).collect()[0]
+    assert real.n_out_bytes == 16  # bytes of the quantized 8-bit raster
+    assert stub.n_out_bytes == 16
+    for r in (real, stub):
+        assert 0.0 <= r.mean_byte <= 1.0
+    # 16-bit input: n_out_bytes still counts 8-bit OUTPUT bytes
+    pix16 = np.array([[0, 65535], [65535, 0]], dtype=np.int64)
+    real16 = resize_images(
+        _blob_df(spark, [make_pgm(pix16, maxval=65535)]),
+        width=4, height=4, decode_stub=False,
+    ).collect()[0]
+    assert real16.n_out_bytes == 16
+    assert real16.mean_byte == pytest.approx(0.5)

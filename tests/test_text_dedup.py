@@ -629,3 +629,38 @@ def test_gen_sf1_replication_preserves_near_dup_structure(spark, tmp_path):
     twice = replicate(docs, 2, doc_special)
     assert twice.count() == 2 * docs.count()
     assert ngram_jaccard_pairs(twice, threshold=0.8).count() == 2 * base_pairs
+
+
+def test_zero_vector_scores_zero_not_null(spark):
+    """Pinned zero-vector semantics (ADVICE r5): cosine against a
+    zero-norm vector is 0.0 — not NULL (Spark 0/0 division), which
+    would sort NULLS-LAST through top-k windows and diverge from the
+    numpy candidate pass that scores zero vectors 0 everywhere."""
+    from chicago_crime_spark_ml_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_batch,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.0, 0.0]),  # zero-norm corpus vector
+            (2, [-1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    top = cosine_topk(emb, [1.0, 0.0], k=3).collect()
+    by_id = {r.vec_id: r.cosine for r in top}
+    assert by_id[1] == 0.0  # not None
+    # 0.0 outranks the negative match, exactly as documented
+    assert [r.vec_id for r in top] == [0, 1, 2]
+
+    q = spark.createDataFrame(
+        [(100, [1.0, 0.0])], "query_id long, embedding array<double>"
+    )
+    batch = cosine_topk_batch(q, emb, k=3, n_blocks=1).collect()
+    assert [(r.vec_id, r.cosine) for r in sorted(batch, key=lambda r: r.rank)] == [
+        (0, 1.0),
+        (1, 0.0),
+        (2, -1.0),
+    ]
