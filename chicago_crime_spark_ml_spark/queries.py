@@ -2179,7 +2179,11 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs_blocked(emb, threshold=0.4)
 
 
-@query("ann_lsh_top10")  # engine-specific hash functions — rows-only
+# NOT @query-registered (VERDICT r5 #6): the LSH hash family is
+# engine-specific, so a registered entry could only ever earn the
+# driver's `err: no_oracle` row. The REGISTERED certification surface
+# is ann_lsh_recall_check, which runs this exact builder and
+# oracle-pins its accuracy contract.
 def ann_lsh_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-projection LSH ANN for the vec_id=0 query (cosine via
     normalized Euclidean). A pytest asserts recall vs brute force."""
@@ -2190,7 +2194,8 @@ def ann_lsh_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_neighbors(emb, qvec, k=10)
 
 
-@query("ann_ivf_top10")  # KMeans quantizer is engine-specific — rows-only
+# NOT @query-registered: the KMeans quantizer is engine-specific (same
+# rationale as ann_lsh_top10); certified via ann_ivf_recall_check.
 def ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (k-means cells, probe the 4 nearest of 16) for the
     vec_id=0 query — the FAISS-style learned-partition tier; at 100 TB
@@ -4462,13 +4467,21 @@ def corpus_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global training order + shard assignment: docs
     ordered by md5(doc_id) (a content-stable pseudo-shuffle identical in
     every engine/run), numbered, and dealt round-robin into 8 shards —
-    balanced to ±1 by construction. A single global window is fine at
-    test SF; the 100 TB path is repartitionByRange on the hash + a
-    per-partition count pass to turn local row numbers into global
-    offsets (two jobs, no single-reducer sort)."""
-    w = Window.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
-    rn = F.row_number().over(w)
-    return _t(spark, sf_dir, "documents").select(
+    balanced to ±1 by construction. Numbering runs through
+    relational.global_rank (range partition + per-partition row_number +
+    exact prefix offsets — hash-identical to the single-reducer
+    ``row_number() OVER (ORDER BY …)`` by the total-order tiebreak on
+    doc_id, with no partition-less WindowExec; VERDICT r5 #5)."""
+    from chicago_crime_spark_ml_spark.operators.relational import (
+        global_rank,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("__h")
+    )
+    ranked = global_rank(docs, ["__h", "doc_id"], out_col="__rn")
+    rn = F.col("__rn")
+    return ranked.select(
         "doc_id",
         ((rn - 1) % 8).cast("int").alias("shard"),
         rn.cast("int").alias("global_pos"),
@@ -8991,14 +9004,18 @@ def rolling_corr_purchase_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("als_part_recommendations")  # factorization — rows-only check
+# NOT @query-registered (VERDICT r5 #6): factor values are
+# float-iteration-order dependent, so a registered entry could only
+# ever earn `err: no_oracle`. The REGISTERED certification surfaces
+# are als_coverage_check (structural contract over this builder's
+# output) and als_topk_serving_agreement (blocked-BLAS serving path ==
+# MLlib recommendForAllUsers on the same factors).
 def als_part_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 part recommendations per customer from implicit ALS over
     order history (quantity as confidence) — distributed matrix
     factorization where interaction blocks and factor matrices never
-    leave the executors (ml.als_recommendations). Seeded; rows-only for
-    the driver (float iteration order varies), structural invariants
-    pytest-asserted."""
+    leave the executors (ml.als_recommendations). Seeded; structural
+    invariants pytest-asserted and driver-certified via the twins."""
     from chicago_crime_spark_ml_spark.operators.ml import als_recommendations
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
@@ -10529,7 +10546,7 @@ def als_coverage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     score is finite/non-null. A red row means the factorization dropped
     users, leaked unknown items, or emitted NaNs — the failure modes
     that silently corrupt a recommender, independent of seed noise."""
-    recs = QUERIES["als_part_recommendations"](spark, sf_dir)
+    recs = als_part_recommendations(spark, sf_dir)
     parts = _t(spark, sf_dir, "part").select(
         F.col("p_partkey").cast("int").alias("item")
     )

@@ -324,9 +324,11 @@ def test_calibration_query_contract(spark, sf_dir):
 
 
 def test_als_recommendation_shape(spark, sf_dir):
-    from chicago_crime_spark_ml_spark.queries import QUERIES
+    # library-only builder (deregistered r6 — it could only ever earn a
+    # no_oracle driver row; als_coverage_check is the registered surface)
+    from chicago_crime_spark_ml_spark.queries import als_part_recommendations
 
-    recs = QUERIES["als_part_recommendations"](spark, sf_dir)
+    recs = als_part_recommendations(spark, sf_dir)
     rows = recs.collect()
     per_user = {}
     for r in rows:
