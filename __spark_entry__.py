@@ -133,6 +133,7 @@ _REWRITTEN_GREENS = [
     "doc_winnow_fingerprints",  # r5: LET-bound grams
     "supplier_name_fuzzy_pairs",  # r5: FastSS deletion-neighborhood
     "corpus_shard_assignment",  # r6: global_rank reroute
+    "event_lateness_profile",  # r6: global_cummax high-water mark
 ]
 
 

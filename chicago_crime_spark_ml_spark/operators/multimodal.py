@@ -715,3 +715,126 @@ def extract_features_arrow(
 
     narrow = df.select(F.col(id_col), F.col(blob_col))
     return narrow.mapInArrow(batches, schema=FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------- synthesis
+# Blob synthesis: encode NUMERIC columns into real WAV/netpbm blobs.
+# This is what makes the real-codec paths driver-certifiable with no
+# media files on disk: a query builds deterministic sample/pixel arrays
+# with JVM Column algebra (sequence/transform — the exact same float64
+# ops an ANSI-SQL oracle replays), encodes them through the REAL
+# encoders here, runs the REAL decode operators, and the oracle
+# recomputes the decoded statistics closed-form. It is also the write
+# half of a real pipeline (synthetic probes, test tones, watermark
+# tiles) — not test-only scaffolding.
+
+
+def synthesize_wav_blobs(
+    df: DataFrame,
+    samples_col: str = "samples",
+    id_col: str = "doc_id",
+    width: int = 2,
+    rate: int = 8000,
+) -> DataFrame:
+    """(id, array<double> samples) → (id, blob) with blob a real
+    RIFF/WAVE PCM encoding of the samples via :func:`encode_wav`
+    (mono; ``width`` bytes/sample, truncating quantizer at scale
+    2^(8·width−1)−1 — closed-form: a decoded sample is
+    ``trunc(clip(x)·(2^(8w−1)−1)) / 2^(8w−1)``). mapInPandas, map-only;
+    NULL sample arrays are skipped like NULL blobs everywhere else."""
+
+    def batches(it):
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in it:
+            ids, blobs = [], []
+            for did, xs in zip(pdf[id_col], pdf[samples_col]):
+                if xs is None:
+                    continue
+                ids.append(did)
+                blobs.append(encode_wav(list(xs), width=width, rate=rate))
+            if ids:
+                yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    return df.select(F.col(id_col), F.col(samples_col)).mapInPandas(
+        batches, schema="doc_id BIGINT, blob BINARY"
+    )
+
+
+def synthesize_netpbm_blobs(
+    df: DataFrame,
+    pixels_col: str = "pixels",
+    id_col: str = "doc_id",
+    maxval: int = 255,
+) -> DataFrame:
+    """(id, array<array<int>> pixel rows) → (id, blob) with blob a real
+    binary-netpbm P5 grayscale encoding via :func:`encode_netpbm`
+    (header ``P5\\n{w} {h}\\n{maxval}\\n`` + raster — byte length is
+    closed-form from (h, w, maxval)). Ragged rows raise: every row must
+    have the same width. mapInPandas, map-only; NULL arrays skipped."""
+
+    def batches(it):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in it:
+            ids, blobs = [], []
+            for did, rows in zip(pdf[id_col], pdf[pixels_col]):
+                if rows is None:
+                    continue
+                pix = np.array([np.asarray(r) for r in rows])
+                if pix.ndim != 2:
+                    raise ValueError(
+                        f"doc {did}: ragged pixel rows {pix.shape}"
+                    )
+                ids.append(did)
+                blobs.append(encode_netpbm(pix, maxval=maxval))
+            if ids:
+                yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    return df.select(F.col(id_col), F.col(pixels_col)).mapInPandas(
+        batches, schema="doc_id BIGINT, blob BINARY"
+    )
+
+
+def wav_metadata(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Header metadata of real WAV blobs via :func:`decode_wav_meta`:
+    (id, n_samples, framerate_hz, duration_s). The audit that catches
+    rate-relabeling bugs (ADVICE r5) — duration must survive a
+    transcode. Map-only; NULL blobs skipped, non-WAV blobs raise."""
+
+    def batches(it):
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in it:
+            ids, ns, rates = [], [], []
+            for did, buf in zip(pdf[id_col], pdf[blob_col]):
+                if buf is None:
+                    continue
+                meta = decode_wav_meta(bytes(buf))
+                if meta is None:
+                    raise ValueError(
+                        "wav_metadata reads RIFF/WAVE PCM only"
+                    )
+                x, rate = meta
+                ids.append(did)
+                ns.append(int(x.size))
+                rates.append(int(rate))
+            if ids:
+                yield pd.DataFrame(
+                    {"doc_id": ids, "n_samples": ns, "framerate_hz": rates}
+                )
+
+    out = df.select(F.col(id_col), F.col(blob_col)).mapInPandas(
+        batches, schema="doc_id BIGINT, n_samples INT, framerate_hz INT"
+    )
+    return out.withColumn(
+        "duration_s",
+        F.round(
+            F.col("n_samples").cast("double") / F.col("framerate_hz"), 6
+        ),
+    )

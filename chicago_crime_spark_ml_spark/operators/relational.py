@@ -1083,6 +1083,74 @@ def global_cumsum(
     ).drop("__pid")
 
 
+def global_cummax(
+    df: DataFrame,
+    order_cols: Sequence[Column | str],
+    value_col: str,
+    out_col: str = "cummax",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed INCLUSIVE running max of a long column over a TOTAL
+    order — ``max(v) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)``
+    without the single-partition WindowExec. Max is associative exactly
+    like sum, so the global_cumsum mechanism carries over unchanged
+    (VERDICT r5 #7 — the event-lateness high-water mark was the last
+    global running window): range partition (one shuffle), parallel
+    per-partition running max, per-partition MAXES collected (≤
+    num_partitions rows) and folded into prefix maxes merged back by
+    ``greatest``. Bit-identical to the window form — max has no
+    accumulation-order sensitivity at all, so unlike the float-sum
+    cases there isn't even a rounding caveat.
+
+    Same total-order and localCheckpoint caveats as global_rank;
+    ``value_col`` must cast to long (timestamps via unix_micros). NULL
+    values are ignored by max on both levels; rows before the first
+    non-null value get a NULL running max, exactly as the window form
+    does."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    n = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"
+    )
+    part = _range_partitioned_with_pid(df, cols, int(n)).localCheckpoint(
+        eager=True
+    )
+    maxes = {
+        r["__pid"]: r["m"]
+        for r in part.groupBy("__pid")
+        .agg(F.max(F.col(value_col).cast("long")).alias("m"))
+        .collect()
+    }
+    prefix: dict[int, int | None] = {}
+    acc: int | None = None
+    for pid in sorted(maxes):
+        prefix[pid] = acc
+        m = maxes[pid]
+        if m is not None and (acc is None or m > acc):
+            acc = m
+    entries = [
+        x
+        for pid in sorted(prefix)
+        if prefix[pid] is not None
+        for x in (pid, prefix[pid])
+    ]
+    off_expr = (
+        F.element_at(
+            F.create_map(*[F.lit(x) for x in entries]), F.col("__pid")
+        )
+        if entries
+        else F.lit(None).cast("long")
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.max(F.col(value_col).cast("long")).over(w)
+    return part.withColumn(
+        out_col, F.greatest(running, off_expr)
+    ).drop("__pid")
+
+
 def topk_per_group_combiner(
     df: DataFrame,
     group_cols: Sequence[str],

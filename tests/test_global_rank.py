@@ -309,3 +309,54 @@ def test_global_cumsum_null_weight_is_zero(spark):
         for r in global_cumsum(df, ["v"], "w", out_col="cum").collect()
     }
     assert got == {(1, 5), (2, 5), (3, 12)}
+
+
+def test_global_cummax_equals_window_form(spark):
+    from pyspark.sql.window import Window
+
+    from chicago_crime_spark_ml_spark.operators.relational import (
+        global_cummax,
+    )
+
+    # adversarial: values DECREASE over the order with spikes, so the
+    # running max is dominated by early rows and every range partition's
+    # prefix matters; nulls interleaved
+    rows = [
+        (i, None if i % 17 == 5 else (1000 - i * 3 + (707 if i % 29 == 0 else 0)))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "k int, v long").repartition(8)
+    got = {
+        (r.k, r.cm)
+        for r in global_cummax(
+            df, ["k"], "v", out_col="cm", num_partitions=7
+        ).collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        (r.k, r.cm)
+        for r in df.select("k", F.max("v").over(w).alias("cm")).collect()
+    }
+    assert got == want
+
+
+def test_global_cummax_leading_nulls_and_plan(spark):
+    from chicago_crime_spark_ml_spark.operators.relational import (
+        global_cummax,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, 9), (4, 2)], "k int, v long"
+    )
+    got = {
+        (r.k, r.cm)
+        for r in global_cummax(df, ["k"], "v", out_col="cm").collect()
+    }
+    assert got == {(1, None), (2, None), (3, 9), (4, 9)}
+
+    big = spark.range(0, 100, 1, 4).select(
+        F.col("id").alias("k"), (F.col("id") % 13).alias("v")
+    )
+    plan = explain_str(global_cummax(big, ["k"], "v"), "simple")
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(__pid" in plan
