@@ -57,7 +57,7 @@ def canon_hash(pdf) -> str:
     return h.hexdigest()
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: list[str] | None = None) -> int:
     import duckdb  # noqa: PLC0415
 
     from chicago_crime_spark_ml_spark import get_spark
@@ -71,8 +71,13 @@ def main(sf_dir: str) -> int:
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{sf_dir}/{t}.parquet')"
         )
+    names = [
+        n
+        for n in ORACLE
+        if not only or any(s in n for s in only)
+    ]
     bad = 0
-    for name in ORACLE:
+    for name in names:
         try:
             # Materialize EXACTLY as the grading driver does: Spark
             # ``toPandas()`` (Arrow) and DuckDB ``.df()``.  Round 2
@@ -97,11 +102,15 @@ def main(sf_dir: str) -> int:
         if hs != hd:
             print(f"MISMATCH {name}: rows {len(spdf)} vs {len(dpdf)}")
             bad += 1
-    print(f"preflight: {len(ORACLE) - bad}/{len(ORACLE)} OK at {sf_dir}")
+    print(f"preflight: {len(names) - bad}/{len(names)} OK at {sf_dir}")
     return 1 if bad else 0
 
 
 if __name__ == "__main__":
+    # usage: driver_preflight.py [sf_dir] [name-substring ...]
     sys.exit(
-        main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01")
+        main(
+            sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
+            sys.argv[2:] or None,
+        )
     )
