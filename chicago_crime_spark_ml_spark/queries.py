@@ -11222,3 +11222,82 @@ def als_topk_serving_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@query(
+    "multimodal_png_transcode_roundtrip",
+    """
+    WITH d AS (SELECT doc_id, 8 + doc_id % 5 AS h, 6 + doc_id % 7 AS w
+               FROM documents),
+    k AS (SELECT doc_id, h, w, unnest(generate_series(0, 3)) AS kk FROM d),
+    kl AS (SELECT doc_id, h, w, kk, unnest(generate_series(0, 3)) AS ll
+           FROM k),
+    v AS (SELECT doc_id,
+                 CAST((doc_id * 7 + ((kk * h) // 4) * 13
+                       + ((ll * w) // 4) * 29) % 256 AS DOUBLE)
+                   / 255.0 AS px
+          FROM kl)
+    SELECT doc_id,
+           true AS png_magic,
+           round(avg(px), 4) AS mean_px,
+           round(stddev_pop(px), 4) AS std_px,
+           round(min(px), 4) AS min_px
+    FROM v GROUP BY doc_id
+    """,
+)
+def multimodal_png_transcode_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CROSS-FORMAT transcode through a genuinely COMPRESSED codec:
+    synthesized netpbm rasters are normalized to 4×4 PNG
+    (transcode_images(out_format="png") — stdlib-zlib encoder, filter-0
+    scanlines, CRC-stamped chunks), and the compressed output blobs are
+    decoded AGAIN (extract_features → decode_image → decode_png, all
+    five scanline filters supported) to prove pixel-exact survival.
+    png_magic checks the 8-byte signature JVM-side (no Python needed
+    for the header audit); the oracle recomputes the nearest-neighbor
+    pixel selection closed-form, same as the netpbm roundtrip — the
+    two queries differing only in codec means a red here isolates the
+    PNG layer (zlib stream, filters, CRC) specifically."""
+    from chicago_crime_spark_ml_spark.operators.multimodal import (
+        extract_features,
+        synthesize_netpbm_blobs,
+        transcode_images,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    h = F.lit(8) + (F.col("doc_id") % 5).cast("int")
+    w = F.lit(6) + (F.col("doc_id") % 7).cast("int")
+    pixels = F.transform(
+        F.sequence(F.lit(0), h - 1),
+        lambda r: F.transform(
+            F.sequence(F.lit(0), w - 1),
+            lambda c: (
+                (F.col("doc_id") * 7 + r * 13 + c * 29) % 256
+            ).cast("int"),
+        ),
+    )
+    blobs = synthesize_netpbm_blobs(
+        docs.select("doc_id", pixels.alias("pixels"))
+    )
+    out = transcode_images(blobs, width=4, height=4, out_format="png")
+    redecoded = extract_features(
+        out.select("doc_id", "blob"), decode_stub=False
+    )
+    f = F.col("features")
+    magic = out.select(
+        "doc_id",
+        (
+            F.substring("blob", 1, 8)
+            == F.lit(bytes.fromhex("89504E470D0A1A0A"))
+        ).alias("png_magic"),
+    )
+    return magic.join(
+        redecoded.select(
+            "doc_id",
+            F.round(f.getItem(0), 4).alias("mean_px"),
+            F.round(f.getItem(1), 4).alias("std_px"),
+            F.round(f.getItem(2), 4).alias("min_px"),
+        ),
+        "doc_id",
+    )
