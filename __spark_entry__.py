@@ -134,6 +134,7 @@ _REWRITTEN_GREENS = [
     "supplier_name_fuzzy_pairs",  # r5: FastSS deletion-neighborhood
     "corpus_shard_assignment",  # r6: global_rank reroute
     "event_lateness_profile",  # r6: global_cummax high-water mark
+    "order_value_ks_two_sample",  # r6: histogram CDFs via global_cumsum
 ]
 
 

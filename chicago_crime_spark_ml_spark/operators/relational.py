@@ -1019,8 +1019,8 @@ def global_ntile(
 def global_cumsum(
     df: DataFrame,
     order_cols: Sequence[Column | str],
-    weight_col: str,
-    out_col: str = "cumsum",
+    weight_col: str | Sequence[str],
+    out_col: str | Sequence[str] = "cumsum",
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Distributed INCLUSIVE prefix sum of an integer weight over a
@@ -1040,7 +1040,21 @@ def global_cumsum(
     localCheckpoint caveats as global_rank (see its docstring);
     ``weight_col`` must be integral (counts) — totals accumulate in
     exact long arithmetic, and a null weight is treated as 0.
+
+    Multiple weights prefix-sum in ONE pass when ``weight_col`` (and
+    correspondingly ``out_col``) is a sequence — one range shuffle, one
+    checkpoint, one sizes collect and one ranked projection shared by
+    all of them (the two-sided CDF shape: a KS statistic needs cum
+    counts of BOTH samples over the same value order).
     """
+    weights = (
+        [weight_col] if isinstance(weight_col, str) else list(weight_col)
+    )
+    outs = [out_col] if isinstance(out_col, str) else list(out_col)
+    if len(weights) != len(outs):
+        raise ValueError(
+            f"{len(weights)} weight cols but {len(outs)} out cols"
+        )
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     n = num_partitions or df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions"
@@ -1048,39 +1062,47 @@ def global_cumsum(
     part = _range_partitioned_with_pid(df, cols, int(n)).localCheckpoint(
         eager=True
     )
-    totals = {
-        r["__pid"]: r["w"] or 0
-        for r in part.groupBy("__pid")
-        .agg(F.sum(F.col(weight_col).cast("long")).alias("w"))
-        .collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(totals):
-        offsets[pid] = acc
-        acc += totals[pid]
-    off_expr = (
-        F.element_at(
-            F.create_map(
-                *[
-                    F.lit(x)
-                    for pid in sorted(offsets)
-                    for x in (pid, offsets[pid])
-                ]
-            ),
-            F.col("__pid"),
+    totals_rows = (
+        part.groupBy("__pid")
+        .agg(
+            *[
+                F.sum(F.col(wc).cast("long")).alias(f"__w{i}")
+                for i, wc in enumerate(weights)
+            ]
         )
-        if offsets
-        else F.lit(0)
+        .collect()
     )
     w = (
         Window.partitionBy("__pid")
         .orderBy(*cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    running = F.sum(F.coalesce(F.col(weight_col), F.lit(0)).cast("long"))
-    return part.withColumn(
-        out_col, (running.over(w) + off_expr).cast("long")
-    ).drop("__pid")
+    out = part
+    for i, (wc, oc) in enumerate(zip(weights, outs)):
+        totals = {r["__pid"]: r[f"__w{i}"] or 0 for r in totals_rows}
+        offsets, acc = {}, 0
+        for pid in sorted(totals):
+            offsets[pid] = acc
+            acc += totals[pid]
+        off_expr = (
+            F.element_at(
+                F.create_map(
+                    *[
+                        F.lit(x)
+                        for pid in sorted(offsets)
+                        for x in (pid, offsets[pid])
+                    ]
+                ),
+                F.col("__pid"),
+            )
+            if offsets
+            else F.lit(0)
+        )
+        running = F.sum(F.coalesce(F.col(wc), F.lit(0)).cast("long"))
+        out = out.withColumn(
+            oc, (running.over(w) + off_expr).cast("long")
+        )
+    return out.drop("__pid")
 
 
 def global_cummax(

@@ -8011,12 +8011,21 @@ def order_value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def order_value_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov statistic between two years of order
-    values: max |F1(x) − F2(x)| over the pooled sample. The default
-    RANGE window frame includes value ties identically on both engines;
-    the running counts divide the same integers, so every CDF step is
-    bit-identical. Needs one global sort of the two samples — exact KS
-    is inherently order-based; at 100 TB the drift check of record is
-    the binned PSI above (hash aggs only) or KLL-sketch CDFs."""
+    values: max |F1(x) − F2(x)| over the pooled sample. EXACT and
+    distributed (VERDICT r5 — this was the last single-reducer global
+    sort): the pooled sample first collapses to its VALUE HISTOGRAM
+    (one hash agg: per distinct value, counts from each sample), then
+    BOTH CDFs come from one relational.global_cumsum pass (range
+    partition + prefix offsets, two weights sharing the shuffle). The
+    oracle's RANGE-framed window gives every tie-group one CDF step, so
+    max over distinct values equals max over pooled rows, and the
+    running counts divide the same integers — bit-identical, not
+    approximate. The binned PSI above remains the cheap screening gate;
+    this is now the exact check at any scale."""
+    from chicago_crime_spark_ml_spark.operators.relational import (
+        global_cumsum,
+    )
+
     o = _t(spark, sf_dir, "orders").filter(
         F.year("o_orderdate").isin(1995, 1996)
     )
@@ -8024,16 +8033,17 @@ def order_value_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").alias("v"),
         F.when(F.year("o_orderdate") == 1995, 1).otherwise(0).alias("is1"),
     )
-    n = pooled.agg(
-        F.sum("is1").alias("n1"),
-        F.sum(F.lit(1) - F.col("is1")).alias("n2"),
+    hist = pooled.groupBy("v").agg(
+        F.sum("is1").alias("c1"),
+        F.sum(F.lit(1) - F.col("is1")).alias("c2"),
     )
-    w = Window.orderBy("v")
-    cdf = pooled.crossJoin(F.broadcast(n)).select(
-        (F.sum("is1").over(w) * 1.0 / F.col("n1")).alias("f1"),
-        (F.sum(F.lit(1) - F.col("is1")).over(w) * 1.0 / F.col("n2")).alias(
-            "f2"
-        ),
+    cum = global_cumsum(hist, ["v"], ["c1", "c2"], ["cum1", "cum2"])
+    n = hist.agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    cdf = cum.crossJoin(F.broadcast(n)).select(
+        (F.col("cum1") * 1.0 / F.col("n1")).alias("f1"),
+        (F.col("cum2") * 1.0 / F.col("n2")).alias("f2"),
         "n1",
         "n2",
     )

@@ -360,3 +360,28 @@ def test_global_cummax_leading_nulls_and_plan(spark):
     plan = explain_str(global_cummax(big, ["k"], "v"), "simple")
     assert "SinglePartition" not in plan
     assert "hashpartitioning(__pid" in plan
+
+
+def test_global_cumsum_multi_weight_one_pass(spark):
+    from pyspark.sql.window import Window
+
+    from chicago_crime_spark_ml_spark.operators.relational import (
+        global_cumsum,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i % 3, (i * 7) % 5) for i in range(200)],
+        "v int, a int, b int",
+    ).repartition(6)
+    got = global_cumsum(
+        df, ["v"], ["a", "b"], ["ca", "cb"], num_partitions=5
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    want = df.select(
+        "v",
+        F.sum("a").over(w).alias("ca"),
+        F.sum("b").over(w).alias("cb"),
+    )
+    assert {(r.v, r.ca, r.cb) for r in got.collect()} == {
+        (r.v, r.ca, r.cb) for r in want.collect()
+    }
