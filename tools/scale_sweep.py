@@ -33,7 +33,12 @@ sys.path.insert(0, REPO)
 # once in the r5 sweep and recorded in SCALE.md). The blocked production
 # path itself IS swept, as embedding_near_dup_pairs.
 SKIP = {
-    "embedding_blocked_exact_parity": "brute-force parity twin, O(n^2 d)"
+    "embedding_blocked_exact_parity": "brute-force parity twin, O(n^2 d)",
+    # the agreement query runs recommendForAllUsers (the |U|·|I| MLlib
+    # ground truth — its superlinear growth is already measured via
+    # als_coverage_check) AND the blocked serving path; sweeping it
+    # re-times the documented certification side, not a production plan
+    "als_topk_serving_agreement": "MLlib full-catalog ground-truth side",
 }
 
 
