@@ -44,12 +44,15 @@ def cosine_expr(a: Column, b: Column) -> Column:
     vector scores 0.0 against everything (ADVICE r5 — under this
     session's ANSI mode an unguarded 0/0 double division THROWS
     DIVIDE_BY_ZERO mid-query; non-ANSI would yield NULL and sort
-    NULLS-LAST through every top-k window). NULL *inputs* stay NULL:
-    a NULL array gives a NULL norm, the guard predicate is NULL, and
-    both branches fall through to NULL."""
-    denom = norm_expr(a) * norm_expr(b)
-    return F.when(denom != F.lit(0.0), dot_expr(a, b) / denom).otherwise(
-        F.when(a.isNotNull() & b.isNotNull(), F.lit(0.0))
+    NULLS-LAST through every top-k window). NULL *inputs* stay NULL
+    via the outer isNotNull guard. Guarding uses try_divide, NOT a
+    when(denom != 0) predicate: the aggregate folds are interpreted
+    (CodegenFallback, no subexpression elimination), so a predicate
+    mentioning denom would re-evaluate both norm folds per row —
+    try_divide keeps one evaluation of each fold."""
+    raw = F.try_divide(dot_expr(a, b), norm_expr(a) * norm_expr(b))
+    return F.when(
+        a.isNotNull() & b.isNotNull(), F.coalesce(raw, F.lit(0.0))
     )
 
 
@@ -94,10 +97,15 @@ def embedding_near_dup_pairs(
         F.col(vec_col).cast("array<double>").alias("v"),
     ).withColumn("nrm", norm_expr(F.col("v")))
     a, b = withn.alias("a"), withn.alias("b")
-    denom = F.col("a.nrm") * F.col("b.nrm")  # ANSI: guard 0/0 (throws)
-    cos = F.when(
-        denom != F.lit(0.0), dot_expr(F.col("a.v"), F.col("b.v")) / denom
-    ).otherwise(F.lit(0.0))
+    # try_divide: ANSI-safe 0/0 guard (throws unguarded); zero-norm
+    # pairs coalesce to 0.0 and fall out of the positive threshold
+    cos = F.coalesce(
+        F.try_divide(
+            dot_expr(F.col("a.v"), F.col("b.v")),
+            F.col("a.nrm") * F.col("b.nrm"),
+        ),
+        F.lit(0.0),
+    )
     return (
         a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(

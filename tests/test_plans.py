@@ -481,7 +481,10 @@ EXCHANGE_BUDGET = [
     # r5 histogram rewrite: the exchanges are windows/aggs over d-row
     # value histograms (global_cumsum two-pass), not n-row global sorts
     ("spearman_qty_price", 11),
-    ("order_value_ks_two_sample", 4),
+    # r6: exact KS via multi-weight global_cumsum — +1 exchange (the
+    # range partition + pid window over the value histogram) buys away
+    # the single-reducer RANGE window over the pooled sample
+    ("order_value_ks_two_sample", 5),
     ("part_outstanding_balance_peak", 3),
     ("ship_leadtime_percentiles_by_month", 3),
     ("event_type_transitions", 4),
@@ -508,7 +511,16 @@ EXCHANGE_BUDGET = [
     ("cluster_aware_split_assignment", 3),
     ("acctbal_percentile_disc_by_segment", 2),
     ("suppliers_serving_all_regions", 10),
-    ("order_value_ks_two_sample", 4),
+    # r6 single-reducer eliminations: lock the distributed shapes
+    ("corpus_shard_assignment", 1),
+    ("event_lateness_profile", 2),
+    # r6 real-codec chains: map-only (0-2 exchanges are the tiny
+    # doc_id joins in the roundtrip variants), never a fact shuffle
+    ("multimodal_real_wav_envelope", 0),
+    ("multimodal_real_image_features", 0),
+    ("multimodal_image_transcode_roundtrip", 1),
+    ("multimodal_audio_transcode_roundtrip", 2),
+    ("multimodal_png_transcode_roundtrip", 1),
     # round-2 scale operators
     ("heavy_hitter_users", 3),
     ("bitmap_distinct_customers_by_priority", 2),
