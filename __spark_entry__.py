@@ -126,7 +126,7 @@ _STATS_TIER_NUDGE = [
 # spearman_qty_price earned green r5 rows on the new impls and dropped
 # off; the six below were NOT in r5's 50-query window — VERDICT r5 #2).
 _REWRITTEN_GREENS = [
-    "minhash_lsh_near_dups",  # r5: 16 OR tables (band-miss bound)
+    "minhash_lsh_near_dups",  # r6: 32×2 banding (miss ≤ 6.3e-15, ~20× fewer candidates)
     "ngram_jaccard_near_dups",  # r5: max_df=None at oracle sites
     "near_dup_clusters",  # r5: banded pair front-end + edge checkpoint
     "embedding_batch_topk",  # r5: exact Column-algebra rescore

@@ -469,29 +469,52 @@ def _hashed_shingle_sets(
     ).filter(F.col("n_shingles") > 0)
 
 
-def _minhash_bands(sets: DataFrame, id_col: str, num_hashes: int, seed: int) -> DataFrame:
+def _minhash_bands(
+    sets: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    seed: int,
+    band_width: int = 1,
+) -> DataFrame:
     """(id, band, bucket) minhash band rows — the shared LSH hash family
     over HASHED shingle sets (``hshingles`` from _hashed_shingle_sets).
 
-    Pure Column algebra: band i's bucket is min over the doc's distinct
-    shingle hashes of xxhash64(h, seed+i) — the classic one-permutation-
-    per-band minhash, fully inside whole-stage codegen (no MLlib fit
-    job, no 2^18-dim HashingTF vectors, no Python). The family is a pure
-    function of (seed, num_hashes): an index built today and a delta
-    hashed tomorrow land in the same bucket space (lsh_index_delta's
-    contract). min-hash property: P(bucket_a == bucket_b) = J(A,B) per
-    band, identical in law to the MLlib family this replaced — measured
-    4×+ faster end-to-end at sf0.1/sf1."""
-    def band_bucket(i: int):
-        # NB: the band seed must be captured via this factory scope, NOT a
-        # `lambda h, i=i:` default argument — PySpark introspects the
+    Pure Column algebra: band i's bucket combines ``band_width``
+    independent minhashes — each is min over the doc's distinct shingle
+    hashes of xxhash64(h, seed + i·width + j) — folded into one bucket
+    key via xxhash64(min_0, …); fully inside whole-stage codegen (no
+    MLlib fit job, no 2^18-dim HashingTF vectors, no Python). With
+    width 1 the bucket IS the single minhash — bit-identical to the
+    pre-r6 family, which keeps the incremental-index contract: the
+    family is a pure function of (seed, num_hashes, band_width), so an
+    index built today and a delta hashed tomorrow land in the same
+    bucket space (lsh_index_delta).
+
+    Banding math: P(bucket collision per band) = J^band_width exactly
+    (each minhash collides with probability J, independently by seed).
+    width 1 maximizes recall per band (miss (1−J)^b) but its candidate
+    precision degrades on corpora where many documents share a common
+    low-hash shingle — the r6 sf1 profile measured 10M candidates for
+    2 551 true pairs, with the exact rescore of those candidates
+    dominating the whole pipeline. width 2 drops a random pair's
+    per-band collision from J to J² (~20× fewer false candidates at
+    J≈0.05) at the price of 2× hash evaluations; compensate recall by
+    doubling bands (b=32, r=2 ⇒ miss (1−J²)^32 ≤ 6.3e-15 at J ≥ 0.8 —
+    three orders STRONGER than the r5 16×1 contract)."""
+    def one_min(k: int):
+        # NB: the seed must be captured via this factory scope, NOT a
+        # `lambda h, k=k:` default argument — PySpark introspects the
         # lambda's arity and treats a two-parameter lambda as the
-        # (element, index) form of transform(), silently binding i to the
+        # (element, index) form of transform(), silently binding k to the
         # ELEMENT INDEX and collapsing every band to one position-seeded
         # hash (caught by the sf0.1 oracle sweep: high-J pairs missed).
         return F.array_min(
-            F.transform("hshingles", lambda h: F.xxhash64(h, F.lit(seed + i)))
+            F.transform("hshingles", lambda h: F.xxhash64(h, F.lit(seed + k)))
         )
+
+    def band_bucket(i: int):
+        mins = [one_min(i * band_width + j) for j in range(band_width)]
+        return mins[0] if band_width == 1 else F.xxhash64(*mins)
 
     buckets = F.array(*[band_bucket(i) for i in range(num_hashes)])
     return sets.select(
@@ -509,6 +532,7 @@ def minhash_lsh_pairs(
     seed: int = 42,
     margin: float = 0.0,
     max_bucket: int | None = 10_000,
+    band_width: int = 1,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs: shingle → minhash band buckets
     (shared xxhash64 family, _minhash_bands) → band-bucket SELF-JOIN
@@ -520,10 +544,17 @@ def minhash_lsh_pairs(
     THE scale path: candidate generation is a bucket equi-join
     (sublinear), never an all-pairs comparison. Because candidates are
     rescored with the set Jaccard (array_intersect on the distinct
-    hashed-shingle arrays), the output is the exact near-dup pair set whenever
-    banding recalls it — miss probability per pair is (1−J)^num_hashes
-    (OR-amplification: 8 tables ⇒ ≤ 2.6e-6 at J = 0.8), which makes the
-    query SQL-oracle-checkable rather than rows-only.
+    hashed-shingle arrays), the output is the exact near-dup pair set
+    whenever banding recalls it — miss probability per pair is
+    (1−J^band_width)^num_hashes (OR-amplification: the default 8×1 ⇒
+    ≤ 2.6e-6 at J = 0.8; the certification setting 32×2 ⇒ ≤ 6.3e-15),
+    which makes the query SQL-oracle-checkable rather than rows-only.
+    ``band_width`` > 1 is the candidate-precision lever: see
+    _minhash_bands — on corpora where many docs share a common low-hash
+    shingle (boilerplate, replicated corpora) width-1 buckets crowd and
+    the exact rescore of k²/2 candidates per bucket becomes the
+    dominant cost (measured: 10M candidates for 2 551 true pairs at
+    sf1; width 2 cuts a J≈0.05 pair's collision odds 20×).
 
     Round-4 rewrite: the previous form delegated the join to MLlib's
     ``approxSimilarityJoin``, which (a) computes a per-candidate Jaccard
@@ -552,7 +583,7 @@ def minhash_lsh_pairs(
     sets = _hashed_shingle_sets(
         _parallelize_narrow_scan(df), text_col, id_col, n
     )
-    idx = _minhash_bands(sets, id_col, num_hashes, seed)
+    idx = _minhash_bands(sets, id_col, num_hashes, seed, band_width)
     if max_bucket is not None:
         idx = (
             idx.withColumn(

@@ -2051,7 +2051,7 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB recursive CTE (transitive closure + min label).
 
     Pairs come from the banded MinHash front-end with the exact
-    set-Jaccard rescore (16 OR tables ⇒ per-pair miss ≤ 6.6e-12 at
+    set-Jaccard rescore (32 bands × 2 hashes ⇒ per-pair miss ≤ 6.3e-15 at
     J ≥ 0.8 — the same certainty contract minhash_lsh_near_dups holds
     against its exact oracle): the r5 scale sweep measured the uncapped
     inverted-index generator at ×11 on 10× data (Σdf² growth), while
@@ -2062,7 +2062,7 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _t(spark, sf_dir, "documents")
-    comp = connected_components(minhash_lsh_pairs(d, num_hashes=16, jaccard_threshold=0.8))
+    comp = connected_components(minhash_lsh_pairs(d, num_hashes=32, jaccard_threshold=0.8, band_width=2))
     return d.select("doc_id").join(
         comp, d["doc_id"] == comp["node"], "left"
     ).select(
@@ -2115,15 +2115,17 @@ def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     Formerly rows-only; the round-4 rewrite rescoring candidates with
     the exact set Jaccard makes the output the exact near-dup pair set
     whenever banding recalls it, so the all-pairs SQL oracle applies.
-    The registered query runs 16 OR tables (per-pair miss (1−J)^16 ≤
-    6.6e-12 at J ≥ 0.8, vs 2.6e-6 at the operator's default 8): at that
+    The registered query runs 32 bands × 2 hashes per band (per-pair
+    miss (1−J²)^32 ≤ 6.3e-15 at J ≥ 0.8, vs 2.6e-6 at the operator's
+    default 8×1 — and width 2 also cuts the false-candidate mass ~20×,
+    the r6 sf1 finding recorded in _minhash_bands): at that
     probability a red row means the rescore arithmetic broke, not that
     the seed happened to miss a boundary pair (ADVICE r4 — don't
     conflate 'banding recall < 1' with 'code broken')."""
     from chicago_crime_spark_ml_spark.operators.dedup import minhash_lsh_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(d, num_hashes=16, jaccard_threshold=0.8)
+    return minhash_lsh_pairs(d, num_hashes=32, jaccard_threshold=0.8, band_width=2)
 
 
 @query(
@@ -6917,7 +6919,7 @@ def null_safe_segment_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 def near_dup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup ENDGAME: which document survives each near-dup
     cluster. Components over the Jaccard≥0.8 graph (banded MinHash
-    candidates + exact set-Jaccard rescore, miss ≤ 6.6e-12 per pair at
+    candidates + exact set-Jaccard rescore, miss ≤ 6.3e-15 per pair at
     16 bands — see near_dup_clusters), then per-cluster argmax on
     (quality score, smallest-id tiebreak) via one struct-max
     aggregation — no per-cluster sort, no second join. Output is the
@@ -6930,7 +6932,7 @@ def near_dup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chicago_crime_spark_ml_spark.operators.text import add_quality_score
 
     d = _t(spark, sf_dir, "documents")
-    comp = connected_components(minhash_lsh_pairs(d, num_hashes=16, jaccard_threshold=0.8))
+    comp = connected_components(minhash_lsh_pairs(d, num_hashes=32, jaccard_threshold=0.8, band_width=2))
     clusters = d.select("doc_id").join(
         comp, d["doc_id"] == comp["node"], "left"
     ).select("doc_id", F.coalesce("label", "doc_id").alias("cluster_id"))
@@ -9632,7 +9634,7 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     after hash-splitting, because hash splits are content-blind:
     composes the near-dup machinery with the deterministic md5 split
     (doc_split_assignment). The pair list comes from the banded MinHash
-    front-end with exact rescore (16 bands, per-pair miss ≤ 6.6e-12 at
+    front-end with exact rescore (32×2 bands, per-pair miss ≤ 6.3e-15 at
     J ≥ 0.8 — the 100 TB shape; the r5 sweep measured the uncapped
     inverted-index generator superlinear); the join to split labels is
     id-keyed either way. The fix when this is red: assign splits by
@@ -9643,7 +9645,7 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chicago_crime_spark_ml_spark.operators.ml import hash_split
 
     d = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(d, num_hashes=16, jaccard_threshold=0.8).select("id_a", "id_b")
+    pairs = minhash_lsh_pairs(d, num_hashes=32, jaccard_threshold=0.8, band_width=2).select("id_a", "id_b")
     split = hash_split(d.select("doc_id"), "doc_id").select(
         "doc_id", "split"
     )
@@ -9754,7 +9756,7 @@ def cluster_aware_split_assignment(
     from chicago_crime_spark_ml_spark.operators.ml import hash_split
 
     d = _t(spark, sf_dir, "documents")
-    comp = connected_components(minhash_lsh_pairs(d, num_hashes=16, jaccard_threshold=0.8))
+    comp = connected_components(minhash_lsh_pairs(d, num_hashes=32, jaccard_threshold=0.8, band_width=2))
     canon = (
         d.select("doc_id")
         .join(comp, F.col("doc_id") == F.col("node"), "left")
