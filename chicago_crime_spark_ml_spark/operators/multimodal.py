@@ -428,10 +428,11 @@ def sample_frames(
     mapInPandas yields as many rows as the batch produces, unlike a
     scalar UDF. ``decode_stub=True``: equal byte-chunks stand in for
     frame extraction. ``decode_stub=False``: REAL decode of
-    concatenated-netpbm streams (:func:`decode_netpbm_stream`) —
-    ``frame_idx`` is the source frame's position in the stream, features
-    are (mean, std, n_pixels) of the decoded raster; containers needing
-    ffmpeg (mp4/webm) raise ``ValueError``."""
+    concatenated-netpbm OR concatenated-PNG streams
+    (:func:`decode_image_stream`) — ``frame_idx`` is the source frame's
+    position in the stream, features are (mean, std, n_pixels) of the
+    decoded raster; containers needing ffmpeg (mp4/webm) raise
+    ``ValueError``."""
 
     def batches(it):
         import numpy as np  # noqa: PLC0415
@@ -443,11 +444,11 @@ def sample_frames(
                 if buf is None:  # NULL blob: skip, don't TypeError
                     continue
                 if not decode_stub:
-                    frames = decode_netpbm_stream(bytes(buf))
+                    frames = decode_image_stream(bytes(buf))
                     if frames is None:
                         raise ValueError(
                             "sample_frames(decode_stub=False) decodes "
-                            "concatenated netpbm (P5/P6) streams only; "
+                            "concatenated netpbm (P5/P6) or PNG streams; "
                             "mp4/webm need ffmpeg, not in this container"
                         )
                     take = np.unique(
@@ -876,15 +877,26 @@ def decode_png(buf: bytes):
     ``ValueError`` (they need a palette/Adam7 pass this engine does not
     ship). Chunk CRCs are verified — a corrupt blob is corrupt data,
     not a different format."""
+    buf = bytes(buf)
+    if buf[:8] != _PNG_SIG:
+        return None
+    return _decode_png_at(buf, 0)[0]
+
+
+def _decode_png_at(buf: bytes, pos: int):
+    """Decode one PNG starting at ``pos`` (the 8-byte signature must be
+    there — caller dispatches). Returns ``(pixels, next_pos)`` where
+    next_pos is the first byte after the IEND chunk — the frame iterator
+    for concatenated-PNG streams, mirroring :func:`_parse_netpbm_at`."""
     import struct  # noqa: PLC0415
     import zlib  # noqa: PLC0415
 
     import numpy as np  # noqa: PLC0415
 
-    buf = bytes(buf)
-    if buf[:8] != _PNG_SIG:
-        return None
-    pos, ihdr, idat = 8, None, []
+    if buf[pos : pos + 8] != _PNG_SIG:
+        raise ValueError(f"PNG: no signature at offset {pos}")
+    pos += 8
+    ihdr, idat, end = None, [], None
     while pos + 8 <= len(buf):
         (length,) = struct.unpack(">I", buf[pos : pos + 4])
         ctype = buf[pos + 4 : pos + 8]
@@ -900,11 +912,12 @@ def decode_png(buf: bytes):
             ihdr = struct.unpack(">IIBBBBB", data)
         elif ctype == b"IDAT":
             idat.append(data)
-        elif ctype == b"IEND":
-            break
         pos += 12 + length
-    if ihdr is None or not idat:
-        raise ValueError("PNG: missing IHDR/IDAT")
+        if ctype == b"IEND":
+            end = pos
+            break
+    if ihdr is None or not idat or end is None:
+        raise ValueError("PNG: missing IHDR/IDAT/IEND")
     w, h, depth, ct, comp, filt, interlace = ihdr
     if comp or filt:
         raise ValueError("PNG: nonstandard compression/filter method")
@@ -964,7 +977,39 @@ def decode_png(buf: bytes):
             out.reshape(h, w * nch, 2)[:, :, 0].astype(np.uint16) * 256
             + out.reshape(h, w * nch, 2)[:, :, 1]
         ).reshape(h, w, nch).astype(np.float64) / 65535.0
-    return pix
+    return pix, end
+
+
+def decode_png_stream(buf: bytes):
+    """Real decode of a concatenated-PNG "video" stream (back-to-back
+    full PNG files — the compressed sibling of the netpbm raw-frame
+    container). Returns a list of (h, w, c) float64 frames, or ``None``
+    when the first bytes are not a PNG signature; garbage between
+    frames raises ``ValueError``."""
+    buf = bytes(buf)
+    if buf[:8] != _PNG_SIG:
+        return None
+    frames, pos = [], 0
+    while pos < len(buf):
+        if buf[pos : pos + 8] != _PNG_SIG:
+            raise ValueError(
+                f"PNG stream: junk at offset {pos} after frame "
+                f"{len(frames)}"
+            )
+        pix, pos = _decode_png_at(buf, pos)
+        frames.append(pix)
+    return frames
+
+
+def decode_image_stream(buf: bytes):
+    """Format-dispatching frame-stream decode: concatenated netpbm
+    (:func:`decode_netpbm_stream`) or concatenated PNG
+    (:func:`decode_png_stream`). Returns a list of (h, w, c) float64
+    frames or ``None`` for unrecognized magics."""
+    frames = decode_netpbm_stream(buf)
+    if frames is not None:
+        return frames
+    return decode_png_stream(buf)
 
 
 def encode_png(pix, depth: int = 8) -> bytes:

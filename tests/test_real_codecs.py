@@ -462,3 +462,30 @@ def test_jpeg_import_guard():
         pass
     with pytest.raises(ValueError, match="Pillow"):
         decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
+
+
+def test_png_stream_frame_sampling(spark):
+    from chicago_crime_spark_ml_spark.operators.multimodal import (
+        decode_png_stream,
+        encode_png,
+        sample_frames,
+    )
+
+    rng = np.random.default_rng(43)
+    frames = [rng.integers(0, 256, size=(4, 6)) for _ in range(7)]
+    stream = b"".join(encode_png(f) for f in frames)
+    dec = decode_png_stream(stream)
+    assert len(dec) == 7
+    for got, exp in zip(dec, frames):
+        assert np.array_equal((got[:, :, 0] * 255).round().astype(int), exp)
+
+    rows = sample_frames(
+        _blob_df(spark, [stream]), n_frames=3, decode_stub=False
+    ).collect()
+    assert [r.frame_idx for r in rows] == [0, 3, 6]
+    for r in rows:
+        exp = frames[r.frame_idx] / 255.0
+        assert r.frame_features[0] == pytest.approx(float(exp.mean()))
+
+    with pytest.raises(Exception, match="junk"):
+        decode_png_stream(stream + b"garbage tail")
