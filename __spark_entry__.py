@@ -128,13 +128,19 @@ _STATS_TIER_NUDGE = [
 _REWRITTEN_GREENS = [
     "minhash_lsh_near_dups",  # r6: 32×2 banding (miss ≤ 6.3e-15, ~20× fewer candidates)
     "ngram_jaccard_near_dups",  # r5: max_df=None at oracle sites
-    "near_dup_clusters",  # r5: banded pair front-end + edge checkpoint
-    "embedding_batch_topk",  # r5: exact Column-algebra rescore
+    "near_dup_clusters",  # r5 front-end + r6 32×2 banding
+    "embedding_batch_topk",  # r5 exact rescore + r6 local-key/zero-guard
     "doc_winnow_fingerprints",  # r5: LET-bound grams
     "supplier_name_fuzzy_pairs",  # r5: FastSS deletion-neighborhood
     "corpus_shard_assignment",  # r6: global_rank reroute
     "event_lateness_profile",  # r6: global_cummax high-water mark
     "order_value_ks_two_sample",  # r6: histogram CDFs via global_cumsum
+    "near_dup_canonical_docs",  # r6: 32×2 banding
+    "cluster_aware_split_assignment",  # r6: 32×2 banding
+    "split_leakage_audit",  # r6: 32×2 banding
+    "ann_cosine_top10",  # r6: try_divide zero-norm guard in cosine_expr
+    "embedding_near_dup_pairs",  # r6: zero-norm guard in rescore
+    "ann_quantized_agreement_check",  # r6: quantized scorer via cosine_expr
 ]
 
 
