@@ -544,3 +544,126 @@ def test_holt_forecast_matches_numpy_loop(spark, sf_dir):
         assert abs(gl - level) < 1e-9 * max(1, abs(level))
         assert abs(gt - trend) < 1e-6
         assert abs(gf - (level + trend)) < 1e-6
+
+
+# ------------------------------------------------- distributed prefix ops
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-50, max_value=50),   # order key part
+            st.one_of(st.none(),
+                      st.integers(min_value=-9, max_value=9)),  # w1
+            st.one_of(st.none(),
+                      st.integers(min_value=0, max_value=7)),   # w2
+            st.one_of(st.none(),
+                      st.integers(min_value=-1000, max_value=1000)),  # v
+        ),
+        min_size=0,
+        max_size=60,
+    ),
+    nparts=st.integers(min_value=1, max_value=9),
+)
+def test_global_prefix_ops_match_pandas(spark, rows, nparts):
+    """global_cumsum (multi-weight) and global_cummax against pandas
+    cumulative references on random data: duplicate order-key parts
+    (disambiguated by a unique tiebreak, per the total-order contract),
+    nulls in every value column, empty frames, and partition counts
+    that exceed, match, or undercut the row count."""
+    import pandas as pd
+
+    from chicago_crime_spark_ml_spark.operators.relational import (
+        global_cummax,
+        global_cumsum,
+    )
+
+    data = [(i, k, w1, w2, v) for i, (k, w1, w2, v) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "uid int, k int, w1 int, w2 int, v long"
+    ).repartition(4)
+
+    got = {
+        (r.uid, r.c1, r.c2)
+        for r in global_cumsum(
+            df, ["k", "uid"], ["w1", "w2"], ["c1", "c2"],
+            num_partitions=nparts,
+        ).collect()
+    }
+    pdf = pd.DataFrame(
+        data, columns=["uid", "k", "w1", "w2", "v"]
+    ).sort_values(["k", "uid"])
+    c1 = pdf["w1"].fillna(0).cumsum().astype(int)
+    c2 = pdf["w2"].fillna(0).cumsum().astype(int)
+    want = set(zip(pdf["uid"], c1, c2))
+    assert got == want
+
+    got_mx = {
+        (r.uid, r.cm)
+        for r in global_cummax(
+            df, ["k", "uid"], "v", out_col="cm", num_partitions=nparts
+        ).collect()
+    }
+    # pandas cummax leaves NaN AT null positions; the SQL window (and
+    # the operator) carry the running max forward there — ffill matches
+    # that, while a leading all-null prefix stays NaN on both sides
+    cm = pdf["v"].astype("float").cummax().ffill()
+    want_mx = {
+        (u, None if pd.isna(m) else int(m))
+        for u, m in zip(pdf["uid"], cm)
+    }
+    assert got_mx == want_mx
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),  # value (heavy ties)
+            st.booleans(),                           # sample membership
+        ),
+        min_size=2,
+        max_size=80,
+    ),
+)
+def test_histogram_ks_equals_pooled_window_ks(spark, vals):
+    """The r6 KS rewrite's core claim on random data: max |F1−F2| over
+    the VALUE HISTOGRAM (global_cumsum CDFs) equals the pooled
+    RANGE-window KS, including heavy ties. Skips degenerate draws where
+    either sample is empty (the query's year filter guarantees both)."""
+    import pandas as pd
+
+    from chicago_crime_spark_ml_spark.operators.relational import (
+        global_cumsum,
+    )
+    from pyspark.sql import functions as F
+
+    n1 = sum(1 for _, is1 in vals if is1)
+    n2 = len(vals) - n1
+    if not (n1 and n2):
+        return
+    pooled = spark.createDataFrame(
+        [(v, int(is1)) for v, is1 in vals], "v int, is1 int"
+    )
+    hist = pooled.groupBy("v").agg(
+        F.sum("is1").alias("c1"),
+        F.sum(F.lit(1) - F.col("is1")).alias("c2"),
+    )
+    cum = global_cumsum(hist, ["v"], ["c1", "c2"], ["cum1", "cum2"],
+                        num_partitions=3)
+    got = cum.select(
+        F.max(F.abs(F.col("cum1") / n1 - F.col("cum2") / n2)).alias("ks")
+    ).first()["ks"]
+
+    pdf = pd.DataFrame(vals, columns=["v", "is1"]).sort_values("v")
+    # RANGE-frame semantics: the CDF step at v includes ALL ties of v
+    steps = pdf.groupby("v")["is1"].agg(["sum", "count"]).cumsum()
+    want = float(
+        (steps["sum"] / n1 - (steps["count"] - steps["sum"]) / n2)
+        .abs()
+        .max()
+    )
+    assert abs(got - want) < 1e-12
