@@ -7592,14 +7592,15 @@ def user_value_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_plumbing_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checkable contract for the multimodal mapInPandas surface
-    (decode is stubbed — the container has no media libs — so the
-    checkable truths are the Spark-side plumbing invariants): feature
-    extraction is 1:1 row-preserving with features in [0,1]; resize
-    emits exactly width×height bytes per row; frame sampling fans out
-    exactly n_frames rows per doc; the audio envelope's window sample
-    counts sum back to the blob's byte length. A red column means the
-    Arrow batch plumbing (schema, batching, explode arity) broke —
-    exactly what would silently corrupt a real decode swap-in."""
+    on the STUB decode path (the real codecs have their own closed-form
+    certification queries since r6 — multimodal_real_*, the transcode
+    roundtrips): feature extraction is 1:1 row-preserving with features
+    in [0,1]; resize emits exactly width×height bytes per row; frame
+    sampling fans out exactly n_frames rows per doc; the audio
+    envelope's window sample counts sum back to the blob's byte length.
+    A red column means the Arrow batch plumbing (schema, batching,
+    explode arity) broke — exactly what would silently corrupt either
+    decode path."""
     from chicago_crime_spark_ml_spark.operators.multimodal import (
         attach_blob,
         audio_window_envelope,
