@@ -595,3 +595,70 @@ def compression_ratio(
         # tiny inputs) get it without a join-back shuffle.
         cols.insert(1, F.octet_length(F.col(text_col)).alias("n_raw_bytes"))
     return df.select(*cols)
+
+
+def duplicated_span_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Exact substring-duplication diagnostic per document — the signal
+    behind span-level training-data dedup (duplicate long token spans
+    degrade LMs even when whole-document dedup passes): for every
+    k-token window of every doc, is that exact window present anywhere
+    ELSE in the corpus (another doc, or again in the same doc)?
+    Returns one row per doc with ≥ 1 window: (id, n_spans,
+    n_dup_spans, dup_fraction) — a doc with dup_fraction 0.9 is mostly
+    boilerplate even if no single whole-doc near-dup match exists.
+
+    Shape for 100 TB: one map-only pass builds the window hashes
+    (md5[:15hex]→bigint, the engine's cross-engine hash idiom; the
+    token array is referenced once via a single explode, so the split
+    is never CollapseProject-duplicated), then ONE hash-keyed count agg
+    and a join-back that reuses the same hash partitioning, then the
+    per-doc rollup. Window multiplicity is kept (NOT array_distinct):
+    a doc repeating its own 8-gram twice has a duplicated span. Windows
+    hash to 60-bit values — at 2^30 windows the collision-born false
+    dup rate is ~2^-30·n, negligible against real boilerplate rates.
+    n_spans falls out of the join-back row count (every hash matches
+    its own count), so the token array is evaluated exactly once."""
+
+    def spans(t: Column) -> Column:
+        return F.when(
+            F.size(t) >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (k - 1)),
+                lambda i: F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(" ", F.slice(t, i, k))), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+
+    e = df.select(
+        F.col(id_col),
+        F.explode(let_expr(tokens_expr(text_col), spans)).alias("h"),
+    )
+    counts = e.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        e.join(counts, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("cnt") >= 2, 1).otherwise(0)).alias(
+                "n_dup_spans"
+            ),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_spans").cast("long").alias("n_spans"),
+            F.col("n_dup_spans").cast("long").alias("n_dup_spans"),
+            F.round(
+                F.col("n_dup_spans") / F.col("n_spans").cast("double"), 4
+            ).alias("dup_fraction"),
+        )
+    )

@@ -11314,3 +11314,45 @@ def multimodal_png_transcode_roundtrip(
         ),
         "doc_id",
     )
+
+
+@query(
+    "doc_duplicated_span_fraction",
+    """
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+               FROM documents),
+    g AS (SELECT doc_id,
+                 list_transform(range(1, len(w) - 7 + 1),
+                   i -> ('0x' || substr(md5(array_to_string(w[i:i+7], ' ')),
+                                        1, 15))::BIGINT) AS hs
+          FROM t WHERE len(w) >= 8),
+    e AS (SELECT doc_id, unnest(hs) AS h FROM g),
+    c AS (SELECT h, count(*) AS cnt FROM e GROUP BY h),
+    d AS (SELECT e.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_spans,
+                 CAST(count(*) FILTER (WHERE c.cnt >= 2) AS BIGINT)
+                   AS n_dup_spans
+          FROM e JOIN c USING (h) GROUP BY e.doc_id)
+    SELECT doc_id, n_spans, n_dup_spans,
+           round(n_dup_spans / CAST(n_spans AS DOUBLE), 4) AS dup_fraction
+    FROM d
+    """,
+)
+def doc_duplicated_span_fraction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Span-level duplication profile (k=8 token windows): the exact
+    per-document fraction of 8-gram windows that occur at least twice
+    anywhere in the corpus — the diagnostic behind substring-level
+    training-data dedup, catching shared boilerplate that whole-doc and
+    near-dup passes both miss. One hash-keyed count agg + a
+    partitioning-reusing join-back; the oracle regenerates the same
+    60-bit md5-derived window hashes and counts in SQL. Docs shorter
+    than 8 tokens have no windows and no row (matching the oracle's
+    len(w) >= 8 gate)."""
+    from chicago_crime_spark_ml_spark.operators.text import (
+        duplicated_span_profile,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return duplicated_span_profile(d, k=8)

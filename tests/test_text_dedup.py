@@ -664,3 +664,32 @@ def test_zero_vector_scores_zero_not_null(spark):
         (1, 0.0),
         (2, -1.0),
     ]
+
+
+def test_duplicated_span_profile_planted(spark):
+    """Planted semantics: an 8-gram shared between two docs marks
+    exactly the windows containing it; a doc repeating its OWN 8-gram
+    counts too; unique-text docs score 0.0; short docs emit no row."""
+    from chicago_crime_spark_ml_spark.operators.text import (
+        duplicated_span_profile,
+    )
+
+    shared = "a b c d e f g h"           # 8 tokens, shared verbatim
+    rows = [
+        (1, shared + " unique1 tail1 xx1 yy1"),
+        (2, "lead2 " + shared + " zz2"),
+        (3, "only three tokens"),          # < 8 tokens: no row
+        (4, "p q r s t u v w p q r s t u v w"),  # self-repeat
+        (5, "totally distinct words one two three four five six"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in duplicated_span_profile(df, k=8).collect()}
+    assert 3 not in got
+    assert got[5].n_dup_spans == 0 and got[5].dup_fraction == 0.0
+    # doc1: 12 tokens -> 5 windows, only window 1 == shared
+    assert (got[1].n_spans, got[1].n_dup_spans) == (5, 1)
+    # doc2: 10 tokens -> 3 windows, shared sits at window 2
+    assert (got[2].n_spans, got[2].n_dup_spans) == (3, 1)
+    # doc4: 16 tokens -> 9 windows; window 1 (p..w) == window 9 -> both dup
+    assert got[4].n_spans == 9 and got[4].n_dup_spans == 2
+    assert got[4].dup_fraction == pytest.approx(round(2 / 9, 4))
