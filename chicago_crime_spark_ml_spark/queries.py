@@ -11356,3 +11356,61 @@ def doc_duplicated_span_fraction(
 
     d = _docs(spark, sf_dir).select("doc_id", "text")
     return duplicated_span_profile(d, k=8)
+
+
+@query(
+    "source_temperature_mixing",
+    """
+    WITH s AS (SELECT source,
+                      CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(len(string_split_regex(trim(text), '\\s+')))
+                           AS BIGINT) AS n_tokens
+               FROM documents GROUP BY source),
+    p AS (SELECT source, n_docs, n_tokens,
+                 n_tokens / CAST((SELECT sum(n_tokens) FROM s) AS DOUBLE)
+                   AS praw
+          FROM s),
+    z AS (SELECT sum(sqrt(praw)) AS z FROM p)
+    SELECT source, n_docs, n_tokens,
+           round(praw, 4) AS p_raw,
+           round(sqrt(praw) / (SELECT z FROM z), 4) AS p_temp,
+           round((sqrt(praw) / (SELECT z FROM z)) / praw, 4) AS up_factor
+    FROM p
+    """,
+)
+def source_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing weights (α = 0.5): the target
+    sampling distribution p_temp ∝ p_raw^α that up-weights low-resource
+    sources during pretraining-mix construction (the α-sampling rule
+    multilingual/multi-source pipelines apply before
+    domain_mixture_resample enforces the quotas; up_factor > 1 = the
+    source is oversampled relative to its natural token share). α = 0.5
+    deliberately: sqrt is correctly-rounded IEEE in both engines, so
+    the weights hash bit-identically, while pow(x, 0.7) is
+    last-ulp-implementation-defined. One hash agg over the corpus
+    (token counts via split length, map-side partial); everything after
+    runs on the ≤|sources| rollup via tiny window sums."""
+    from chicago_crime_spark_ml_spark.operators.text import tokens_expr
+
+    d = _docs(spark, sf_dir).select(
+        "source", F.size(tokens_expr("text")).alias("_nt")
+    )
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_nt").cast("long").alias("n_tokens"),
+    )
+    wall = Window.partitionBy()
+    p = s.withColumn(
+        "praw",
+        F.col("n_tokens") / F.sum("n_tokens").over(wall).cast("double"),
+    ).withColumn("z", F.sum(F.sqrt("praw")).over(wall))
+    return p.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round("praw", 4).alias("p_raw"),
+        F.round(F.sqrt("praw") / F.col("z"), 4).alias("p_temp"),
+        F.round((F.sqrt("praw") / F.col("z")) / F.col("praw"), 4).alias(
+            "up_factor"
+        ),
+    )
