@@ -11352,9 +11352,12 @@ def doc_duplicated_span_fraction(
     len(w) >= 8 gate)."""
     from chicago_crime_spark_ml_spark.operators.text import (
         duplicated_span_profile,
+        parallelize_narrow_scan,
     )
 
-    d = _docs(spark, sf_dir).select("doc_id", "text")
+    d = parallelize_narrow_scan(
+        _docs(spark, sf_dir).select("doc_id", "text")
+    )
     return duplicated_span_profile(d, k=8)
 
 
