@@ -11352,12 +11352,13 @@ def doc_duplicated_span_fraction(
     len(w) >= 8 gate)."""
     from chicago_crime_spark_ml_spark.operators.text import (
         duplicated_span_profile,
-        parallelize_narrow_scan,
     )
 
-    d = parallelize_narrow_scan(
-        _docs(spark, sf_dir).select("doc_id", "text")
-    )
+    # _docs already fans the narrow corpus scan out (see its docstring);
+    # a second parallelize_narrow_scan wrap A/B-measured as a no-op
+    # (1.42 s vs 1.40 s warm at sf0.1 — the 7.5 s first reading that
+    # prompted it was cold-JVM spin-up, not map-stage serialization)
+    d = _docs(spark, sf_dir).select("doc_id", "text")
     return duplicated_span_profile(d, k=8)
 
 
