@@ -11418,3 +11418,140 @@ def source_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "up_factor"
         ),
     )
+
+
+@query(
+    "multimodal_wav_width_matrix",
+    """
+    WITH d AS (SELECT doc_id, 32 + (doc_id % 3) * 16 AS n,
+                      1 + doc_id % 3 AS wd
+               FROM documents),
+    s AS (SELECT doc_id, n, wd, unnest(generate_series(0, n - 1)) AS i
+          FROM d),
+    x AS (SELECT doc_id, wd,
+                 (CAST((i * 37) % 201 AS DOUBLE) - 100.0) / 100.0 AS x
+          FROM s),
+    dec AS (SELECT doc_id, wd,
+                   CASE wd
+                     WHEN 1 THEN (trunc(x * 127.0 + 128.0) - 128.0) / 128.0
+                     WHEN 2 THEN trunc(x * 32767.0) / 32768.0
+                     ELSE trunc(x * 8388607.0) / 8388608.0
+                   END AS v
+            FROM x)
+    SELECT doc_id,
+           CAST(wd AS INT) AS width,
+           CAST(0 AS INT) AS window_idx,
+           round(sqrt(avg(v * v)), 4) AS rms,
+           round(max(abs(v)), 4) AS peak,
+           CAST(count(*) AS INT) AS n_samples
+    FROM dec GROUP BY doc_id, wd
+    """,
+)
+def multimodal_wav_width_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCM sample-width matrix through the REAL wave codec: each doc
+    encodes its ramp at width 1 + doc_id%3 bytes/sample (8-bit unsigned,
+    16-bit, and the hand-packed 24-bit path — numpy has no int24, so
+    encode packs the low 3 bytes of int32 and decode sign-extends by
+    hand; this query driver-certifies exactly that path, which the
+    16-bit-only envelope query never touches). Each width's truncating
+    quantizer is closed-form in the oracle — (trunc(x·127+128)−128)/128,
+    trunc(x·32767)/32768, trunc(x·8388607)/8388608 — and every decoded
+    sample is a dyadic rational of denominator ≤ 2^23, so v² sums stay
+    EXACT in float64 at any summation order and rms/peak hash
+    bit-identically (32-bit would break this: denominator 2^62 exceeds
+    the mantissa, which is why width 4 stays pytest-certified). Three
+    filtered map-only branches, no shuffle until the tiny union."""
+    from chicago_crime_spark_ml_spark.operators.multimodal import (
+        audio_window_envelope,
+        synthesize_wav_blobs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = F.lit(32) + (F.col("doc_id") % 3) * 16
+    samples = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: (((i * 37) % 201).cast("double") - 100.0) / 100.0,
+    )
+    parts = []
+    for w in (1, 2, 3):
+        branch = docs.filter(F.col("doc_id") % 3 == w - 1).select(
+            "doc_id", samples.alias("samples")
+        )
+        env = audio_window_envelope(
+            synthesize_wav_blobs(branch, width=w),
+            window_samples=64,
+            decode_stub=False,
+        )
+        parts.append(env.withColumn("width", F.lit(w)))
+    out = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return out.select(
+        "doc_id",
+        F.col("width").cast("int").alias("width"),
+        "window_idx",
+        F.round("rms", 4).alias("rms"),
+        F.round("peak", 4).alias("peak"),
+        "n_samples",
+    )
+
+
+@query(
+    "multimodal_real_image_16bit",
+    """
+    WITH d AS (SELECT doc_id, 6 + doc_id % 4 AS h, 5 + doc_id % 6 AS w
+               FROM documents),
+    r AS (SELECT doc_id, h, w, unnest(generate_series(0, h - 1)) AS rr
+          FROM d),
+    p AS (SELECT doc_id, h, w, rr, unnest(generate_series(0, w - 1)) AS cc
+          FROM r),
+    v AS (SELECT doc_id, h, w,
+                 CAST((doc_id * 11 + rr * 17 + cc * 23) % 65536 AS DOUBLE)
+                   / 65535.0 AS px
+          FROM p)
+    SELECT doc_id,
+           CAST(11 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
+                + h * w * 2 AS INT) AS n_bytes,
+           round(avg(px), 4) AS mean_px,
+           round(stddev_pop(px), 4) AS std_px,
+           round(min(px), 4) AS min_px
+    FROM v GROUP BY doc_id, h, w
+    """,
+)
+def multimodal_real_image_16bit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit netpbm decode certified by the driver: rasters with
+    samples in [0, 65535] encode as big-endian 16-bit P5 per the netpbm
+    spec (encode_netpbm ``>u2``) and decode through the real
+    byte-order-aware path — the branch the 8-bit features query never
+    exercises, and exactly where an endianness bug would silently
+    corrupt every high-depth scan. n_bytes is closed-form
+    (header 'P5\\n{w} {h}\\n65535\\n' + 2 bytes/sample); min is a
+    single exact division (p/65535 hashes bit-identically), mean/std
+    round at 4 like the rest of the catalog."""
+    from chicago_crime_spark_ml_spark.operators.multimodal import (
+        extract_features,
+        synthesize_netpbm_blobs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    h = F.lit(6) + (F.col("doc_id") % 4).cast("int")
+    w = F.lit(5) + (F.col("doc_id") % 6).cast("int")
+    pixels = F.transform(
+        F.sequence(F.lit(0), h - 1),
+        lambda r: F.transform(
+            F.sequence(F.lit(0), w - 1),
+            lambda c: (
+                (F.col("doc_id") * 11 + r * 17 + c * 23) % 65536
+            ).cast("int"),
+        ),
+    )
+    blobs = synthesize_netpbm_blobs(
+        docs.select("doc_id", pixels.alias("pixels")), maxval=65535
+    )
+    feats = extract_features(blobs, decode_stub=False)
+    f = F.col("features")
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.round(f.getItem(0), 4).alias("mean_px"),
+        F.round(f.getItem(1), 4).alias("std_px"),
+        F.round(f.getItem(2), 4).alias("min_px"),
+    )
