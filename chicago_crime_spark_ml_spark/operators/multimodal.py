@@ -782,11 +782,14 @@ def synthesize_netpbm_blobs(
     id_col: str = "doc_id",
     maxval: int = 255,
 ) -> DataFrame:
-    """(id, array<array<int>> pixel rows) → (id, blob) with blob a real
-    binary-netpbm P5 grayscale encoding via :func:`encode_netpbm`
-    (header ``P5\\n{w} {h}\\n{maxval}\\n`` + raster — byte length is
-    closed-form from (h, w, maxval)). Ragged rows raise: every row must
-    have the same width. mapInPandas, map-only; NULL arrays skipped."""
+    """(id, nested pixel array) → (id, blob) with blob a real
+    binary-netpbm encoding via :func:`encode_netpbm`:
+    ``array<array<int>>`` rows → P5 grayscale,
+    ``array<array<array<int>>>`` (innermost length 3) → P6 RGB.
+    Header ``P5/P6\\n{w} {h}\\n{maxval}\\n`` + raster — byte length is
+    closed-form from (h, w, channels, maxval). Ragged rows raise:
+    every row must have the same width. mapInPandas, map-only; NULL
+    arrays skipped."""
 
     def batches(it):
         import numpy as np  # noqa: PLC0415
@@ -797,8 +800,8 @@ def synthesize_netpbm_blobs(
             for did, rows in zip(pdf[id_col], pdf[pixels_col]):
                 if rows is None:
                     continue
-                pix = np.array([np.asarray(r) for r in rows])
-                if pix.ndim != 2:
+                pix = np.array([np.asarray(list(r)) for r in rows])
+                if pix.ndim not in (2, 3):
                     raise ValueError(
                         f"doc {did}: ragged pixel rows {pix.shape}"
                     )

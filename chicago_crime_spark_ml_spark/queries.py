@@ -11555,3 +11555,70 @@ def multimodal_real_image_16bit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(f.getItem(1), 4).alias("std_px"),
         F.round(f.getItem(2), 4).alias("min_px"),
     )
+
+
+@query(
+    "multimodal_real_image_rgb",
+    """
+    WITH d AS (SELECT doc_id, 5 + doc_id % 3 AS h, 4 + doc_id % 5 AS w
+               FROM documents),
+    r AS (SELECT doc_id, h, w, unnest(generate_series(0, h - 1)) AS rr
+          FROM d),
+    p AS (SELECT doc_id, h, w, rr, unnest(generate_series(0, w - 1)) AS cc
+          FROM r),
+    ch AS (SELECT doc_id, h, w, rr, cc,
+                  unnest(generate_series(0, 2)) AS kk
+           FROM p),
+    v AS (SELECT doc_id, h, w,
+                 CAST((doc_id * 7 + rr * 13 + cc * 29 + kk * 31) % 256
+                      AS DOUBLE) / 255.0 AS px
+          FROM ch)
+    SELECT doc_id,
+           CAST(9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
+                + h * w * 3 AS INT) AS n_bytes,
+           round(avg(px), 4) AS mean_px,
+           round(stddev_pop(px), 4) AS std_px,
+           round(min(px), 4) AS min_px
+    FROM v GROUP BY doc_id, h, w
+    """,
+)
+def multimodal_real_image_rgb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 RGB netpbm decode certified by the driver: 3-channel rasters
+    (pixel (r,c,ch) = (doc_id·7 + r·13 + c·29 + ch·31) mod 256) encode
+    as binary P6 — header 'P6\\n{w} {h}\\n255\\n' + interleaved RGB
+    raster, n_bytes closed-form with 3 bytes/pixel — and decode through
+    the real channel-aware path the grayscale features query never
+    exercises (a channel-interleaving bug ⇒ red row). Pixel statistics
+    run over ALL h·w·3 samples on both engines."""
+    from chicago_crime_spark_ml_spark.operators.multimodal import (
+        extract_features,
+        synthesize_netpbm_blobs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    h = F.lit(5) + (F.col("doc_id") % 3).cast("int")
+    w = F.lit(4) + (F.col("doc_id") % 5).cast("int")
+    pixels = F.transform(
+        F.sequence(F.lit(0), h - 1),
+        lambda r: F.transform(
+            F.sequence(F.lit(0), w - 1),
+            lambda c: F.transform(
+                F.sequence(F.lit(0), F.lit(2)),
+                lambda k: (
+                    (F.col("doc_id") * 7 + r * 13 + c * 29 + k * 31) % 256
+                ).cast("int"),
+            ),
+        ),
+    )
+    blobs = synthesize_netpbm_blobs(
+        docs.select("doc_id", pixels.alias("pixels"))
+    )
+    feats = extract_features(blobs, decode_stub=False)
+    f = F.col("features")
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.round(f.getItem(0), 4).alias("mean_px"),
+        F.round(f.getItem(1), 4).alias("std_px"),
+        F.round(f.getItem(2), 4).alias("min_px"),
+    )
