@@ -122,25 +122,16 @@ _STATS_TIER_NUDGE = [
 # outrank the other greens for re-certification when the driver's
 # bounded budget reaches past the never-checked tier. Self-demoting:
 # once re-checked green they sort with other greens in later rounds'
-# evidence. REFRESHED per round (r5's approx_distinct_counts /
-# spearman_qty_price earned green r5 rows on the new impls and dropped
-# off; the six below were NOT in r5's 50-query window — VERDICT r5 #2).
+# evidence. REFRESHED per round (the 15 r6 names earned green r6 rows
+# on the new impls and dropped off; the six below consume r6-rewritten
+# operator code but were NOT in r6's 50-query window — VERDICT r6 #1).
 _REWRITTEN_GREENS = [
-    "minhash_lsh_near_dups",  # r6: 32×2 banding (miss ≤ 6.3e-15, ~20× fewer candidates)
-    "ngram_jaccard_near_dups",  # r5: max_df=None at oracle sites
-    "near_dup_clusters",  # r5 front-end + r6 32×2 banding
-    "embedding_batch_topk",  # r5 exact rescore + r6 local-key/zero-guard
-    "doc_winnow_fingerprints",  # r5: LET-bound grams
-    "supplier_name_fuzzy_pairs",  # r5: FastSS deletion-neighborhood
-    "corpus_shard_assignment",  # r6: global_rank reroute
-    "event_lateness_profile",  # r6: global_cummax high-water mark
-    "order_value_ks_two_sample",  # r6: histogram CDFs via global_cumsum
-    "near_dup_canonical_docs",  # r6: 32×2 banding
-    "cluster_aware_split_assignment",  # r6: 32×2 banding
-    "split_leakage_audit",  # r6: 32×2 banding
-    "ann_cosine_top10",  # r6: try_divide zero-norm guard in cosine_expr
-    "embedding_near_dup_pairs",  # r6: zero-norm guard in rescore
-    "ann_quantized_agreement_check",  # r6: quantized scorer via cosine_expr
+    "ann_lsh_recall_check",  # calls cosine_topk (r6 try_divide zero-norm guard)
+    "ann_ivf_recall_check",  # calls cosine_topk (r6 zero-norm guard)
+    "ann_quantized_top10",  # calls cosine_topk (r6 zero-norm guard)
+    "spearman_qty_price",  # r6: global_cumsum rewritten to multi-weight form
+    "embedding_blocked_exact_parity",  # near_dup_pairs_blocked zero-guard
+    "minhash_lsh_recall_check",  # minhash_lsh_pairs body gained band_width
 ]
 
 
