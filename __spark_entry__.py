@@ -132,6 +132,7 @@ _REWRITTEN_GREENS = [
     "spearman_qty_price",  # r6: global_cumsum rewritten to multi-weight form
     "embedding_blocked_exact_parity",  # near_dup_pairs_blocked zero-guard
     "minhash_lsh_recall_check",  # minhash_lsh_pairs body gained band_width
+    "source_temperature_mixing",  # r7: order-pinned z fold (ADVICE r6)
 ]
 
 

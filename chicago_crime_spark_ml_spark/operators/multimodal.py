@@ -590,6 +590,14 @@ def transcode_images(
     skipped, unrecognized blobs raise."""
     if out_format not in ("netpbm", "png"):
         raise ValueError(f"out_format must be 'netpbm' or 'png', got {out_format!r}")
+    if out_format == "png" and maxval not in (255, 65535):
+        # encode_png/decode_png normalize by the full bit-depth range
+        # (255 or 65535); any other maxval would mis-scale decoded
+        # intensities and break the "output blobs decode again" contract.
+        raise ValueError(
+            "out_format='png' requires maxval 255 or 65535 "
+            f"(PNG full-scale ranges), got {maxval}"
+        )
 
     def batches(it):
         import numpy as np  # noqa: PLC0415
@@ -904,7 +912,10 @@ def _decode_png_at(buf: bytes, pos: int):
         (length,) = struct.unpack(">I", buf[pos : pos + 4])
         ctype = buf[pos + 4 : pos + 8]
         data = buf[pos + 8 : pos + 8 + length]
-        if len(data) < length:
+        if len(data) < length or pos + 12 + length > len(buf):
+            # also covers a blob cut inside the 4-byte CRC — keep the
+            # documented "corrupt blob is corrupt data" ValueError
+            # contract instead of leaking struct.error from the worker
             raise ValueError("PNG: truncated chunk")
         (crc,) = struct.unpack(
             ">I", buf[pos + 8 + length : pos + 12 + length]
@@ -1092,5 +1103,14 @@ def decode_image(buf: bytes):
         arr = np.asarray(Image.open(io.BytesIO(buf)))
         if arr.ndim == 2:
             arr = arr[:, :, None]
-        return arr.astype(np.float64) / 255.0
+        if np.issubdtype(arr.dtype, np.integer):
+            # normalize by the dtype's own full scale, not a hardcoded
+            # 255 — Pillow mode 'I'/'I;16' arrays are int32/uint16
+            scale = float(np.iinfo(arr.dtype).max)
+        else:
+            raise ValueError(
+                f"JPEG blob: unsupported decoded dtype {arr.dtype} "
+                "(expected an integer pixel array)"
+            )
+        return arr.astype(np.float64) / scale
     return None

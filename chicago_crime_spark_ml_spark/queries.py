@@ -11374,7 +11374,8 @@ def doc_duplicated_span_fraction(
                  n_tokens / CAST((SELECT sum(n_tokens) FROM s) AS DOUBLE)
                    AS praw
           FROM s),
-    z AS (SELECT sum(sqrt(praw)) AS z FROM p)
+    z AS (SELECT list_reduce(list(sqrt(praw) ORDER BY source),
+                             (acc, x) -> acc + x) AS z FROM p)
     SELECT source, n_docs, n_tokens,
            round(praw, 4) AS p_raw,
            round(sqrt(praw) / (SELECT z FROM z), 4) AS p_temp,
@@ -11391,9 +11392,16 @@ def source_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     source is oversampled relative to its natural token share). α = 0.5
     deliberately: sqrt is correctly-rounded IEEE in both engines, so
     the weights hash bit-identically, while pow(x, 0.7) is
-    last-ulp-implementation-defined. One hash agg over the corpus
-    (token counts via split length, map-side partial); everything after
-    runs on the ≤|sources| rollup via tiny window sums."""
+    last-ulp-implementation-defined. The normalizer z is an
+    ORDER-PINNED left fold over sources sorted by name (Spark
+    F.aggregate over a sorted struct array; DuckDB list_reduce over
+    list(... ORDER BY source)) — a plain sum(sqrt(praw)) accumulates in
+    engine-dependent row order, and float addition is not associative,
+    so the pinned fold removes the last-ulp-at-round-boundary risk
+    entirely (0.0 + s1 == s1 exactly, so both folds are bit-identical).
+    One hash agg over the corpus (token counts via split length,
+    map-side partial); everything after runs on the ≤|sources| rollup
+    via tiny window sums."""
     from chicago_crime_spark_ml_spark.operators.text import tokens_expr
 
     d = _docs(spark, sf_dir).select(
@@ -11407,7 +11415,18 @@ def source_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = s.withColumn(
         "praw",
         F.col("n_tokens") / F.sum("n_tokens").over(wall).cast("double"),
-    ).withColumn("z", F.sum(F.sqrt("praw")).over(wall))
+    ).withColumn(
+        "z",
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("source"), F.sqrt("praw").alias("sq"))
+                ).over(wall)
+            ),
+            F.lit(0.0),
+            lambda acc, e: acc + e["sq"],
+        ),
+    )
     return p.select(
         "source",
         "n_docs",

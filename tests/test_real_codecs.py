@@ -412,6 +412,11 @@ def test_png_rejects_corruption_and_exotics():
     )
     with pytest.raises(ValueError, match="interlacing"):
         decode_png(ilc)
+    # a blob cut anywhere past the signature must raise the documented
+    # ValueError, never leak struct.error from the worker (ADVICE r6)
+    for cut in range(9, len(good)):
+        with pytest.raises(ValueError):
+            decode_png(good[:cut])
 
 
 def test_png_through_spark_operators(spark):
@@ -447,6 +452,46 @@ def test_png_through_spark_operators(spark):
     assert np.array_equal(
         (dec2 * 255).round().astype(int), (dec * 255).round().astype(int)
     )
+
+
+def test_transcode_png_rejects_offscale_maxval(spark):
+    # encode_png/decode_png normalize by the full bit-depth range, so a
+    # maxval like 1023 would silently mis-scale decoded intensities
+    # (ADVICE r6) — the builder must refuse before any job is launched
+    from chicago_crime_spark_ml_spark.operators.multimodal import (
+        transcode_images,
+    )
+
+    df = _blob_df(spark, [make_pgm(np.zeros((2, 2), dtype=np.int64))])
+    with pytest.raises(ValueError, match="255 or 65535"):
+        transcode_images(df, width=2, height=2, maxval=1023, out_format="png")
+    # netpbm carries maxval in-band, so off-scale values stay legal there
+    out = transcode_images(
+        df, width=2, height=2, maxval=1023, out_format="netpbm"
+    ).collect()
+    assert out[0].blob is not None
+
+
+def test_jpeg_pillow_branch_normalizes_by_dtype():
+    # exercised wherever Pillow exists (absent in this container -> skip);
+    # the branch must normalize by the decoded dtype's full scale
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from chicago_crime_spark_ml_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    img = Image.fromarray(
+        np.linspace(0, 255, 64, dtype=np.uint8).reshape(8, 8), mode="L"
+    )
+    buf = io.BytesIO()
+    img.save(buf, format="JPEG", quality=100)
+    pix = decode_image(buf.getvalue())
+    assert pix.shape == (8, 8, 1)
+    assert float(pix.min()) >= 0.0 and float(pix.max()) <= 1.0
 
 
 def test_jpeg_import_guard():
