@@ -597,6 +597,152 @@ def compression_ratio(
     return df.select(*cols)
 
 
+def _window_hash_expr(t: Column, k: int) -> Column:
+    """k-token window hashes for a token array — md5[:15hex]→bigint
+    (the engine's cross-engine 60-bit hash idiom), one entry per window
+    start 1..n-k+1; empty array when the doc is shorter than k. Shared
+    by :func:`duplicated_span_profile` (the diagnostic) and
+    :func:`excise_duplicated_spans` (the action), so both certify the
+    same window space."""
+    return F.when(
+        F.size(t) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (k - 1)),
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(" ", F.slice(t, i, k))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
+def excise_duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Span-level dedup — the ACTION behind
+    :func:`duplicated_span_profile`'s signal (substring-level
+    training-data dedup à la Lee et al.: duplicated long token spans
+    degrade LMs even when whole-document passes come back clean).
+    Every token covered by a k-token window that occurs ≥ 2 times
+    corpus-wide (another doc, or again in the same doc) is excised;
+    overlapping/adjacent duplicated windows merge into maximal runs.
+    Returns one row per input doc: (id, text, n_tokens,
+    n_tokens_removed, n_spans_excised) where ``text`` is the kept
+    tokens joined by single spaces (whitespace-normalized — untouched
+    docs get the same normalization so output text is uniform) and
+    ``n_spans_excised`` counts the merged runs. One pass by design:
+    excision can create new token adjacencies; iterate to converge,
+    as the published substring-dedup pipelines do.
+
+    Shape for 100 TB: the window-hash pass is the diagnostic's (one
+    map-only projection + ONE hash-keyed count agg + a join-back that
+    reuses the hash partitioning). Duplicated window STARTS are
+    materialized once behind an eager localCheckpoint (three consumers
+    — without the barrier the scan+hash+count pipeline re-executes per
+    consumer). The expensive per-token path (posexplode + per-doc
+    window scan + rebuild) runs ONLY over affected docs (left-semi on
+    the dup-doc set — typically a small corpus fraction); coverage is
+    a running ``max`` of dup starts per doc (token j is covered iff
+    the latest start ≤ j is ≥ j-k+1 — exact, linear, no per-token
+    interval probing), so no step is quadratic in doc length.
+    Untouched docs take a map-only anti-join branch."""
+    e = df.select(
+        F.col(id_col),
+        F.posexplode(
+            let_expr(tokens_expr(text_col), lambda t: _window_hash_expr(t, k))
+        ).alias("p", "h"),
+    ).select(id_col, (F.col("p") + 1).alias("s"), "h")
+    counts = e.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+    dup_starts = (
+        e.join(counts, "h")
+        .filter(F.col("cnt") >= 2)
+        .select(id_col, "s")
+        .localCheckpoint(eager=True)
+    )
+    dup_docs = dup_starts.select(id_col).distinct()
+
+    # affected branch: per-token rows, running-max coverage, rebuild
+    tok = (
+        df.join(dup_docs, id_col, "left_semi")
+        .select(
+            F.col(id_col),
+            F.posexplode(tokens_expr(text_col)).alias("p", "tokn"),
+        )
+        .select(id_col, (F.col("p") + 1).alias("j"), "tokn")
+        .alias("tk")
+    )
+    ds = dup_starts.alias("ds")
+    marked = tok.join(
+        ds,
+        (F.col(f"tk.{id_col}") == F.col(f"ds.{id_col}"))
+        & (F.col("tk.j") == F.col("ds.s")),
+        "left",
+    ).select(
+        F.col(f"tk.{id_col}").alias(id_col),
+        F.col("tk.j").alias("j"),
+        F.col("tk.tokn").alias("tokn"),
+        F.col("ds.s").alias("s"),
+    )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    win = Window.partitionBy(id_col).orderBy("j")
+    cum = win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    m = (
+        marked.withColumn("ls", F.max("s").over(cum))
+        .withColumn(
+            "cov",
+            F.col("ls").isNotNull()
+            & ((F.col("j") - F.col("ls")) <= F.lit(k - 1)),
+        )
+        .withColumn("pcov", F.lag("cov").over(win))
+    )
+    run_start = F.col("cov") & (F.col("pcov").isNull() | ~F.col("pcov"))
+    affected = m.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~F.col("cov"), F.struct(F.col("j"), F.col("tokn")))
+                    )
+                ),
+                lambda x: x["tokn"],
+            ),
+            " ",
+        ).alias("text"),
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.col("cov").cast("int")).cast("long").alias("n_tokens_removed"),
+        F.sum(run_start.cast("int")).cast("long").alias("n_spans_excised"),
+    )
+
+    untouched = (
+        df.join(dup_docs, id_col, "left_anti")
+        .select(
+            F.col(id_col),
+            let_expr(
+                tokens_expr(text_col),
+                lambda w: F.struct(
+                    F.array_join(w, " ").alias("text"),
+                    F.size(w).cast("long").alias("n_tokens"),
+                ),
+            ).alias("st"),
+        )
+        .select(
+            id_col,
+            "st.text",
+            "st.n_tokens",
+            F.lit(0).cast("long").alias("n_tokens_removed"),
+            F.lit(0).cast("long").alias("n_spans_excised"),
+        )
+    )
+    return affected.unionByName(untouched)
+
+
 def duplicated_span_profile(
     df: DataFrame,
     text_col: str = "text",
@@ -624,24 +770,11 @@ def duplicated_span_profile(
     n_spans falls out of the join-back row count (every hash matches
     its own count), so the token array is evaluated exactly once."""
 
-    def spans(t: Column) -> Column:
-        return F.when(
-            F.size(t) >= k,
-            F.transform(
-                F.sequence(F.lit(1), F.size(t) - (k - 1)),
-                lambda i: F.conv(
-                    F.substring(
-                        F.md5(F.concat_ws(" ", F.slice(t, i, k))), 1, 15
-                    ),
-                    16,
-                    10,
-                ).cast("long"),
-            ),
-        ).otherwise(F.array().cast("array<bigint>"))
-
     e = df.select(
         F.col(id_col),
-        F.explode(let_expr(tokens_expr(text_col), spans)).alias("h"),
+        F.explode(
+            let_expr(tokens_expr(text_col), lambda t: _window_hash_expr(t, k))
+        ).alias("h"),
     )
     counts = e.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
     return (

@@ -11363,6 +11363,77 @@ def doc_duplicated_span_fraction(
 
 
 @query(
+    "doc_span_excision",
+    r"""
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+               FROM documents),
+    g AS (SELECT doc_id, w,
+                 CASE WHEN len(w) >= 8 THEN
+                   list_transform(range(1, len(w) - 6),
+                     i -> ('0x' || substr(md5(array_to_string(w[i:i+7], ' ')),
+                                          1, 15))::BIGINT)
+                 ELSE [] END AS hs
+          FROM t),
+    e AS (SELECT doc_id, unnest(hs) AS h,
+                 unnest(range(1, len(hs) + 1)) AS s FROM g),
+    c AS (SELECT h, count(*) AS cnt FROM e GROUP BY h),
+    ds AS (SELECT doc_id, s FROM e JOIN c USING (h) WHERE cnt >= 2),
+    dd AS (SELECT DISTINCT doc_id FROM ds),
+    tok AS (SELECT g.doc_id, unnest(w) AS tokn,
+                   unnest(range(1, len(w) + 1)) AS j
+            FROM g JOIN dd USING (doc_id)),
+    cov AS (SELECT DISTINCT doc_id, j
+            FROM (SELECT doc_id, unnest(generate_series(s, s + 7)) AS j
+                  FROM ds)),
+    runs AS (SELECT doc_id,
+                    CAST(count(*) FILTER (WHERE pj IS NULL OR j - pj > 1)
+                         AS BIGINT) AS n_spans_excised
+             FROM (SELECT doc_id, j,
+                          lag(j) OVER (PARTITION BY doc_id ORDER BY j) AS pj
+                   FROM cov)
+             GROUP BY doc_id),
+    aff AS (SELECT t2.doc_id,
+                   coalesce(array_to_string(
+                     list(t2.tokn ORDER BY t2.j) FILTER (WHERE c2.j IS NULL),
+                     ' '), '') AS text,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(count(*) FILTER (WHERE c2.j IS NOT NULL) AS BIGINT)
+                     AS n_tokens_removed
+            FROM tok t2 LEFT JOIN cov c2
+              ON t2.doc_id = c2.doc_id AND t2.j = c2.j
+            GROUP BY t2.doc_id)
+    SELECT aff.doc_id, text, n_tokens, n_tokens_removed,
+           runs.n_spans_excised
+    FROM aff JOIN runs USING (doc_id)
+    UNION ALL
+    SELECT doc_id, array_to_string(w, ' ') AS text,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           CAST(0 AS BIGINT) AS n_tokens_removed,
+           CAST(0 AS BIGINT) AS n_spans_excised
+    FROM g WHERE doc_id NOT IN (SELECT doc_id FROM dd)
+    """,
+)
+def doc_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level dedup, the ACTION behind doc_duplicated_span_fraction
+    (the Lee-et-al substring-dedup step): every token covered by an
+    8-token window occurring ≥ 2 times corpus-wide is excised, merged
+    runs counted, and the cleaned whitespace-normalized text returned
+    for EVERY doc (untouched docs included, so the output is a drop-in
+    replacement corpus). The oracle replays the same 60-bit md5 window
+    hashes, the distinct covered-position set, and the lag-based merged
+    -run count in SQL; the output is strings + counts, so the hash
+    compare is exact by construction — no float rounding anywhere.
+    Scale shape: see excise_duplicated_spans (heavy per-token path only
+    over affected docs; running-max coverage, nothing quadratic)."""
+    from chicago_crime_spark_ml_spark.operators.text import (
+        excise_duplicated_spans,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return excise_duplicated_spans(d, k=8)
+
+
+@query(
     "source_temperature_mixing",
     """
     WITH s AS (SELECT source,

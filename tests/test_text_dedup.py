@@ -693,3 +693,62 @@ def test_duplicated_span_profile_planted(spark):
     # doc4: 16 tokens -> 9 windows; window 1 (p..w) == window 9 -> both dup
     assert got[4].n_spans == 9 and got[4].n_dup_spans == 2
     assert got[4].dup_fraction == pytest.approx(round(2 / 9, 4))
+
+
+def test_excise_duplicated_spans_planted(spark):
+    """Planted boilerplate is removed from EVERY copy; merged runs are
+    counted once; untouched/short/empty docs flow through with
+    whitespace-normalized text and zero removals."""
+    from chicago_crime_spark_ml_spark.operators.text import (
+        excise_duplicated_spans,
+    )
+
+    boiler = "subscribe to our newsletter for updates and offers today now"
+    rows = [
+        (1, f"alpha beta gamma {boiler} delta epsilon zeta eta theta"),
+        (2, f"one two three four five six seven eight nine ten {boiler}"),
+        (3, "unique document with no duplicated spans at all here ok"),
+        (4, "short doc"),
+        (5, "   "),
+        (6, f"{boiler} {boiler}"),  # self-repeat: everything covered
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in excise_duplicated_spans(df, k=8).collect()}
+    assert len(got) == 6  # every input doc has an output row
+    # the 10-token boilerplate is excised from both carriers as ONE run
+    assert got[1].text == "alpha beta gamma delta epsilon zeta eta theta"
+    assert (got[1].n_tokens, got[1].n_tokens_removed, got[1].n_spans_excised) \
+        == (18, 10, 1)
+    assert got[2].text == "one two three four five six seven eight nine ten"
+    assert got[2].n_tokens_removed == 10 and got[2].n_spans_excised == 1
+    # untouched docs: normalized text, zero removals
+    assert got[3].n_tokens_removed == 0 and got[3].n_spans_excised == 0
+    assert got[3].text == rows[2][1]
+    assert got[4].text == "short doc" and got[4].n_tokens == 2
+    assert got[5].text == "" and got[5].n_tokens_removed == 0
+    # self-repeating doc collapses to empty, one merged run
+    assert got[6].text == ""
+    assert (got[6].n_tokens, got[6].n_tokens_removed, got[6].n_spans_excised) \
+        == (20, 20, 1)
+
+
+def test_excise_matches_profile_signal(spark, docs):
+    """Consistency with the diagnostic: docs the profile scores
+    dup_fraction == 0 must be untouched by excision, and every doc with
+    removals must carry a positive dup_fraction."""
+    from chicago_crime_spark_ml_spark.operators.text import (
+        duplicated_span_profile,
+        excise_duplicated_spans,
+    )
+
+    d = docs.select("doc_id", "text")
+    prof = {r.doc_id: r.dup_fraction
+            for r in duplicated_span_profile(d, k=8).collect()}
+    exc = excise_duplicated_spans(d, k=8).collect()
+    assert len(exc) == d.count()
+    for r in exc:
+        frac = prof.get(r.doc_id, 0.0)
+        if r.n_tokens_removed > 0:
+            assert frac > 0.0
+        if frac == 0.0:
+            assert r.n_tokens_removed == 0 and r.n_spans_excised == 0
