@@ -643,6 +643,32 @@ def transcode_images(
     )
 
 
+def resample_linear(x, rate_in: int, rate_out: int):
+    """Linear-interpolation PCM rate conversion: output sample j sits at
+    source position j·rate_in/rate_out; ``y_j = x[i0] + (x[i1] − x[i0])·f``
+    with ``i0 = (j·rate_in) // rate_out``, ``f`` the fractional part,
+    and ``i1`` clamped to the last sample. Output length
+    ``(n−1)·rate_out // rate_in + 1`` covers exactly the input span —
+    no extrapolation. Integer index math, so the interpolation weights
+    are exact rationals of denominator ``rate_out``; for power-of-two
+    ratios (8 k↔16 k) the weights are dyadic and interpolated dyadic
+    samples stay EXACT in float64 — the property the resample-roundtrip
+    oracle certifies closed-form. Identity rates return x unchanged."""
+    import numpy as np  # noqa: PLC0415
+
+    x = np.asarray(x, dtype=np.float64)
+    if rate_in == rate_out or x.size == 0:
+        return x
+    if rate_in <= 0 or rate_out <= 0:
+        raise ValueError(f"rates must be positive, got {rate_in}→{rate_out}")
+    n_out = (x.size - 1) * rate_out // rate_in + 1
+    num = np.arange(n_out, dtype=np.int64) * rate_in
+    i0 = num // rate_out
+    frac = (num - i0 * rate_out).astype(np.float64) / float(rate_out)
+    i1 = np.minimum(i0 + 1, x.size - 1)
+    return x[i0] + (x[i1] - x[i0]) * frac
+
+
 def transcode_audio(
     df: DataFrame,
     blob_col: str = "blob",
@@ -650,13 +676,14 @@ def transcode_audio(
     width: int = 2,
     rate: int | None = None,
 ) -> DataFrame:
-    """Decode→downmix→requantize→re-encode over binary audio blobs:
-    normalize a corpus to canonical mono PCM at the given sample width
-    (the audio twin of :func:`transcode_images`). Samples pass through
-    1:1 — no resampling — so the output framerate header defaults to
-    the SOURCE blob's rate (:func:`decode_wav_meta`; ADVICE r5: a fixed
-    8 kHz stamp misdeclared duration/pitch for non-8kHz inputs). Pass
-    ``rate`` explicitly only to relabel on purpose. WAV in, WAV out via
+    """Decode→downmix→resample→requantize→re-encode over binary audio
+    blobs: normalize a corpus to canonical mono PCM at the given sample
+    width and rate (the audio twin of :func:`transcode_images`).
+    ``rate=None`` preserves the source rate with samples passing 1:1
+    (:func:`decode_wav_meta` keeps the header honest; ADVICE r5);
+    ``rate=R`` RESAMPLES to R via :func:`resample_linear` — real rate
+    conversion, not a header relabel — so "normalize to canonical
+    16 kHz mono s16" is one call. WAV in, WAV out via
     :func:`encode_wav`; output blobs decode again, so stages chain.
     Map-only; NULL blobs skipped, non-WAV blobs raise."""
 
@@ -675,6 +702,8 @@ def transcode_audio(
                         "compressed audio needs libs not in this container"
                     )
                 x, src_rate = meta
+                if rate is not None and rate != src_rate:
+                    x = resample_linear(x, src_rate, rate)
                 out = encode_wav(
                     x, width=width, nch=1, rate=rate or src_rate
                 )

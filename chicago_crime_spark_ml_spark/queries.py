@@ -11141,6 +11141,114 @@ def multimodal_audio_transcode_roundtrip(
 
 
 @query(
+    "multimodal_audio_resample_roundtrip",
+    """
+    WITH d AS (SELECT doc_id, 33 + (doc_id % 3) * 16 AS n,
+                      doc_id % 2 AS br
+               FROM documents),
+    o AS (SELECT doc_id, n, br,
+                 CASE WHEN br = 0 THEN 2 * n - 1
+                      ELSE (n - 1) // 2 + 1 END AS n_out
+          FROM d),
+    jj AS (SELECT doc_id, n, br, n_out,
+                  unnest(generate_series(0, n_out - 1)) AS j
+           FROM o),
+    y AS (SELECT doc_id, n_out, br,
+                 CASE WHEN br = 1 THEN
+                        trunc((CAST((2 * j * 37) % 201 AS DOUBLE) - 100.0)
+                              / 100.0 * 32767.0) / 32768.0
+                      WHEN j % 2 = 0 THEN
+                        trunc((CAST((j // 2 * 37) % 201 AS DOUBLE) - 100.0)
+                              / 100.0 * 32767.0) / 32768.0
+                      ELSE
+                        trunc((CAST((j // 2 * 37) % 201 AS DOUBLE) - 100.0)
+                              / 100.0 * 32767.0) / 32768.0
+                        + (trunc((CAST(((j // 2 + 1) * 37) % 201 AS DOUBLE)
+                                  - 100.0) / 100.0 * 32767.0) / 32768.0
+                           - trunc((CAST((j // 2 * 37) % 201 AS DOUBLE)
+                                    - 100.0) / 100.0 * 32767.0) / 32768.0)
+                          * 0.5
+                 END AS y
+          FROM jj),
+    z AS (SELECT doc_id, n_out, br,
+                 trunc(y * 32767.0) / 32768.0 AS z
+          FROM y)
+    SELECT doc_id,
+           CAST(CASE WHEN br = 0 THEN 16000 ELSE 8000 END AS INT)
+             AS framerate_hz,
+           CAST(n_out AS INT) AS n_samples,
+           round(sqrt(avg(z * z)), 4) AS rms,
+           round(max(abs(z)), 4) AS peak
+    FROM z GROUP BY doc_id, n_out, br
+    """,
+)
+def multimodal_audio_resample_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL rate conversion through the wave codec (r7 — the missing
+    half of "normalize a corpus to canonical PCM"): even docs encode a
+    ramp at 8 kHz and transcode_audio resamples UP to 16 kHz (linear
+    interpolation — every odd output is the exact midpoint of its
+    neighbors); odd docs encode at 16 kHz and resample DOWN to 8 kHz
+    (every other sample). The output blobs are re-decoded and their
+    header rate, SAMPLE COUNT (2n−1 up / (n−1)//2+1 down — a length
+    change only real resampling produces, never a header relabel), rms
+    and peak are certified. Closed-form exact: input decoded samples
+    are dyadic rationals of denominator 2^15, the 2× interpolation
+    weights are {0, 1/2}, and the re-encode requantizes to denominator
+    2^15 again — so z² sums (≤129 terms of denominator 2^30) are exact
+    in float64 at any summation order and the oracle replays
+    trunc((v0 + (v1−v0)/2)·32767)/32768 bit-identically."""
+    from chicago_crime_spark_ml_spark.operators.multimodal import (
+        audio_window_envelope,
+        synthesize_wav_blobs,
+        transcode_audio,
+        wav_metadata,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = F.lit(33) + (F.col("doc_id") % 3) * 16
+    samples = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: (((i * 37) % 201).cast("double") - 100.0) / 100.0,
+    )
+    up = transcode_audio(
+        synthesize_wav_blobs(
+            docs.filter(F.col("doc_id") % 2 == 0).select(
+                "doc_id", samples.alias("samples")
+            ),
+            width=2,
+            rate=8000,
+        ),
+        width=2,
+        rate=16000,
+    )
+    down = transcode_audio(
+        synthesize_wav_blobs(
+            docs.filter(F.col("doc_id") % 2 == 1).select(
+                "doc_id", samples.alias("samples")
+            ),
+            width=2,
+            rate=16000,
+        ),
+        width=2,
+        rate=8000,
+    )
+    out = up.unionByName(down)
+    meta = wav_metadata(out)
+    # window 256 > max n_out (129): exactly one envelope row per doc
+    env = audio_window_envelope(out, window_samples=256, decode_stub=False)
+    return meta.select("doc_id", "framerate_hz", "n_samples").join(
+        env.select(
+            "doc_id",
+            F.round("rms", 4).alias("rms"),
+            F.round("peak", 4).alias("peak"),
+        ),
+        "doc_id",
+    )
+
+
+@query(
     "als_topk_serving_agreement",
     """
     SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_users,

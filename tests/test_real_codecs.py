@@ -244,10 +244,10 @@ def test_transcode_audio_normalizes_to_mono_pcm(spark):
 
 
 def test_transcode_audio_preserves_source_framerate(spark):
-    """ADVICE r5: samples pass through 1:1, so the output header must
-    carry the SOURCE framerate by default (a fixed 8 kHz stamp would
+    """ADVICE r5: with rate=None samples pass through 1:1 and the output
+    header carries the SOURCE framerate (a fixed 8 kHz stamp would
     misdeclare duration/pitch for a 44.1 kHz input); an explicit rate
-    still relabels on purpose."""
+    now RESAMPLES (r7) — header and sample count both change."""
     from chicago_crime_spark_ml_spark.operators.multimodal import (
         decode_wav_meta,
         transcode_audio,
@@ -264,8 +264,40 @@ def test_transcode_audio_preserves_source_framerate(spark):
     forced = transcode_audio(
         _blob_df(spark, [blob]), width=2, rate=16000
     ).collect()
-    _, forced_rate = decode_wav_meta(bytes(forced[0].blob))
+    fdec, forced_rate = decode_wav_meta(bytes(forced[0].blob))
     assert forced_rate == 16000
+    assert fdec.shape == (149 * 16000 // 44100 + 1,)  # real resampling
+
+
+def test_resample_linear_exactness_and_shape():
+    from chicago_crime_spark_ml_spark.operators.multimodal import (
+        resample_linear,
+    )
+
+    x = np.linspace(-1.0, 1.0, 9)  # a ramp: linear interp reproduces it
+    # identity rates: unchanged
+    assert np.array_equal(resample_linear(x, 8000, 8000), x)
+    # 2x upsample: odd outputs are exact midpoints, evens the originals
+    up = resample_linear(x, 8000, 16000)
+    assert up.shape == (17,)
+    assert np.array_equal(up[::2], x)
+    assert np.array_equal(up[1::2], (x[:-1] + x[1:]) / 2.0)
+    # 2x downsample: every other sample, no interpolation error
+    down = resample_linear(x, 16000, 8000)
+    assert np.array_equal(down, x[::2])
+    # non-integer ratio still covers the span without extrapolation
+    odd = resample_linear(x, 44100, 16000)
+    assert odd[0] == x[0] and odd[-1] <= x[-1]
+    assert odd.shape == (8 * 16000 // 44100 + 1,)
+    # up-then-down at 2x recovers the original exactly for any signal
+    rng = np.random.default_rng(7)
+    y = rng.uniform(-1, 1, size=64)
+    assert np.array_equal(
+        resample_linear(resample_linear(y, 8000, 16000), 16000, 8000), y
+    )
+    assert resample_linear(np.array([]), 8000, 16000).size == 0
+    with pytest.raises(ValueError, match="positive"):
+        resample_linear(x, 0, 8000)
 
 
 def test_resize_units_consistent_across_decode_paths(spark):
