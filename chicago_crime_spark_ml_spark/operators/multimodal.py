@@ -231,6 +231,64 @@ def decode_wav_meta(buf: bytes):
     return x, rate
 
 
+def decode_audio_meta(buf: bytes):
+    """Audio decode dispatch: RIFF/WAVE PCM (:func:`decode_wav_meta`)
+    or FLAC (:func:`.flac.decode_flac_meta` — pure-stdlib lossless
+    decode, r7) → ``(samples, rate)`` with samples mono float64 in
+    [-1, 1]; ``None`` when the blob is neither, so callers can layer
+    further dispatch. Both decoders normalize by 2^(bps−1) with
+    channels averaged, so downstream stats are codec-independent."""
+    meta = decode_wav_meta(buf)
+    if meta is not None:
+        return meta
+    from chicago_crime_spark_ml_spark.operators.flac import (  # noqa: PLC0415
+        decode_flac_meta,
+    )
+
+    return decode_flac_meta(buf)
+
+
+def decode_audio(buf: bytes):
+    """:func:`decode_audio_meta` without the rate — samples only."""
+    meta = decode_audio_meta(buf)
+    return None if meta is None else meta[0]
+
+
+def synthesize_flac_blobs(
+    df: DataFrame,
+    samples_col: str = "samples",
+    id_col: str = "doc_id",
+    bps: int = 16,
+    rate: int = 8000,
+) -> DataFrame:
+    """(id, array<double> samples) → (id, blob) with blob a real FLAC
+    stream (:func:`.flac.encode_flac`). Same truncating quantizer as
+    :func:`synthesize_wav_blobs` — FLAC is lossless, so the decoded
+    samples are the SAME dyadic rationals the WAV path produces and one
+    closed-form oracle certifies both codecs. mapInPandas, map-only;
+    NULL sample arrays skipped."""
+    from chicago_crime_spark_ml_spark.operators.flac import (  # noqa: PLC0415
+        encode_flac,
+    )
+
+    def batches(it):
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in it:
+            ids, blobs = [], []
+            for did, xs in zip(pdf[id_col], pdf[samples_col]):
+                if xs is None:
+                    continue
+                ids.append(did)
+                blobs.append(encode_flac(list(xs), bps=bps, rate=rate))
+            if ids:
+                yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    return df.select(F.col(id_col), F.col(samples_col)).mapInPandas(
+        batches, schema="doc_id BIGINT, blob BINARY"
+    )
+
+
 def attach_blob(
     df: DataFrame, text_col: str = "text", blob_col: str = "blob"
 ) -> DataFrame:
@@ -525,12 +583,13 @@ def audio_window_envelope(
                 if buf is None:  # NULL blob: skip, don't TypeError
                     continue
                 if not decode_stub:
-                    arr = decode_wav(bytes(buf))
+                    arr = decode_audio(bytes(buf))
                     if arr is None:
                         raise ValueError(
                             "audio_window_envelope(decode_stub=False) "
-                            "decodes RIFF/WAVE PCM only; compressed "
-                            "audio needs libs not in this container"
+                            "decodes RIFF/WAVE PCM and FLAC; other "
+                            "compressed audio needs libs not in this "
+                            "container"
                         )
                     for w in range(max(1, -(-arr.size // window_samples))):
                         seg = arr[w * window_samples:(w + 1) * window_samples]
@@ -675,17 +734,29 @@ def transcode_audio(
     id_col: str = "doc_id",
     width: int = 2,
     rate: int | None = None,
+    out_format: str = "wav",
 ) -> DataFrame:
     """Decode→downmix→resample→requantize→re-encode over binary audio
     blobs: normalize a corpus to canonical mono PCM at the given sample
     width and rate (the audio twin of :func:`transcode_images`).
-    ``rate=None`` preserves the source rate with samples passing 1:1
-    (:func:`decode_wav_meta` keeps the header honest; ADVICE r5);
-    ``rate=R`` RESAMPLES to R via :func:`resample_linear` — real rate
-    conversion, not a header relabel — so "normalize to canonical
-    16 kHz mono s16" is one call. WAV in, WAV out via
-    :func:`encode_wav`; output blobs decode again, so stages chain.
-    Map-only; NULL blobs skipped, non-WAV blobs raise."""
+    Input dispatches through :func:`decode_audio_meta` (WAV or FLAC);
+    ``out_format`` picks "wav" (:func:`encode_wav`) or "flac"
+    (:func:`.flac.encode_flac`, the lossless COMPRESSED path — widths
+    1/2 only), so cross-format normalization (FLAC→WAV or WAV→FLAC) is
+    one call. ``rate=None`` preserves the source rate with samples
+    passing 1:1 (:func:`decode_wav_meta` keeps the header honest;
+    ADVICE r5); ``rate=R`` RESAMPLES to R via :func:`resample_linear`
+    — real rate conversion, not a header relabel. Output blobs decode
+    again, so stages chain. Map-only; NULL blobs skipped,
+    unrecognized blobs raise."""
+    if out_format not in ("wav", "flac"):
+        raise ValueError(
+            f"out_format must be 'wav' or 'flac', got {out_format!r}"
+        )
+    if out_format == "flac" and width not in (1, 2):
+        raise ValueError(
+            f"out_format='flac' supports widths 1 and 2, got {width}"
+        )
 
     def batches(it):
         import pandas as pd  # noqa: PLC0415
@@ -695,18 +766,28 @@ def transcode_audio(
             for did, buf in zip(pdf[id_col], pdf[blob_col]):
                 if buf is None:
                     continue
-                meta = decode_wav_meta(bytes(buf))
+                meta = decode_audio_meta(bytes(buf))
                 if meta is None:
                     raise ValueError(
-                        "transcode_audio decodes RIFF/WAVE PCM only; "
-                        "compressed audio needs libs not in this container"
+                        "transcode_audio decodes RIFF/WAVE PCM and "
+                        "FLAC; other compressed audio needs libs not "
+                        "in this container"
                     )
                 x, src_rate = meta
                 if rate is not None and rate != src_rate:
                     x = resample_linear(x, src_rate, rate)
-                out = encode_wav(
-                    x, width=width, nch=1, rate=rate or src_rate
-                )
+                if out_format == "flac":
+                    from chicago_crime_spark_ml_spark.operators.flac import (  # noqa: PLC0415
+                        encode_flac,
+                    )
+
+                    out = encode_flac(
+                        x, bps=8 * width, rate=rate or src_rate
+                    )
+                else:
+                    out = encode_wav(
+                        x, width=width, nch=1, rate=rate or src_rate
+                    )
                 ids.append(did)
                 blobs.append(out)
                 sizes.append(len(out))
@@ -857,10 +938,11 @@ def wav_metadata(
     blob_col: str = "blob",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Header metadata of real WAV blobs via :func:`decode_wav_meta`:
-    (id, n_samples, framerate_hz, duration_s). The audit that catches
-    rate-relabeling bugs (ADVICE r5) — duration must survive a
-    transcode. Map-only; NULL blobs skipped, non-WAV blobs raise."""
+    """Header metadata of real audio blobs via
+    :func:`decode_audio_meta` (WAV or FLAC): (id, n_samples,
+    framerate_hz, duration_s). The audit that catches rate-relabeling
+    bugs (ADVICE r5) — duration must survive a transcode. Map-only;
+    NULL blobs skipped, unrecognized blobs raise."""
 
     def batches(it):
         import pandas as pd  # noqa: PLC0415
@@ -870,10 +952,10 @@ def wav_metadata(
             for did, buf in zip(pdf[id_col], pdf[blob_col]):
                 if buf is None:
                     continue
-                meta = decode_wav_meta(bytes(buf))
+                meta = decode_audio_meta(bytes(buf))
                 if meta is None:
                     raise ValueError(
-                        "wav_metadata reads RIFF/WAVE PCM only"
+                        "wav_metadata reads RIFF/WAVE PCM or FLAC only"
                     )
                 x, rate = meta
                 ids.append(did)
@@ -897,10 +979,12 @@ def wav_metadata(
 
 # ------------------------------------------------------------------- PNG
 # A REAL compressed-image codec with zero third-party deps: PNG is zlib
-# (stdlib) + per-scanline difference filters. This genuinely closes part
-# of the "compressed formats raise" gap — JPEG/FLAC/MP4 still need
-# PIL/soundfile/ffmpeg (the JPEG branch is import-guarded below and
-# raises a named error in this hermetic container).
+# (stdlib) + per-scanline difference filters. Together with the
+# pure-stdlib FLAC codec (operators/flac.py, r7) this closes the
+# lossless half of the "compressed formats raise" gap — JPEG/MP4 are
+# lossy/container formats that still need PIL/ffmpeg (the JPEG branch
+# is import-guarded below and raises a named error in this hermetic
+# container).
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 # color type -> samples per pixel

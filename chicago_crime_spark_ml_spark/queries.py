@@ -11141,6 +11141,79 @@ def multimodal_audio_transcode_roundtrip(
 
 
 @query(
+    "multimodal_flac_roundtrip",
+    """
+    WITH d AS (SELECT doc_id, 48 + (doc_id % 4) * 24 AS n FROM documents),
+    s AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM d),
+    q AS (SELECT doc_id, n,
+                 trunc(CAST(i * (119 - i) - 1800 AS DOUBLE) / 1800.0
+                       * 32767.0) / 32768.0 AS v
+          FROM s)
+    SELECT doc_id,
+           true AS flac_magic,
+           true AS compressed,
+           CAST(8000 AS INT) AS framerate_hz,
+           CAST(n AS INT) AS n_samples,
+           round(sqrt(avg(v * v)), 4) AS rms,
+           round(max(abs(v)), 4) AS peak
+    FROM q GROUP BY doc_id, n
+    """,
+)
+def multimodal_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A COMPRESSED audio branch driver-certified end-to-end (r7,
+    VERDICT r6 ask #4): each doc synthesizes a parabolic arc
+    x_i = (i·(119−i) − 1800)/1800 (second difference constant −2 in
+    integer space, so fixed-order-2 residuals are tiny and Rice coding
+    genuinely compresses — blob ≈ 0.35× the equivalent WAV), encodes
+    it through the pure-stdlib FLAC encoder (operators/flac.py), then
+    the REAL subset decoder reads it back via the decode_audio_meta
+    dispatch inside wav_metadata + audio_window_envelope. Certified:
+    the fLaC magic, compression (octet_length < the 44+2n WAV size —
+    a strict inequality only a real entropy coder achieves), header
+    rate, exact sample count, rms and peak. FLAC is LOSSLESS, so
+    decoded samples are the same trunc(x·32767)/32768 dyadic
+    rationals the WAV oracle trick uses — sums of ≤120 such squares
+    are exact in float64 and the hashes match bit-identically. All
+    stages map-only; joins on doc_id."""
+    from chicago_crime_spark_ml_spark.operators.multimodal import (
+        audio_window_envelope,
+        synthesize_flac_blobs,
+        wav_metadata,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = F.lit(48) + (F.col("doc_id") % 4) * 24
+    samples = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: (i * (119 - i) - 1800).cast("double") / 1800.0,
+    )
+    blobs = synthesize_flac_blobs(
+        docs.select("doc_id", samples.alias("samples")), bps=16, rate=8000
+    )
+    flags = blobs.select(
+        "doc_id",
+        (F.substring("blob", 1, 4) == F.lit(b"fLaC")).alias("flac_magic"),
+        (
+            F.octet_length("blob")
+            < F.lit(44) + 2 * (F.lit(48) + (F.col("doc_id") % 4) * 24)
+        ).alias("compressed"),
+    )
+    meta = wav_metadata(blobs)
+    # window 256 > max n (120): exactly one envelope row per doc
+    env = audio_window_envelope(blobs, window_samples=256, decode_stub=False)
+    return flags.join(
+        meta.select("doc_id", "framerate_hz", "n_samples"), "doc_id"
+    ).join(
+        env.select(
+            "doc_id",
+            F.round("rms", 4).alias("rms"),
+            F.round("peak", 4).alias("peak"),
+        ),
+        "doc_id",
+    )
+
+
+@query(
     "multimodal_audio_resample_roundtrip",
     """
     WITH d AS (SELECT doc_id, 33 + (doc_id % 3) * 16 AS n,

@@ -1,0 +1,126 @@
+"""FLAC codec (operators/flac.py): bit-exact lossless roundtrips,
+dispatch, corruption rejection, and Spark-operator integration."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from chicago_crime_spark_ml_spark.operators.flac import (
+    decode_flac_meta,
+    encode_flac,
+)
+from chicago_crime_spark_ml_spark.operators.multimodal import (
+    decode_audio_meta,
+    encode_wav,
+)
+
+
+def _quant(x, bps):
+    scale = (1 << (bps - 1)) - 1
+    return np.trunc(np.clip(np.asarray(x, dtype=np.float64), -1, 1) * scale) / float(
+        1 << (bps - 1)
+    )
+
+
+@pytest.mark.parametrize("bps", [8, 16])
+def test_flac_roundtrip_bit_exact(bps):
+    rng = np.random.default_rng(11)
+    signals = {
+        "random": rng.uniform(-0.99, 0.99, 600),
+        "constant": np.full(257, -0.5),
+        "smooth": np.sin(np.linspace(0, 9, 5000)) * 0.7,  # crosses frames
+        "extremes": np.tile([1.0, -1.0, 0.0], 40),
+        "tiny": np.array([0.25]),
+        "empty": np.array([]),
+        "step": np.where(np.arange(300) < 150, 0.1, -0.9),
+    }
+    for name, x in signals.items():
+        blob = encode_flac(x, bps=bps, rate=16000)
+        dec, rate = decode_flac_meta(blob)
+        assert rate == 16000
+        assert np.array_equal(dec, _quant(x, bps)), (name, bps)
+
+
+def test_flac_equals_wav_decoded_samples():
+    """Lossless means FLAC and WAV encodings of one signal decode to
+    the SAME dyadic rationals — the property that lets one closed-form
+    oracle certify both codecs."""
+    x = np.sin(np.linspace(0, 5, 400)) * 0.8
+    fdec, frate = decode_flac_meta(encode_flac(x, bps=16, rate=8000))
+    wdec, wrate = decode_audio_meta(encode_wav(x, width=2, rate=8000))
+    assert frate == wrate == 8000
+    assert np.array_equal(fdec, wdec)
+
+
+def test_flac_compresses_smooth_signals():
+    x = np.sin(np.linspace(0, 9, 4000)) * 0.7
+    blob = encode_flac(x, bps=16)
+    assert len(blob) < 0.25 * (2 * x.size)  # well under raw PCM
+
+
+def test_flac_dispatch_and_magic():
+    blob = encode_flac(np.array([0.1, 0.2]), bps=16)
+    assert blob[:4] == b"fLaC"
+    assert decode_flac_meta(b"not flac") is None
+    # decode_audio_meta dispatches: WAV blobs bypass the FLAC branch
+    assert decode_audio_meta(blob) is not None
+    assert decode_audio_meta(b"RIFFxxxx????") is None  # neither codec
+
+
+def test_flac_rejects_corruption():
+    x = np.sin(np.linspace(0, 3, 300)) * 0.5
+    good = encode_flac(x, bps=16)
+    # flip one bit in the frame payload: CRC-16 (or MD5) must catch it
+    bad = bytearray(good)
+    bad[len(bad) - 10] ^= 0x40
+    with pytest.raises(ValueError):
+        decode_flac_meta(bytes(bad))
+    # truncation raises the named error, never struct/IndexError
+    for cut in (5, 20, 41, len(good) - 3):
+        with pytest.raises(ValueError):
+            decode_flac_meta(good[:cut])
+
+
+def test_flac_through_spark_operators(spark):
+    from chicago_crime_spark_ml_spark.operators.multimodal import (
+        audio_window_envelope,
+        synthesize_flac_blobs,
+        transcode_audio,
+        wav_metadata,
+    )
+
+    x = [float(v) for v in np.sin(np.linspace(0, 4, 200)) * 0.6]
+    df = spark.createDataFrame(
+        [(1, x)], "doc_id long, samples array<double>"
+    )
+    blobs = synthesize_flac_blobs(df, bps=16, rate=8000)
+    row = blobs.collect()[0]
+    assert bytes(row.blob)[:4] == b"fLaC"
+
+    meta = wav_metadata(blobs).collect()[0]  # dispatches to FLAC now
+    assert meta.n_samples == 200 and meta.framerate_hz == 8000
+
+    # envelope over FLAC blobs == envelope over WAV blobs (lossless)
+    env_f = audio_window_envelope(
+        blobs, window_samples=256, decode_stub=False
+    ).collect()[0]
+    wav_df = spark.createDataFrame(
+        [(1, bytearray(encode_wav(x, width=2, rate=8000)))],
+        "doc_id long, blob binary",
+    )
+    env_w = audio_window_envelope(
+        wav_df, window_samples=256, decode_stub=False
+    ).collect()[0]
+    assert env_f.rms == env_w.rms and env_f.peak == env_w.peak
+
+    # FLAC in -> WAV out, and FLAC out roundtrips with resampling
+    wav_out = transcode_audio(blobs, width=2).collect()[0]
+    assert bytes(wav_out.blob)[:4] == b"RIFF"
+    flac_out = transcode_audio(
+        wav_df, width=2, rate=16000, out_format="flac"
+    ).collect()[0]
+    dec, rate = decode_flac_meta(bytes(flac_out.blob))
+    assert rate == 16000 and dec.size == 399  # 2n-1: real resampling
+    with pytest.raises(ValueError, match="widths 1 and 2"):
+        transcode_audio(wav_df, width=3, out_format="flac")
