@@ -119,8 +119,39 @@ def run(sf_dir: str) -> dict:
         "unit": "sec",
         "queries": timings,
         "queries_min": best,
+        "drift": _drift(timings, sf_num),
         "sf": sf_num,
     }
+
+
+# Frozen r3 cold-median anchor values (BENCH_r03.json, 2026-08-14) for
+# three SENTINEL queries whose plans have been byte-identical since
+# round 1: any uniform shift on these is machine state, not a plan
+# change. ``ratio`` is their geometric-mean current/anchor — divide a
+# suspect per-query regression by it before believing the regression
+# (VERDICT r6: BENCH_r06 read ~1.2x hot-host ambient on untouched
+# plans; this field makes that adjudication mechanical).
+_SENTINEL_ANCHOR_R03 = {
+    "pricing_summary": 1.324,
+    "top10_orders": 0.205,
+    "flagship_regional_revenue": 1.015,
+}
+
+
+def _drift(timings: dict, sf_num) -> dict | None:
+    if sf_num != 0.1:  # anchor is sf0.1-only
+        return None
+    ratios = [
+        timings[k] / v
+        for k, v in _SENTINEL_ANCHOR_R03.items()
+        if timings.get(k)
+    ]
+    if not ratios:
+        return None
+    geo = 1.0
+    for r in ratios:
+        geo *= r
+    return {"anchor": "r3", "ratio": round(geo ** (1 / len(ratios)), 3)}
 
 
 def emit_lines(payload: dict) -> list[str]:
@@ -132,11 +163,13 @@ def emit_lines(payload: dict) -> list[str]:
     no queries_min, and no queries either if the line would still
     overflow the capture window."""
     contract = {
-        k: payload[k] for k in ("metric", "value", "unit", "queries", "sf")
+        k: payload[k]
+        for k in ("metric", "value", "unit", "queries", "drift", "sf")
+        if payload.get(k) is not None
     }
     line = json.dumps(contract)
     if len(line) > 1800:
-        del contract["queries"]
+        del contract["queries"]  # drift stays: it is the small field
         line = json.dumps(contract)
     return [json.dumps(payload), line]
 

@@ -140,6 +140,7 @@ def test_bench_contract_line_bounded():
         "unit": "sec",
         "queries": {f"q{i}": 0.123 for i in range(31)},
         "queries_min": {f"q{i}": 0.1 for i in range(31)},
+        "drift": {"anchor": "r3", "ratio": 1.05},
         "sf": 0.1,
     }
     lines = bench.emit_lines(payload)
@@ -147,12 +148,29 @@ def test_bench_contract_line_bounded():
     assert len(lines[-1]) <= 1800
     assert last["metric"] == "headline_queries_total" and "queries" in last
     assert "queries_min" not in last  # the fat key never rides the contract
+    assert last["drift"] == {"anchor": "r3", "ratio": 1.05}  # r7: drift does
     # oversized: 200 long-named queries — the contract line must shed the
-    # queries dict rather than overflow
+    # queries dict rather than overflow, and keep the small drift field
     payload["queries"] = {
         f"a_very_long_query_name_number_{i:04d}": 0.123 for i in range(200)
     }
     lines = bench.emit_lines(payload)
     last = json.loads(lines[-1])
     assert len(lines[-1]) <= 1800 and "queries" not in last
-    assert last["value"] == 1.0
+    assert last["value"] == 1.0 and "drift" in last
+    # drift=None (non-sf0.1 runs) is omitted, not emitted as null
+    payload["drift"] = None
+    payload["queries"] = {"q": 0.1}
+    last = json.loads(bench.emit_lines(payload)[-1])
+    assert "drift" not in last
+
+
+def test_bench_drift_computation():
+    import bench
+
+    cur = dict(bench._SENTINEL_ANCHOR_R03)
+    assert bench._drift(cur, 0.1)["ratio"] == 1.0  # identical -> 1.0
+    up = {k: v * 1.2 for k, v in cur.items()}
+    assert bench._drift(up, 0.1)["ratio"] == pytest.approx(1.2, abs=0.001)
+    assert bench._drift(cur, 0.01) is None  # anchor is sf0.1-only
+    assert bench._drift({}, 0.1) is None
