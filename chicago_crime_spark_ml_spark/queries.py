@@ -11498,6 +11498,91 @@ def multimodal_png_transcode_roundtrip(
 
 
 @query(
+    "multimodal_png16_transcode_roundtrip",
+    """
+    WITH d AS (SELECT doc_id, 8 + doc_id % 5 AS h, 6 + doc_id % 7 AS w
+               FROM documents),
+    k AS (SELECT doc_id, h, w, unnest(generate_series(0, 3)) AS kk FROM d),
+    kl AS (SELECT doc_id, h, w, kk, unnest(generate_series(0, 3)) AS ll
+           FROM k),
+    v AS (SELECT doc_id,
+                 CAST((doc_id * 131 + ((kk * h) // 4) * 257
+                       + ((ll * w) // 4) * 8191) % 65536 AS DOUBLE)
+                   / 65535.0 AS px
+          FROM kl)
+    SELECT doc_id,
+           true AS png_magic,
+           true AS png16_depth,
+           round(avg(px), 4) AS mean_px,
+           round(stddev_pop(px), 4) AS std_px,
+           round(min(px), 4) AS min_px
+    FROM v GROUP BY doc_id
+    """,
+)
+def multimodal_png16_transcode_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 16-BIT branch of the PNG encoder driver-certified (r7 —
+    the last uncertified image-codec branch): 16-bit big-endian netpbm
+    rasters (values spanning the full 0..65535 range) transcode to 4×4
+    PNG at maxval=65535, which routes encode_png through depth=16
+    (two-byte network-order samples per pixel), and the compressed
+    blobs are decoded AGAIN to prove pixel-exact survival.
+    png16_depth reads the IHDR bit-depth byte (offset 25) JVM-side —
+    certifying the deep branch was actually taken, not silently
+    downcast to 8-bit. The decode normalizes by 65535, so the
+    nearest-neighbor-selected pixel replays closed-form in the oracle;
+    stats rounded to 4 both sides like every /maxval-scale float
+    aggregate in the catalog."""
+    from chicago_crime_spark_ml_spark.operators.multimodal import (
+        extract_features,
+        synthesize_netpbm_blobs,
+        transcode_images,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    h = F.lit(8) + (F.col("doc_id") % 5).cast("int")
+    w = F.lit(6) + (F.col("doc_id") % 7).cast("int")
+    pixels = F.transform(
+        F.sequence(F.lit(0), h - 1),
+        lambda r: F.transform(
+            F.sequence(F.lit(0), w - 1),
+            lambda c: (
+                (F.col("doc_id") * 131 + r * 257 + c * 8191) % 65536
+            ).cast("int"),
+        ),
+    )
+    blobs = synthesize_netpbm_blobs(
+        docs.select("doc_id", pixels.alias("pixels")), maxval=65535
+    )
+    out = transcode_images(
+        blobs, width=4, height=4, maxval=65535, out_format="png"
+    )
+    redecoded = extract_features(
+        out.select("doc_id", "blob"), decode_stub=False
+    )
+    f = F.col("features")
+    magic = out.select(
+        "doc_id",
+        (
+            F.substring("blob", 1, 8)
+            == F.lit(bytes.fromhex("89504E470D0A1A0A"))
+        ).alias("png_magic"),
+        # IHDR bit-depth byte: sig(8) + len/type(8) + w,h(8) -> offset 25
+        (F.substring("blob", 25, 1) == F.lit(b"\x10")).alias("png16_depth"),
+    )
+    return magic.join(
+        redecoded.select(
+            "doc_id",
+            F.round(f.getItem(0), 4).alias("mean_px"),
+            F.round(f.getItem(1), 4).alias("std_px"),
+            F.round(f.getItem(2), 4).alias("min_px"),
+        ),
+        "doc_id",
+    )
+
+
+@query(
     "doc_duplicated_span_fraction",
     """
     WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
