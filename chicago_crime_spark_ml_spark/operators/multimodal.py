@@ -16,12 +16,13 @@ Design for 100 TB of media:
   the standard library + numpy can genuinely parse: RIFF/WAVE PCM audio
   (8/16/24/32-bit, any channel count, via stdlib ``wave``), binary
   netpbm images (P5 PGM grayscale / P6 PPM RGB, 8- and 16-bit samples),
-  and PNG (stdlib ``zlib`` + the five scanline filters, 8/16-bit,
-  gray/RGB/alpha) — no third-party codec libs required. JPEG decodes
-  behind a Pillow import guard (absent here → named ``ValueError``);
-  FLAC/MP4 still require soundfile/ffmpeg and raise naming the gap;
-  the dispatch, schema, batch shape, and partitioning are identical
-  for both paths.
+  PNG (stdlib ``zlib`` + the five scanline filters, 8/16-bit,
+  gray/RGB/alpha), and FLAC (pure-stdlib lossless subset codec,
+  ``operators/flac.py``, r7) — no third-party codec libs required.
+  JPEG decodes behind a Pillow import guard (absent here → named
+  ``ValueError``); MP4 still requires ffmpeg and raises naming the
+  gap; the dispatch, schema, batch shape, and partitioning are
+  identical for both paths.
 """
 
 from __future__ import annotations
@@ -206,8 +207,10 @@ def decode_wav_meta(buf: bytes):
             nch, width = w.getnchannels(), w.getsampwidth()
             rate = w.getframerate()
             frames = w.readframes(w.getnframes())
-    except wave.Error as e:
-        raise ValueError(f"WAV: unsupported encoding ({e})") from e
+    except (wave.Error, EOFError) as e:
+        # EOFError: stdlib chunk reader hits a truncated header — keep
+        # the documented "corrupt blob is corrupt data" ValueError
+        raise ValueError(f"WAV: unsupported or truncated ({e})") from e
     if width == 1:
         x = np.frombuffer(frames, dtype=np.uint8).astype(np.float64)
         x = (x - 128.0) / 128.0
@@ -286,6 +289,72 @@ def synthesize_flac_blobs(
 
     return df.select(F.col(id_col), F.col(samples_col)).mapInPandas(
         batches, schema="doc_id BIGINT, blob BINARY"
+    )
+
+
+AUDIT_SCHEMA = "doc_id BIGINT, codec STRING, decodable BOOLEAN, n_bytes INT"
+
+
+def media_type_audit(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-intake audit: classify every blob by magic bytes and TRY
+    the real decode, emitting (id, codec, decodable, n_bytes) without
+    ever raising — the "what is actually in this bucket" scan a
+    pipeline runs before committing a 100 TB transcode job (the
+    transcoders' default ``on_error='raise'`` is right for curated
+    inputs; this is the triage step for uncurated ones). ``codec`` ∈
+    wav/flac/png/netpbm/jpeg/unknown/null from the magic alone, so a
+    truncated WAV still reports codec='wav' with decodable=false —
+    magic and decodability answer different questions. Map-only,
+    Arrow-batched; nothing escapes the per-blob try."""
+
+    def batches(it):
+        import pandas as pd  # noqa: PLC0415
+
+        def classify(buf: bytes) -> str:
+            if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
+                return "wav"
+            if buf[:4] == b"fLaC":
+                return "flac"
+            if buf[:8] == _PNG_SIG:
+                return "png"
+            if buf[:2] in (b"P5", b"P6"):
+                return "netpbm"
+            if buf[:3] == b"\xff\xd8\xff":
+                return "jpeg"
+            return "unknown"
+
+        for pdf in it:
+            out = {k: [] for k in ("doc_id", "codec", "decodable", "n_bytes")}
+            for did, buf in zip(pdf[id_col], pdf[blob_col]):
+                if buf is None:
+                    out["doc_id"].append(did)
+                    out["codec"].append("null")
+                    out["decodable"].append(False)
+                    out["n_bytes"].append(0)
+                    continue
+                buf = bytes(buf)
+                codec = classify(buf)
+                ok = False
+                try:
+                    if codec in ("wav", "flac"):
+                        ok = decode_audio_meta(buf) is not None
+                    elif codec in ("png", "netpbm", "jpeg"):
+                        ok = decode_image(buf) is not None
+                except Exception:  # noqa: BLE001 — a ledger, not a gate
+                    ok = False
+                out["doc_id"].append(did)
+                out["codec"].append(codec)
+                out["decodable"].append(ok)
+                out["n_bytes"].append(len(buf))
+            if out["doc_id"]:
+                yield pd.DataFrame(out)
+
+    return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(
+        batches, schema=AUDIT_SCHEMA
     )
 
 
@@ -635,6 +704,7 @@ def transcode_images(
     id_col: str = "doc_id",
     maxval: int = 255,
     out_format: str = "netpbm",
+    on_error: str = "raise",
 ) -> DataFrame:
     """Full decode→resize→re-encode over binary image blobs — the shape
     of a real media-prep job (normalize a 100 TB corpus to a canonical
@@ -646,7 +716,9 @@ def transcode_images(
     netpbm→PNG) is one call. Nearest-neighbor resize as in
     :func:`resize_images`; output blobs are themselves decodable, so
     stages chain. mapInPandas, map-only — no shuffle; NULL blobs are
-    skipped, unrecognized blobs raise."""
+    skipped. Unrecognized or corrupt blobs raise by default;
+    ``on_error='skip'`` quarantines them instead (row dropped — run
+    :func:`media_type_audit` first to see what will drop)."""
     if out_format not in ("netpbm", "png"):
         raise ValueError(f"out_format must be 'netpbm' or 'png', got {out_format!r}")
     if out_format == "png" and maxval not in (255, 65535):
@@ -657,6 +729,8 @@ def transcode_images(
             "out_format='png' requires maxval 255 or 65535 "
             f"(PNG full-scale ranges), got {maxval}"
         )
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
 
     def batches(it):
         import numpy as np  # noqa: PLC0415
@@ -667,12 +741,18 @@ def transcode_images(
             for did, buf in zip(pdf[id_col], pdf[blob_col]):
                 if buf is None:
                     continue
-                pix = decode_image(bytes(buf))
-                if pix is None:
-                    raise ValueError(
-                        "transcode_images decodes binary netpbm (P5/P6) "
-                        "and PNG natively; JPEG needs Pillow, absent here"
-                    )
+                try:
+                    pix = decode_image(bytes(buf))
+                    if pix is None:
+                        raise ValueError(
+                            "transcode_images decodes binary netpbm "
+                            "(P5/P6) and PNG natively; JPEG needs "
+                            "Pillow, absent here"
+                        )
+                except ValueError:
+                    if on_error == "skip":
+                        continue
+                    raise
                 h_in, w_in = pix.shape[0], pix.shape[1]
                 rows = np.minimum(
                     (np.arange(height) * h_in) // height, h_in - 1
@@ -735,6 +815,7 @@ def transcode_audio(
     width: int = 2,
     rate: int | None = None,
     out_format: str = "wav",
+    on_error: str = "raise",
 ) -> DataFrame:
     """Decode→downmix→resample→requantize→re-encode over binary audio
     blobs: normalize a corpus to canonical mono PCM at the given sample
@@ -747,8 +828,10 @@ def transcode_audio(
     passing 1:1 (:func:`decode_wav_meta` keeps the header honest;
     ADVICE r5); ``rate=R`` RESAMPLES to R via :func:`resample_linear`
     — real rate conversion, not a header relabel. Output blobs decode
-    again, so stages chain. Map-only; NULL blobs skipped,
-    unrecognized blobs raise."""
+    again, so stages chain. Map-only; NULL blobs skipped. Unrecognized
+    or corrupt blobs raise by default; ``on_error='skip'`` quarantines
+    them instead (row dropped — one bad blob must not kill a 100 TB
+    job; run :func:`media_type_audit` first to see what will drop)."""
     if out_format not in ("wav", "flac"):
         raise ValueError(
             f"out_format must be 'wav' or 'flac', got {out_format!r}"
@@ -757,6 +840,8 @@ def transcode_audio(
         raise ValueError(
             f"out_format='flac' supports widths 1 and 2, got {width}"
         )
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
 
     def batches(it):
         import pandas as pd  # noqa: PLC0415
@@ -766,13 +851,18 @@ def transcode_audio(
             for did, buf in zip(pdf[id_col], pdf[blob_col]):
                 if buf is None:
                     continue
-                meta = decode_audio_meta(bytes(buf))
-                if meta is None:
-                    raise ValueError(
-                        "transcode_audio decodes RIFF/WAVE PCM and "
-                        "FLAC; other compressed audio needs libs not "
-                        "in this container"
-                    )
+                try:
+                    meta = decode_audio_meta(bytes(buf))
+                    if meta is None:
+                        raise ValueError(
+                            "transcode_audio decodes RIFF/WAVE PCM and "
+                            "FLAC; other compressed audio needs libs "
+                            "not in this container"
+                        )
+                except ValueError:
+                    if on_error == "skip":
+                        continue
+                    raise
                 x, src_rate = meta
                 if rate is not None and rate != src_rate:
                     x = resample_linear(x, src_rate, rate)

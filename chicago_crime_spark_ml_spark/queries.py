@@ -11498,6 +11498,76 @@ def multimodal_png_transcode_roundtrip(
 
 
 @query(
+    "multimodal_corpus_audit",
+    """
+    SELECT doc_id,
+           CASE doc_id % 5 WHEN 0 THEN 'wav' WHEN 1 THEN 'flac'
+                           WHEN 2 THEN 'png' WHEN 3 THEN 'wav'
+                           ELSE 'unknown' END AS codec,
+           (doc_id % 5) IN (0, 1, 2) AS decodable
+    FROM documents
+    """,
+)
+def multimodal_corpus_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-intake triage (r7): media_type_audit classifies every
+    blob by magic AND tries the real decode without ever raising — the
+    scan a pipeline runs over an uncurated bucket before committing a
+    100 TB transcode. Planted mix: doc_id%5 → valid WAV / valid FLAC /
+    valid PNG (via the real transcode path) / WAV TRUNCATED to 20
+    bytes (magic intact — classified 'wav' but decodable=false, the
+    distinction that matters for quarantine) / non-media junk bytes.
+    The oracle is pure closed-form branch arithmetic; a wrong
+    classification or a decoder that starts accepting corrupt blobs
+    turns the row red. All branches map-only; one final union."""
+    from chicago_crime_spark_ml_spark.operators.multimodal import (
+        media_type_audit,
+        synthesize_flac_blobs,
+        synthesize_netpbm_blobs,
+        synthesize_wav_blobs,
+        transcode_images,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % 5
+    n = F.lit(24) + (F.col("doc_id") % 8)
+    samples = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: (((i * 37) % 201).cast("double") - 100.0) / 100.0,
+    )
+    wav = synthesize_wav_blobs(
+        docs.filter(m == 0).select("doc_id", samples.alias("samples"))
+    )
+    flac = synthesize_flac_blobs(
+        docs.filter(m == 1).select("doc_id", samples.alias("samples"))
+    )
+    pixels = F.transform(
+        F.sequence(F.lit(0), F.lit(5)),
+        lambda r: F.transform(
+            F.sequence(F.lit(0), F.lit(5)),
+            lambda c: ((F.col("doc_id") + r * 7 + c * 3) % 256).cast("int"),
+        ),
+    )
+    png = transcode_images(
+        synthesize_netpbm_blobs(
+            docs.filter(m == 2).select("doc_id", pixels.alias("pixels"))
+        ),
+        width=4,
+        height=4,
+        out_format="png",
+    ).select("doc_id", "blob")
+    truncated = synthesize_wav_blobs(
+        docs.filter(m == 3).select("doc_id", samples.alias("samples"))
+    ).select("doc_id", F.substring("blob", 1, 20).alias("blob"))
+    junk = docs.filter(m == 4).select(
+        "doc_id", F.encode(F.lit("not a media blob"), "UTF-8").alias("blob")
+    )
+    blobs = wav.unionByName(flac).unionByName(png).unionByName(
+        truncated
+    ).unionByName(junk)
+    return media_type_audit(blobs).select("doc_id", "codec", "decodable")
+
+
+@query(
     "multimodal_png16_transcode_roundtrip",
     """
     WITH d AS (SELECT doc_id, 8 + doc_id % 5 AS h, 6 + doc_id % 7 AS w

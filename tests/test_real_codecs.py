@@ -566,3 +566,71 @@ def test_png_stream_frame_sampling(spark):
 
     with pytest.raises(Exception, match="junk"):
         decode_png_stream(stream + b"garbage tail")
+
+
+def test_media_type_audit_classifies_and_never_raises(spark):
+    from chicago_crime_spark_ml_spark.operators.flac import encode_flac
+    from chicago_crime_spark_ml_spark.operators.multimodal import (
+        encode_png,
+        encode_wav,
+        media_type_audit,
+    )
+
+    x = np.sin(np.linspace(0, 2, 50)) * 0.5
+    wav = encode_wav(x, width=2)
+    rows = [
+        (1, bytearray(wav)),                                  # valid wav
+        (2, bytearray(encode_flac(x))),                       # valid flac
+        (3, bytearray(encode_png(np.zeros((2, 2), np.uint8)))),  # valid png
+        (4, bytearray(make_pgm(np.zeros((2, 2), np.int64)))),    # netpbm
+        (5, bytearray(wav[:20])),                             # truncated wav
+        (6, bytearray(b"\xff\xd8\xff fake jpeg")),            # jpeg magic
+        (7, bytearray(b"just text")),                         # unknown
+        (8, None),                                            # null
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, blob BINARY")
+    got = {r.doc_id: (r.codec, r.decodable) for r in media_type_audit(df).collect()}
+    assert got[1] == ("wav", True)
+    assert got[2] == ("flac", True)
+    assert got[3] == ("png", True)
+    assert got[4] == ("netpbm", True)
+    assert got[5] == ("wav", False)   # magic intact, decode fails
+    try:
+        import PIL  # noqa: F401
+        del got[6]  # Pillow present: fake jpeg body still fails -> False
+    except ImportError:
+        assert got[6] == ("jpeg", False)  # no Pillow: not decodable here
+    assert got[7] == ("unknown", False)
+    assert got[8] == ("null", False)
+    assert len(media_type_audit(df).collect()) == 8  # every row, no raise
+
+
+def test_transcode_on_error_skip_quarantines(spark):
+    from chicago_crime_spark_ml_spark.operators.multimodal import (
+        encode_wav,
+        transcode_audio,
+        transcode_images,
+    )
+
+    x = np.sin(np.linspace(0, 2, 40)) * 0.5
+    wav = encode_wav(x, width=2)
+    adf = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(wav[:20])), (3, bytearray(b"junk"))],
+        "doc_id BIGINT, blob BINARY",
+    )
+    with pytest.raises(Exception):  # default: corrupt blob raises
+        transcode_audio(adf, width=2).collect()
+    kept = transcode_audio(adf, width=2, on_error="skip").collect()
+    assert [r.doc_id for r in kept] == [1]
+
+    pgm = make_pgm(np.zeros((3, 3), np.int64))
+    idf = spark.createDataFrame(
+        [(1, bytearray(pgm)), (2, bytearray(pgm[:4])), (3, bytearray(b"xx"))],
+        "doc_id BIGINT, blob BINARY",
+    )
+    with pytest.raises(Exception):
+        transcode_images(idf, width=2, height=2).collect()
+    kept = transcode_images(idf, width=2, height=2, on_error="skip").collect()
+    assert [r.doc_id for r in kept] == [1]
+    with pytest.raises(ValueError, match="on_error"):
+        transcode_images(idf, width=2, height=2, on_error="ignore")
