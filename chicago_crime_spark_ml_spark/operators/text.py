@@ -624,6 +624,7 @@ def excise_duplicated_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 8,
+    keep: str = "none",
 ) -> DataFrame:
     """Span-level dedup — the ACTION behind
     :func:`duplicated_span_profile`'s signal (substring-level
@@ -632,6 +633,11 @@ def excise_duplicated_spans(
     Every token covered by a k-token window that occurs ≥ 2 times
     corpus-wide (another doc, or again in the same doc) is excised;
     overlapping/adjacent duplicated windows merge into maximal runs.
+    ``keep`` picks the policy: ``"none"`` (default) excises EVERY copy
+    — boilerplate removal, nothing survives; ``"first"`` keeps the
+    globally first occurrence of each window (ordered by (id, start))
+    and excises only the later copies — the Lee-et-al dedup shape,
+    where one canonical copy of a legitimate common passage survives.
     Returns one row per input doc: (id, text, n_tokens,
     n_tokens_removed, n_spans_excised) where ``text`` is the kept
     tokens joined by single spaces (whitespace-normalized — untouched
@@ -642,29 +648,39 @@ def excise_duplicated_spans(
 
     Shape for 100 TB: the window-hash pass is the diagnostic's (one
     map-only projection + ONE hash-keyed count agg + a join-back that
-    reuses the hash partitioning). Duplicated window STARTS are
-    materialized once behind an eager localCheckpoint (three consumers
-    — without the barrier the scan+hash+count pipeline re-executes per
-    consumer). The expensive per-token path (posexplode + per-doc
-    window scan + rebuild) runs ONLY over affected docs (left-semi on
-    the dup-doc set — typically a small corpus fraction); coverage is
-    a running ``max`` of dup starts per doc (token j is covered iff
-    the latest start ≤ j is ≥ j-k+1 — exact, linear, no per-token
-    interval probing), so no step is quadratic in doc length.
-    Untouched docs take a map-only anti-join branch."""
+    reuses the hash partitioning; keep="first" replaces the count agg
+    with a per-hash row_number over (id, start) — same shuffle key,
+    and a very hot window hash makes a large-but-linear sort
+    partition, the price of a deterministic global keep order).
+    Duplicated window STARTS are materialized once behind an eager
+    localCheckpoint (three consumers — without the barrier the
+    scan+hash+count pipeline re-executes per consumer). The expensive
+    per-token path (posexplode + per-doc window scan + rebuild) runs
+    ONLY over affected docs (left-semi on the dup-doc set — typically
+    a small corpus fraction); coverage is a running ``max`` of dup
+    starts per doc (token j is covered iff the latest start ≤ j is
+    ≥ j-k+1 — exact, linear, no per-token interval probing), so no
+    step is quadratic in doc length. Untouched docs take a map-only
+    anti-join branch."""
+    if keep not in ("none", "first"):
+        raise ValueError(f"keep must be 'none' or 'first', got {keep!r}")
+    from pyspark.sql import Window  # noqa: PLC0415
+
     e = df.select(
         F.col(id_col),
         F.posexplode(
             let_expr(tokens_expr(text_col), lambda t: _window_hash_expr(t, k))
         ).alias("p", "h"),
     ).select(id_col, (F.col("p") + 1).alias("s"), "h")
-    counts = e.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
-    dup_starts = (
-        e.join(counts, "h")
-        .filter(F.col("cnt") >= 2)
-        .select(id_col, "s")
-        .localCheckpoint(eager=True)
-    )
+    if keep == "first":
+        w_h = Window.partitionBy("h").orderBy(id_col, "s")
+        marked_dups = e.withColumn(
+            "rk", F.row_number().over(w_h)
+        ).filter(F.col("rk") >= 2)
+    else:
+        counts = e.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+        marked_dups = e.join(counts, "h").filter(F.col("cnt") >= 2)
+    dup_starts = marked_dups.select(id_col, "s").localCheckpoint(eager=True)
     dup_docs = dup_starts.select(id_col).distinct()
 
     # affected branch: per-token rows, running-max coverage, rebuild
@@ -689,8 +705,6 @@ def excise_duplicated_spans(
         F.col("tk.tokn").alias("tokn"),
         F.col("ds.s").alias("s"),
     )
-    from pyspark.sql import Window  # noqa: PLC0415
-
     win = Window.partitionBy(id_col).orderBy("j")
     cum = win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     m = (

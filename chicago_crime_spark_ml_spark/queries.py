@@ -11770,6 +11770,82 @@ def doc_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_span_excision_keep_first",
+    r"""
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+               FROM documents),
+    g AS (SELECT doc_id, w,
+                 CASE WHEN len(w) >= 8 THEN
+                   list_transform(range(1, len(w) - 6),
+                     i -> ('0x' || substr(md5(array_to_string(w[i:i+7], ' ')),
+                                          1, 15))::BIGINT)
+                 ELSE [] END AS hs
+          FROM t),
+    e AS (SELECT doc_id, unnest(hs) AS h,
+                 unnest(range(1, len(hs) + 1)) AS s FROM g),
+    ds AS (SELECT doc_id, s FROM (
+             SELECT doc_id, s,
+                    row_number() OVER (PARTITION BY h ORDER BY doc_id, s)
+                      AS rk
+             FROM e)
+           WHERE rk >= 2),
+    dd AS (SELECT DISTINCT doc_id FROM ds),
+    tok AS (SELECT g.doc_id, unnest(w) AS tokn,
+                   unnest(range(1, len(w) + 1)) AS j
+            FROM g JOIN dd USING (doc_id)),
+    cov AS (SELECT DISTINCT doc_id, j
+            FROM (SELECT doc_id, unnest(generate_series(s, s + 7)) AS j
+                  FROM ds)),
+    runs AS (SELECT doc_id,
+                    CAST(count(*) FILTER (WHERE pj IS NULL OR j - pj > 1)
+                         AS BIGINT) AS n_spans_excised
+             FROM (SELECT doc_id, j,
+                          lag(j) OVER (PARTITION BY doc_id ORDER BY j) AS pj
+                   FROM cov)
+             GROUP BY doc_id),
+    aff AS (SELECT t2.doc_id,
+                   coalesce(array_to_string(
+                     list(t2.tokn ORDER BY t2.j) FILTER (WHERE c2.j IS NULL),
+                     ' '), '') AS text,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(count(*) FILTER (WHERE c2.j IS NOT NULL) AS BIGINT)
+                     AS n_tokens_removed
+            FROM tok t2 LEFT JOIN cov c2
+              ON t2.doc_id = c2.doc_id AND t2.j = c2.j
+            GROUP BY t2.doc_id)
+    SELECT aff.doc_id, text, n_tokens, n_tokens_removed,
+           runs.n_spans_excised
+    FROM aff JOIN runs USING (doc_id)
+    UNION ALL
+    SELECT doc_id, array_to_string(w, ' ') AS text,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           CAST(0 AS BIGINT) AS n_tokens_removed,
+           CAST(0 AS BIGINT) AS n_spans_excised
+    FROM g WHERE doc_id NOT IN (SELECT doc_id FROM dd)
+    """,
+)
+def doc_span_excision_keep_first(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Span dedup with the keep-first policy (the Lee-et-al shape):
+    the globally FIRST occurrence of each duplicated 8-token window —
+    ordered by (doc_id, start) — survives; only later copies are
+    excised, so one canonical copy of a legitimate common passage
+    stays in the corpus (the remove-all twin doc_span_excision is the
+    boilerplate-scrub; the two policies answer different curation
+    questions). Oracle replays the per-hash row_number over the same
+    deterministic order; everything downstream (distinct covered
+    positions, merged-run lag count, rebuild) is shared with the
+    remove-all oracle. Strings + counts only — exact hashes."""
+    from chicago_crime_spark_ml_spark.operators.text import (
+        excise_duplicated_spans,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return excise_duplicated_spans(d, k=8, keep="first")
+
+
+@query(
     "source_temperature_mixing",
     """
     WITH s AS (SELECT source,

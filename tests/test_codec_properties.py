@@ -66,3 +66,36 @@ def test_decoders_dispatch_none_on_foreign_magic(prefix):
         assert decode_netpbm(prefix) is None
     if not (prefix[:4] == b"RIFF" and prefix[8:12] == b"WAVE"):
         assert decode_wav(prefix) is None
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(min_value=0, max_value=9000),
+    bps=st.sampled_from([8, 16]),
+    kind=st.sampled_from(["random", "smooth", "constant", "steps"]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_flac_roundtrip_property(n, bps, kind, seed):
+    """FLAC is lossless: decode(encode(x)) equals the quantized input
+    BIT-EXACTLY for arbitrary lengths (crossing frame boundaries at
+    4096), both sample widths, and signal shapes that exercise every
+    subframe type (CONSTANT / FIXED orders / Rice escape)."""
+    from chicago_crime_spark_ml_spark.operators.flac import (
+        decode_flac_meta,
+        encode_flac,
+    )
+
+    rng = np.random.default_rng(seed)
+    if kind == "random":
+        x = rng.uniform(-1, 1, size=n)
+    elif kind == "smooth":
+        x = np.sin(np.linspace(0, 7, n)) * 0.8
+    elif kind == "constant":
+        x = np.full(n, rng.uniform(-1, 1))
+    else:
+        x = np.repeat(rng.uniform(-1, 1, size=max(1, n // 16 + 1)), 16)[:n]
+    dec, rate = decode_flac_meta(encode_flac(x, bps=bps, rate=8000))
+    assert rate == 8000
+    scale = (1 << (bps - 1)) - 1
+    expect = np.trunc(np.clip(x, -1, 1) * scale) / float(1 << (bps - 1))
+    assert np.array_equal(dec, expect)

@@ -752,3 +752,37 @@ def test_excise_matches_profile_signal(spark, docs):
             assert frac > 0.0
         if frac == 0.0:
             assert r.n_tokens_removed == 0 and r.n_spans_excised == 0
+
+
+def test_excise_keep_first_preserves_canonical_copy(spark):
+    """keep='first': the globally first occurrence (by doc_id, start)
+    of each duplicated window survives; later copies are excised —
+    including later repeats within the same doc."""
+    from chicago_crime_spark_ml_spark.operators.text import (
+        excise_duplicated_spans,
+    )
+
+    boiler = "subscribe to our newsletter for updates and offers today now"
+    rows = [
+        (1, f"alpha beta gamma {boiler} delta epsilon zeta eta theta"),
+        (2, f"one two three four five six seven eight nine ten {boiler}"),
+        (3, f"{boiler} {boiler}"),  # within-doc repeat, but doc 1 is first
+        (4, "short doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in excise_duplicated_spans(
+        df, k=8, keep="first").collect()}
+    # doc 1 carries the first occurrence -> fully intact
+    assert got[1].text == rows[0][1]
+    assert got[1].n_tokens_removed == 0 and got[1].n_spans_excised == 0
+    # later carriers lose their copies
+    assert got[2].text == "one two three four five six seven eight nine ten"
+    assert got[2].n_tokens_removed == 10
+    assert got[3].text == "" and got[3].n_tokens_removed == 20
+    assert got[4].text == "short doc"
+    # remove-all on the same data kills every copy including doc 1's
+    all_gone = {r.doc_id: r for r in excise_duplicated_spans(
+        df, k=8, keep="none").collect()}
+    assert all_gone[1].n_tokens_removed == 10
+    with pytest.raises(ValueError, match="keep"):
+        excise_duplicated_spans(df, k=8, keep="last")
