@@ -292,6 +292,77 @@ def synthesize_flac_blobs(
     )
 
 
+TRIM_SCHEMA = (
+    "doc_id BIGINT, blob BINARY, n_samples INT, "
+    "n_leading_trimmed INT, n_trailing_trimmed INT"
+)
+
+
+def trim_silence(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+    threshold: float = 0.0,
+    width: int = 2,
+) -> DataFrame:
+    """Leading/trailing silence removal over audio blobs — the standard
+    prep step before feature extraction or packing (silence carries no
+    training signal but does carry storage and compute). A sample is
+    SIGNAL when |x| > threshold (default 0.0: trims exactly-zero
+    samples, which both codecs here encode and decode losslessly as
+    0); the kept span runs from the first to the last signal sample,
+    so interior silence survives (it is timing information). All-silent
+    blobs collapse to an empty data chunk with every sample counted as
+    leading. Input dispatches through :func:`decode_audio_meta` (WAV
+    or FLAC); output is WAV at the source rate. Map-only; NULL blobs
+    skipped, unrecognized blobs raise."""
+
+    def batches(it):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in it:
+            out = {
+                k: []
+                for k in (
+                    "doc_id",
+                    "blob",
+                    "n_samples",
+                    "n_leading_trimmed",
+                    "n_trailing_trimmed",
+                )
+            }
+            for did, buf in zip(pdf[id_col], pdf[blob_col]):
+                if buf is None:
+                    continue
+                meta = decode_audio_meta(bytes(buf))
+                if meta is None:
+                    raise ValueError(
+                        "trim_silence decodes RIFF/WAVE PCM and FLAC; "
+                        "other compressed audio needs libs not in this "
+                        "container"
+                    )
+                x, rate = meta
+                sig = np.nonzero(np.abs(x) > threshold)[0]
+                if sig.size:
+                    lead, tail = int(sig[0]), int(x.size - 1 - sig[-1])
+                    kept = x[sig[0] : sig[-1] + 1]
+                else:
+                    lead, tail = int(x.size), 0
+                    kept = x[:0]
+                out["doc_id"].append(did)
+                out["blob"].append(encode_wav(kept, width=width, rate=rate))
+                out["n_samples"].append(int(kept.size))
+                out["n_leading_trimmed"].append(lead)
+                out["n_trailing_trimmed"].append(tail)
+            if out["doc_id"]:
+                yield pd.DataFrame(out)
+
+    return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(
+        batches, schema=TRIM_SCHEMA
+    )
+
+
 AUDIT_SCHEMA = "doc_id BIGINT, codec STRING, decodable BOOLEAN, n_bytes INT"
 
 

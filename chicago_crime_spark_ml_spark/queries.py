@@ -11498,6 +11498,77 @@ def multimodal_png_transcode_roundtrip(
 
 
 @query(
+    "multimodal_silence_trim",
+    """
+    WITH d AS (SELECT doc_id, 33 + (doc_id % 3) * 16 AS n,
+                      doc_id % 6 AS a, doc_id % 4 AS b
+               FROM documents),
+    s AS (SELECT doc_id, n, a, b,
+                 unnest(generate_series(0, n - 1)) AS i FROM d),
+    q AS (SELECT doc_id, n, a, b,
+                 trunc(trunc((CAST((i * 37) % 201 AS DOUBLE) - 100.0)
+                             / 100.0 * 32767.0)
+                       / 32768.0 * 32767.0) / 32768.0 AS z
+          FROM s)
+    SELECT doc_id,
+           CAST(n AS INT) AS n_samples,
+           CAST(a AS INT) AS n_leading_trimmed,
+           CAST(b AS INT) AS n_trailing_trimmed,
+           round(sqrt(avg(z * z)), 4) AS rms
+    FROM q GROUP BY doc_id, n, a, b
+    """,
+)
+def multimodal_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence trimming certified end-to-end (r7): each doc pads a
+    ramp with doc_id%6 leading and doc_id%4 trailing EXACT zeros
+    (both codecs encode/decode 0.0 losslessly), even docs through WAV
+    and odd docs through FLAC — so the trimmer's decode dispatch is
+    exercised on both — and trim_silence must recover exactly the
+    padding counts and the unpadded length (every ramp sample
+    quantizes nonzero: |k/100| ≥ 0.01 → |trunc(x·32767)| ≥ 327).
+    rms reads the RE-ENCODED trimmed blob, so the oracle replays the
+    double quantization trunc(trunc(x·32767)/32768·32767)/32768 —
+    dyadic, bit-exact. Map-only throughout; joins on doc_id."""
+    from chicago_crime_spark_ml_spark.operators.multimodal import (
+        audio_window_envelope,
+        synthesize_flac_blobs,
+        synthesize_wav_blobs,
+        trim_silence,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = F.lit(33) + (F.col("doc_id") % 3) * 16
+    a = (F.col("doc_id") % 6).cast("int")
+    b = (F.col("doc_id") % 4).cast("int")
+    ramp = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: (((i * 37) % 201).cast("double") - 100.0) / 100.0,
+    )
+    padded = F.concat(
+        F.array_repeat(F.lit(0.0), a), ramp, F.array_repeat(F.lit(0.0), b)
+    )
+    wav = synthesize_wav_blobs(
+        docs.filter(F.col("doc_id") % 2 == 0).select(
+            "doc_id", padded.alias("samples")
+        )
+    )
+    flac = synthesize_flac_blobs(
+        docs.filter(F.col("doc_id") % 2 == 1).select(
+            "doc_id", padded.alias("samples")
+        )
+    )
+    trimmed = trim_silence(wav.unionByName(flac))
+    env = audio_window_envelope(
+        trimmed.select("doc_id", "blob"), window_samples=256, decode_stub=False
+    )
+    return trimmed.select(
+        "doc_id", "n_samples", "n_leading_trimmed", "n_trailing_trimmed"
+    ).join(
+        env.select("doc_id", F.round("rms", 4).alias("rms")), "doc_id"
+    )
+
+
+@query(
     "multimodal_corpus_audit",
     """
     SELECT doc_id,

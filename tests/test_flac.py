@@ -124,3 +124,31 @@ def test_flac_through_spark_operators(spark):
     assert rate == 16000 and dec.size == 399  # 2n-1: real resampling
     with pytest.raises(ValueError, match="widths 1 and 2"):
         transcode_audio(wav_df, width=3, out_format="flac")
+
+
+def test_trim_silence_edges(spark):
+    from chicago_crime_spark_ml_spark.operators.flac import encode_flac
+    from chicago_crime_spark_ml_spark.operators.multimodal import (
+        decode_wav_meta,
+        encode_wav,
+        trim_silence,
+    )
+
+    sig = [0.0, 0.0, 0.5, 0.0, -0.7, 0.0]  # interior silence survives
+    rows = [
+        (1, bytearray(encode_wav(sig, width=2, rate=8000))),
+        (2, bytearray(encode_flac(sig, bps=16, rate=8000))),  # FLAC in
+        (3, bytearray(encode_wav([0.0] * 5, width=2))),       # all silent
+        (4, bytearray(encode_wav([0.9], width=2))),           # no padding
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, blob BINARY")
+    got = {r.doc_id: r for r in trim_silence(df).collect()}
+    for did in (1, 2):  # WAV and FLAC inputs agree
+        r = got[did]
+        assert (r.n_leading_trimmed, r.n_trailing_trimmed, r.n_samples) == (2, 1, 3)
+        dec, rate = decode_wav_meta(bytes(r.blob))
+        assert rate == 8000 and dec.size == 3 and dec[1] == 0.0  # interior kept
+    assert (got[3].n_samples, got[3].n_leading_trimmed) == (0, 5)
+    assert decode_wav_meta(bytes(got[3].blob))[0].size == 0
+    assert (got[4].n_samples, got[4].n_leading_trimmed,
+            got[4].n_trailing_trimmed) == (1, 0, 0)
