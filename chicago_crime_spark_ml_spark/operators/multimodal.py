@@ -292,6 +292,112 @@ def synthesize_flac_blobs(
     )
 
 
+KEYFRAME_SCHEMA = "doc_id BIGINT, frame_idx INT, energy DOUBLE"
+
+
+def select_keyframes(
+    df: DataFrame,
+    n_frames: int = 4,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Scene-change keyframe selection over concatenated netpbm/PNG
+    frame streams — the content-aware alternative to
+    :func:`sample_frames`'s uniform stride (uniform sampling of a
+    mostly-static clip wastes every slot on the same scene): per frame
+    f>0, energy = mean |pix_f − pix_{f−1}| over decoded [0,1] pixels
+    (frame 0 anchors at energy 0.0), and the top ``n_frames`` by
+    (energy DESC, frame_idx ASC — deterministic under ties) are
+    emitted in frame order. REAL decode only (:func:`decode_image_stream`)
+    — frame-difference energy is a pixel property, so a byte-stub twin
+    would certify nothing. Streams shorter than n_frames emit all
+    frames. Map-only, Arrow-batched; NULL blobs skipped, unrecognized
+    blobs raise, shape-changing streams raise (energy needs aligned
+    pixels)."""
+
+    def batches(it):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in it:
+            out = {k: [] for k in ("doc_id", "frame_idx", "energy")}
+            for did, buf in zip(pdf[id_col], pdf[blob_col]):
+                if buf is None:
+                    continue
+                frames = decode_image_stream(bytes(buf))
+                if frames is None:
+                    raise ValueError(
+                        "select_keyframes decodes concatenated "
+                        "netpbm/PNG frame streams only"
+                    )
+                if not frames:
+                    continue
+                shapes = {f.shape for f in frames}
+                if len(shapes) > 1:
+                    raise ValueError(
+                        f"frame shapes vary within one stream: {shapes}"
+                    )
+                energies = [0.0] + [
+                    float(np.abs(frames[f] - frames[f - 1]).mean())
+                    for f in range(1, len(frames))
+                ]
+                chosen = sorted(
+                    sorted(range(len(frames)), key=lambda f: (-energies[f], f))[
+                        :n_frames
+                    ]
+                )
+                for f in chosen:
+                    out["doc_id"].append(did)
+                    out["frame_idx"].append(f)
+                    out["energy"].append(energies[f])
+            if out["doc_id"]:
+                yield pd.DataFrame(out)
+
+    return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(
+        batches, schema=KEYFRAME_SCHEMA
+    )
+
+
+def synthesize_netpbm_stream_blobs(
+    df: DataFrame,
+    frames_col: str = "frames",
+    id_col: str = "doc_id",
+    maxval: int = 255,
+) -> DataFrame:
+    """(id, array<array<array<int>>> frames) → (id, blob) with blob a
+    CONCATENATED binary-netpbm stream (one P5 image per frame, back to
+    back — the engine's video-stream stand-in, decodable by
+    :func:`decode_netpbm_stream`). The write half that makes the
+    frame-stream operators driver-certifiable with no media files on
+    disk. mapInPandas, map-only; NULL arrays skipped."""
+
+    def batches(it):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in it:
+            ids, blobs = [], []
+            for did, fr in zip(pdf[id_col], pdf[frames_col]):
+                if fr is None:
+                    continue
+                ids.append(did)
+                blobs.append(
+                    b"".join(
+                        encode_netpbm(
+                            np.array([np.asarray(list(r)) for r in frame]),
+                            maxval=maxval,
+                        )
+                        for frame in fr
+                    )
+                )
+            if ids:
+                yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    return df.select(F.col(id_col), F.col(frames_col)).mapInPandas(
+        batches, schema="doc_id BIGINT, blob BINARY"
+    )
+
+
 TRIM_SCHEMA = (
     "doc_id BIGINT, blob BINARY, n_samples INT, "
     "n_leading_trimmed INT, n_trailing_trimmed INT"

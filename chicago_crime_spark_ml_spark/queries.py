@@ -11498,6 +11498,73 @@ def multimodal_png_transcode_roundtrip(
 
 
 @query(
+    "multimodal_keyframe_selection",
+    """
+    WITH d AS (SELECT doc_id, 5 + doc_id % 4 AS nf FROM documents),
+    f AS (SELECT doc_id, nf, unnest(generate_series(0, nf - 1)) AS fi
+          FROM d),
+    p AS (SELECT doc_id, fi,
+                 CAST((doc_id * 13 + 7 * fi * fi) % 256 AS DOUBLE) / 255.0
+                   AS pv
+          FROM f),
+    e AS (SELECT doc_id, fi,
+                 CASE WHEN fi = 0 THEN 0.0
+                      ELSE abs(pv - lag(pv) OVER
+                               (PARTITION BY doc_id ORDER BY fi)) END
+                   AS energy
+          FROM p),
+    r AS (SELECT doc_id, fi, energy,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY energy DESC, fi) AS rk
+          FROM e)
+    SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+           round(energy, 4) AS energy
+    FROM r WHERE rk <= 3
+    """,
+)
+def multimodal_keyframe_selection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Content-aware keyframe selection driver-certified (r7): each doc
+    synthesizes a 5–8-frame netpbm stream of CONSTANT 4×4 frames whose
+    values step as (doc_id·13 + 7f²) % 256, so every frame-difference
+    energy is a known rational — and constant frames make the Spark
+    side's mean over 16 (= 2⁴, so numpy's pairwise sum is exact)
+    identical pixels reproduce |pv_f − pv_{f−1}| bit-for-bit, which is
+    exactly the oracle's lag() expression (both sides compute v/255
+    first, THEN subtract — a/c − b/c ≠ (a−b)/c in floats, so the op
+    order is pinned). Top-3 by (energy DESC, frame ASC); rounding only
+    at the output. Map-only; selection happens inside the Arrow
+    stage."""
+    from chicago_crime_spark_ml_spark.operators.multimodal import (
+        select_keyframes,
+        synthesize_netpbm_stream_blobs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    nf = F.lit(5) + (F.col("doc_id") % 4).cast("int")
+    frames = F.transform(
+        F.sequence(F.lit(0), nf - 1),
+        lambda f: F.transform(
+            F.sequence(F.lit(0), F.lit(3)),
+            lambda r: F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda c: (
+                    (F.col("doc_id") * 13 + 7 * f * f) % 256
+                ).cast("int"),
+            ),
+        ),
+    )
+    blobs = synthesize_netpbm_stream_blobs(
+        docs.select("doc_id", frames.alias("frames"))
+    )
+    out = select_keyframes(blobs, n_frames=3)
+    return out.select(
+        "doc_id", "frame_idx", F.round("energy", 4).alias("energy")
+    )
+
+
+@query(
     "multimodal_silence_trim",
     """
     WITH d AS (SELECT doc_id, 33 + (doc_id % 3) * 16 AS n,

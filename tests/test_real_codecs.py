@@ -634,3 +634,41 @@ def test_transcode_on_error_skip_quarantines(spark):
     assert [r.doc_id for r in kept] == [1]
     with pytest.raises(ValueError, match="on_error"):
         transcode_images(idf, width=2, height=2, on_error="ignore")
+
+
+def test_select_keyframes_scene_changes(spark):
+    from chicago_crime_spark_ml_spark.operators.multimodal import (
+        encode_netpbm,
+        encode_png,
+        select_keyframes,
+    )
+
+    # 6 frames: big jumps at 2 and 4, tiny elsewhere
+    vals = [10, 12, 200, 202, 40, 41]
+    stream_pgm = b"".join(
+        encode_netpbm(np.full((4, 4), v, dtype=np.int64)) for v in vals
+    )
+    stream_png = b"".join(
+        encode_png(np.full((4, 4), v, dtype=np.uint8)) for v in vals
+    )
+    for stream in (stream_pgm, stream_png):  # both stream codecs
+        df = spark.createDataFrame(
+            [(1, bytearray(stream))], "doc_id BIGINT, blob BINARY"
+        )
+        rows = select_keyframes(df, n_frames=2).collect()
+        assert [r.frame_idx for r in rows] == [2, 4]  # the scene changes
+        assert rows[0].energy == pytest.approx(188 / 255)
+        assert rows[1].energy == pytest.approx(162 / 255)
+    # n_frames >= stream length: every frame, in order
+    df = spark.createDataFrame(
+        [(1, bytearray(stream_pgm))], "doc_id BIGINT, blob BINARY"
+    )
+    assert [r.frame_idx for r in select_keyframes(df, n_frames=10).collect()] \
+        == [0, 1, 2, 3, 4, 5]
+    # shape-changing stream raises
+    bad = encode_netpbm(np.zeros((4, 4), dtype=np.int64)) + encode_netpbm(
+        np.zeros((2, 2), dtype=np.int64)
+    )
+    bdf = spark.createDataFrame([(1, bytearray(bad))], "doc_id BIGINT, blob BINARY")
+    with pytest.raises(Exception, match="shapes"):
+        select_keyframes(bdf).collect()
