@@ -61,6 +61,10 @@ HEADLINE = [
     "minhash_lsh_near_dups",
     "embedding_near_dup_pairs",
     "embedding_batch_topk",
+    # round-7 span-level dedup: the per-token excision path is the
+    # heaviest new text operator — benched so a regression in the
+    # affected-docs gating or the window coverage pass shows up
+    "doc_span_excision",
 ]
 
 
