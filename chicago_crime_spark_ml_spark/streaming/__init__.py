@@ -227,6 +227,83 @@ def incremental_rollup_to_parquet(
     )
 
 
+def streaming_near_dup_ingest(
+    docs: DataFrame,
+    index_path: str,
+    pairs_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 8,
+    seed: int = 42,
+    query_name: str = "near_dup_ingest",
+):
+    """Continuous-ingestion near-dup detection: the streaming form of
+    the incremental LSH job (operators/dedup.lsh_index_delta). Each
+    micro-batch hashes ONLY its own docs, probes the persisted band
+    index for candidate pairs touching the batch ((old,new) and
+    (new,new) — history is never re-compared against itself), then
+    appends the batch's band rows so the index stays current. Exact
+    Jaccard rescoring of the candidates stays the caller's step, same
+    as the batch path.
+
+    Exactly-once on replays: both sinks write into a
+    ``batch_id=N`` subdirectory with overwrite mode, so a replayed
+    micro-batch overwrites its own output instead of double-appending
+    (parquet append is not idempotent; per-batch overwrite is). The
+    candidate-pair WRITE is forced BEFORE the index append — pairs
+    read the index lazily, and appending first would make a batch's
+    docs collide with themselves. The index read is a plain parquet
+    scan, so at scale the band-partitioned layout prunes the probe.
+
+    Returns the StreamingQuery; read ``pairs_path`` for candidates and
+    ``index_path`` for the live index (both gain a ``batch_id``
+    partition column)."""
+    import os  # noqa: PLC0415
+
+    from chicago_crime_spark_ml_spark.operators.dedup import (  # noqa: PLC0415
+        lsh_index_delta,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        if os.path.isdir(index_path):
+            index = spark.read.parquet(index_path).select(
+                id_col, "band", "bucket"
+            )
+        else:
+            index = spark.createDataFrame(
+                [], f"{id_col} long, band int, bucket bigint"
+            )
+        delta_rows, pairs = lsh_index_delta(
+            index,
+            batch_df,
+            text_col=text_col,
+            id_col=id_col,
+            n=n,
+            num_hashes=num_hashes,
+            seed=seed,
+        )
+        delta_rows = delta_rows.localCheckpoint(eager=True)
+        pairs.write.mode("overwrite").parquet(
+            f"{pairs_path}/batch_id={batch_id}"
+        )
+        delta_rows.write.mode("overwrite").parquet(
+            f"{index_path}/batch_id={batch_id}"
+        )
+
+    return (
+        docs.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+        .start()
+    )
+
+
 def user_value_stats_tws(events: DataFrame) -> DataFrame:
     """Custom stateful operator on the transformWithStateInPandas API
     (Spark 4's typed-state successor to applyInPandasWithState): per-user

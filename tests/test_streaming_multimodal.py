@@ -837,3 +837,71 @@ def test_stream_flac_envelope_equals_batch(spark, tmp_path):
         q.stop()
     got = {tuple(r) for r in spark.table("flac_env_stream").collect()}
     assert got == batch and len(batch) == 4 * 3  # 300 samples / 128 -> 3 windows
+
+
+def test_streaming_near_dup_ingest_equals_batch(spark, tmp_path):
+    """Continuous-ingestion LSH dedup (r7): docs arrive in two
+    micro-batches; the union of per-batch candidate pairs must equal
+    the pairs of a FULL batch rebuild over all docs (every pair
+    involves some batch's delta at the time its later doc arrives),
+    and the persisted index must hold every doc's band rows."""
+    from chicago_crime_spark_ml_spark.operators.dedup import lsh_band_index
+    from chicago_crime_spark_ml_spark.streaming import (
+        streaming_near_dup_ingest,
+    )
+
+    near1 = "the quick brown fox jumps over the lazy dog again and again"
+    near2 = near1 + " ok"
+    near3 = "the quick brown fox jumps over the lazy dog again and anew"
+    rows1 = [(1, near1), (2, "completely unrelated text about spark plans")]
+    rows2 = [(3, near2), (4, near3), (5, "another unrelated document here")]
+    schema = "doc_id BIGINT, text STRING"
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    index_path = str(tmp_path / "lsh_index")
+    pairs_path = str(tmp_path / "lsh_pairs")
+
+    def emit(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    emit(rows1)
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = streaming_near_dup_ingest(
+        stream, index_path, pairs_path, str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+        emit(rows2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got_pairs = {
+        (r.id_a, r.id_b)
+        for r in spark.read.parquet(pairs_path).collect()
+    }
+    # full-rebuild ground truth: band-bucket self-join over ALL docs
+    all_docs = spark.createDataFrame(rows1 + rows2, schema)
+    idx = lsh_band_index(all_docs).alias("a")
+    other = lsh_band_index(all_docs).alias("b")
+    want = {
+        (r.id_a, r.id_b)
+        for r in idx.join(other, ["band", "bucket"])
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("id_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("id_b"),
+        )
+        .distinct()
+        .collect()
+    }
+    assert got_pairs == want
+    assert (1, 3) in got_pairs  # a cross-batch near-dup was caught
+    # the persisted index covers every ingested doc
+    idx_docs = {
+        r.doc_id for r in spark.read.parquet(index_path).collect()
+    }
+    assert idx_docs == {1, 2, 3, 4, 5}
