@@ -757,6 +757,105 @@ def excise_duplicated_spans(
     return affected.unionByName(untouched)
 
 
+def bpe_learn_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Corpus-level BPE merge learning (the tokenizer-TRAINING
+    primitive; the catalog's BPE-ish regex op only counts tokens):
+    word-level byte-pair encoding à la Sennrich et al. — words split
+    to character symbols, then k rounds of (count adjacent symbol
+    pairs weighted by word frequency → merge the most frequent pair
+    corpus-wide). Returns one row per round: (round, left_sym,
+    right_sym, pair_count, n_symbols_after), where n_symbols_after is
+    the frequency-weighted total symbol count after applying that
+    round's merge — certifying the merge APPLICATION, not just the
+    argmax. Ties break on (count DESC, left ASC, right ASC) so the
+    learned merges are deterministic cross-engine.
+
+    Scale shape: ONE corpus-scale stage (the word-frequency hash agg);
+    every round after that runs on the DISTINCT-WORD vocabulary —
+    bounded and tiny relative to the corpus, which is exactly how real
+    BPE trainers scale. The merge fold is a greedy left-to-right
+    string aggregate over each word's symbol string (symbols never
+    contain spaces, so `acc ends with ' '+left` is an exact
+    previous-symbol test — the same fold replayed by DuckDB
+    list_reduce); the vocab frame is eagerly localCheckpoint-ed per
+    round because stacking k interpreted folds would otherwise be
+    CollapseProject-inlined into every consumer (the measured O(len²)
+    trap, see let_expr). The winner/total collects are k bounded
+    1-row driver reads — the merge table IS driver-sized."""
+    spark = df.sparkSession
+    words = (
+        df.select(F.explode(tokens_expr(text_col, lowercase)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    cur = words.withColumn(
+        "sym", F.trim(F.regexp_replace("w", "(.)", "$1 "))
+    ).localCheckpoint(eager=True)
+
+    def adjacent_pairs(frame: DataFrame) -> DataFrame:
+        arr = F.split("sym", " ")
+        prs = F.when(
+            F.size(arr) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(arr) - 1),
+                lambda i: F.struct(
+                    F.element_at(arr, i).alias("a"),
+                    F.element_at(arr, i + 1).alias("b"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        return (
+            frame.select("cnt", F.explode(prs).alias("pr"))
+            .groupBy("pr.a", "pr.b")
+            .agg(F.sum("cnt").cast("long").alias("pc"))
+        )
+
+    rows = []
+    for rnd in range(1, k + 1):
+        win = (
+            adjacent_pairs(cur)
+            .orderBy(F.desc("pc"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not win:  # vocabulary fully merged before k rounds
+            break
+        a, b, pc = win[0].a, win[0].b, int(win[0].pc)
+        merged = a + b
+
+        def fold(arr, a=a, b=b, merged=merged):
+            return F.aggregate(
+                arr,
+                F.lit(""),
+                lambda acc, x: F.when(
+                    ((acc == a) | acc.endswith(" " + a)) & (x == b),
+                    F.concat(
+                        F.substring(acc, 1, F.length(acc) - len(a)), F.lit(merged)
+                    ),
+                ).otherwise(
+                    F.when(acc == "", x).otherwise(F.concat(acc, F.lit(" "), x))
+                ),
+            )
+
+        cur = cur.select(
+            "w", "cnt", fold(F.split("sym", " ")).alias("sym")
+        ).localCheckpoint(eager=True)
+        total = cur.agg(
+            F.sum(F.col("cnt") * F.size(F.split("sym", " "))).cast("long")
+        ).first()[0]
+        rows.append((rnd, a, b, pc, int(total)))
+    return spark.createDataFrame(
+        rows,
+        "round INT, left_sym STRING, right_sym STRING, "
+        "pair_count BIGINT, n_symbols_after BIGINT",
+    )
+
+
 def duplicated_span_profile(
     df: DataFrame,
     text_col: str = "text",

@@ -11908,6 +11908,106 @@ def doc_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bpe_merge_learning",
+    r"""
+    WITH wc AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt
+                FROM (SELECT unnest(string_split_regex(trim(lower(text)),
+                                                       '\s+')) AS w
+                      FROM documents)
+                GROUP BY w),
+    r0 AS (SELECT cnt, trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS sym
+           FROM wc),
+    p1 AS (SELECT pr.a AS a, pr.b AS b, CAST(SUM(cnt) AS BIGINT) AS pc
+           FROM (SELECT cnt,
+                        unnest(list_transform(
+                          range(1, len(string_split(sym, ' '))),
+                          i -> {'a': string_split(sym, ' ')[i],
+                                'b': string_split(sym, ' ')[i + 1]})) AS pr
+                 FROM r0)
+           GROUP BY pr.a, pr.b),
+    w1 AS (SELECT a, b, pc FROM p1 ORDER BY pc DESC, a, b LIMIT 1),
+    r1 AS (SELECT cnt,
+                  list_reduce(string_split(sym, ' '), (acc, x) ->
+                    CASE WHEN (acc = a OR ends_with(acc, ' ' || a))
+                              AND x = b
+                         THEN substr(acc, 1, len(acc) - len(a)) || a || b
+                         ELSE CASE WHEN acc = '' THEN x
+                              ELSE acc || ' ' || x END END) AS sym
+           FROM r0, w1),
+    s1 AS (SELECT CAST(SUM(cnt * len(string_split(sym, ' '))) AS BIGINT)
+                    AS tot FROM r1),
+    p2 AS (SELECT pr.a AS a, pr.b AS b, CAST(SUM(cnt) AS BIGINT) AS pc
+           FROM (SELECT cnt,
+                        unnest(list_transform(
+                          range(1, len(string_split(sym, ' '))),
+                          i -> {'a': string_split(sym, ' ')[i],
+                                'b': string_split(sym, ' ')[i + 1]})) AS pr
+                 FROM r1)
+           GROUP BY pr.a, pr.b),
+    w2 AS (SELECT a, b, pc FROM p2 ORDER BY pc DESC, a, b LIMIT 1),
+    r2 AS (SELECT cnt,
+                  list_reduce(string_split(sym, ' '), (acc, x) ->
+                    CASE WHEN (acc = a OR ends_with(acc, ' ' || a))
+                              AND x = b
+                         THEN substr(acc, 1, len(acc) - len(a)) || a || b
+                         ELSE CASE WHEN acc = '' THEN x
+                              ELSE acc || ' ' || x END END) AS sym
+           FROM r1, w2),
+    s2 AS (SELECT CAST(SUM(cnt * len(string_split(sym, ' '))) AS BIGINT)
+                    AS tot FROM r2),
+    p3 AS (SELECT pr.a AS a, pr.b AS b, CAST(SUM(cnt) AS BIGINT) AS pc
+           FROM (SELECT cnt,
+                        unnest(list_transform(
+                          range(1, len(string_split(sym, ' '))),
+                          i -> {'a': string_split(sym, ' ')[i],
+                                'b': string_split(sym, ' ')[i + 1]})) AS pr
+                 FROM r2)
+           GROUP BY pr.a, pr.b),
+    w3 AS (SELECT a, b, pc FROM p3 ORDER BY pc DESC, a, b LIMIT 1),
+    r3 AS (SELECT cnt,
+                  list_reduce(string_split(sym, ' '), (acc, x) ->
+                    CASE WHEN (acc = a OR ends_with(acc, ' ' || a))
+                              AND x = b
+                         THEN substr(acc, 1, len(acc) - len(a)) || a || b
+                         ELSE CASE WHEN acc = '' THEN x
+                              ELSE acc || ' ' || x END END) AS sym
+           FROM r2, w3),
+    s3 AS (SELECT CAST(SUM(cnt * len(string_split(sym, ' '))) AS BIGINT)
+                    AS tot FROM r3)
+    SELECT CAST(1 AS INT) AS round, (SELECT a FROM w1) AS left_sym,
+           (SELECT b FROM w1) AS right_sym,
+           (SELECT pc FROM w1) AS pair_count,
+           (SELECT tot FROM s1) AS n_symbols_after
+    UNION ALL
+    SELECT 2, (SELECT a FROM w2), (SELECT b FROM w2),
+           (SELECT pc FROM w2), (SELECT tot FROM s2)
+    UNION ALL
+    SELECT 3, (SELECT a FROM w3), (SELECT b FROM w3),
+           (SELECT pc FROM w3), (SELECT tot FROM s3)
+    """,
+)
+def bpe_merge_learning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer TRAINING as a distributed query (r7): three rounds of
+    word-level BPE merge learning over the corpus (Sennrich et al.) —
+    the merge table plus the frequency-weighted total symbol count
+    after each merge, which certifies the greedy left-to-right merge
+    APPLICATION and not just the pair argmax. The oracle unrolls the
+    same three rounds: identical symbol-string representation,
+    identical fold (DuckDB list_reduce == Spark F.aggregate, proven
+    equivalent because symbols never contain spaces and the
+    empty-accumulator branch can never merge), identical
+    (count DESC, left, right) tiebreak. Integer counts only — exact
+    hashes. One corpus-scale word-count agg; every round after runs on
+    the bounded distinct-word vocabulary, which is how real BPE
+    trainers scale (the per-round winner/total reads are bounded
+    1-row collects)."""
+    from chicago_crime_spark_ml_spark.operators.text import bpe_learn_merges
+
+    d = _docs(spark, sf_dir).select("text")
+    return bpe_learn_merges(d, k=3)
+
+
+@query(
     "doc_span_excision_keep_first",
     r"""
     WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w

@@ -786,3 +786,38 @@ def test_excise_keep_first_preserves_canonical_copy(spark):
     assert all_gone[1].n_tokens_removed == 10
     with pytest.raises(ValueError, match="keep"):
         excise_duplicated_spans(df, k=8, keep="last")
+
+
+def test_bpe_learn_merges_hand_checked(spark):
+    """BPE merges on a tiny corpus, hand-checked against the classic
+    Sennrich et al. procedure (word-frequency-weighted adjacent-pair
+    counts, greedy left-to-right merge application)."""
+    from chicago_crime_spark_ml_spark.operators.text import bpe_learn_merges
+
+    # vocab: low x3, lower x2, newest x1  (classic BPE example shape)
+    df = spark.createDataFrame(
+        [(1, "low low lower newest"), (2, "low lower")],
+        "doc_id long, text string",
+    )
+    out = bpe_learn_merges(df, k=2).collect()
+    r1, r2 = out[0], out[1]
+    # round 1 pair counts: (l,o)=5(+0 in newest), (o,w)=5, (w,e)=2+1,
+    # (e,r)=2, (n,e)=1, (e,w)=1, (e,s)=1, (s,t)=1
+    # top = count 5 tie between (l,o) and (o,w) -> (l,o) by lex order
+    assert (r1.left_sym, r1.right_sym, r1.pair_count) == ("l", "o", 5)
+    # after merge: low -> "lo w" (2 syms), lower -> "lo w e r" (4),
+    # newest -> 6 syms; weighted total = 3*2 + 2*4 + 1*6 = 20
+    assert r1.n_symbols_after == 20
+    # round 2: (lo,w)=5 dominates
+    assert (r2.left_sym, r2.right_sym, r2.pair_count) == ("lo", "w", 5)
+    # low -> "low" (1), lower -> "low e r" (3), newest 6 -> 3+6+6=15
+    assert r2.n_symbols_after == 3 * 1 + 2 * 3 + 1 * 6
+
+    # repeated-symbol greedy merge: "aaaa" -> (a,a) merges left-to-right
+    df2 = spark.createDataFrame([(1, "aaaa aaaa")], "doc_id long, text string")
+    m = bpe_learn_merges(df2, k=1).collect()[0]
+    assert (m.left_sym, m.right_sym) == ("a", "a")
+    # "a a a a" -> "aa aa": 2 symbols, 1 word with cnt 1... text has the
+    # word twice -> cnt 1? tokens: ["aaaa","aaaa"] -> w count 2
+    assert m.pair_count == 2 * 3  # 3 adjacent (a,a) pairs per word, cnt 2
+    assert m.n_symbols_after == 2 * 2  # "aa aa" x weight 2
