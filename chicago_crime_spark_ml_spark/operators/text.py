@@ -826,24 +826,8 @@ def bpe_learn_merges(
         if not win:  # vocabulary fully merged before k rounds
             break
         a, b, pc = win[0].a, win[0].b, int(win[0].pc)
-        merged = a + b
-
-        def fold(arr, a=a, b=b, merged=merged):
-            return F.aggregate(
-                arr,
-                F.lit(""),
-                lambda acc, x: F.when(
-                    ((acc == a) | acc.endswith(" " + a)) & (x == b),
-                    F.concat(
-                        F.substring(acc, 1, F.length(acc) - len(a)), F.lit(merged)
-                    ),
-                ).otherwise(
-                    F.when(acc == "", x).otherwise(F.concat(acc, F.lit(" "), x))
-                ),
-            )
-
         cur = cur.select(
-            "w", "cnt", fold(F.split("sym", " ")).alias("sym")
+            "w", "cnt", _bpe_merge_fold(F.split("sym", " "), a, b).alias("sym")
         ).localCheckpoint(eager=True)
         total = cur.agg(
             F.sum(F.col("cnt") * F.size(F.split("sym", " "))).cast("long")
@@ -853,6 +837,66 @@ def bpe_learn_merges(
         rows,
         "round INT, left_sym STRING, right_sym STRING, "
         "pair_count BIGINT, n_symbols_after BIGINT",
+    )
+
+
+def _bpe_merge_fold(arr: Column, a: str, b: str) -> Column:
+    """Greedy left-to-right application of ONE BPE merge (a, b) to a
+    symbol array: the shared fold between learning and segmentation
+    (symbols never contain spaces, so `acc ends with ' '+a` is an
+    exact previous-symbol test; the empty accumulator can never
+    merge, which is what makes DuckDB's init-less list_reduce replay
+    it exactly)."""
+    merged = a + b
+    return F.aggregate(
+        arr,
+        F.lit(""),
+        lambda acc, x: F.when(
+            ((acc == a) | acc.endswith(" " + a)) & (x == b),
+            F.concat(
+                F.substring(acc, 1, F.length(acc) - len(a)), F.lit(merged)
+            ),
+        ).otherwise(
+            F.when(acc == "", x).otherwise(F.concat(acc, F.lit(" "), x))
+        ),
+    )
+
+
+def bpe_segment(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Apply a learned BPE merge table (:func:`bpe_learn_merges`) to a
+    corpus: per doc, (id, n_tokens_ws, n_tokens_bpe) — whitespace
+    token count vs symbol count under the learned vocabulary. The
+    merge folds run over the DISTINCT-WORD vocabulary only (eagerly
+    checkpointed per merge so interpreted folds never stack), then a
+    word-keyed join back to the exploded corpus — vocab is bounded, so
+    AQE broadcasts it and the join is map-only at scale."""
+    tok = df.select(
+        F.col(id_col), F.explode(tokens_expr(text_col, lowercase)).alias("w")
+    )
+    vocab = (
+        tok.select("w")
+        .distinct()
+        .withColumn("sym", F.trim(F.regexp_replace("w", "(.)", "$1 ")))
+        .localCheckpoint(eager=True)
+    )
+    for a, b in merges:
+        vocab = vocab.select(
+            "w", _bpe_merge_fold(F.split("sym", " "), a, b).alias("sym")
+        ).localCheckpoint(eager=True)
+    vocab = vocab.select("w", F.size(F.split("sym", " ")).alias("n_sym"))
+    return (
+        tok.join(vocab, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens_ws"),
+            F.sum("n_sym").cast("long").alias("n_tokens_bpe"),
+        )
     )
 
 

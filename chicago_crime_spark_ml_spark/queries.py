@@ -12008,6 +12008,102 @@ def bpe_merge_learning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_bpe_segmentation",
+    r"""
+    WITH wc AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt
+                FROM (SELECT unnest(string_split_regex(trim(lower(text)),
+                                                       '\s+')) AS w
+                      FROM documents)
+                GROUP BY w),
+    r0 AS (SELECT w, cnt, trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS sym
+           FROM wc),
+    p1 AS (SELECT pr.a AS a, pr.b AS b, CAST(SUM(cnt) AS BIGINT) AS pc
+           FROM (SELECT cnt,
+                        unnest(list_transform(
+                          range(1, len(string_split(sym, ' '))),
+                          i -> {'a': string_split(sym, ' ')[i],
+                                'b': string_split(sym, ' ')[i + 1]})) AS pr
+                 FROM r0)
+           GROUP BY pr.a, pr.b),
+    w1 AS (SELECT a, b FROM p1 ORDER BY pc DESC, a, b LIMIT 1),
+    r1 AS (SELECT w, cnt,
+                  list_reduce(string_split(sym, ' '), (acc, x) ->
+                    CASE WHEN (acc = a OR ends_with(acc, ' ' || a))
+                              AND x = b
+                         THEN substr(acc, 1, len(acc) - len(a)) || a || b
+                         ELSE CASE WHEN acc = '' THEN x
+                              ELSE acc || ' ' || x END END) AS sym
+           FROM r0, w1),
+    p2 AS (SELECT pr.a AS a, pr.b AS b, CAST(SUM(cnt) AS BIGINT) AS pc
+           FROM (SELECT cnt,
+                        unnest(list_transform(
+                          range(1, len(string_split(sym, ' '))),
+                          i -> {'a': string_split(sym, ' ')[i],
+                                'b': string_split(sym, ' ')[i + 1]})) AS pr
+                 FROM r1)
+           GROUP BY pr.a, pr.b),
+    w2 AS (SELECT a, b FROM p2 ORDER BY pc DESC, a, b LIMIT 1),
+    r2 AS (SELECT w, cnt,
+                  list_reduce(string_split(sym, ' '), (acc, x) ->
+                    CASE WHEN (acc = a OR ends_with(acc, ' ' || a))
+                              AND x = b
+                         THEN substr(acc, 1, len(acc) - len(a)) || a || b
+                         ELSE CASE WHEN acc = '' THEN x
+                              ELSE acc || ' ' || x END END) AS sym
+           FROM r1, w2),
+    p3 AS (SELECT pr.a AS a, pr.b AS b, CAST(SUM(cnt) AS BIGINT) AS pc
+           FROM (SELECT cnt,
+                        unnest(list_transform(
+                          range(1, len(string_split(sym, ' '))),
+                          i -> {'a': string_split(sym, ' ')[i],
+                                'b': string_split(sym, ' ')[i + 1]})) AS pr
+                 FROM r2)
+           GROUP BY pr.a, pr.b),
+    w3 AS (SELECT a, b FROM p3 ORDER BY pc DESC, a, b LIMIT 1),
+    r3 AS (SELECT w, cnt,
+                  list_reduce(string_split(sym, ' '), (acc, x) ->
+                    CASE WHEN (acc = a OR ends_with(acc, ' ' || a))
+                              AND x = b
+                         THEN substr(acc, 1, len(acc) - len(a)) || a || b
+                         ELSE CASE WHEN acc = '' THEN x
+                              ELSE acc || ' ' || x END END) AS sym
+           FROM r2, w3),
+    tok AS (SELECT doc_id,
+                   unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+            FROM documents)
+    SELECT tok.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens_ws,
+           CAST(SUM(len(string_split(r3.sym, ' '))) AS BIGINT)
+             AS n_tokens_bpe
+    FROM tok JOIN r3 USING (w)
+    GROUP BY tok.doc_id
+    """,
+)
+def doc_bpe_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned tokenizer APPLIED (r7, companion to
+    bpe_merge_learning): learn 3 BPE merges over the corpus, then
+    segment every document under them — per doc, whitespace token
+    count vs BPE symbol count. The oracle re-learns the same merges
+    (shared unrolled CTEs) and joins each doc's words to the merged
+    vocabulary, so a divergence ANYWHERE — pair counting, tiebreak,
+    merge application, vocab join-back — reds the row. Merge folds run
+    on the distinct-word vocabulary only; the corpus-scale stages are
+    one word-count agg and one word-keyed join-back (vocab bounded →
+    broadcast at scale). Integer counts, exact hashes."""
+    from chicago_crime_spark_ml_spark.operators.text import (
+        bpe_learn_merges,
+        bpe_segment,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    merges = [
+        (r.left_sym, r.right_sym)
+        for r in bpe_learn_merges(d.select("text"), k=3).collect()
+    ]
+    return bpe_segment(d, merges)
+
+
+@query(
     "doc_span_excision_keep_first",
     r"""
     WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w

@@ -821,3 +821,19 @@ def test_bpe_learn_merges_hand_checked(spark):
     # word twice -> cnt 1? tokens: ["aaaa","aaaa"] -> w count 2
     assert m.pair_count == 2 * 3  # 3 adjacent (a,a) pairs per word, cnt 2
     assert m.n_symbols_after == 2 * 2  # "aa aa" x weight 2
+
+
+def test_bpe_segment_counts(spark):
+    from chicago_crime_spark_ml_spark.operators.text import bpe_segment
+
+    df = spark.createDataFrame(
+        [(1, "low low lower"), (2, "newest low")], "doc_id long, text string"
+    )
+    # merges (l,o) then (lo,w): low -> 1 symbol, lower -> 3, newest -> 6
+    got = {r.doc_id: r for r in bpe_segment(
+        df, [("l", "o"), ("lo", "w")]).collect()}
+    assert (got[1].n_tokens_ws, got[1].n_tokens_bpe) == (3, 1 + 1 + 3)
+    assert (got[2].n_tokens_ws, got[2].n_tokens_bpe) == (2, 6 + 1)
+    # empty merge table: BPE counts = character counts
+    none = {r.doc_id: r for r in bpe_segment(df, []).collect()}
+    assert none[1].n_tokens_bpe == 3 + 3 + 5
