@@ -398,6 +398,124 @@ def synthesize_netpbm_stream_blobs(
     )
 
 
+DHASH_SCHEMA = "doc_id BIGINT, dhash STRING, row_bytes ARRAY<INT>"
+
+
+def image_dhash(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Perceptual difference-hash (dHash) over image blobs — the
+    pixel-level near-dup signature that completes the dedup family's
+    modality coverage (text: minhash/simhash/spans; embeddings:
+    blocked cosine; images: THIS). Decode (netpbm/PNG/JPEG dispatch),
+    average channels to gray, nearest-neighbor resize to 8×9 (the same
+    (i·in)//out index selection as :func:`transcode_images`, so the
+    oracle replays it closed-form), then bit (r,c) = gray[r,c] >
+    gray[r,c+1] for c<8 — 64 bits robust to re-encoding, scaling, and
+    small intensity shifts. Returns the hash as 16 hex chars plus the
+    8 per-row bytes (MSB-first within a row) — the byte array is the
+    banding unit for :func:`dhash_hamming_pairs` (pigeonhole: hamming
+    ≤ 7 ⇒ at least one row-byte equal). Map-only, Arrow-batched."""
+
+    def batches(it):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in it:
+            out = {k: [] for k in ("doc_id", "dhash", "row_bytes")}
+            for did, buf in zip(pdf[id_col], pdf[blob_col]):
+                if buf is None:
+                    continue
+                pix = decode_image(bytes(buf))
+                if pix is None:
+                    raise ValueError(
+                        "image_dhash decodes binary netpbm (P5/P6) and "
+                        "PNG natively; JPEG needs Pillow, absent here"
+                    )
+                g = pix.mean(axis=2)
+                h_in, w_in = g.shape
+                rows = np.minimum((np.arange(8) * h_in) // 8, h_in - 1)
+                cols = np.minimum((np.arange(9) * w_in) // 9, w_in - 1)
+                t = g[rows][:, cols]
+                bits = (t[:, :8] > t[:, 1:]).astype(np.int64)
+                rb = [
+                    int((bits[r] << np.arange(7, -1, -1)).sum())
+                    for r in range(8)
+                ]
+                out["doc_id"].append(did)
+                out["dhash"].append("".join(f"{b:02x}" for b in rb))
+                out["row_bytes"].append(rb)
+            if out["doc_id"]:
+                yield pd.DataFrame(out)
+
+    return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(
+        batches, schema=DHASH_SCHEMA
+    )
+
+
+def dhash_hamming_pairs(
+    hashes: DataFrame,
+    max_distance: int = 7,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Image near-dup pairs from dHash signatures: candidate pairs
+    share at least one of the 8 row-bytes at the same row position —
+    COMPLETE for hamming ≤ 7 by pigeonhole (≤7 differing bits cannot
+    touch all 8 bytes), the same banded shape as the text SimHash
+    path — then the exact per-byte popcount-of-xor rescore keeps pairs
+    at distance ≤ max_distance (capped at 7: beyond that the banding
+    is no longer complete and the caller should widen the bands).
+    Everything JVM-side: band explode → equi-join → zip_with xor +
+    bit_count. Signatures are eagerly checkpointed once (two join
+    branches)."""
+    if max_distance > 7:
+        raise ValueError(
+            "banding on 8 row-bytes is only complete for hamming <= 7; "
+            f"got max_distance={max_distance}"
+        )
+    sig = hashes.select(id_col, "row_bytes").localCheckpoint(eager=True)
+    band = sig.select(
+        F.col(id_col),
+        F.posexplode("row_bytes").alias("band", "byte"),
+    )
+    cand = (
+        band.alias("x")
+        .join(
+            band.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.byte") == F.col("y.byte"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    a = sig.select(
+        F.col(id_col).alias("id_a"), F.col("row_bytes").alias("rb_a")
+    )
+    b = sig.select(
+        F.col(id_col).alias("id_b"), F.col("row_bytes").alias("rb_b")
+    )
+    hamming = F.aggregate(
+        F.zip_with(
+            "rb_a", "rb_b", lambda x, y: F.bit_count(x.bitwiseXOR(y))
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_distance)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 TRIM_SCHEMA = (
     "doc_id BIGINT, blob BINARY, n_samples INT, "
     "n_leading_trimmed INT, n_trailing_trimmed INT"

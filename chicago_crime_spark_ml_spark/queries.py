@@ -11565,6 +11565,82 @@ def multimodal_keyframe_selection(
 
 
 @query(
+    "multimodal_image_near_dup_pairs",
+    """
+    WITH d AS (SELECT doc_id, doc_id // 2 AS f FROM documents),
+    g AS (SELECT doc_id, f, unnest(generate_series(0, 7)) AS r FROM d),
+    gc AS (SELECT doc_id, f, r, unnest(generate_series(0, 7)) AS c FROM g),
+    bits AS (SELECT doc_id, r,
+                    CASE WHEN (f * (2 * r * 2 + 3) * (2 * c * 3 + 5)
+                               + 2 * r * 17 + 2 * c * 7) % 256
+                            > (f * (2 * r * 2 + 3) * ((2 * c + 2) * 3 + 5)
+                               + 2 * r * 17 + (2 * c + 2) * 7) % 256
+                         THEN 1 << (7 - c) ELSE 0 END AS bv
+             FROM gc),
+    bytes AS (SELECT doc_id, r, CAST(SUM(bv) AS BIGINT) AS byte
+              FROM bits GROUP BY doc_id, r),
+    cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+             FROM bytes x JOIN bytes y
+               ON x.r = y.r AND x.byte = y.byte AND x.doc_id < y.doc_id),
+    ham AS (SELECT c2.id_a, c2.id_b,
+                   CAST(SUM(bit_count(xor(ba.byte, bb.byte))) AS INT)
+                     AS hamming
+            FROM cand c2
+            JOIN bytes ba ON ba.doc_id = c2.id_a
+            JOIN bytes bb ON bb.doc_id = c2.id_b AND bb.r = ba.r
+            GROUP BY c2.id_a, c2.id_b)
+    SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 7
+    """,
+)
+def multimodal_image_near_dup_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IMAGE near-dup dedup driver-certified (r7 — the dedup family's
+    missing modality: text has minhash/simhash/spans, embeddings have
+    blocked cosine, pixels get perceptual dHash): docs pair up by
+    family (2k, 2k+1 share a 16×18 gray pattern; the odd doc perturbs
+    pixel (1,1), which the 8×9 nearest-neighbor grid never samples —
+    so every planted pair MUST surface with hamming 0, certifying the
+    invariance that makes dHash a near-dup signature rather than a
+    checksum). image_dhash compares sampled neighbors (integer-
+    monotone, so the oracle compares the raw pattern values);
+    dhash_hamming_pairs bands on the 8 row-bytes (pigeonhole-complete
+    for hamming ≤ 7, the simhash idiom) and rescores with exact
+    popcount-of-xor — the oracle replays bytes, banding, and rescore
+    closed-form, so accidental cross-family near-pairs match too.
+    Integer output, exact hashes."""
+    from chicago_crime_spark_ml_spark.operators.multimodal import (
+        dhash_hamming_pairs,
+        image_dhash,
+        synthesize_netpbm_blobs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    f = F.floor(F.col("doc_id") / F.lit(2))
+    # family-mixing pattern: the per-cell multiplier varies with (r, c)
+    # so distinct families produce diverse bit patterns (a purely linear
+    # pattern collapsed ~250 families into a few identical-hash classes
+    # and the banded join went quadratic in class size)
+    base = lambda r, c: (  # noqa: E731
+        f * (r * 2 + 3) * (c * 3 + 5) + r * 17 + c * 7
+    ) % 256
+    pixels = F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda r: F.transform(
+            F.sequence(F.lit(0), F.lit(17)),
+            lambda c: F.when(
+                (F.col("doc_id") % 2 == 1) & (r == 1) & (c == 1),
+                (base(r, c) + 50) % 256,
+            )
+            .otherwise(base(r, c))
+            .cast("int"),
+        ),
+    )
+    blobs = synthesize_netpbm_blobs(docs.select("doc_id", pixels.alias("pixels")))
+    return dhash_hamming_pairs(image_dhash(blobs), max_distance=7)
+
+
+@query(
     "multimodal_silence_trim",
     """
     WITH d AS (SELECT doc_id, 33 + (doc_id % 3) * 16 AS n,

@@ -672,3 +672,43 @@ def test_select_keyframes_scene_changes(spark):
     bdf = spark.createDataFrame([(1, bytearray(bad))], "doc_id BIGINT, blob BINARY")
     with pytest.raises(Exception, match="shapes"):
         select_keyframes(bdf).collect()
+
+
+def test_image_dhash_and_hamming_pairs(spark):
+    from chicago_crime_spark_ml_spark.operators.multimodal import (
+        dhash_hamming_pairs,
+        encode_png,
+        image_dhash,
+    )
+
+    rng = np.random.default_rng(67)
+    base = rng.integers(0, 256, size=(16, 18))
+    # dHash samples even rows/cols of a 16x18 input: changing an odd
+    # (unsampled) pixel must not move the hash at all
+    tweaked = base.copy()
+    tweaked[1, 1] = (tweaked[1, 1] + 90) % 256
+    # inverting the image flips (nearly) every comparison -> far hash
+    inverted = 255 - base
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(make_pgm(base.astype(np.int64)))),
+            (2, bytearray(encode_png(base.astype(np.uint8)))),  # cross-codec
+            (3, bytearray(make_pgm(tweaked.astype(np.int64)))),
+            (4, bytearray(make_pgm(inverted.astype(np.int64)))),
+        ],
+        "doc_id BIGINT, blob BINARY",
+    )
+    hashes = image_dhash(df)
+    got = {r.doc_id: r.dhash for r in hashes.collect()}
+    assert got[1] == got[2] == got[3]  # codec- and tweak-invariant
+    assert got[1] != got[4]
+    assert len(got[1]) == 16 and int(got[1], 16) >= 0
+
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dhash_hamming_pairs(hashes, max_distance=7).collect()
+    }
+    assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 0 and pairs[(2, 3)] == 0
+    assert (1, 4) not in pairs  # far pair rescored out
+    with pytest.raises(ValueError, match="hamming"):
+        dhash_hamming_pairs(hashes, max_distance=8)
