@@ -11571,10 +11571,10 @@ def multimodal_keyframe_selection(
     g AS (SELECT doc_id, f, unnest(generate_series(0, 7)) AS r FROM d),
     gc AS (SELECT doc_id, f, r, unnest(generate_series(0, 7)) AS c FROM g),
     bits AS (SELECT doc_id, r,
-                    CASE WHEN (f * (2 * r * 2 + 3) * (2 * c * 3 + 5)
-                               + 2 * r * 17 + 2 * c * 7) % 256
-                            > (f * (2 * r * 2 + 3) * ((2 * c + 2) * 3 + 5)
-                               + 2 * r * 17 + (2 * c + 2) * 7) % 256
+                    CASE WHEN ('0x' || substr(md5(f || '_' || (2 * r) || '_'
+                                                  || (2 * c)), 1, 2))::INT
+                            > ('0x' || substr(md5(f || '_' || (2 * r) || '_'
+                                                  || (2 * c + 2)), 1, 2))::INT
                          THEN 1 << (7 - c) ELSE 0 END AS bv
              FROM gc),
     bytes AS (SELECT doc_id, r, CAST(SUM(bv) AS BIGINT) AS byte
@@ -11617,13 +11617,14 @@ def multimodal_image_near_dup_pairs(
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     f = F.floor(F.col("doc_id") / F.lit(2))
-    # family-mixing pattern: the per-cell multiplier varies with (r, c)
-    # so distinct families produce diverse bit patterns (a purely linear
-    # pattern collapsed ~250 families into a few identical-hash classes
-    # and the banded join went quadratic in class size)
-    base = lambda r, c: (  # noqa: E731
-        f * (r * 2 + 3) * (c * 3 + 5) + r * 17 + c * 7
-    ) % 256
+    # md5-derived pixels: linear patterns recur in f (period ≤ 256), so
+    # at sf1 thousands of families became bit-identical images and the
+    # pair set went genuinely quadratic (measured 4.9M rows); hashing
+    # (f, r, c) makes distinct families hamming-far at ANY corpus size
+    # while the planted even/odd pairs stay exact
+    base = lambda r, c: F.conv(  # noqa: E731
+        F.substring(F.md5(F.concat_ws("_", f, r, c)), 1, 2), 16, 10
+    ).cast("int")
     pixels = F.transform(
         F.sequence(F.lit(0), F.lit(15)),
         lambda r: F.transform(
