@@ -401,6 +401,23 @@ def synthesize_netpbm_stream_blobs(
 DHASH_SCHEMA = "doc_id BIGINT, dhash STRING, row_bytes ARRAY<INT>"
 
 
+def _dhash_of(pix):
+    """dHash of one decoded (h, w, c) [0,1] image: channel-averaged
+    gray, 8×9 nearest-neighbor grid (same (i·in)//out index selection
+    as :func:`transcode_images`), bit = neighbor comparison. Returns
+    (16-hex-char string, 8 MSB-first row bytes)."""
+    import numpy as np  # noqa: PLC0415
+
+    g = pix.mean(axis=2)
+    h_in, w_in = g.shape
+    rows = np.minimum((np.arange(8) * h_in) // 8, h_in - 1)
+    cols = np.minimum((np.arange(9) * w_in) // 9, w_in - 1)
+    t = g[rows][:, cols]
+    bits = (t[:, :8] > t[:, 1:]).astype(np.int64)
+    rb = [int((bits[r] << np.arange(7, -1, -1)).sum()) for r in range(8)]
+    return "".join(f"{b:02x}" for b in rb), rb
+
+
 def image_dhash(
     df: DataFrame,
     blob_col: str = "blob",
@@ -420,7 +437,6 @@ def image_dhash(
     ≤ 7 ⇒ at least one row-byte equal). Map-only, Arrow-batched."""
 
     def batches(it):
-        import numpy as np  # noqa: PLC0415
         import pandas as pd  # noqa: PLC0415
 
         for pdf in it:
@@ -434,18 +450,9 @@ def image_dhash(
                         "image_dhash decodes binary netpbm (P5/P6) and "
                         "PNG natively; JPEG needs Pillow, absent here"
                     )
-                g = pix.mean(axis=2)
-                h_in, w_in = g.shape
-                rows = np.minimum((np.arange(8) * h_in) // 8, h_in - 1)
-                cols = np.minimum((np.arange(9) * w_in) // 9, w_in - 1)
-                t = g[rows][:, cols]
-                bits = (t[:, :8] > t[:, 1:]).astype(np.int64)
-                rb = [
-                    int((bits[r] << np.arange(7, -1, -1)).sum())
-                    for r in range(8)
-                ]
+                hx, rb = _dhash_of(pix)
                 out["doc_id"].append(did)
-                out["dhash"].append("".join(f"{b:02x}" for b in rb))
+                out["dhash"].append(hx)
                 out["row_bytes"].append(rb)
             if out["doc_id"]:
                 yield pd.DataFrame(out)
@@ -513,6 +520,82 @@ def dhash_hamming_pairs(
         .withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= max_distance)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+FRAME_DHASH_SCHEMA = "doc_id BIGINT, frame_idx INT, dhash STRING"
+
+
+def frame_stream_dhash(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-frame dHash over concatenated netpbm/PNG frame streams —
+    the video-stream signature: (id, frame_idx, dhash) rows, one per
+    decoded frame (:func:`decode_image_stream` + the shared
+    :func:`_dhash_of`). Map-only, Arrow-batched; NULL blobs skipped,
+    unrecognized blobs raise. Feed :func:`video_near_dup_pairs` for
+    stream-level dedup."""
+
+    def batches(it):
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in it:
+            out = {k: [] for k in ("doc_id", "frame_idx", "dhash")}
+            for did, buf in zip(pdf[id_col], pdf[blob_col]):
+                if buf is None:
+                    continue
+                frames = decode_image_stream(bytes(buf))
+                if frames is None:
+                    raise ValueError(
+                        "frame_stream_dhash decodes concatenated "
+                        "netpbm/PNG frame streams only"
+                    )
+                for fi, pix in enumerate(frames):
+                    hx, _ = _dhash_of(pix)
+                    out["doc_id"].append(did)
+                    out["frame_idx"].append(fi)
+                    out["dhash"].append(hx)
+            if out["doc_id"]:
+                yield pd.DataFrame(out)
+
+    return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(
+        batches, schema=FRAME_DHASH_SCHEMA
+    )
+
+
+def video_near_dup_pairs(
+    sig: DataFrame,
+    min_shared: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Stream-level near-dup pairs from per-frame dHash signatures
+    (:func:`frame_stream_dhash`): two streams are candidates when they
+    share a frame hash, and a pair survives when the number of DISTINCT
+    shared hashes reaches ``min_shared`` — set containment over frame
+    signatures, the video twin of the text minhash-bucket join (a
+    re-encoded / re-lettered / trimmed copy of a clip keeps most frame
+    hashes; the shared-count threshold is the dedup knob). Hash-keyed
+    equi-join on the distinct (id, dhash) set — never all-pairs; a
+    pathologically hot frame hash (e.g. an all-black frame shared by
+    everything) widens its bucket, so real corpora should pre-filter
+    constant frames the way text dedup df-prunes stopword shingles."""
+    d = sig.select(id_col, "dhash").distinct().localCheckpoint(eager=True)
+    a = d.alias("a")
+    b = d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.dhash") == F.col("b.dhash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("int").alias("shared_frames"))
+        .filter(F.col("shared_frames") >= min_shared)
     )
 
 

@@ -11642,6 +11642,101 @@ def multimodal_image_near_dup_pairs(
 
 
 @query(
+    "multimodal_video_near_dup_pairs",
+    """
+    WITH d AS (SELECT doc_id, doc_id // 2 AS g FROM documents),
+    fr AS (SELECT doc_id, g, unnest(generate_series(0, 5)) AS fi FROM d),
+    lab AS (SELECT doc_id, g, fi,
+                   CASE WHEN doc_id % 2 = 1 AND fi = 5 THEN 'z'
+                        ELSE CAST(fi AS VARCHAR) END AS lbl
+            FROM fr),
+    rr AS (SELECT doc_id, g, fi, lbl,
+                  unnest(generate_series(0, 7)) AS r FROM lab),
+    cc AS (SELECT doc_id, g, fi, lbl, r,
+                  unnest(generate_series(0, 7)) AS c FROM rr),
+    bits AS (SELECT doc_id, fi, r,
+                    CASE WHEN ('0x' || substr(md5(g || '_' || lbl || '_'
+                                  || (2 * r) || '_' || (2 * c)), 1, 2))::INT
+                            > ('0x' || substr(md5(g || '_' || lbl || '_'
+                                  || (2 * r) || '_' || (2 * c + 2)),
+                                  1, 2))::INT
+                         THEN 1 << (7 - c) ELSE 0 END AS bv
+             FROM cc),
+    bytes AS (SELECT doc_id, fi, r, CAST(SUM(bv) AS INT) AS byte
+              FROM bits GROUP BY doc_id, fi, r),
+    hashes AS (SELECT doc_id, fi,
+                      string_agg(lower(lpad(hex(byte), 2, '0')), ''
+                                 ORDER BY r) AS dhash
+               FROM bytes GROUP BY doc_id, fi),
+    sig AS (SELECT DISTINCT doc_id, dhash FROM hashes)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS INT) AS shared_frames
+    FROM sig a JOIN sig b
+      ON a.dhash = b.dhash AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= 4
+    """,
+)
+def multimodal_video_near_dup_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """VIDEO near-dup dedup driver-certified (r7 — with this, the
+    dedup family covers text, embeddings, images, and streams): each
+    doc synthesizes a 6-frame netpbm stream of md5-derived 16×18
+    frames; even/odd family pairs share frames 0–4 and differ in the
+    last frame (label 'z'), so every planted pair MUST surface with
+    shared_frames = 5 under the set-containment rule (≥ 4 distinct
+    shared frame dHashes) — a re-lettered/trimmed copy of a clip keeps
+    most frame hashes, which is exactly what this detects.
+    frame_stream_dhash runs the real stream decode + the shared dHash;
+    video_near_dup_pairs joins on the distinct frame-hash set (never
+    all-pairs). The oracle replays frame labels, md5 pixels, dHash
+    bytes, and the containment join closed-form. Integer output,
+    exact hashes."""
+    from chicago_crime_spark_ml_spark.operators.multimodal import (
+        frame_stream_dhash,
+        synthesize_netpbm_stream_blobs,
+        video_near_dup_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    g = F.floor(F.col("doc_id") / F.lit(2))
+    frames = F.transform(
+        F.sequence(F.lit(0), F.lit(5)),
+        lambda fi: F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda r: F.transform(
+                F.sequence(F.lit(0), F.lit(17)),
+                lambda c: F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "_",
+                                g,
+                                F.when(
+                                    (F.col("doc_id") % 2 == 1) & (fi == 5),
+                                    F.lit("z"),
+                                ).otherwise(fi.cast("string")),
+                                r,
+                                c,
+                            )
+                        ),
+                        1,
+                        2,
+                    ),
+                    16,
+                    10,
+                ).cast("int"),
+            ),
+        ),
+    )
+    blobs = synthesize_netpbm_stream_blobs(
+        docs.select("doc_id", frames.alias("frames"))
+    )
+    return video_near_dup_pairs(frame_stream_dhash(blobs), min_shared=4)
+
+
+@query(
     "multimodal_silence_trim",
     """
     WITH d AS (SELECT doc_id, 33 + (doc_id % 3) * 16 AS n,

@@ -712,3 +712,48 @@ def test_image_dhash_and_hamming_pairs(spark):
     assert (1, 4) not in pairs  # far pair rescored out
     with pytest.raises(ValueError, match="hamming"):
         dhash_hamming_pairs(hashes, max_distance=8)
+
+
+def test_video_near_dup_pairs_planted(spark):
+    from chicago_crime_spark_ml_spark.operators.multimodal import (
+        encode_netpbm,
+        frame_stream_dhash,
+        video_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(71)
+    shared = [rng.integers(0, 256, size=(16, 18)) for _ in range(4)]
+    only_a = rng.integers(0, 256, size=(16, 18))
+    only_b = rng.integers(0, 256, size=(16, 18))
+    other = [rng.integers(0, 256, size=(16, 18)) for _ in range(5)]
+
+    def stream(frames):
+        return bytearray(b"".join(encode_netpbm(f.astype(np.int64)) for f in frames))
+
+    df = spark.createDataFrame(
+        [
+            (1, stream(shared + [only_a])),
+            (2, stream(shared + [only_b])),      # shares 4 of 5 with 1
+            (3, stream(other)),                  # unrelated clip
+            (4, stream([shared[0]] * 3 + other[:2])),  # repeats: 1 distinct shared
+        ],
+        "doc_id BIGINT, blob BINARY",
+    )
+    from pyspark.sql import functions as F
+
+    sig = frame_stream_dhash(df)
+    assert sig.filter(F.col("doc_id") == 1).count() == 5  # one row per frame
+    pairs = {
+        (r.id_a, r.id_b): r.shared_frames
+        for r in video_near_dup_pairs(sig, min_shared=2).collect()
+    }
+    assert pairs[(1, 2)] == 4
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    # repeated frames count ONCE (distinct containment), so doc 4's
+    # single shared frame stays below min_shared=2
+    assert (1, 4) not in pairs
+    one = {
+        (r.id_a, r.id_b): r.shared_frames
+        for r in video_near_dup_pairs(sig, min_shared=1).collect()
+    }
+    assert one[(1, 4)] == 1 and one[(2, 4)] == 1
