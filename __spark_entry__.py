@@ -122,17 +122,13 @@ _STATS_TIER_NUDGE = [
 # outrank the other greens for re-certification when the driver's
 # bounded budget reaches past the never-checked tier. Self-demoting:
 # once re-checked green they sort with other greens in later rounds'
-# evidence. REFRESHED per round (the 15 r6 names earned green r6 rows
-# on the new impls and dropped off; the six below consume r6-rewritten
-# operator code but were NOT in r6's 50-query window — VERDICT r6 #1).
+# evidence. REFRESHED per round (the 7 r7 names earned green r7 rows
+# on the new impls and dropped off; the two below gained r8 skew
+# guards — max_bucket banding cap / max_df hot-frame pruning, VERDICT
+# r7 ask #1 — so their r7 rows certify the unguarded bodies).
 _REWRITTEN_GREENS = [
-    "ann_lsh_recall_check",  # calls cosine_topk (r6 try_divide zero-norm guard)
-    "ann_ivf_recall_check",  # calls cosine_topk (r6 zero-norm guard)
-    "ann_quantized_top10",  # calls cosine_topk (r6 zero-norm guard)
-    "spearman_qty_price",  # r6: global_cumsum rewritten to multi-weight form
-    "embedding_blocked_exact_parity",  # near_dup_pairs_blocked zero-guard
-    "minhash_lsh_recall_check",  # minhash_lsh_pairs body gained band_width
-    "source_temperature_mixing",  # r7: order-pinned z fold (ADVICE r6)
+    "multimodal_image_near_dup_pairs",  # r8: max_bucket + band_bytes
+    "multimodal_video_near_dup_pairs",  # r8: max_df hot-frame pruning
 ]
 
 

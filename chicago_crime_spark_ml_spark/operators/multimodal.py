@@ -466,27 +466,71 @@ def dhash_hamming_pairs(
     hashes: DataFrame,
     max_distance: int = 7,
     id_col: str = "doc_id",
+    band_bytes: int = 1,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Image near-dup pairs from dHash signatures: candidate pairs
-    share at least one of the 8 row-bytes at the same row position —
-    COMPLETE for hamming ≤ 7 by pigeonhole (≤7 differing bits cannot
-    touch all 8 bytes), the same banded shape as the text SimHash
-    path — then the exact per-byte popcount-of-xor rescore keeps pairs
-    at distance ≤ max_distance (capped at 7: beyond that the banding
-    is no longer complete and the caller should widen the bands).
-    Everything JVM-side: band explode → equi-join → zip_with xor +
-    bit_count. Signatures are eagerly checkpointed once (two join
-    branches)."""
-    if max_distance > 7:
+    share at least one band of the 64-bit hash at the same position —
+    with ``band_bytes=1`` that is 8 one-byte bands, COMPLETE for
+    hamming ≤ 7 by pigeonhole (≤7 differing bits cannot touch all 8
+    bytes); with ``band_bytes=2`` it is 4 two-byte bands, complete for
+    hamming ≤ 3 (the common near-dup setting) with 65 536-value
+    selectivity per band — 256× fewer accidental collisions, the
+    precision lever for flat-image-heavy corpora. After the banded
+    candidate join, the exact per-byte popcount-of-xor rescore keeps
+    pairs at distance ≤ max_distance (capped at n_bands − 1: beyond
+    that the banding is no longer complete and the caller should
+    narrow the bands). Everything JVM-side: band projection →
+    equi-join → zip_with xor + bit_count. Signatures are eagerly
+    checkpointed once (two join branches).
+
+    ``max_bucket`` is the skew guard (the dHash analogue of
+    minhash_lsh_pairs' cap, added there in r4 after the uncapped shape
+    measured 15.4× superlinear at 10× data): a (band, value) cell
+    holding k images emits k²/2 candidates, and one degenerate cell —
+    all-black frames, flat scans whose row collapses to byte 0x00 —
+    goes quadratic at corpus scale. Cells above the cap are dropped
+    from THAT band only; a true pair is lost only if EVERY band it
+    collides in is over-full (pigeonhole gives a hamming-0 pair all
+    n_bands chances), and over-full cells are hash-degenerate crowds,
+    not near-dup signal. Default 10 000 never binds at certified test
+    scale, so oracle-backed queries stay exact; ``None`` disables."""
+    n_bands = {1: 8, 2: 4}.get(band_bytes)
+    if n_bands is None:
+        raise ValueError(f"band_bytes must be 1 or 2; got {band_bytes}")
+    if max_distance > n_bands - 1:
         raise ValueError(
-            "banding on 8 row-bytes is only complete for hamming <= 7; "
+            f"banding on {n_bands} {band_bytes}-byte bands is only "
+            f"complete for hamming <= {n_bands - 1}; "
             f"got max_distance={max_distance}"
         )
     sig = hashes.select(id_col, "row_bytes").localCheckpoint(eager=True)
-    band = sig.select(
-        F.col(id_col),
-        F.posexplode("row_bytes").alias("band", "byte"),
-    )
+    if band_bytes == 1:
+        band = sig.select(
+            F.col(id_col),
+            F.posexplode("row_bytes").alias("band", "byte"),
+        )
+    else:
+        pairs = F.transform(
+            F.sequence(F.lit(0), F.lit(n_bands - 1)),
+            lambda i: F.element_at("row_bytes", i * 2 + 1) * 256
+            + F.element_at("row_bytes", i * 2 + 2),
+        )
+        band = sig.select(
+            F.col(id_col),
+            F.posexplode(pairs).alias("band", "byte"),
+        )
+    if max_bucket is not None:
+        from pyspark.sql.window import Window  # noqa: PLC0415
+
+        band = (
+            band.withColumn(
+                "_occ",
+                F.count(F.lit(1)).over(Window.partitionBy("band", "byte")),
+            )
+            .filter(F.col("_occ") <= max_bucket)
+            .drop("_occ")
+        )
     cand = (
         band.alias("x")
         .join(
@@ -569,6 +613,7 @@ def video_near_dup_pairs(
     sig: DataFrame,
     min_shared: int = 2,
     id_col: str = "doc_id",
+    max_df: int | None = 10_000,
 ) -> DataFrame:
     """Stream-level near-dup pairs from per-frame dHash signatures
     (:func:`frame_stream_dhash`): two streams are candidates when they
@@ -577,11 +622,32 @@ def video_near_dup_pairs(
     signatures, the video twin of the text minhash-bucket join (a
     re-encoded / re-lettered / trimmed copy of a clip keeps most frame
     hashes; the shared-count threshold is the dedup knob). Hash-keyed
-    equi-join on the distinct (id, dhash) set — never all-pairs; a
-    pathologically hot frame hash (e.g. an all-black frame shared by
-    everything) widens its bucket, so real corpora should pre-filter
-    constant frames the way text dedup df-prunes stopword shingles."""
-    d = sig.select(id_col, "dhash").distinct().localCheckpoint(eager=True)
+    equi-join on the distinct (id, dhash) set — never all-pairs.
+
+    ``max_df`` is the hot-frame guard (the exact ngram_jaccard_pairs
+    max_df idiom): a frame hash appearing in more than ``max_df``
+    distinct streams — an all-black frame, a shared intro card — is
+    DROPPED before the self-join, so one stopword-frame shared by 10⁶
+    clips can never emit its df²/2 candidate pairs. Recall effect:
+    dropped hashes can no longer count toward shared_frames, so a pair
+    whose overlap is concentrated in ultra-common frames may fall
+    below ``min_shared`` — strictly a recall reduction, never a false
+    positive, and corpus-ubiquitous frames carry ~no near-dup signal.
+    Default 10 000 never binds at certified test scale, so
+    oracle-backed queries stay exact; ``None`` disables."""
+    d = sig.select(id_col, "dhash").distinct()
+    if max_df is not None:
+        from pyspark.sql.window import Window  # noqa: PLC0415
+
+        d = (
+            d.withColumn(
+                "_df",
+                F.count(F.lit(1)).over(Window.partitionBy("dhash")),
+            )
+            .filter(F.col("_df") <= max_df)
+            .drop("_df")
+        )
+    d = d.localCheckpoint(eager=True)
     a = d.alias("a")
     b = d.alias("b")
     return (

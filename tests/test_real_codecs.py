@@ -757,3 +757,110 @@ def test_video_near_dup_pairs_planted(spark):
         for r in video_near_dup_pairs(sig, min_shared=1).collect()
     }
     assert one[(1, 4)] == 1 and one[(2, 4)] == 1
+
+def test_dhash_hamming_pairs_hot_bucket_cap(spark):
+    """max_bucket drops over-full (band, value) cells from that band
+    only: a pair whose ONLY collision band is the hot cell is lost
+    (documented recall bound), while a hamming-0 pair riding 8 bands
+    always survives — the r4 minhash skew-guard semantics."""
+    from chicago_crime_spark_ml_spark.operators.multimodal import (
+        dhash_hamming_pairs,
+    )
+
+    rng = np.random.default_rng(83)
+
+    def far_bytes():
+        return [int(b) for b in rng.integers(0, 256, size=7)]
+
+    rows = []
+    # 20-doc crowd: byte0 = 0 (the hot cell), bytes 1-7 random-far
+    for i in range(1, 21):
+        rows.append((i, "", [0] + far_bytes()))
+    twin = [77] + far_bytes()
+    rows.append((100, "", list(twin)))  # planted hamming-0 pair,
+    rows.append((101, "", list(twin)))  # collides in ALL 8 bands
+    tail = far_bytes()
+    # planted pair whose ONLY equal band is hot byte0=0: bytes 1-7
+    # each differ by exactly one bit -> hamming 7 <= max_distance
+    rows.append((200, "", [0] + tail))
+    rows.append((201, "", [0] + [b ^ 1 for b in tail]))
+    hashes = spark.createDataFrame(
+        rows, "doc_id BIGINT, dhash STRING, row_bytes ARRAY<INT>"
+    )
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in dhash_hamming_pairs(hashes, max_bucket=None).collect()
+    }
+    assert (100, 101) in uncapped and (200, 201) in uncapped
+    capped = {
+        (r.id_a, r.id_b)
+        for r in dhash_hamming_pairs(hashes, max_bucket=5).collect()
+    }
+    assert (100, 101) in capped  # survives via the 7 uncrowded bands
+    assert (200, 201) not in capped  # its only band was the hot cell
+    # default cap (10_000) never binds at this scale
+    assert (200, 201) in {
+        (r.id_a, r.id_b) for r in dhash_hamming_pairs(hashes).collect()
+    }
+
+
+def test_dhash_hamming_pairs_two_byte_bands(spark):
+    """band_bytes=2: 4 sixteen-bit bands, pigeonhole-complete for
+    hamming <= 3; completeness guard rejects max_distance above it."""
+    from chicago_crime_spark_ml_spark.operators.multimodal import (
+        dhash_hamming_pairs,
+    )
+
+    base = [17, 34, 51, 68, 85, 102, 119, 136]
+    ham3 = list(base)
+    ham3[0] ^= 0b111  # 3 bits inside band 0; bands 1-3 still collide
+    ham4 = list(base)
+    ham4[2] ^= 0b1111  # 4 bits -> rescored out at max_distance=3
+    hashes = spark.createDataFrame(
+        [(1, "", base), (2, "", list(base)), (3, "", ham3), (4, "", ham4)],
+        "doc_id BIGINT, dhash STRING, row_bytes ARRAY<INT>",
+    )
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dhash_hamming_pairs(
+            hashes, max_distance=3, band_bytes=2
+        ).collect()
+    }
+    assert got[(1, 2)] == 0 and got[(1, 3)] == 3 and got[(2, 3)] == 3
+    assert (1, 4) not in got and (2, 4) not in got
+    with pytest.raises(ValueError, match="complete for hamming <= 3"):
+        dhash_hamming_pairs(hashes, max_distance=4, band_bytes=2)
+    with pytest.raises(ValueError, match="band_bytes"):
+        dhash_hamming_pairs(hashes, band_bytes=3)
+
+
+def test_video_near_dup_pairs_hot_frame_max_df(spark):
+    """max_df drops corpus-ubiquitous frame hashes before the
+    containment join (the ngram max_df idiom): a pair held together
+    only by the hot frame disappears; a pair sharing selective frames
+    is unaffected."""
+    from chicago_crime_spark_ml_spark.operators.multimodal import (
+        video_near_dup_pairs,
+    )
+
+    rows = []
+    # hot frame "hh" appears in 10 streams; each also has a unique frame
+    for i in range(1, 11):
+        rows += [(i, 0, "hh"), (i, 1, f"u{i}")]
+    # selective pair: streams 11/12 share 3 rare frames
+    for i in (11, 12):
+        rows += [(i, k, f"s{k}") for k in range(3)]
+    sig = spark.createDataFrame(rows, "doc_id BIGINT, frame_idx INT, dhash STRING")
+    uncapped = {
+        (r.id_a, r.id_b): r.shared_frames
+        for r in video_near_dup_pairs(sig, min_shared=1, max_df=None).collect()
+    }
+    assert uncapped[(1, 2)] == 1 and uncapped[(11, 12)] == 3
+    assert len(uncapped) == 45 + 1  # C(10,2) hot-frame pairs + the real one
+    capped = {
+        (r.id_a, r.id_b): r.shared_frames
+        for r in video_near_dup_pairs(sig, min_shared=1, max_df=5).collect()
+    }
+    assert capped == {(11, 12): 3}  # hot frame (df=10) pruned entirely
+    # default cap never binds at this scale
+    assert video_near_dup_pairs(sig, min_shared=1).count() == 46
