@@ -567,6 +567,56 @@ def dhash_hamming_pairs(
     )
 
 
+IMAGE_META_SCHEMA = (
+    "doc_id BIGINT, height INT, width INT, channels INT, n_pixels INT"
+)
+
+
+def image_meta(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Raster metadata of real image blobs via :func:`decode_image`
+    (netpbm P5/P6, PNG, JPEG-if-Pillow): (id, height, width, channels,
+    n_pixels) — the image twin of :func:`wav_metadata`, and the
+    quality signal media dedup canonicalization keys on (keep the
+    highest-resolution member of a near-dup cluster). Map-only,
+    Arrow-batched; NULL blobs skipped, unrecognized blobs raise."""
+
+    def batches(it):
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in it:
+            out = {
+                k: [] for k in ("doc_id", "height", "width", "channels")
+            }
+            for did, buf in zip(pdf[id_col], pdf[blob_col]):
+                if buf is None:
+                    continue
+                pix = decode_image(bytes(buf))
+                if pix is None:
+                    raise ValueError(
+                        "image_meta decodes binary netpbm (P5/P6) and "
+                        "PNG natively; JPEG needs Pillow, absent here"
+                    )
+                out["doc_id"].append(did)
+                out["height"].append(int(pix.shape[0]))
+                out["width"].append(int(pix.shape[1]))
+                out["channels"].append(int(pix.shape[2]))
+            if out["doc_id"]:
+                yield pd.DataFrame(out)
+
+    return (
+        df.select(F.col(id_col), F.col(blob_col))
+        .mapInPandas(
+            batches,
+            schema="doc_id BIGINT, height INT, width INT, channels INT",
+        )
+        .withColumn("n_pixels", (F.col("height") * F.col("width")))
+    )
+
+
 FRAME_DHASH_SCHEMA = "doc_id BIGINT, frame_idx INT, dhash STRING"
 
 

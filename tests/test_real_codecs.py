@@ -864,3 +864,43 @@ def test_video_near_dup_pairs_hot_frame_max_df(spark):
     assert capped == {(11, 12): 3}  # hot frame (df=10) pruned entirely
     # default cap never binds at this scale
     assert video_near_dup_pairs(sig, min_shared=1).count() == 46
+
+
+def test_image_meta_and_upscale_invariance(spark):
+    """image_meta reads real decoded dimensions (netpbm + PNG), and a
+    2x nearest-neighbor upscale keeps the dHash bit-identical — the
+    property the image-cluster canonical rule (keep highest-res) rides."""
+    from chicago_crime_spark_ml_spark.operators.multimodal import (
+        encode_png,
+        image_dhash,
+        image_meta,
+    )
+
+    rng = np.random.default_rng(91)
+    base = rng.integers(0, 256, size=(16, 18))
+    up = np.kron(base, np.ones((2, 2), dtype=np.int64))  # 32x36 NN upscale
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(make_pgm(base.astype(np.int64)))),
+            (2, bytearray(make_pgm(up.astype(np.int64)))),
+            (3, bytearray(encode_png(base.astype(np.uint8)))),
+        ],
+        "doc_id BIGINT, blob BINARY",
+    )
+    meta = {r.doc_id: (r.height, r.width, r.channels, r.n_pixels)
+            for r in image_meta(df).collect()}
+    assert meta[1] == (16, 18, 1, 288)
+    assert meta[2] == (32, 36, 1, 1152)
+    assert meta[3] == (16, 18, 1, 288)
+    got = {r.doc_id: r.dhash for r in image_dhash(df).collect()}
+    assert got[1] == got[2] == got[3]  # scale- and codec-invariant
+    # NULL blobs skipped, junk raises
+    null_df = spark.createDataFrame(
+        [(9, None)], "doc_id BIGINT, blob BINARY"
+    )
+    assert image_meta(null_df).count() == 0
+    bad = spark.createDataFrame(
+        [(9, bytearray(b"not an image"))], "doc_id BIGINT, blob BINARY"
+    )
+    with pytest.raises(Exception, match="netpbm"):
+        image_meta(bad).collect()
