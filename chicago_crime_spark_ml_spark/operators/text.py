@@ -757,6 +757,77 @@ def excise_duplicated_spans(
     return affected.unionByName(untouched)
 
 
+def excise_duplicated_spans_to_fixpoint(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    keep: str = "none",
+    max_rounds: int = 8,
+) -> DataFrame:
+    """CONVERGED span-level dedup: iterate
+    :func:`excise_duplicated_spans` until a pass removes nothing
+    corpus-wide (or ``max_rounds``). A single pass is not a fixpoint —
+    excision joins previously-distant tokens, and when two docs with
+    DIFFERENT duplicated interiors share their flanks, the round-1
+    excisions leave identical joined sequences that only round 2 can
+    see (the published substring-dedup pipelines iterate for exactly
+    this reason; the single-pass docstring names it the caller's job —
+    this is that caller, packaged).
+
+    Output schema matches the single pass: one row per input doc with
+    ``text`` the converged cleaned text, ``n_tokens`` the ORIGINAL
+    token count, and ``n_tokens_removed`` / ``n_spans_excised``
+    summed across rounds.
+
+    Scale shape: each round is the audited single-pass plan (one hash
+    agg + partitioning-reusing join-back; heavy path left-semi'd to
+    affected docs); the driver loop adds one bounded 1-row collect per
+    round for the stop test, and rounds are few by construction — each
+    round must remove at least one whole k-window from some doc, and
+    in practice the chain stops at 2-3 (the connected_components
+    pattern: bounded driver rounds over checkpointed frames, no plan
+    growth because every round's result is eagerly checkpointed)."""
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+    cur = df.select(F.col(id_col), F.col(text_col).alias("text"))
+    total = None
+    for _ in range(max_rounds):
+        res = excise_duplicated_spans(
+            cur, "text", id_col, k, keep
+        ).localCheckpoint(eager=True)
+        if total is None:
+            total = res
+        else:
+            nxt = res.select(
+                F.col(id_col),
+                F.col("text").alias("_t"),
+                F.col("n_tokens_removed").alias("_r"),
+                F.col("n_spans_excised").alias("_s"),
+            )
+            total = (
+                total.drop("text")
+                .join(nxt, id_col)
+                .select(
+                    F.col(id_col),
+                    F.col("_t").alias("text"),
+                    F.col("n_tokens"),
+                    (F.col("n_tokens_removed") + F.col("_r")).alias(
+                        "n_tokens_removed"
+                    ),
+                    (F.col("n_spans_excised") + F.col("_s")).alias(
+                        "n_spans_excised"
+                    ),
+                )
+                .localCheckpoint(eager=True)
+            )
+        removed = res.agg(F.sum("n_tokens_removed")).first()[0]
+        if not removed:
+            break
+        cur = res.select(F.col(id_col), "text")
+    return total
+
+
 def bpe_learn_merges(
     df: DataFrame,
     text_col: str = "text",

@@ -12617,6 +12617,155 @@ def doc_span_excision_keep_first(
 
 
 @query(
+    "doc_span_excision_fixpoint",
+    r"""
+    WITH d AS (SELECT doc_id, doc_id % 4 AS role, doc_id // 4 AS m
+               FROM documents),
+    t0 AS (SELECT doc_id,
+                  CASE role
+                    WHEN 0 THEN ['x'||m||'a','x'||m||'b','x'||m||'c',
+                                 'p'||m||'a','p'||m||'b','p'||m||'c',
+                                 'p'||m||'d',
+                                 'y'||m||'a','y'||m||'b','y'||m||'c']
+                    WHEN 1 THEN ['x'||m||'a','x'||m||'b','x'||m||'c',
+                                 'q'||m||'a','q'||m||'b','q'||m||'c',
+                                 'q'||m||'d',
+                                 'y'||m||'a','y'||m||'b','y'||m||'c']
+                    WHEN 2 THEN ['u'||doc_id||'a','u'||doc_id||'b',
+                                 'p'||m||'a','p'||m||'b','p'||m||'c',
+                                 'p'||m||'d',
+                                 'v'||doc_id||'a','v'||doc_id||'b']
+                    ELSE ['u'||doc_id||'a','u'||doc_id||'b',
+                          'q'||m||'a','q'||m||'b','q'||m||'c',
+                          'q'||m||'d',
+                          'v'||doc_id||'a','v'||doc_id||'b']
+                  END AS w
+           FROM d),
+    g1 AS (SELECT doc_id, w,
+                  CASE WHEN len(w) >= 4 THEN
+                    list_transform(range(1, len(w) - 2),
+                      i -> ('0x' || substr(md5(array_to_string(w[i:i+3],
+                                                               ' ')),
+                                           1, 15))::BIGINT)
+                  ELSE [] END AS hs
+           FROM t0),
+    e1 AS (SELECT doc_id, unnest(hs) AS h,
+                  unnest(range(1, len(hs) + 1)) AS s FROM g1),
+    c1 AS (SELECT h FROM e1 GROUP BY h HAVING count(*) >= 2),
+    cov1 AS (SELECT DISTINCT doc_id, j
+             FROM (SELECT doc_id, unnest(generate_series(s, s + 3)) AS j
+                   FROM e1 JOIN c1 USING (h))),
+    tok1 AS (SELECT doc_id, unnest(w) AS tokn,
+                    unnest(range(1, len(w) + 1)) AS j FROM t0),
+    w1 AS (SELECT t.doc_id,
+                  coalesce(list(t.tokn ORDER BY t.j)
+                             FILTER (WHERE c.j IS NULL), []) AS w,
+                  CAST(count(*) AS BIGINT) AS n_tokens,
+                  CAST(count(*) FILTER (WHERE c.j IS NOT NULL) AS BIGINT)
+                    AS rem1
+           FROM tok1 t LEFT JOIN cov1 c
+             ON t.doc_id = c.doc_id AND t.j = c.j
+           GROUP BY t.doc_id),
+    runs1 AS (SELECT doc_id,
+                     CAST(count(*) FILTER (WHERE pj IS NULL OR j - pj > 1)
+                          AS BIGINT) AS sp
+              FROM (SELECT doc_id, j,
+                           lag(j) OVER (PARTITION BY doc_id ORDER BY j)
+                             AS pj
+                    FROM cov1)
+              GROUP BY doc_id),
+    g2 AS (SELECT doc_id, w,
+                  CASE WHEN len(w) >= 4 THEN
+                    list_transform(range(1, len(w) - 2),
+                      i -> ('0x' || substr(md5(array_to_string(w[i:i+3],
+                                                               ' ')),
+                                           1, 15))::BIGINT)
+                  ELSE [] END AS hs
+           FROM w1),
+    e2 AS (SELECT doc_id, unnest(hs) AS h,
+                  unnest(range(1, len(hs) + 1)) AS s FROM g2),
+    c2 AS (SELECT h FROM e2 GROUP BY h HAVING count(*) >= 2),
+    cov2 AS (SELECT DISTINCT doc_id, j
+             FROM (SELECT doc_id, unnest(generate_series(s, s + 3)) AS j
+                   FROM e2 JOIN c2 USING (h))),
+    tok2 AS (SELECT doc_id, unnest(w) AS tokn,
+                    unnest(range(1, len(w) + 1)) AS j FROM g2),
+    w2 AS (SELECT t.doc_id,
+                  coalesce(list(t.tokn ORDER BY t.j)
+                             FILTER (WHERE c.j IS NULL), []) AS w,
+                  CAST(count(*) FILTER (WHERE c.j IS NOT NULL) AS BIGINT)
+                    AS rem2
+           FROM tok2 t LEFT JOIN cov2 c
+             ON t.doc_id = c.doc_id AND t.j = c.j
+           GROUP BY t.doc_id),
+    runs2 AS (SELECT doc_id,
+                     CAST(count(*) FILTER (WHERE pj IS NULL OR j - pj > 1)
+                          AS BIGINT) AS sp
+              FROM (SELECT doc_id, j,
+                           lag(j) OVER (PARTITION BY doc_id ORDER BY j)
+                             AS pj
+                    FROM cov2)
+              GROUP BY doc_id)
+    SELECT w1.doc_id,
+           coalesce(array_to_string(w2.w, ' '), '') AS text,
+           w1.n_tokens,
+           w1.rem1 + coalesce(w2.rem2, 0) AS n_tokens_removed,
+           coalesce(runs1.sp, 0) + coalesce(runs2.sp, 0)
+             AS n_spans_excised
+    FROM w1
+    JOIN w2 USING (doc_id)
+    LEFT JOIN runs1 USING (doc_id)
+    LEFT JOIN runs2 USING (doc_id)
+    """,
+)
+def doc_span_excision_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERGED span dedup driver-certified (r8, VERDICT r7 ask #3):
+    the corpus is synthesized so round 1 provably CREATES round-2
+    duplicates — per group of 4 docs, roles 0/1 share their flank
+    tokens around two DIFFERENT duplicated boilerplate interiors (P in
+    roles 0+2, Q in roles 1+3, each duplicated only via its unique-
+    flanked role-2/3 copy). Round 1 excises exactly P and Q; roles 0/1
+    collapse to the SAME joined flank sequence, which round 2 then
+    excises entirely — the adjacency-creation hazard the single-pass
+    docstring documents, now handled by
+    excise_duplicated_spans_to_fixpoint (round 3 provably finds
+    nothing at any corpus size: survivors are all-unique or sub-window
+    length). The oracle unrolls both rounds with the shared md5-window
+    idiom — window hashing, coverage, merged-run lag count, rebuild,
+    re-hash, re-coverage — and sums removals/runs. Strings + integer
+    counts only: exact hashes."""
+    from chicago_crime_spark_ml_spark.operators.text import (
+        excise_duplicated_spans_to_fixpoint,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    role = F.col("doc_id") % 4
+    m = F.floor(F.col("doc_id") / F.lit(4)).cast("long")
+    did = F.col("doc_id")
+
+    def toks(prefix, key, letters):
+        return [
+            F.concat(F.lit(prefix), key.cast("string"), F.lit(ch))
+            for ch in letters
+        ]
+
+    x = toks("x", m, "abc")
+    p = toks("p", m, "abcd")
+    q = toks("q", m, "abcd")
+    y = toks("y", m, "abc")
+    u = toks("u", did, "ab")
+    v = toks("v", did, "ab")
+    text = (
+        F.when(role == 0, F.concat_ws(" ", *x, *p, *y))
+        .when(role == 1, F.concat_ws(" ", *x, *q, *y))
+        .when(role == 2, F.concat_ws(" ", *u, *p, *v))
+        .otherwise(F.concat_ws(" ", *u, *q, *v))
+    )
+    d = docs.select("doc_id", text.alias("text"))
+    return excise_duplicated_spans_to_fixpoint(d, k=4, max_rounds=4)
+
+
+@query(
     "source_temperature_mixing",
     """
     WITH s AS (SELECT source,

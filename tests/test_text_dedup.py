@@ -837,3 +837,65 @@ def test_bpe_segment_counts(spark):
     # empty merge table: BPE counts = character counts
     none = {r.doc_id: r for r in bpe_segment(df, []).collect()}
     assert none[1].n_tokens_bpe == 3 + 3 + 5
+
+
+def test_excise_to_fixpoint_second_round_dup(spark):
+    """Round-1 excision JOINS the shared flanks of docs whose interiors
+    were different boilerplate copies — only round 2 can see the joined
+    duplicate. The fixpoint wrapper must catch it; the single pass must
+    not (that's the point of iterating)."""
+    from chicago_crime_spark_ml_spark.operators.text import (
+        excise_duplicated_spans,
+        excise_duplicated_spans_to_fixpoint,
+    )
+
+    rows = [
+        (0, "x1 x2 x3 p1 p2 p3 p4 y1 y2 y3"),
+        (1, "x1 x2 x3 q1 q2 q3 q4 y1 y2 y3"),
+        (2, "u21 u22 p1 p2 p3 p4 v21 v22"),  # 2nd copy of P, unique flanks
+        (3, "u31 u32 q1 q2 q3 q4 v31 v32"),  # 2nd copy of Q
+        (4, "lone tokens nothing here"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    single = {
+        r.doc_id: r for r in excise_duplicated_spans(d, k=4).collect()
+    }
+    fix = {
+        r.doc_id: r
+        for r in excise_duplicated_spans_to_fixpoint(d, k=4).collect()
+    }
+    # single pass removes only the boilerplate interiors
+    assert single[0].n_tokens_removed == 4
+    assert single[0].text == "x1 x2 x3 y1 y2 y3"
+    # fixpoint: docs 0/1 became identical after round 1 -> fully excised
+    for i in (0, 1):
+        assert fix[i].n_tokens == 10
+        assert fix[i].n_tokens_removed == 10
+        assert fix[i].n_spans_excised == 2  # one run per round
+        assert fix[i].text == ""
+    for i in (2, 3):
+        assert fix[i].n_tokens == 8
+        assert fix[i].n_tokens_removed == 4
+        assert fix[i].n_spans_excised == 1
+    assert fix[2].text == "u21 u22 v21 v22"
+    assert fix[4].text == "lone tokens nothing here"
+    assert fix[4].n_tokens_removed == 0
+    # max_rounds=1 degrades to the single pass
+    one = {
+        r.doc_id: r
+        for r in excise_duplicated_spans_to_fixpoint(
+            d, k=4, max_rounds=1
+        ).collect()
+    }
+    assert one[0].n_tokens_removed == 4
+    with pytest.raises(ValueError, match="max_rounds"):
+        excise_duplicated_spans_to_fixpoint(d, k=4, max_rounds=0)
+    # keep='first' fixpoint: canonical copies survive, no round-2 dup
+    first = {
+        r.doc_id: r
+        for r in excise_duplicated_spans_to_fixpoint(
+            d, k=4, keep="first"
+        ).collect()
+    }
+    assert first[0].n_tokens_removed == 0  # doc 0 holds the first P copy
+    assert first[2].n_tokens_removed == 4
