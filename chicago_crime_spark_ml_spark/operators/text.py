@@ -859,37 +859,11 @@ def bpe_learn_merges(
     trap, see let_expr). The winner/total collects are k bounded
     1-row driver reads — the merge table IS driver-sized."""
     spark = df.sparkSession
-    words = (
-        df.select(F.explode(tokens_expr(text_col, lowercase)).alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    )
-    cur = words.withColumn(
-        "sym", F.trim(F.regexp_replace("w", "(.)", "$1 "))
-    ).localCheckpoint(eager=True)
-
-    def adjacent_pairs(frame: DataFrame) -> DataFrame:
-        arr = F.split("sym", " ")
-        prs = F.when(
-            F.size(arr) >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size(arr) - 1),
-                lambda i: F.struct(
-                    F.element_at(arr, i).alias("a"),
-                    F.element_at(arr, i + 1).alias("b"),
-                ),
-            ),
-        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
-        return (
-            frame.select("cnt", F.explode(prs).alias("pr"))
-            .groupBy("pr.a", "pr.b")
-            .agg(F.sum("cnt").cast("long").alias("pc"))
-        )
-
+    cur = _bpe_symbol_vocab(df, text_col, lowercase)
     rows = []
     for rnd in range(1, k + 1):
         win = (
-            adjacent_pairs(cur)
+            _bpe_adjacent_pair_counts(cur)
             .orderBy(F.desc("pc"), F.asc("a"), F.asc("b"))
             .limit(1)
             .collect()
@@ -897,18 +871,156 @@ def bpe_learn_merges(
         if not win:  # vocabulary fully merged before k rounds
             break
         a, b, pc = win[0].a, win[0].b, int(win[0].pc)
-        cur = cur.select(
-            "w", "cnt", _bpe_merge_fold(F.split("sym", " "), a, b).alias("sym")
-        ).localCheckpoint(eager=True)
-        total = cur.agg(
-            F.sum(F.col("cnt") * F.size(F.split("sym", " "))).cast("long")
-        ).first()[0]
+        cur, total = _bpe_apply_merge(cur, a, b)
         rows.append((rnd, a, b, pc, int(total)))
-    return spark.createDataFrame(
-        rows,
-        "round INT, left_sym STRING, right_sym STRING, "
-        "pair_count BIGINT, n_symbols_after BIGINT",
+    return spark.createDataFrame(rows, _BPE_MERGES_SCHEMA)
+
+
+_BPE_MERGES_SCHEMA = (
+    "round INT, left_sym STRING, right_sym STRING, "
+    "pair_count BIGINT, n_symbols_after BIGINT"
+)
+
+
+def _bpe_symbol_vocab(
+    df: DataFrame, text_col: str, lowercase: bool
+) -> DataFrame:
+    """(w, cnt, sym) over the distinct-word vocabulary — the ONE
+    corpus-scale stage of BPE training; everything after runs on this
+    bounded frame."""
+    words = (
+        df.select(F.explode(tokens_expr(text_col, lowercase)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
+    return words.withColumn(
+        "sym", F.trim(F.regexp_replace("w", "(.)", "$1 "))
+    ).localCheckpoint(eager=True)
+
+
+def _bpe_adjacent_pair_counts(frame: DataFrame) -> DataFrame:
+    """Frequency-weighted adjacent-symbol pair counts over a
+    (cnt, sym) vocab frame — the expensive per-round BPE stage."""
+    arr = F.split("sym", " ")
+    prs = F.when(
+        F.size(arr) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - 1),
+            lambda i: F.struct(
+                F.element_at(arr, i).alias("a"),
+                F.element_at(arr, i + 1).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    return (
+        frame.select("cnt", F.explode(prs).alias("pr"))
+        .groupBy("pr.a", "pr.b")
+        .agg(F.sum("cnt").cast("long").alias("pc"))
+    )
+
+
+def _bpe_apply_merge(cur: DataFrame, a: str, b: str):
+    """Apply one merge to the vocab frame (checkpointed — interpreted
+    folds must never stack, see let_expr) and return (frame, weighted
+    total symbol count)."""
+    cur = cur.select(
+        "w", "cnt", _bpe_merge_fold(F.split("sym", " "), a, b).alias("sym")
+    ).localCheckpoint(eager=True)
+    total = cur.agg(
+        F.sum(F.col("cnt") * F.size(F.split("sym", " "))).cast("long")
+    ).first()[0]
+    return cur, int(total)
+
+
+def bpe_learn_merges_batched(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 6,
+    m: int = 2,
+    lowercase: bool = True,
+    candidate_pool: int = 64,
+) -> DataFrame:
+    """BPE merge learning with BATCHED merge selection — identical
+    output to :func:`bpe_learn_merges` (proof below), but up to ``m``
+    merges are taken per pair-count round, cutting the expensive
+    corpus-vocab pair-count stages from k to ~k/m. This is the scale
+    answer to the sequential trainer's k-driver-round bottleneck: a
+    real tokenizer needs 10k-50k merges, and the count stage — not
+    the data size — dominates once every round is a separate job.
+    (The per-merge ``n_symbols_after`` totals are bounded vocab sums
+    kept for the certification contract; a production run learning
+    50k merges would drop them — they are output, not input, of the
+    algorithm.)
+
+    Sequential-equivalence proof sketch. Per round, collect the top
+    ``candidate_pool`` pairs in the exact sequential order
+    (pc DESC, a, b) and accept a PREFIX of it as the batch, stopping
+    at the first candidate that (i) shares a left/right symbol with
+    an accepted merge, or (ii) contains an accepted merge's
+    concatenated symbol, or (iii) is position t ≥ 2 with
+    pc ≤ t·pc_break, where pc_break is the pc of the first
+    non-accepted candidate (0 when the pair list was exhausted).
+    Then, for each accepted merge at batch position t:
+    - its own pair count is INVARIANT under the earlier accepted
+      merges — (i) means none of its adjacencies are consumed, (ii)
+      means none are created, so the stale count equals the
+      sequential recount;
+    - every competitor in the sequential recount either kept its
+      count and name (ranked below the prefix → loses the original
+      (pc, a, b) comparison verbatim), or was created/boosted by the
+      earlier t−1 merges — each such pair shares a symbol with (or
+      is headed by the concatenation of) an accepted merge, so its
+      PRE-count is ≤ pc_break by the prefix argument, and each of
+      the t−1 applied merges adds at most pc_break new instances,
+      bounding its recount by t·pc_break < pc (guard iii) — so the
+      accepted merge still wins its round strictly.
+    Whenever a guard fails the batch just ends early (worst case
+    size 1 = plain sequential), so output equality holds on EVERY
+    corpus, not just benign ones — certified against the sequential
+    6-round unrolled oracle and property-tested against
+    bpe_learn_merges."""
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
+    spark = df.sparkSession
+    cur = _bpe_symbol_vocab(df, text_col, lowercase)
+    rows = []
+    while len(rows) < k:
+        pool = (
+            _bpe_adjacent_pair_counts(cur)
+            .orderBy(F.desc("pc"), F.asc("a"), F.asc("b"))
+            .limit(candidate_pool)
+            .collect()
+        )
+        if not pool:
+            break
+        exhausted = len(pool) < candidate_pool
+        accepted = [pool[0]]
+        for cand in pool[1:]:
+            if len(accepted) >= m:
+                break
+            syms = {s for c in accepted for s in (c.a, c.b)}
+            merged = {c.a + c.b for c in accepted}
+            if {cand.a, cand.b} & (syms | merged):
+                break
+            accepted.append(cand)
+        if len(pool) > len(accepted):
+            pc_break = int(pool[len(accepted)].pc)
+        elif not exhausted:
+            pc_break = int(pool[-1].pc)
+        else:
+            pc_break = 0
+        batch = [accepted[0]]
+        for t, cand in enumerate(accepted[1:], start=2):
+            if int(cand.pc) > t * pc_break:
+                batch.append(cand)
+            else:
+                break
+        for cand in batch:
+            if len(rows) >= k:
+                break
+            cur, total = _bpe_apply_merge(cur, cand.a, cand.b)
+            rows.append((len(rows) + 1, cand.a, cand.b, int(cand.pc), total))
+    return spark.createDataFrame(rows, _BPE_MERGES_SCHEMA)
 
 
 def _bpe_merge_fold(arr: Column, a: str, b: str) -> Column:

@@ -12540,6 +12540,75 @@ def doc_bpe_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_segment(d, merges)
 
 
+def _bpe_sequential_oracle(k: int) -> str:
+    """Generate the k-round sequential BPE unroll (the
+    bpe_merge_learning oracle generalized): per round, pair counts
+    from the previous vocab state, the (pc DESC, a, b) winner, the
+    list_reduce merge fold, and the weighted symbol total."""
+    parts = [
+        r"""
+    WITH wc AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt
+                FROM (SELECT unnest(string_split_regex(trim(lower(text)),
+                                                       '\s+')) AS w
+                      FROM documents)
+                GROUP BY w),
+    r0 AS (SELECT cnt, trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS sym
+           FROM wc)"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f""",
+    p{i} AS (SELECT pr.a AS a, pr.b AS b, CAST(SUM(cnt) AS BIGINT) AS pc
+           FROM (SELECT cnt,
+                        unnest(list_transform(
+                          range(1, len(string_split(sym, ' '))),
+                          i -> {{'a': string_split(sym, ' ')[i],
+                                'b': string_split(sym, ' ')[i + 1]}})) AS pr
+                 FROM r{i - 1})
+           GROUP BY pr.a, pr.b),
+    w{i} AS (SELECT a, b, pc FROM p{i} ORDER BY pc DESC, a, b LIMIT 1),
+    r{i} AS (SELECT cnt,
+                  list_reduce(string_split(sym, ' '), (acc, x) ->
+                    CASE WHEN (acc = a OR ends_with(acc, ' ' || a))
+                              AND x = b
+                         THEN substr(acc, 1, len(acc) - len(a)) || a || b
+                         ELSE CASE WHEN acc = '' THEN x
+                              ELSE acc || ' ' || x END END) AS sym
+           FROM r{i - 1}, w{i}),
+    s{i} AS (SELECT CAST(SUM(cnt * len(string_split(sym, ' '))) AS BIGINT)
+                    AS tot FROM r{i})"""
+        )
+    sel = "\n    UNION ALL\n    ".join(
+        f"SELECT CAST({i} AS INT) AS round, (SELECT a FROM w{i}) AS left_sym,"
+        f" (SELECT b FROM w{i}) AS right_sym,"
+        f" (SELECT pc FROM w{i}) AS pair_count,"
+        f" (SELECT tot FROM s{i}) AS n_symbols_after"
+        for i in range(1, k + 1)
+    )
+    return "".join(parts) + "\n    " + sel + "\n    "
+
+
+@query("bpe_merge_learning_batched", _bpe_sequential_oracle(6))
+def bpe_merge_learning_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched BPE training certified against the SEQUENTIAL oracle
+    (r8, VERDICT r7 ask #6): bpe_learn_merges_batched takes up to 2
+    provably-non-interfering merges per pair-count round — prefix of
+    the ranked pair list, symbol-disjointness + merged-symbol guards
+    + the t·pc_break interference bound (see the operator docstring's
+    proof) — so the expensive corpus-vocab count stages drop k → ~k/2
+    while the output must stay EXACTLY the sequential merge table.
+    The oracle unrolls six sequential rounds (identical fold, tiebreak,
+    totals); any divergence in the batching logic — a stale count that
+    sequential would have recounted differently, a guard that admitted
+    an interfering pair — reds the row. Integer counts, exact hashes."""
+    from chicago_crime_spark_ml_spark.operators.text import (
+        bpe_learn_merges_batched,
+    )
+
+    d = _docs(spark, sf_dir).select("text")
+    return bpe_learn_merges_batched(d, k=6, m=2)
+
+
 @query(
     "doc_span_excision_keep_first",
     r"""

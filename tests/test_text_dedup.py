@@ -899,3 +899,44 @@ def test_excise_to_fixpoint_second_round_dup(spark):
     }
     assert first[0].n_tokens_removed == 0  # doc 0 holds the first P copy
     assert first[2].n_tokens_removed == 4
+
+
+def test_bpe_batched_equals_sequential(spark, docs):
+    """Batched merge selection must reproduce the sequential trainer's
+    output EXACTLY on every corpus — benign (disjoint top pairs merge
+    2-per-round), adversarial (top-2 share a symbol: batch degrades to
+    size 1), and the real fixture corpus."""
+    from chicago_crime_spark_ml_spark.operators.text import (
+        bpe_learn_merges,
+        bpe_learn_merges_batched,
+    )
+
+    def rows(frame):
+        return [
+            (r.round, r.left_sym, r.right_sym, r.pair_count,
+             r.n_symbols_after)
+            for r in frame.orderBy("round").collect()
+        ]
+
+    # benign: 'ab' and 'cd' dominate disjointly
+    benign = spark.createDataFrame(
+        [(1, "abe abf abg cdh cdi"), (2, "ab cd ab cd xy")],
+        "doc_id BIGINT, text STRING",
+    )
+    # adversarial: the top two pairs share 'a' -> conflict every round
+    conflict = spark.createDataFrame(
+        [(1, "aba aba aba abab"), (2, "ab aab ba")],
+        "doc_id BIGINT, text STRING",
+    )
+    for d, kk in ((benign, 4), (conflict, 4)):
+        seq = rows(bpe_learn_merges(d, k=kk))
+        bat = rows(bpe_learn_merges_batched(d, k=kk, m=2))
+        assert bat == seq
+    # real corpus, the certified setting
+    seq = rows(bpe_learn_merges(docs, k=6))
+    bat = rows(bpe_learn_merges_batched(docs, k=6, m=2))
+    assert bat == seq and len(bat) == 6
+    # m=1 is plain sequential; m must be positive
+    assert rows(bpe_learn_merges_batched(docs, k=3, m=1)) == seq[:3]
+    with pytest.raises(ValueError, match="m must be"):
+        bpe_learn_merges_batched(docs, k=3, m=0)
