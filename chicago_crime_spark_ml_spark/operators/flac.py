@@ -162,11 +162,17 @@ def _rice_param(folded) -> int:
 
 
 def encode_flac(samples, bps: int = 16, rate: int = 8000) -> bytes:
-    """Encode float samples in [-1, 1] (mono) as a FLAC stream. Same
-    truncating quantizer as :func:`..multimodal.encode_wav` — a decoded
-    sample is ``trunc(clip(x)·(2^(bps−1)−1)) / 2^(bps−1)`` — so WAV and
-    FLAC encodings of the same signal decode bit-identically, which is
-    what lets one oracle certify both codecs."""
+    """Encode float samples in [-1, 1] (mono) as a FLAC stream. A
+    decoded sample is ``trunc(clip(x)·(2^(bps−1)−1)) / 2^(bps−1)``.
+    For **bps=16** this is the same quantizer as
+    :func:`..multimodal.encode_wav`, so 16-bit WAV and FLAC encodings
+    of one signal decode bit-identically — the property that lets one
+    oracle certify both codecs, and the ONLY width it holds for:
+    8-bit WAV quantizes as ``trunc(x·127 + 128)`` (unsigned PCM bias
+    applied BEFORE truncation), which diverges from FLAC's
+    ``trunc(x·127)`` by 1 LSB on negative samples (ADVICE r7 — scope
+    any future dual-codec oracle or width=1 transcode parity check to
+    16-bit)."""
     import numpy as np  # noqa: PLC0415
 
     if bps not in _BPS_CODE:
@@ -185,9 +191,13 @@ def encode_flac(samples, bps: int = 16, rate: int = 8000) -> bytes:
     out = bytearray(b"fLaC")
     # STREAMINFO: last-block flag set (no other metadata), type 0, len 34
     si = _BitWriter()
-    nominal = min(n, _BLOCKSIZE) if n else 16
+    # declared min/max blocksize clamped to RFC 9639's 16-sample floor:
+    # the field is a DECLARATION (actual blocksize rides in each frame
+    # header), and conformant external decoders may reject a sub-16
+    # value even though the frames themselves are valid (ADVICE r7)
+    nominal = max(min(n, _BLOCKSIZE), 16)
     si.write(nominal, 16)  # min blocksize
-    si.write(min(n, _BLOCKSIZE) if n else 16, 16)  # max blocksize
+    si.write(nominal, 16)  # max blocksize
     si.write(0, 24)  # min framesize unknown
     si.write(0, 24)  # max framesize unknown
     si.write(rate, 20)

@@ -148,7 +148,11 @@ def encode_wav(
     ``wave``: ``samples`` is (n,) mono or (n, nch); widths 1 (unsigned
     8-bit), 2, 4 (signed little-endian), and 3 (24-bit, packed by hand
     — numpy has no int24). Truncating quantizer at scale 2^(8w−1)−1;
-    roundtrip with :func:`decode_wav` is property-tested."""
+    roundtrip with :func:`decode_wav` is property-tested. The
+    decode-bit-identical-to-FLAC guarantee (one oracle certifying both
+    codecs) holds for width=2 ONLY: width=1 applies the unsigned-PCM
+    +128 bias BEFORE truncation, diverging from FLAC's trunc(x·127) by
+    1 LSB on negative samples (ADVICE r7)."""
     import io  # noqa: PLC0415
     import wave  # noqa: PLC0415
 
@@ -1642,7 +1646,14 @@ def _decode_png_at(buf: bytes, pos: int):
     bps = depth // 8
     bpp = nch * bps  # filter unit: bytes per pixel
     stride = w * bpp
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        # a blob whose chunk CRCs validate but whose IDAT stream is
+        # zlib-corrupt is corrupt DATA, not an engine bug: re-raise as
+        # ValueError so the transcoders' on_error='skip' quarantine
+        # catches it (ADVICE r7 — zlib.error escaped the skip path)
+        raise ValueError(f"PNG: corrupt IDAT zlib stream ({exc})") from exc
     if len(raw) != h * (stride + 1):
         raise ValueError(
             f"PNG: raster size {len(raw)} != {h * (stride + 1)}"

@@ -12028,8 +12028,13 @@ def multimodal_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     (both codecs encode/decode 0.0 losslessly), even docs through WAV
     and odd docs through FLAC — so the trimmer's decode dispatch is
     exercised on both — and trim_silence must recover exactly the
-    padding counts and the unpadded length (every ramp sample
-    quantizes nonzero: |k/100| ≥ 0.01 → |trunc(x·32767)| ≥ 327).
+    padding counts and the unpadded length. The invariant that holds
+    this together: the FIRST and LAST ramp samples are nonzero for all
+    n ∈ {33, 49, 65} (the trimmer keeps the first-to-last-signal span,
+    so interior zeros — e.g. i=19, (19·37) % 201 = 100 → sample
+    exactly 0.0 — survive trimming and are replayed identically by
+    the oracle; a blanket every-ramp-sample-nonzero claim would be
+    false, ADVICE r7).
     rms reads the RE-ENCODED trimmed blob, so the oracle replays the
     double quantization trunc(trunc(x·32767)/32768·32767)/32768 —
     dyadic, bit-exact. Map-only throughout; joins on doc_id."""

@@ -260,7 +260,7 @@ def streaming_near_dup_ingest(
     Returns the StreamingQuery; read ``pairs_path`` for candidates and
     ``index_path`` for the live index (both gain a ``batch_id``
     partition column)."""
-    import os  # noqa: PLC0415
+    from pyspark.errors import AnalysisException  # noqa: PLC0415
 
     from chicago_crime_spark_ml_spark.operators.dedup import (  # noqa: PLC0415
         lsh_index_delta,
@@ -270,11 +270,18 @@ def streaming_near_dup_ingest(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        if os.path.isdir(index_path):
+        # probe the index by ATTEMPTING the read, falling back to the
+        # empty frame when the path doesn't exist yet: an os.path check
+        # is driver-LOCAL and always false on hdfs:///s3a:// stores —
+        # every batch would silently probe an empty index while the
+        # directory kept accumulating, a recall loss with no error
+        # (ADVICE r7). AnalysisException is raised eagerly by
+        # spark.read for missing paths on ANY Hadoop filesystem.
+        try:
             index = spark.read.parquet(index_path).select(
                 id_col, "band", "bucket"
             )
-        else:
+        except AnalysisException:
             index = spark.createDataFrame(
                 [], f"{id_col} long, band int, bucket bigint"
             )

@@ -904,3 +904,38 @@ def test_image_meta_and_upscale_invariance(spark):
     )
     with pytest.raises(Exception, match="netpbm"):
         image_meta(bad).collect()
+
+
+def test_corrupt_idat_zlib_stream_is_valueerror_and_skippable(spark):
+    """A PNG whose chunk CRCs validate but whose IDAT zlib stream is
+    corrupt must raise ValueError (not zlib.error), so on_error='skip'
+    quarantines it — the uncurated-input case the skip path exists for
+    (ADVICE r7)."""
+    import struct
+    import zlib
+
+    from chicago_crime_spark_ml_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+        transcode_images,
+    )
+
+    img = (np.arange(16 * 18).reshape(16, 18) % 251).astype(np.uint8)
+    png = bytearray(encode_png(img))
+    pos = 8
+    while True:  # walk chunks to IDAT
+        ln = struct.unpack(">I", png[pos:pos + 4])[0]
+        if bytes(png[pos + 4:pos + 8]) == b"IDAT":
+            break
+        pos += 12 + ln
+    png[pos + 8] ^= 0xFF  # break the zlib header byte
+    crc = zlib.crc32(b"IDAT" + bytes(png[pos + 8:pos + 8 + ln])) & 0xFFFFFFFF
+    png[pos + 8 + ln:pos + 12 + ln] = struct.pack(">I", crc)  # re-sign CRC
+    with pytest.raises(ValueError, match="zlib"):
+        decode_png(bytes(png))
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_png(img))), (2, png)],
+        "doc_id BIGINT, blob BINARY",
+    )
+    kept = transcode_images(df, width=4, height=4, on_error="skip").collect()
+    assert [r.doc_id for r in kept] == [1]
