@@ -466,6 +466,86 @@ def image_dhash(
     )
 
 
+def _dhash_bands(
+    sig: DataFrame, id_col: str = "doc_id", band_bytes: int = 1
+) -> DataFrame:
+    """(id, band, byte) posting rows from dHash signatures — the shared
+    banding of :func:`dhash_hamming_pairs` (batch self-join) and
+    :func:`dhash_band_index` (incremental index): ``band_bytes=1`` →
+    8 one-byte bands, ``band_bytes=2`` → 4 sixteen-bit bands."""
+    if band_bytes == 1:
+        return sig.select(
+            F.col(id_col),
+            F.posexplode("row_bytes").alias("band", "byte"),
+        )
+    if band_bytes == 2:
+        pairs = F.transform(
+            F.sequence(F.lit(0), F.lit(3)),
+            lambda i: F.element_at("row_bytes", i * 2 + 1) * 256
+            + F.element_at("row_bytes", i * 2 + 2),
+        )
+        return sig.select(
+            F.col(id_col),
+            F.posexplode(pairs).alias("band", "byte"),
+        )
+    raise ValueError(f"band_bytes must be 1 or 2; got {band_bytes}")
+
+
+def dhash_band_index(
+    hashes: DataFrame,
+    id_col: str = "doc_id",
+    band_bytes: int = 1,
+) -> DataFrame:
+    """Materializable image-dedup index: (id, band, byte) rows from
+    dHash signatures (:func:`image_dhash`) — the image twin of the
+    text tier's ``lsh_band_index``. The bucket space is a pure
+    function of the dHash definition and ``band_bytes`` — never of
+    the data — so an index built today and a delta hashed tomorrow
+    collide correctly. Persist this frame (partitioned by band) and a
+    streaming ingest batch probes it via :func:`dhash_index_delta`
+    instead of re-hashing the corpus."""
+    return _dhash_bands(
+        hashes.select(id_col, "row_bytes"), id_col, band_bytes
+    )
+
+
+def dhash_index_delta(
+    index: DataFrame,
+    new_hashes: DataFrame,
+    id_col: str = "doc_id",
+    band_bytes: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental image-dedup maintenance (the image twin of
+    ``lsh_index_delta``): band ONLY the delta signatures, probe the
+    stored index, return (new_index_rows,
+    candidate_pairs_touching_the_delta) — every (old,new) and
+    (new,new) pair sharing ≥1 band cell, exactly the pairs a full
+    rebuild would emit that involve a delta doc (certified by
+    dhash_incremental_index_check). Old↔old pairs were already
+    reported when those docs arrived; continuous ingest never
+    re-compares history against itself — O(delta·bucket-occupancy),
+    not O(corpus). The exact hamming rescore (popcount-of-xor on the
+    signatures' row_bytes, as in :func:`dhash_hamming_pairs`) stays
+    the caller's step, same as the text path."""
+    delta_rows = dhash_band_index(new_hashes, id_col, band_bytes)
+    probe = delta_rows.select(
+        "band", "byte", F.col(id_col).alias("__new_id")
+    )
+    both = index.unionByName(delta_rows).select(
+        "band", "byte", F.col(id_col).alias("__any_id")
+    )
+    pairs = (
+        probe.join(both, ["band", "byte"])
+        .filter(F.col("__new_id") != F.col("__any_id"))
+        .select(
+            F.least("__new_id", "__any_id").alias("id_a"),
+            F.greatest("__new_id", "__any_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    return delta_rows, pairs
+
+
 def dhash_hamming_pairs(
     hashes: DataFrame,
     max_distance: int = 7,
@@ -509,21 +589,7 @@ def dhash_hamming_pairs(
             f"got max_distance={max_distance}"
         )
     sig = hashes.select(id_col, "row_bytes").localCheckpoint(eager=True)
-    if band_bytes == 1:
-        band = sig.select(
-            F.col(id_col),
-            F.posexplode("row_bytes").alias("band", "byte"),
-        )
-    else:
-        pairs = F.transform(
-            F.sequence(F.lit(0), F.lit(n_bands - 1)),
-            lambda i: F.element_at("row_bytes", i * 2 + 1) * 256
-            + F.element_at("row_bytes", i * 2 + 2),
-        )
-        band = sig.select(
-            F.col(id_col),
-            F.posexplode(pairs).alias("band", "byte"),
-        )
+    band = _dhash_bands(sig, id_col, band_bytes)
     if max_bucket is not None:
         from pyspark.sql.window import Window  # noqa: PLC0415
 

@@ -12002,6 +12002,74 @@ def multimodal_video_near_dup_clusters(
 
 
 @query(
+    "dhash_incremental_index_check",
+    "SELECT true AS incremental_equals_full",
+)
+def dhash_incremental_index_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Contract query for incremental IMAGE-dedup maintenance
+    (multimodal.dhash_band_index + dhash_index_delta — the image twin
+    of lsh_incremental_index_check): synthesize the md5-pixel family
+    corpus, dHash it once, split 80/20 on doc_id, build the band
+    index on the 80, probe with the 20, and verify the delta path
+    reproduces EXACTLY the full rebuild's cell-sharing pairs that
+    touch a delta doc (plus an appended index identical to a rebuild).
+    Band cells are engine-specific, so the driver-checkable output is
+    the equality verdict itself — computed distributedly via exceptAll
+    in both directions (empty ⇔ equal), no driver-side sets."""
+    from chicago_crime_spark_ml_spark.operators.multimodal import (
+        dhash_band_index,
+        dhash_index_delta,
+        image_dhash,
+        synthesize_netpbm_blobs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    f = F.floor(F.col("doc_id") / F.lit(2))
+    base = lambda r, c: F.conv(  # noqa: E731
+        F.substring(F.md5(F.concat_ws("_", f, r, c)), 1, 2), 16, 10
+    ).cast("int")
+    pixels = F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda r: F.transform(
+            F.sequence(F.lit(0), F.lit(17)), lambda c: base(r, c)
+        ),
+    )
+    blobs = synthesize_netpbm_blobs(
+        docs.select("doc_id", pixels.alias("pixels"))
+    )
+    sig = image_dhash(blobs).localCheckpoint(eager=True)
+    old = sig.filter(F.col("doc_id") % 5 != 0)
+    delta = sig.filter(F.col("doc_id") % 5 == 0)
+    index = dhash_band_index(old)
+    new_rows, pairs = dhash_index_delta(index, delta)
+
+    full = dhash_band_index(sig)
+    a = full.select("band", "byte", F.col("doc_id").alias("ida"))
+    b = full.select("band", "byte", F.col("doc_id").alias("idb"))
+    want = (
+        a.join(b, ["band", "byte"])
+        .filter(F.col("ida") < F.col("idb"))
+        .filter((F.col("ida") % 5 == 0) | (F.col("idb") % 5 == 0))
+        .select(F.col("ida").alias("id_a"), F.col("idb").alias("id_b"))
+        .distinct()
+    )
+    pair_diff = (
+        pairs.exceptAll(want).count() + want.exceptAll(pairs).count()
+    )
+    idx_appended = index.unionByName(new_rows)
+    idx_diff = (
+        idx_appended.exceptAll(full).count()
+        + full.exceptAll(idx_appended).count()
+    )
+    return spark.createDataFrame(
+        [(pair_diff == 0 and idx_diff == 0,)],
+        "incremental_equals_full boolean",
+    )
+
+
+@query(
     "multimodal_silence_trim",
     """
     WITH d AS (SELECT doc_id, 33 + (doc_id % 3) * 16 AS n,

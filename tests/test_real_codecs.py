@@ -939,3 +939,45 @@ def test_corrupt_idat_zlib_stream_is_valueerror_and_skippable(spark):
     )
     kept = transcode_images(df, width=4, height=4, on_error="skip").collect()
     assert [r.doc_id for r in kept] == [1]
+
+
+def test_dhash_index_delta_matches_full_rebuild(spark):
+    """The incremental image index must emit exactly the full rebuild's
+    delta-touching candidate pairs, and appending the delta rows must
+    equal a rebuild — the lsh_index_delta contract, image modality."""
+    from chicago_crime_spark_ml_spark.operators.multimodal import (
+        dhash_band_index,
+        dhash_index_delta,
+        image_dhash,
+    )
+
+    rng = np.random.default_rng(97)
+    imgs = {i: rng.integers(0, 256, size=(16, 18)) for i in range(1, 7)}
+    imgs[10] = imgs[1].copy()          # delta doc 10 duplicates old doc 1
+    imgs[11] = rng.integers(0, 256, size=(16, 18))
+    imgs[12] = imgs[11].copy()         # new-new duplicate pair (11, 12)
+    df = spark.createDataFrame(
+        [(i, bytearray(make_pgm(p.astype(np.int64)))) for i, p in imgs.items()],
+        "doc_id BIGINT, blob BINARY",
+    )
+    from pyspark.sql import functions as F
+
+    sig = image_dhash(df).localCheckpoint(eager=True)
+    old = sig.filter(F.col("doc_id") < 10)
+    delta = sig.filter(F.col("doc_id") >= 10)
+    index = dhash_band_index(old)
+    new_rows, pairs = dhash_index_delta(index, delta)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 10) in got      # old-new duplicate found via the index
+    assert (11, 12) in got     # new-new pair within the batch
+    assert all(a >= 10 or b >= 10 for a, b in got)  # never old-old
+    # appended index == full rebuild (row-level)
+    full = dhash_band_index(sig)
+    appended = index.unionByName(new_rows)
+    assert appended.exceptAll(full).count() == 0
+    assert full.exceptAll(appended).count() == 0
+    # band_bytes=2 index shares the pairs' band space
+    idx2 = dhash_band_index(sig, band_bytes=2)
+    assert idx2.count() == sig.count() * 4
+    with pytest.raises(ValueError, match="band_bytes"):
+        dhash_band_index(sig, band_bytes=3)
