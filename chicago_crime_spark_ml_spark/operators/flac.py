@@ -10,13 +10,17 @@ a genuinely COMPRESSED format (VERDICT r6 ask #4). The subset:
   order 0–4 chosen by folded-residual mass, CONSTANT detection, Rice
   residual coding (partition order 0, RICE method) with the escaped
   raw-binary fallback when Rice would inflate.
-- decoder: CONSTANT / VERBATIM / FIXED 0–4 subframes, Rice methods
-  RICE and RICE2 at any partition order, escaped partitions, wasted
-  bits, mono and independent multi-channel (averaged to mono like
-  :func:`..multimodal.decode_wav`). LPC subframes and stereo
-  decorrelation modes raise ``ValueError`` (the encoder never emits
-  them). Frame-header CRC-8 and frame CRC-16 are verified — a corrupt
-  blob is corrupt data, not a different format.
+- decoder: CONSTANT / VERBATIM / FIXED 0–4 / LPC order 1–32 subframes,
+  Rice methods RICE and RICE2 at any partition order, escaped
+  partitions, wasted bits, mono and independent multi-channel
+  (averaged to mono like :func:`..multimodal.decode_wav`), and the
+  three stereo decorrelation modes (left-side / right-side / mid-side,
+  side channel at bps+1) — so EXTERNAL FLAC corpora, which are mostly
+  LPC-encoded and often decorrelated, decode through the audit /
+  trim / transcode paths (r8; the encoder stays subset and never
+  emits LPC or decorrelation). Frame-header CRC-8 and frame CRC-16
+  are verified — a corrupt blob is corrupt data, not a different
+  format.
 
 Format per RFC 9639 / the public FLAC spec (public knowledge only).
 The reference engine has no audio surface at all (SURVEY.md §2.6);
@@ -407,17 +411,39 @@ def _decode_frame(buf: bytes, pos: int, bps_si: int, nch_si: int, chans) -> int:
     crc8 = br.read(8)
     if _crc8(buf[pos:hdr_end]) != crc8:
         raise ValueError("FLAC: frame header CRC-8 mismatch")
-    if ch_code >= 0b1000:
-        raise ValueError("FLAC: stereo decorrelation modes not supported")
-    nch = ch_code + 1
+    if ch_code <= 0b0111:
+        nch, mode = ch_code + 1, None
+    elif ch_code <= 0b1010:
+        nch, mode = 2, ch_code  # 1000 left-side, 1001 right-side, 1010 mid-side
+    else:
+        raise ValueError(f"FLAC: reserved channel assignment {ch_code}")
     if nch != nch_si:
         raise ValueError("FLAC: frame channel count != STREAMINFO")
     bps = _CODE_BPS.get(bps_code, bps_si if bps_code == 0 else None)
     if bps is None or bps != bps_si:
         raise ValueError(f"FLAC: unsupported sample size code {bps_code}")
 
-    for ch in range(nch):
-        chans[ch].append(_decode_subframe(br, blocksize, bps))
+    if mode is None:
+        for ch in range(nch):
+            chans[ch].append(_decode_subframe(br, blocksize, bps))
+    else:
+        # decorrelated stereo: the SIDE channel carries one extra bit
+        # (it holds left-right, range doubles); reconstruct per RFC 9639
+        c0 = _decode_subframe(
+            br, blocksize, bps + (1 if mode == 0b1001 else 0)
+        )
+        c1 = _decode_subframe(
+            br, blocksize, bps + (1 if mode in (0b1000, 0b1010) else 0)
+        )
+        if mode == 0b1000:  # left-side: (left, side=left-right)
+            left, right = c0, c0 - c1
+        elif mode == 0b1001:  # right-side: (side=left-right, right)
+            left, right = c1 + c0, c1
+        else:  # mid-side: (mid=(l+r)>>1, side=l-r)
+            mid2 = (c0 << 1) | (c1 & 1)
+            left, right = (mid2 + c1) >> 1, (mid2 - c1) >> 1
+        chans[0].append(left)
+        chans[1].append(right)
     br.align()
     frame_end = br.bytepos
     crc16 = br.read(16)
@@ -458,8 +484,24 @@ def _decode_subframe(br: _BitReader, blocksize: int, bps: int):
             )
             rec = np.concatenate(([init], init + np.cumsum(rec)))
         out = rec
-    elif stype >= 32:
-        raise ValueError("FLAC: LPC subframes not supported (subset decoder)")
+    elif stype >= 32:  # LPC, order 1..32
+        k = (stype & 31) + 1
+        if k > blocksize:
+            raise ValueError("FLAC: predictor order exceeds blocksize")
+        warm = [br.read_signed(ebps) for _ in range(k)]
+        prec = br.read(4) + 1
+        if prec == 16:
+            raise ValueError("FLAC: invalid LPC coefficient precision")
+        shift = br.read_signed(5)
+        if shift < 0:
+            raise ValueError("FLAC: negative LPC shift")
+        coefs = [br.read_signed(prec) for _ in range(k)]
+        resid = _decode_residual(br, blocksize, k)
+        rec = list(warm)  # Python ints: exact, arithmetic >> per spec
+        for i in range(k, blocksize):
+            pred = sum(coefs[j] * rec[i - 1 - j] for j in range(k)) >> shift
+            rec.append(pred + int(resid[i - k]))
+        out = np.asarray(rec, dtype=np.int64)
     else:
         raise ValueError(f"FLAC: reserved subframe type {stype}")
     return out << wasted if wasted else out

@@ -152,3 +152,155 @@ def test_trim_silence_edges(spark):
     assert decode_wav_meta(bytes(got[3].blob))[0].size == 0
     assert (got[4].n_samples, got[4].n_leading_trimmed,
             got[4].n_trailing_trimmed) == (1, 0, 0)
+
+
+def _handbuilt_stream(nch, bps, total, frame_body_fn):
+    """Minimal fLaC container around one hand-built frame: STREAMINFO
+    with zero MD5 (skips verification), then frame_body_fn(head) which
+    must return the complete frame bytes (header+subframes+CRC16)."""
+    import struct
+
+    from chicago_crime_spark_ml_spark.operators.flac import _BitWriter
+
+    si = _BitWriter()
+    si.write(16, 16)
+    si.write(65535, 16)
+    si.write(0, 24)
+    si.write(0, 24)
+    si.write(8000, 20)
+    si.write(nch - 1, 3)
+    si.write(bps - 1, 5)
+    si.write(total, 36)
+    si.align()
+    body = si.getvalue() + b"\x00" * 16  # zero MD5: skip check
+    assert len(body) == 34
+    return b"fLaC" + bytes([0x80]) + struct.pack(">I", len(body))[1:] + body
+
+
+def _frame_header(ch_code, bps, blocksize):
+    import struct
+
+    from chicago_crime_spark_ml_spark.operators.flac import (
+        _BPS_CODE,
+        _BitWriter,
+        _crc8,
+        _utf8_code,
+    )
+
+    bw = _BitWriter()
+    bw.write(0b11111111111110, 14)
+    bw.write(0, 1)
+    bw.write(0, 1)
+    bw.write(0b0111, 4)  # 16-bit blocksize-1 at header end
+    bw.write(0b0000, 4)  # rate from STREAMINFO
+    bw.write(ch_code, 4)
+    bw.write(_BPS_CODE[bps], 3)
+    bw.write(0, 1)
+    bw.align()
+    head = bytearray(bw.getvalue())
+    head += _utf8_code(0)
+    head += struct.pack(">H", blocksize - 1)
+    head.append(_crc8(bytes(head)))
+    return head
+
+
+def _write_verbatim(bw, samples, ebps):
+    bw.write(0, 1)
+    bw.write(0b000001, 6)  # VERBATIM
+    bw.write(0, 1)
+    for s in samples:
+        bw.write(int(s) & ((1 << ebps) - 1), ebps)
+
+
+def _write_raw_residual(bw, resid, raw_bits):
+    bw.write(0b00, 2)   # RICE method
+    bw.write(0, 4)      # partition order 0
+    bw.write(0b1111, 4)  # escape
+    bw.write(raw_bits, 5)
+    for r in resid:
+        bw.write(int(r) & ((1 << raw_bits) - 1), raw_bits)
+
+
+def test_lpc_subframe_decode():
+    """Hand-built LPC order-2 frame: x[i] = ((c0 x[i-1] + c1 x[i-2])
+    >> shift) + r[i] must reconstruct exactly (external FLAC corpora
+    are mostly LPC-encoded — r8 decode-side support)."""
+    import struct
+
+    from chicago_crime_spark_ml_spark.operators.flac import (
+        _BitWriter,
+        _crc16,
+        decode_flac_meta,
+    )
+
+    bps, n = 16, 16
+    warm = [1000, -800]
+    coefs = [3, -2]          # precision 4 bits fits [-8, 7]
+    shift = 1
+    resid = [(-1) ** i * (i % 5) for i in range(n - 2)]
+    expect = list(warm)
+    for i in range(2, n):
+        pred = (coefs[0] * expect[i - 1] + coefs[1] * expect[i - 2]) >> shift
+        expect.append(pred + resid[i - 2])
+
+    head = _frame_header(0b0000, bps, n)  # mono
+    sw = _BitWriter()
+    sw.write(0, 1)
+    sw.write(0b100001, 6)  # LPC, order 2 (100000 | order-1)
+    sw.write(0, 1)         # no wasted bits
+    for w in warm:
+        sw.write(w & 0xFFFF, 16)
+    sw.write(4 - 1, 4)     # coefficient precision 4
+    sw.write(shift & 0x1F, 5)
+    for c in coefs:
+        sw.write(c & 0xF, 4)
+    _write_raw_residual(sw, resid, 6)
+    sw.align()
+    frame = bytes(head) + sw.getvalue()
+    frame += struct.pack(">H", _crc16(frame))
+
+    stream = _handbuilt_stream(1, bps, n, None) + frame
+    x, rate = decode_flac_meta(stream)
+    got = np.round(x * (1 << (bps - 1))).astype(int)
+    assert list(got) == expect
+    assert rate == 8000
+
+
+@pytest.mark.parametrize("mode", [0b1000, 0b1001, 0b1010])
+def test_stereo_decorrelation_decode(mode):
+    """Left-side / right-side / mid-side frames (VERBATIM subframes,
+    side at bps+1) must reconstruct (l, r) exactly; decode_flac
+    averages to mono like decode_wav."""
+    import struct
+
+    from chicago_crime_spark_ml_spark.operators.flac import (
+        _BitWriter,
+        _crc16,
+        decode_flac_meta,
+    )
+
+    bps, n = 16, 12
+    rng = np.random.default_rng(5 + mode)
+    left = rng.integers(-30000, 30000, size=n).astype(np.int64)
+    right = rng.integers(-30000, 30000, size=n).astype(np.int64)
+    side = left - right
+    mid = (left + right) >> 1
+    head = _frame_header(mode, bps, n)
+    sw = _BitWriter()
+    if mode == 0b1000:    # left-side
+        _write_verbatim(sw, left, 16)
+        _write_verbatim(sw, side, 17)
+    elif mode == 0b1001:  # right-side
+        _write_verbatim(sw, side, 17)
+        _write_verbatim(sw, right, 16)
+    else:                 # mid-side
+        _write_verbatim(sw, mid, 16)
+        _write_verbatim(sw, side, 17)
+    sw.align()
+    frame = bytes(head) + sw.getvalue()
+    frame += struct.pack(">H", _crc16(frame))
+
+    stream = _handbuilt_stream(2, bps, n, None) + frame
+    x, _ = decode_flac_meta(stream)
+    want = (left + right).astype(np.float64) / 2.0 / float(1 << (bps - 1))
+    assert np.allclose(x, want, atol=0, rtol=0)
