@@ -559,8 +559,15 @@ def dhash_hamming_pairs(
     hamming ≤ 7 by pigeonhole (≤7 differing bits cannot touch all 8
     bytes); with ``band_bytes=2`` it is 4 two-byte bands, complete for
     hamming ≤ 3 (the common near-dup setting) with 65 536-value
-    selectivity per band — 256× fewer accidental collisions, the
-    precision lever for flat-image-heavy corpora. After the banded
+    selectivity per band. ``band_bytes=2`` is THE corpus-scale
+    setting, not just a precision lever: one-byte bands have only 256
+    values, so expected candidate mass is n²/32 on PERFECTLY UNIFORM
+    hashes — inherent quadratic crowding that no occupancy cap can
+    fix (per-cell occupancy n/256 sits far below any sane
+    ``max_bucket``; measured ×16.0 at 10× data, 5.2 s → 83.4 s at
+    sf1, r8 sweep) — while two-byte bands cut the uniform mass 512×
+    to n²/16384. Use 1-byte bands only when distance 4–7 recall is
+    worth quadratic candidates on a bounded corpus. After the banded
     candidate join, the exact per-byte popcount-of-xor rescore keeps
     pairs at distance ≤ max_distance (capped at n_bands − 1: beyond
     that the banding is no longer complete and the caller should

@@ -11579,9 +11579,14 @@ def multimodal_keyframe_selection(
              FROM gc),
     bytes AS (SELECT doc_id, r, CAST(SUM(bv) AS BIGINT) AS byte
               FROM bits GROUP BY doc_id, r),
+    bands AS (SELECT e.doc_id, e.r // 2 AS band,
+                     e.byte * 256 + o.byte AS v
+              FROM bytes e JOIN bytes o
+                ON o.doc_id = e.doc_id AND o.r = e.r + 1
+              WHERE e.r % 2 = 0),
     cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-             FROM bytes x JOIN bytes y
-               ON x.r = y.r AND x.byte = y.byte AND x.doc_id < y.doc_id),
+             FROM bands x JOIN bands y
+               ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id),
     ham AS (SELECT c2.id_a, c2.id_b,
                    CAST(SUM(bit_count(xor(ba.byte, bb.byte))) AS INT)
                      AS hamming
@@ -11589,7 +11594,7 @@ def multimodal_keyframe_selection(
             JOIN bytes ba ON ba.doc_id = c2.id_a
             JOIN bytes bb ON bb.doc_id = c2.id_b AND bb.r = ba.r
             GROUP BY c2.id_a, c2.id_b)
-    SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 7
+    SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
     """,
 )
 def multimodal_image_near_dup_pairs(
@@ -11604,11 +11609,16 @@ def multimodal_image_near_dup_pairs(
     invariance that makes dHash a near-dup signature rather than a
     checksum). image_dhash compares sampled neighbors (integer-
     monotone, so the oracle compares the raw pattern values);
-    dhash_hamming_pairs bands on the 8 row-bytes (pigeonhole-complete
-    for hamming ≤ 7, the simhash idiom) and rescores with exact
-    popcount-of-xor — the oracle replays bytes, banding, and rescore
-    closed-form, so accidental cross-family near-pairs match too.
-    Integer output, exact hashes."""
+    dhash_hamming_pairs bands at the SCALE setting — band_bytes=2:
+    4 sixteen-bit bands, pigeonhole-complete for hamming ≤ 3 — and
+    rescores with exact popcount-of-xor. r8 rewrite: the r7 1-byte
+    banding measured ×16.0 at sf1 (5.2→83.4 s) from UNIFORM crowding
+    (256 values/band ⇒ n²/32 expected candidate mass on perfectly
+    uniform hashes; no cap can fix that — occupancy n/256 sits below
+    any sane max_bucket), while 2-byte bands give 65 536-value
+    selectivity (n²/16384). The oracle replays bytes, 2-byte banding,
+    and rescore closed-form, so accidental cross-family near-pairs
+    match too. Integer output, exact hashes."""
     from chicago_crime_spark_ml_spark.operators.multimodal import (
         dhash_hamming_pairs,
         image_dhash,
@@ -11638,7 +11648,7 @@ def multimodal_image_near_dup_pairs(
         ),
     )
     blobs = synthesize_netpbm_blobs(docs.select("doc_id", pixels.alias("pixels")))
-    return dhash_hamming_pairs(image_dhash(blobs), max_distance=7)
+    return dhash_hamming_pairs(image_dhash(blobs), max_distance=3, band_bytes=2)
 
 
 @query(
@@ -11751,9 +11761,14 @@ def multimodal_video_near_dup_pairs(
              FROM gc),
     bytes AS (SELECT doc_id, r, CAST(SUM(bv) AS BIGINT) AS byte
               FROM bits GROUP BY doc_id, r),
+    bands AS (SELECT e.doc_id, e.r // 2 AS band,
+                     e.byte * 256 + o.byte AS v
+              FROM bytes e JOIN bytes o
+                ON o.doc_id = e.doc_id AND o.r = e.r + 1
+              WHERE e.r % 2 = 0),
     cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-             FROM bytes x JOIN bytes y
-               ON x.r = y.r AND x.byte = y.byte AND x.doc_id < y.doc_id),
+             FROM bands x JOIN bands y
+               ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id),
     ham AS (SELECT c2.id_a, c2.id_b,
                    CAST(SUM(bit_count(xor(ba.byte, bb.byte))) AS INT)
                      AS hamming
@@ -11761,7 +11776,7 @@ def multimodal_video_near_dup_pairs(
             JOIN bytes ba ON ba.doc_id = c2.id_a
             JOIN bytes bb ON bb.doc_id = c2.id_b AND bb.r = ba.r
             GROUP BY c2.id_a, c2.id_b),
-    pairs AS (SELECT id_a, id_b FROM ham WHERE hamming <= 7),
+    pairs AS (SELECT id_a, id_b FROM ham WHERE hamming <= 3),
     edges AS (SELECT id_a AS a, id_b AS b FROM pairs
               UNION ALL SELECT id_b, id_a FROM pairs),
     reach(src, dst) AS (
@@ -11840,7 +11855,9 @@ def multimodal_image_near_dup_clusters(
     blobs = synthesize_netpbm_blobs(
         docs.select("doc_id", pixels.alias("pixels"))
     ).localCheckpoint(eager=True)
-    pairs = dhash_hamming_pairs(image_dhash(blobs), max_distance=7)
+    pairs = dhash_hamming_pairs(
+        image_dhash(blobs), max_distance=3, band_bytes=2
+    )
     comp = connected_components(pairs)
     clusters = docs.join(comp, docs["doc_id"] == comp["node"], "left").select(
         "doc_id", F.coalesce("label", "doc_id").alias("cluster_id")
