@@ -12019,6 +12019,94 @@ def multimodal_video_near_dup_clusters(
 
 
 @query(
+    "multimodal_audio_near_dup_pairs",
+    """
+    WITH d AS (SELECT doc_id, doc_id // 2 AS f,
+                      130 + ((doc_id // 2) % 3) * 65 AS n
+               FROM documents),
+    s AS (SELECT doc_id, f, n,
+                 unnest(generate_series(0, n - 1)) AS i FROM d),
+    q AS (SELECT doc_id, n, i,
+                 trunc(CAST((('0x' || substr(md5(f || '_' || i), 1, 2))::INT
+                             - 128) * 32767 AS DOUBLE) / 256.0)
+                   / 32768.0 AS x
+          FROM s),
+    e AS (SELECT doc_id, (65 * i + 64) // n AS j, SUM(x * x) AS en
+          FROM q GROUP BY doc_id, (65 * i + 64) // n),
+    bits AS (SELECT a.doc_id, (a.j - 1) // 8 AS r,
+                    CASE WHEN a.en > p.en
+                         THEN 1 << (7 - ((a.j - 1) % 8)) ELSE 0 END AS bv
+             FROM e a JOIN e p
+               ON p.doc_id = a.doc_id AND p.j = a.j - 1
+             WHERE a.j >= 1),
+    bytes AS (SELECT doc_id, r, CAST(SUM(bv) AS BIGINT) AS byte
+              FROM bits GROUP BY doc_id, r),
+    bands AS (SELECT e2.doc_id, e2.r // 2 AS band,
+                     e2.byte * 256 + o.byte AS v
+              FROM bytes e2 JOIN bytes o
+                ON o.doc_id = e2.doc_id AND o.r = e2.r + 1
+              WHERE e2.r % 2 = 0),
+    cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+             FROM bands x JOIN bands y
+               ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id),
+    ham AS (SELECT c2.id_a, c2.id_b,
+                   CAST(SUM(bit_count(xor(ba.byte, bb.byte))) AS INT)
+                     AS hamming
+            FROM cand c2
+            JOIN bytes ba ON ba.doc_id = c2.id_a
+            JOIN bytes bb ON bb.doc_id = c2.id_b AND bb.r = ba.r
+            GROUP BY c2.id_a, c2.id_b)
+    SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+    """,
+)
+def multimodal_audio_near_dup_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """AUDIO near-dup dedup driver-certified (r8 — the dedup family
+    now spans text, embeddings, images, video streams, AND audio):
+    each family synthesizes one md5-derived waveform (lengths 130/195/
+    260 exercise the window-boundary math) and stores the even doc as
+    WAV, the odd twin as FLAC — the canonical audio near-dup case,
+    the same recording in different lossless containers — so every
+    planted pair MUST surface at hamming 0, certifying that the
+    fingerprint sees the SIGNAL, not the codec. audio_fingerprint
+    decodes (real dual-codec dispatch), takes 65 equal-window
+    energies (exact float64 sums of dyadic squares — replayable), and
+    bits are adjacent-energy comparisons; pairing reuses the dHash
+    2-byte banded join + exact popcount rescore. The oracle replays
+    quantization, the closed-form window index (65i+64)//n, energies,
+    bits, banding, and rescore. Exact hashes — energy comparisons on
+    exactly-representable sums, integer output."""
+    from chicago_crime_spark_ml_spark.operators.multimodal import (
+        audio_fingerprint,
+        dhash_hamming_pairs,
+        synthesize_flac_blobs,
+        synthesize_wav_blobs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    f = F.floor(F.col("doc_id") / F.lit(2))
+    n = (F.lit(130) + (f % 3) * 65).cast("int")
+    samples = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: (
+            F.conv(
+                F.substring(F.md5(F.concat_ws("_", f, i)), 1, 2), 16, 10
+            ).cast("int")
+            - 128
+        ).cast("double")
+        / 256.0,
+    )
+    base = docs.select("doc_id", samples.alias("samples"))
+    wav = synthesize_wav_blobs(base.filter(F.col("doc_id") % 2 == 0))
+    flac = synthesize_flac_blobs(base.filter(F.col("doc_id") % 2 == 1))
+    blobs = wav.unionByName(flac)
+    return dhash_hamming_pairs(
+        audio_fingerprint(blobs), max_distance=3, band_bytes=2
+    )
+
+
+@query(
     "dhash_incremental_index_check",
     "SELECT true AS incremental_equals_full",
 )

@@ -981,3 +981,53 @@ def test_dhash_index_delta_matches_full_rebuild(spark):
     assert idx2.count() == sig.count() * 4
     with pytest.raises(ValueError, match="band_bytes"):
         dhash_band_index(sig, band_bytes=3)
+
+
+def test_audio_fingerprint_invariances(spark):
+    """The audio fingerprint must be invariant to lossless container
+    (WAV vs FLAC of one signal) and to uniform gain (energy ordering
+    is monotone under scaling), and far for a different signal — the
+    properties that make it a near-dup signature. Reuses the dHash
+    banded join for pairing."""
+    from chicago_crime_spark_ml_spark.operators.flac import encode_flac
+    from chicago_crime_spark_ml_spark.operators.multimodal import (
+        audio_fingerprint,
+        dhash_hamming_pairs,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(101)
+    # staircase amplitudes: window energies well-separated, so gain +
+    # quantization noise cannot flip a comparison
+    amps = rng.permutation(np.linspace(0.05, 0.9, 65))
+    x = np.repeat(amps, 4) * np.where(np.arange(260) % 2 == 0, 1.0, -1.0)
+    other = rng.uniform(-0.9, 0.9, size=260)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_wav(x, width=2))),
+            (2, bytearray(encode_flac(x))),          # same signal, FLAC
+            (3, bytearray(encode_wav(x * 0.5, width=2))),  # gain change
+            (4, bytearray(encode_wav(other, width=2))),    # different clip
+            (5, bytearray(encode_wav(x[:40], width=2))),   # < 65 samples
+            (6, None),
+        ],
+        "doc_id BIGINT, blob BINARY",
+    )
+    sig = audio_fingerprint(df)
+    got = {r.doc_id: r.afp for r in sig.collect()}
+    assert got[1] == got[2] == got[3]      # codec- and gain-invariant
+    assert got[1] != got[4]
+    assert 5 not in got and 6 not in got   # short/NULL blobs skipped
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dhash_hamming_pairs(
+            sig, max_distance=3, band_bytes=2
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 0
+    assert (1, 4) not in pairs
+    bad = spark.createDataFrame(
+        [(9, bytearray(b"not audio"))], "doc_id BIGINT, blob BINARY"
+    )
+    with pytest.raises(Exception, match="WAVE"):
+        audio_fingerprint(bad).collect()
