@@ -311,6 +311,89 @@ def streaming_near_dup_ingest(
     )
 
 
+def streaming_media_near_dup_ingest(
+    media: DataFrame,
+    index_path: str,
+    pairs_path: str,
+    checkpoint: str,
+    modality: str = "image",
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+    band_bytes: int = 2,
+    query_name: str = "media_near_dup_ingest",
+):
+    """Continuous-ingestion MEDIA near-dup detection — the streaming
+    form of the incremental image index (multimodal.dhash_index_delta),
+    and the media twin of :func:`streaming_near_dup_ingest`. Each
+    micro-batch decodes and signatures ONLY its own blobs
+    (``modality='image'`` → perceptual dHash, ``'audio'`` → the
+    window-energy fingerprint — both emit the shared row-bytes shape),
+    probes the persisted (band, byte) index for candidate pairs
+    touching the batch ((old,new) and (new,new) — history is never
+    re-compared against itself), then appends the batch's band rows.
+    Exact hamming rescoring of candidates (popcount-of-xor on the
+    signatures) stays the caller's step, same as the batch path.
+
+    Exactly-once on replays: both sinks write a ``batch_id=N``
+    subdirectory with overwrite mode (parquet append is not
+    idempotent; per-batch overwrite is), and the pair write is forced
+    BEFORE the index append so a batch never collides with itself.
+    The index existence probe attempts the read and falls back to an
+    empty frame on AnalysisException — never a driver-local
+    filesystem check (ADVICE r7: os.path is always false on
+    hdfs://s3a:// stores)."""
+    from pyspark.errors import AnalysisException  # noqa: PLC0415
+
+    from chicago_crime_spark_ml_spark.operators.multimodal import (  # noqa: PLC0415
+        audio_fingerprint,
+        dhash_index_delta,
+        image_dhash,
+    )
+
+    sig_fn = {"image": image_dhash, "audio": audio_fingerprint}.get(modality)
+    if sig_fn is None:
+        raise ValueError(
+            f"modality must be 'image' or 'audio', got {modality!r}"
+        )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        try:
+            index = spark.read.parquet(index_path).select(
+                id_col, "band", "byte"
+            )
+        except AnalysisException:
+            index = spark.createDataFrame(
+                [], f"{id_col} long, band int, byte int"
+            )
+        # signature once behind a barrier: the delta rows feed the
+        # probe AND both union branches — lazy, the per-blob decode
+        # mapInPandas would re-run per consumer
+        sig = sig_fn(
+            batch_df, blob_col=blob_col, id_col=id_col
+        ).localCheckpoint(eager=True)
+        delta_rows, pairs = dhash_index_delta(
+            index, sig, id_col=id_col, band_bytes=band_bytes
+        )
+        delta_rows = delta_rows.localCheckpoint(eager=True)
+        pairs.write.mode("overwrite").parquet(
+            f"{pairs_path}/batch_id={batch_id}"
+        )
+        delta_rows.write.mode("overwrite").parquet(
+            f"{index_path}/batch_id={batch_id}"
+        )
+
+    return (
+        media.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+        .start()
+    )
+
+
 def user_value_stats_tws(events: DataFrame) -> DataFrame:
     """Custom stateful operator on the transformWithStateInPandas API
     (Spark 4's typed-state successor to applyInPandasWithState): per-user

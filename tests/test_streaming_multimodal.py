@@ -905,3 +905,116 @@ def test_streaming_near_dup_ingest_equals_batch(spark, tmp_path):
         r.doc_id for r in spark.read.parquet(index_path).collect()
     }
     assert idx_docs == {1, 2, 3, 4, 5}
+
+
+def test_streaming_media_near_dup_ingest_equals_batch(spark, tmp_path):
+    """Continuous-ingestion IMAGE dedup (r8): blobs arrive in two
+    micro-batches; the union of per-batch candidate pairs must equal
+    the full-rebuild banded pairs (every pair involves some batch's
+    delta when its later doc arrives), and the persisted index must
+    cover every doc. Audio modality sanity-checked through the same
+    sink; unknown modality raises."""
+    import numpy as np
+
+    from chicago_crime_spark_ml_spark.operators.multimodal import (
+        dhash_band_index,
+        encode_netpbm,
+        encode_wav,
+        image_dhash,
+    )
+    from chicago_crime_spark_ml_spark.streaming import (
+        streaming_media_near_dup_ingest,
+    )
+
+    rng = np.random.default_rng(113)
+    a = rng.integers(0, 256, size=(16, 18))
+    tweaked = a.copy()
+    tweaked[1, 1] = (tweaked[1, 1] + 90) % 256  # unsampled: same dHash
+    others = [rng.integers(0, 256, size=(16, 18)) for _ in range(3)]
+
+    def blob(p):
+        return bytearray(encode_netpbm(p.astype(np.int64)))
+
+    rows1 = [(1, blob(a)), (2, blob(others[0]))]
+    rows2 = [(3, blob(a)), (4, blob(tweaked)), (5, blob(others[1]))]
+    schema = "doc_id BIGINT, blob BINARY"
+    src = tmp_path / "img_src"
+    src.mkdir()
+    index_path = str(tmp_path / "img_index")
+    pairs_path = str(tmp_path / "img_pairs")
+
+    def emit(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    emit(rows1)
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = streaming_media_near_dup_ingest(
+        stream, index_path, pairs_path, str(tmp_path / "img_ckpt")
+    )
+    try:
+        q.processAllAvailable()
+        emit(rows2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got_pairs = {
+        (r.id_a, r.id_b) for r in spark.read.parquet(pairs_path).collect()
+    }
+    all_blobs = spark.createDataFrame(rows1 + rows2, schema)
+    sig = image_dhash(all_blobs).localCheckpoint(eager=True)
+    idx = dhash_band_index(sig, band_bytes=2).alias("a")
+    other = dhash_band_index(sig, band_bytes=2).alias("b")
+    want = {
+        (r.id_a, r.id_b)
+        for r in idx.join(other, ["band", "byte"])
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("id_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("id_b"),
+        )
+        .distinct()
+        .collect()
+    }
+    assert got_pairs == want
+    assert (1, 3) in got_pairs and (1, 4) in got_pairs  # cross-batch dups
+    idx_docs = {r.doc_id for r in spark.read.parquet(index_path).collect()}
+    assert idx_docs == {1, 2, 3, 4, 5}
+
+    # audio modality through the same sink: WAV and its FLAC twin
+    # arriving in separate batches must pair via the persisted index
+    from chicago_crime_spark_ml_spark.operators.flac import encode_flac
+
+    amps = np.repeat(np.linspace(0.05, 0.9, 65), 3)
+    x = amps * np.where(np.arange(195) % 2 == 0, 1.0, -1.0)
+    asrc = tmp_path / "aud_src"
+    asrc.mkdir()
+    aindex, apairs = str(tmp_path / "aud_index"), str(tmp_path / "aud_pairs")
+
+    def aemit(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(asrc))
+
+    aemit([(1, bytearray(encode_wav(x, width=2)))])
+    astream = spark.readStream.schema(schema).parquet(str(asrc))
+    aq = streaming_media_near_dup_ingest(
+        astream, aindex, apairs, str(tmp_path / "aud_ckpt"), modality="audio"
+    )
+    try:
+        aq.processAllAvailable()
+        aemit([(2, bytearray(encode_flac(x)))])
+        aq.processAllAvailable()
+    finally:
+        aq.stop()
+    apairs_got = {
+        (r.id_a, r.id_b) for r in spark.read.parquet(apairs).collect()
+    }
+    assert (1, 2) in apairs_got  # cross-codec, cross-batch audio dup
+
+    with pytest.raises(ValueError, match="modality"):
+        streaming_media_near_dup_ingest(
+            stream, index_path, pairs_path, str(tmp_path), modality="video"
+        )
