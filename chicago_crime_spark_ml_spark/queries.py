@@ -12107,6 +12107,147 @@ def multimodal_audio_near_dup_pairs(
 
 
 @query(
+    "multimodal_audio_near_dup_clusters",
+    """
+    WITH RECURSIVE d AS (SELECT doc_id, doc_id // 2 AS f,
+                      130 + ((doc_id // 2) % 3) * 65 AS n
+               FROM documents),
+    s AS (SELECT doc_id, f, n,
+                 unnest(generate_series(0, n - 1)) AS i FROM d),
+    q AS (SELECT doc_id, n, i,
+                 trunc(CAST((('0x' || substr(md5(f || '_' || i), 1, 2))::INT
+                             - 128) * 32767 AS DOUBLE) / 256.0)
+                   / 32768.0 AS x
+          FROM s),
+    e AS (SELECT doc_id, (65 * i + 64) // n AS j, SUM(x * x) AS en
+          FROM q GROUP BY doc_id, (65 * i + 64) // n),
+    bits AS (SELECT a.doc_id, (a.j - 1) // 8 AS r,
+                    CASE WHEN a.en > p.en
+                         THEN 1 << (7 - ((a.j - 1) % 8)) ELSE 0 END AS bv
+             FROM e a JOIN e p
+               ON p.doc_id = a.doc_id AND p.j = a.j - 1
+             WHERE a.j >= 1),
+    bytes AS (SELECT doc_id, r, CAST(SUM(bv) AS BIGINT) AS byte
+              FROM bits GROUP BY doc_id, r),
+    bands AS (SELECT e2.doc_id, e2.r // 2 AS band,
+                     e2.byte * 256 + o.byte AS v
+              FROM bytes e2 JOIN bytes o
+                ON o.doc_id = e2.doc_id AND o.r = e2.r + 1
+              WHERE e2.r % 2 = 0),
+    cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+             FROM bands x JOIN bands y
+               ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id),
+    ham AS (SELECT c2.id_a, c2.id_b,
+                   CAST(SUM(bit_count(xor(ba.byte, bb.byte))) AS INT)
+                     AS hamming
+            FROM cand c2
+            JOIN bytes ba ON ba.doc_id = c2.id_a
+            JOIN bytes bb ON bb.doc_id = c2.id_b AND bb.r = ba.r
+            GROUP BY c2.id_a, c2.id_b),
+    pairs AS (SELECT id_a, id_b FROM ham WHERE hamming <= 3),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(src, dst) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r2.src, e3.b FROM reach r2 JOIN edges e3 ON r2.dst = e3.a),
+    comp AS (SELECT src AS node, least(src, min(dst)) AS label
+             FROM reach GROUP BY src),
+    clusters AS (SELECT d.doc_id,
+                        CAST(coalesce(c.label, d.doc_id) AS BIGINT)
+                          AS cluster_id
+                 FROM d LEFT JOIN comp c ON d.doc_id = c.node),
+    cdc AS (SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 1 THEN 'flac' ELSE 'wav' END
+                     AS codec,
+                   CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END AS ck
+            FROM d)
+    SELECT cluster_id,
+           CAST(-(max(struct_pack(k := ck, nid := -doc_id)).nid)
+                AS BIGINT) AS canonical_doc_id,
+           count(*) AS n_members,
+           CASE WHEN max(struct_pack(k := ck, nid := -doc_id)).k = 1
+                THEN 'flac' ELSE 'wav' END AS canonical_codec
+    FROM clusters JOIN cdc USING (doc_id)
+    GROUP BY cluster_id
+    """,
+)
+def multimodal_audio_near_dup_clusters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """AUDIO dedup ENDGAME (r8 — every media modality now ends in a
+    keep-list: images keep the highest-res member, videos the most
+    complete copy, audio keeps the COMPRESSED LOSSLESS copy): the
+    WAV/FLAC twin corpus from multimodal_audio_near_dup_pairs is
+    paired (fingerprint → 2-byte banded join → exact rescore),
+    clustered by connected_components, and each cluster elects its
+    canonical member by struct-max on (codec_rank, -doc_id) where the
+    codec comes from media_type_audit's REAL blob classification
+    (FLAC outranks WAV: same decoded bits, less storage — the
+    curation rule a 100 TB corpus wants). Every planted cluster must
+    elect its FLAC member. The oracle replays fingerprints, banding,
+    rescore, reachability, codec ranking, and the argmax closed-form."""
+    from chicago_crime_spark_ml_spark.operators.dedup import (
+        connected_components,
+    )
+    from chicago_crime_spark_ml_spark.operators.multimodal import (
+        audio_fingerprint,
+        dhash_hamming_pairs,
+        media_type_audit,
+        synthesize_flac_blobs,
+        synthesize_wav_blobs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    f = F.floor(F.col("doc_id") / F.lit(2))
+    n = (F.lit(130) + (f % 3) * 65).cast("int")
+    samples = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: (
+            F.conv(
+                F.substring(F.md5(F.concat_ws("_", f, i)), 1, 2), 16, 10
+            ).cast("int")
+            - 128
+        ).cast("double")
+        / 256.0,
+    )
+    base = docs.select("doc_id", samples.alias("samples"))
+    wav = synthesize_wav_blobs(base.filter(F.col("doc_id") % 2 == 0))
+    flac = synthesize_flac_blobs(base.filter(F.col("doc_id") % 2 == 1))
+    # blobs feed TWO consumers (fingerprint pipeline + codec audit):
+    # materialize the synthesize mapInPandas once
+    blobs = wav.unionByName(flac).localCheckpoint(eager=True)
+    pairs = dhash_hamming_pairs(
+        audio_fingerprint(blobs), max_distance=3, band_bytes=2
+    )
+    comp = connected_components(pairs)
+    clusters = docs.join(comp, docs["doc_id"] == comp["node"], "left").select(
+        "doc_id", F.coalesce("label", "doc_id").alias("cluster_id")
+    )
+    codec = media_type_audit(blobs).select(
+        "doc_id",
+        "codec",
+        F.when(F.col("codec") == "flac", 1).otherwise(0).alias("ck"),
+    )
+    pick = F.max(
+        F.struct(F.col("ck").alias("k"), (-F.col("doc_id")).alias("nid"))
+    )
+    return (
+        clusters.join(codec, "doc_id")
+        .groupBy("cluster_id")
+        .agg(pick.alias("pk"), F.count(F.lit(1)).alias("n_members"))
+        .select(
+            "cluster_id",
+            (-F.col("pk.nid")).cast("bigint").alias("canonical_doc_id"),
+            "n_members",
+            F.when(F.col("pk.k") == 1, F.lit("flac"))
+            .otherwise(F.lit("wav"))
+            .alias("canonical_codec"),
+        )
+    )
+
+
+@query(
     "dhash_incremental_index_check",
     "SELECT true AS incremental_equals_full",
 )
