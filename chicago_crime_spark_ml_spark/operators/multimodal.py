@@ -867,6 +867,62 @@ TRIM_SCHEMA = (
 )
 
 
+def frame_index_delta(
+    index: DataFrame,
+    new_sig: DataFrame,
+    id_col: str = "doc_id",
+    min_shared: int = 2,
+    max_df: int | None = 10_000,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental VIDEO-dedup maintenance — the containment-join twin
+    of :func:`dhash_index_delta`: ``index`` holds distinct
+    (id, dhash) frame-hash postings for history; ``new_sig`` is the
+    per-frame signature of the delta (:func:`frame_stream_dhash`
+    rows). Returns (new_index_rows, pairs) where pairs are every
+    (old,new) and (new,new) stream pair sharing ≥ ``min_shared``
+    DISTINCT frame hashes — exactly the pairs a full
+    :func:`video_near_dup_pairs` rebuild would emit that involve a
+    delta stream (certified by video_frame_incremental_index_check).
+    ``max_df`` prunes corpus-ubiquitous frame hashes by document
+    frequency over index ∪ delta — the same recall-only hot-frame
+    guard as the batch operator, and the df is computed over the same
+    total corpus, so delta == rebuild even when the guard binds.
+    History is never re-compared against itself: O(delta·occupancy)."""
+    d = (
+        new_sig.select(id_col, "dhash").distinct().localCheckpoint(eager=True)
+    )
+    both = index.select(id_col, "dhash").unionByName(d)
+    if max_df is not None:
+        from pyspark.sql.window import Window  # noqa: PLC0415
+
+        both = (
+            both.withColumn(
+                "_df", F.count(F.lit(1)).over(Window.partitionBy("dhash"))
+            )
+            .filter(F.col("_df") <= max_df)
+            .drop("_df")
+        )
+    both = both.localCheckpoint(eager=True)
+    probe = both.join(d.select(id_col).distinct(), id_col, "left_semi")
+    cand = (
+        probe.alias("x")
+        .join(both.alias("y"), "dhash")
+        .filter(F.col(f"x.{id_col}") != F.col(f"y.{id_col}"))
+        .select(
+            F.least(f"x.{id_col}", f"y.{id_col}").alias("id_a"),
+            F.greatest(f"x.{id_col}", f"y.{id_col}").alias("id_b"),
+            "dhash",
+        )
+        .distinct()
+    )
+    pairs = (
+        cand.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("int").alias("shared_frames"))
+        .filter(F.col("shared_frames") >= min_shared)
+    )
+    return d, pairs
+
+
 def trim_silence(
     df: DataFrame,
     blob_col: str = "blob",

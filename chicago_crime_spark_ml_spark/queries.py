@@ -12320,6 +12320,87 @@ def dhash_incremental_index_check(
 
 
 @query(
+    "video_frame_incremental_index_check",
+    "SELECT true AS incremental_equals_full",
+)
+def video_frame_incremental_index_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Contract query for incremental VIDEO-dedup maintenance
+    (multimodal.frame_index_delta — the containment twin of
+    dhash_incremental_index_check): synthesize the r7 frame-stream
+    corpus, signature it once, split 80/20 on doc_id, build the
+    (id, dhash) posting index on the 80, probe with the 20, and
+    verify the delta path reproduces EXACTLY the full
+    video_near_dup_pairs rebuild's pairs that touch a delta stream —
+    including the shared_frames counts — plus an appended index
+    identical to a rebuild's distinct postings. Verdict computed
+    distributedly via exceptAll in both directions (empty ⇔ equal)."""
+    from chicago_crime_spark_ml_spark.operators.multimodal import (
+        frame_index_delta,
+        frame_stream_dhash,
+        synthesize_netpbm_stream_blobs,
+        video_near_dup_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    g = F.floor(F.col("doc_id") / F.lit(2))
+    frames = F.transform(
+        F.sequence(F.lit(0), F.lit(5)),
+        lambda fi: F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda r: F.transform(
+                F.sequence(F.lit(0), F.lit(17)),
+                lambda c: F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "_",
+                                g,
+                                F.when(
+                                    (F.col("doc_id") % 2 == 1) & (fi == 5),
+                                    F.lit("z"),
+                                ).otherwise(fi.cast("string")),
+                                r,
+                                c,
+                            )
+                        ),
+                        1,
+                        2,
+                    ),
+                    16,
+                    10,
+                ).cast("int"),
+            ),
+        ),
+    )
+    blobs = synthesize_netpbm_stream_blobs(
+        docs.select("doc_id", frames.alias("frames"))
+    )
+    sig = frame_stream_dhash(blobs).localCheckpoint(eager=True)
+    old = sig.filter(F.col("doc_id") % 5 != 0)
+    delta = sig.filter(F.col("doc_id") % 5 == 0)
+    index = old.select("doc_id", "dhash").distinct()
+    new_rows, pairs = frame_index_delta(index, delta, min_shared=4)
+
+    full = video_near_dup_pairs(sig, min_shared=4)
+    want = full.filter((F.col("id_a") % 5 == 0) | (F.col("id_b") % 5 == 0))
+    pair_diff = (
+        pairs.exceptAll(want).count() + want.exceptAll(pairs).count()
+    )
+    full_idx = sig.select("doc_id", "dhash").distinct()
+    idx_appended = index.unionByName(new_rows)
+    idx_diff = (
+        idx_appended.exceptAll(full_idx).count()
+        + full_idx.exceptAll(idx_appended).count()
+    )
+    return spark.createDataFrame(
+        [(pair_diff == 0 and idx_diff == 0,)],
+        "incremental_equals_full boolean",
+    )
+
+
+@query(
     "multimodal_silence_trim",
     """
     WITH d AS (SELECT doc_id, 33 + (doc_id % 3) * 16 AS n,

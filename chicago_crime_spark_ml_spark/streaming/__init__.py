@@ -320,19 +320,23 @@ def streaming_media_near_dup_ingest(
     blob_col: str = "blob",
     id_col: str = "doc_id",
     band_bytes: int = 2,
+    min_shared: int = 2,
     query_name: str = "media_near_dup_ingest",
 ):
     """Continuous-ingestion MEDIA near-dup detection — the streaming
-    form of the incremental image index (multimodal.dhash_index_delta),
-    and the media twin of :func:`streaming_near_dup_ingest`. Each
-    micro-batch decodes and signatures ONLY its own blobs
-    (``modality='image'`` → perceptual dHash, ``'audio'`` → the
-    window-energy fingerprint — both emit the shared row-bytes shape),
-    probes the persisted (band, byte) index for candidate pairs
+    form of the incremental media indexes, and the media twin of
+    :func:`streaming_near_dup_ingest`. Each micro-batch decodes and
+    signatures ONLY its own blobs (``modality='image'`` → perceptual
+    dHash, ``'audio'`` → the window-energy fingerprint — both emit the
+    shared row-bytes shape and probe the persisted (band, byte) index
+    via dhash_index_delta; ``'video'`` → per-frame dHash postings
+    probing a (id, dhash) frame index via frame_index_delta with the
+    ≥ ``min_shared`` containment rule), emitting candidate pairs
     touching the batch ((old,new) and (new,new) — history is never
-    re-compared against itself), then appends the batch's band rows.
-    Exact hamming rescoring of candidates (popcount-of-xor on the
-    signatures) stays the caller's step, same as the batch path.
+    re-compared against itself), then appends the batch's index rows.
+    Exact rescoring (hamming popcount for image/audio) stays the
+    caller's step, same as the batch path; video pairs arrive already
+    thresholded on distinct shared frames.
 
     Exactly-once on replays: both sinks write a ``batch_id=N``
     subdirectory with overwrite mode (parquet append is not
@@ -347,36 +351,50 @@ def streaming_media_near_dup_ingest(
     from chicago_crime_spark_ml_spark.operators.multimodal import (  # noqa: PLC0415
         audio_fingerprint,
         dhash_index_delta,
+        frame_index_delta,
+        frame_stream_dhash,
         image_dhash,
     )
 
-    sig_fn = {"image": image_dhash, "audio": audio_fingerprint}.get(modality)
+    sig_fn = {
+        "image": image_dhash,
+        "audio": audio_fingerprint,
+        "video": frame_stream_dhash,
+    }.get(modality)
     if sig_fn is None:
         raise ValueError(
-            f"modality must be 'image' or 'audio', got {modality!r}"
+            f"modality must be 'image', 'audio', or 'video', "
+            f"got {modality!r}"
         )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        if modality == "video":
+            idx_schema = f"{id_col} long, dhash string"
+            idx_cols = [id_col, "dhash"]
+        else:
+            idx_schema = f"{id_col} long, band int, byte int"
+            idx_cols = [id_col, "band", "byte"]
         try:
-            index = spark.read.parquet(index_path).select(
-                id_col, "band", "byte"
-            )
+            index = spark.read.parquet(index_path).select(*idx_cols)
         except AnalysisException:
-            index = spark.createDataFrame(
-                [], f"{id_col} long, band int, byte int"
-            )
+            index = spark.createDataFrame([], idx_schema)
         # signature once behind a barrier: the delta rows feed the
         # probe AND both union branches — lazy, the per-blob decode
         # mapInPandas would re-run per consumer
         sig = sig_fn(
             batch_df, blob_col=blob_col, id_col=id_col
         ).localCheckpoint(eager=True)
-        delta_rows, pairs = dhash_index_delta(
-            index, sig, id_col=id_col, band_bytes=band_bytes
-        )
+        if modality == "video":
+            delta_rows, pairs = frame_index_delta(
+                index, sig, id_col=id_col, min_shared=min_shared
+            )
+        else:
+            delta_rows, pairs = dhash_index_delta(
+                index, sig, id_col=id_col, band_bytes=band_bytes
+            )
         delta_rows = delta_rows.localCheckpoint(eager=True)
         pairs.write.mode("overwrite").parquet(
             f"{pairs_path}/batch_id={batch_id}"

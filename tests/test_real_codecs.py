@@ -1031,3 +1031,107 @@ def test_audio_fingerprint_invariances(spark):
     )
     with pytest.raises(Exception, match="WAVE"):
         audio_fingerprint(bad).collect()
+
+
+def test_frame_index_delta_matches_full_rebuild(spark):
+    """The incremental video index must emit exactly the full
+    containment rebuild's delta-touching pairs (with shared counts),
+    including when the max_df hot-frame guard binds — df is computed
+    over index ∪ delta, same corpus as the batch operator."""
+    from pyspark.sql import functions as F
+
+    from chicago_crime_spark_ml_spark.operators.multimodal import (
+        frame_index_delta,
+        video_near_dup_pairs,
+    )
+
+    rows = []
+    # hot frame in 8 old streams + 2 delta ones; unique fillers
+    for i in range(1, 9):
+        rows += [(i, 0, "hh"), (i, 1, f"u{i}")]
+    for i in (10, 11):
+        rows += [(i, 0, "hh"), (i, 1, f"u{i}")]
+    # real pair: old 5 & delta 10 share 3 rare frames
+    rows += [(5, k + 2, f"s{k}") for k in range(3)]
+    rows += [(10, k + 2, f"s{k}") for k in range(3)]
+    sig = spark.createDataFrame(
+        rows, "doc_id BIGINT, frame_idx INT, dhash STRING"
+    )
+    old = sig.filter(F.col("doc_id") < 10)
+    delta = sig.filter(F.col("doc_id") >= 10)
+    index = old.select("doc_id", "dhash").distinct()
+    for df_cap in (None, 5):
+        new_rows, pairs = frame_index_delta(
+            index, delta, min_shared=1, max_df=df_cap
+        )
+        got = {(r.id_a, r.id_b): r.shared_frames for r in pairs.collect()}
+        full = video_near_dup_pairs(sig, min_shared=1, max_df=df_cap)
+        want = {
+            (r.id_a, r.id_b): r.shared_frames
+            for r in full.filter(
+                (F.col("id_a") >= 10) | (F.col("id_b") >= 10)
+            ).collect()
+        }
+        assert got == want, (df_cap, got, want)
+        assert all(a >= 10 or b >= 10 for a, b in got)  # never old-old
+    # capped run pruned the hot frame: only the rare-frame pair remains
+    assert want == {(5, 10): 3}
+    # appended index == rebuild postings
+    appended = index.unionByName(new_rows)
+    full_idx = sig.select("doc_id", "dhash").distinct()
+    assert appended.exceptAll(full_idx).count() == 0
+    assert full_idx.exceptAll(appended).count() == 0
+
+
+def test_streaming_video_modality_ingest(spark, tmp_path):
+    """modality='video' through the streaming sink: a trimmed copy of a
+    clip arriving in a later batch must pair with the original via the
+    persisted frame index (containment >= min_shared)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from chicago_crime_spark_ml_spark.operators.multimodal import (
+        encode_netpbm,
+    )
+    from chicago_crime_spark_ml_spark.streaming import (
+        streaming_media_near_dup_ingest,
+    )
+
+    rng = np.random.default_rng(131)
+    shared = [rng.integers(0, 256, size=(16, 18)) for _ in range(4)]
+    other = [rng.integers(0, 256, size=(16, 18)) for _ in range(4)]
+
+    def stream_blob(frames):
+        return bytearray(
+            b"".join(encode_netpbm(f.astype(np.int64)) for f in frames)
+        )
+
+    schema = "doc_id BIGINT, blob BINARY"
+    src = tmp_path / "vid_src"
+    src.mkdir()
+    index_path = str(tmp_path / "vid_index")
+    pairs_path = str(tmp_path / "vid_pairs")
+
+    def emit(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    emit([(1, stream_blob(shared + [other[0]])), (2, stream_blob(other))])
+    vstream = spark.readStream.schema(schema).parquet(str(src))
+    q = streaming_media_near_dup_ingest(
+        vstream, index_path, pairs_path, str(tmp_path / "vid_ckpt"),
+        modality="video", min_shared=3,
+    )
+    try:
+        q.processAllAvailable()
+        emit([(3, stream_blob(shared[:3]))])  # trimmed copy, 3 shared
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.id_a, r.id_b): r.shared_frames
+        for r in spark.read.parquet(pairs_path).collect()
+    }
+    assert got == {(1, 3): 3}
+    idx_docs = {r.doc_id for r in spark.read.parquet(index_path).collect()}
+    assert idx_docs == {1, 2, 3}
