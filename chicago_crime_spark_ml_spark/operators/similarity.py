@@ -496,6 +496,61 @@ def write_ivf_index(
     ).coalesce(1).write.mode("overwrite").parquet(path + "__centers")
 
 
+def assign_to_centroids(
+    df: DataFrame,
+    centers: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign vectors to their nearest FROZEN centroid by squared
+    euclidean distance (KMeans' own metric, lowest cell index on
+    ties) — broadcast the bounded centers frame, one struct-min per
+    vector, no shuffle of the vectors themselves. Returns
+    (id, v, cell). The building block of incremental IVF maintenance:
+    assignment against frozen centroids is exactly what
+    ``KMeansModel.transform`` computes, without needing the fitted
+    model object (the centers sidecar is the model)."""
+    v = F.col(vec_col).cast("array<double>")
+    d2 = F.aggregate(
+        F.zip_with(F.col("_v"), F.col("center"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pick = F.min(F.struct(F.col("_d2"), F.col("cell")))
+    return (
+        df.select(F.col(id_col), v.alias("_v"))
+        .join(F.broadcast(centers.select("cell", "center")))
+        .withColumn("_d2", d2)
+        .groupBy(id_col)
+        .agg(pick.alias("pk"), F.first("_v").alias("v"))
+        .select(id_col, "v", F.col("pk.cell").alias("cell"))
+    )
+
+
+def ivf_index_delta(
+    spark,
+    path: str,
+    new_df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Incremental IVF maintenance — the EMBEDDING twin of the text/
+    image/video delta indexes: assign ONLY the delta vectors to the
+    index's frozen centroids (read from the ``__centers`` sidecar,
+    broadcast — bounded) and append them into the cell-partitioned
+    parquet layout, so :func:`probe_ivf_index` sees new vectors
+    immediately with zero refit and zero rewrite of existing cells.
+    O(delta·n_clusters) work, all map-side. Returns the assigned
+    (id, v, cell) frame. Frozen centroids drift from the true k-means
+    optimum as the corpus grows — the standard IVF trade-off;
+    schedule a rebuild (write_ivf_index) when recall degrades, the
+    same cadence judgement every vector store makes."""
+    centers = spark.read.parquet(path + "__centers")
+    assigned = assign_to_centroids(new_df, centers, vec_col, id_col)
+    assigned.write.mode("append").partitionBy("cell").parquet(path)
+    return assigned
+
+
 def probe_ivf_index(
     spark,
     path: str,

@@ -5862,6 +5862,65 @@ def ann_lsh_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ivf_delta_assignment_check",
+    "SELECT true AS delta_equals_transform",
+)
+def ivf_delta_assignment_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract query for incremental EMBEDDING-index maintenance
+    (similarity.assign_to_centroids, the core of ivf_index_delta —
+    completing delta-ingest coverage across text/image/video/audio/
+    embeddings): fit k-means on the 80% split, then verify that the
+    engine's frozen-centroid assignment of the 20% delta (broadcast
+    centers, squared-euclidean struct-min, lowest-cell tiebreak)
+    reproduces ``KMeansModel.transform``'s cell for EVERY delta vector
+    — zero refit, zero model object, just the centers sidecar frame.
+    Cells are fit-specific, so the driver-checkable output is the
+    distributed equality verdict (anti-join empty ⇔ equal)."""
+    from pyspark.ml.clustering import KMeans  # noqa: PLC0415
+    from pyspark.ml.functions import array_to_vector  # noqa: PLC0415
+
+    from chicago_crime_spark_ml_spark.operators.similarity import (
+        assign_to_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    delta = emb.filter(F.col("vec_id") % 5 == 0)
+    vecs = old.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("feat", array_to_vector("v"))
+    model = KMeans(
+        k=16, seed=42, featuresCol="feat", predictionCol="cell"
+    ).fit(vecs)
+    centers = spark.createDataFrame(
+        [
+            (int(i), [float(x) for x in c])
+            for i, c in enumerate(model.clusterCenters())
+        ],
+        "cell INT, center ARRAY<DOUBLE>",
+    )
+    mine = assign_to_centroids(delta, centers).select(
+        "vec_id", F.col("cell").alias("cell_mine")
+    )
+    dv = delta.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("feat", array_to_vector("v"))
+    theirs = model.transform(dv).select(
+        "vec_id", F.col("cell").alias("cell_mllib")
+    )
+    diff = (
+        mine.join(theirs, "vec_id")
+        .filter(F.col("cell_mine") != F.col("cell_mllib"))
+        .count()
+    )
+    n_mine, n_delta = mine.count(), delta.count()
+    return spark.createDataFrame(
+        [(diff == 0 and n_mine == n_delta,)],
+        "delta_equals_transform boolean",
+    )
+
+
+@query(
     "ann_ivf_recall_check",
     "SELECT true AS top1_found, true AS recall_ok",
 )

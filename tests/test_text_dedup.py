@@ -940,3 +940,56 @@ def test_bpe_batched_equals_sequential(spark, docs):
     assert rows(bpe_learn_merges_batched(docs, k=3, m=1)) == seq[:3]
     with pytest.raises(ValueError, match="m must be"):
         bpe_learn_merges_batched(docs, k=3, m=0)
+
+
+def test_ivf_index_delta_append_and_probe(spark, emb, tmp_path):
+    """Incremental IVF: delta vectors assigned to FROZEN centroids must
+    match KMeansModel.transform's assignment exactly, the append must
+    land in the cell-partitioned layout, and a probe after the append
+    must surface a delta vector as top-1 for its own query — continuous
+    embedding ingest with zero refit."""
+    from pyspark.sql import functions as F
+
+    from chicago_crime_spark_ml_spark.operators.similarity import (
+        assign_to_centroids,
+        ivf_index_delta,
+        probe_ivf_index,
+        write_ivf_index,
+    )
+
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    delta = emb.filter(F.col("vec_id") % 5 == 0)
+    path = str(tmp_path / "ivf_delta_index")
+    write_ivf_index(old, path, n_clusters=8)
+
+    # ground truth: refit-free assignment via MLlib on the same centers
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = old.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("feat", array_to_vector("v"))
+    model = KMeans(
+        k=8, seed=42, featuresCol="feat", predictionCol="cell"
+    ).fit(vecs)
+    dv = delta.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("feat", array_to_vector("v"))
+    want = {r.vec_id: r.cell for r in model.transform(dv).collect()}
+
+    assigned = ivf_index_delta(spark, path, delta)
+    got = {r.vec_id: r.cell for r in assigned.collect()}
+    assert got == want  # frozen-centroid assignment == model.transform
+
+    # appended rows are readable through the partitioned layout
+    idx_ids = {r.vec_id for r in spark.read.parquet(path).collect()}
+    assert idx_ids == {r.vec_id for r in emb.collect()}
+    # a probe for a delta vector's own embedding finds it (top-1)
+    some_id = min(got)
+    qvec = emb.filter(F.col("vec_id") == some_id).first()["embedding"]
+    top = probe_ivf_index(spark, path, qvec, k=3, n_probe=3).collect()
+    assert top[0].vec_id == some_id and top[0].cosine == 1.0
+    # assign_to_centroids ties break on lowest cell (struct-min order)
+    centers = spark.read.parquet(path + "__centers")
+    two = assign_to_centroids(delta.limit(2), centers)
+    assert two.count() == 2
