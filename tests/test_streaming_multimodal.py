@@ -1016,5 +1016,5 @@ def test_streaming_media_near_dup_ingest_equals_batch(spark, tmp_path):
 
     with pytest.raises(ValueError, match="modality"):
         streaming_media_near_dup_ingest(
-            stream, index_path, pairs_path, str(tmp_path), modality="video"
+            stream, index_path, pairs_path, str(tmp_path), modality="text"
         )
