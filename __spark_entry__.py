@@ -127,8 +127,25 @@ _STATS_TIER_NUDGE = [
 # guards — max_bucket banding cap / max_df hot-frame pruning, VERDICT
 # r7 ask #1 — so their r7 rows certify the unguarded bodies).
 _REWRITTEN_GREENS = [
-    "multimodal_image_near_dup_pairs",  # r8: max_bucket + band_bytes
+    "multimodal_image_near_dup_pairs",  # r8: skew guards + 2-byte banding
     "multimodal_video_near_dup_pairs",  # r8: max_df hot-frame pruning
+    # r8: _doc_ids narrow-scan fan-out (plan-only; values are per-doc
+    # deterministic) applied to every media/synthetic certification
+    # query — re-certify the r7 greens on the fanned plans
+    "multimodal_real_wav_envelope",
+    "multimodal_real_image_features",
+    "multimodal_image_transcode_roundtrip",
+    "multimodal_audio_transcode_roundtrip",
+    "multimodal_flac_roundtrip",
+    "multimodal_audio_resample_roundtrip",
+    "multimodal_png_transcode_roundtrip",
+    "multimodal_keyframe_selection",
+    "multimodal_silence_trim",
+    "multimodal_corpus_audit",
+    "multimodal_png16_transcode_roundtrip",
+    "multimodal_wav_width_matrix",
+    "multimodal_real_image_16bit",
+    "multimodal_real_image_rgb",
 ]
 
 

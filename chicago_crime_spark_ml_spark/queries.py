@@ -73,6 +73,25 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parallelize_narrow_scan(load_table(spark, sf_dir, "documents"))
 
 
+def _doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id scan fanned out (text.parallelize_narrow_scan) before
+    the heavy per-doc stages of the media/synthetic certification
+    queries: the documents parquet arrives as 1-2 splits at bench
+    scales, which serializes each query's CPU-dominant synthesize /
+    encode / decode / per-token work on as many cores — the same
+    pathology (and the same fix) as the text queries' _docs helper.
+    Measured on the image near-dup pipeline at sf0.1: 3.8 s → 1.3 s.
+    No-op at real scale where the scan already has thousands of
+    splits; the shuffled payload is one bigint per row."""
+    from chicago_crime_spark_ml_spark.operators.text import (
+        parallelize_narrow_scan,
+    )
+
+    return parallelize_narrow_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+
+
 def _dsum(c, scale: int = 2):
     """Order-independent cross-engine sum of doubles: cast each term to
     DECIMAL(18,4) (exact, associative addition), round, back to double.
@@ -10962,7 +10981,7 @@ def multimodal_real_wav_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_wav_blobs,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
     n = F.lit(64) + (F.col("doc_id") % 5) * 16
     samples = F.transform(
         F.sequence(F.lit(0), n - 1),
@@ -11025,7 +11044,7 @@ def multimodal_real_image_features(
         synthesize_netpbm_blobs,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
     h = F.lit(8) + (F.col("doc_id") % 5).cast("int")
     w = F.lit(6) + (F.col("doc_id") % 7).cast("int")
     pixels = F.transform(
@@ -11093,7 +11112,7 @@ def multimodal_image_transcode_roundtrip(
         transcode_images,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
     h = F.lit(8) + (F.col("doc_id") % 5).cast("int")
     w = F.lit(6) + (F.col("doc_id") % 7).cast("int")
     pixels = F.transform(
@@ -11168,7 +11187,7 @@ def multimodal_audio_transcode_roundtrip(
         wav_metadata,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
     n = F.lit(64) + (F.col("doc_id") % 5) * 16
     samples = F.transform(
         F.sequence(F.lit(0), n - 1),
@@ -11240,7 +11259,7 @@ def multimodal_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         wav_metadata,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
     n = F.lit(48) + (F.col("doc_id") % 4) * 24
     samples = F.transform(
         F.sequence(F.lit(0), n - 1),
@@ -11338,7 +11357,7 @@ def multimodal_audio_resample_roundtrip(
         wav_metadata,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
     n = F.lit(33) + (F.col("doc_id") % 3) * 16
     samples = F.transform(
         F.sequence(F.lit(0), n - 1),
@@ -11518,7 +11537,7 @@ def multimodal_png_transcode_roundtrip(
         transcode_images,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
     h = F.lit(8) + (F.col("doc_id") % 5).cast("int")
     w = F.lit(6) + (F.col("doc_id") % 7).cast("int")
     pixels = F.transform(
@@ -11600,7 +11619,7 @@ def multimodal_keyframe_selection(
         synthesize_netpbm_stream_blobs,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
     nf = F.lit(5) + (F.col("doc_id") % 4).cast("int")
     frames = F.transform(
         F.sequence(F.lit(0), nf - 1),
@@ -11684,7 +11703,7 @@ def multimodal_image_near_dup_pairs(
         synthesize_netpbm_blobs,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
     f = F.floor(F.col("doc_id") / F.lit(2))
     # md5-derived pixels: linear patterns recur in f (period ≤ 256), so
     # at sf1 thousands of families became bit-identical images and the
@@ -11768,7 +11787,7 @@ def multimodal_video_near_dup_pairs(
         video_near_dup_pairs,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
     g = F.floor(F.col("doc_id") / F.lit(2))
     frames = F.transform(
         F.sequence(F.lit(0), F.lit(5)),
@@ -11890,7 +11909,7 @@ def multimodal_image_near_dup_clusters(
         synthesize_netpbm_blobs,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
     f = F.floor(F.col("doc_id") / F.lit(2))
     base = lambda r, c: F.conv(  # noqa: E731
         F.substring(F.md5(F.concat_ws("_", f, r, c)), 1, 2), 16, 10
@@ -12023,7 +12042,7 @@ def multimodal_video_near_dup_clusters(
         video_near_dup_pairs,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
     g = F.floor(F.col("doc_id") / F.lit(2))
     odd = F.col("doc_id") % 2 == 1
     lbl = lambda fi: (  # noqa: E731
@@ -12143,7 +12162,7 @@ def multimodal_audio_near_dup_pairs(
         synthesize_wav_blobs,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
     f = F.floor(F.col("doc_id") / F.lit(2))
     n = (F.lit(130) + (f % 3) * 65).cast("int")
     samples = F.transform(
@@ -12257,7 +12276,7 @@ def multimodal_audio_near_dup_clusters(
         synthesize_wav_blobs,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
     f = F.floor(F.col("doc_id") / F.lit(2))
     n = (F.lit(130) + (f % 3) * 65).cast("int")
     samples = F.transform(
@@ -12330,7 +12349,7 @@ def dhash_incremental_index_check(
         synthesize_netpbm_blobs,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
     f = F.floor(F.col("doc_id") / F.lit(2))
     base = lambda r, c: F.conv(  # noqa: E731
         F.substring(F.md5(F.concat_ws("_", f, r, c)), 1, 2), 16, 10
@@ -12402,7 +12421,7 @@ def video_frame_incremental_index_check(
         video_near_dup_pairs,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
     g = F.floor(F.col("doc_id") / F.lit(2))
     frames = F.transform(
         F.sequence(F.lit(0), F.lit(5)),
@@ -12503,7 +12522,7 @@ def multimodal_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         trim_silence,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
     n = F.lit(33) + (F.col("doc_id") % 3) * 16
     a = (F.col("doc_id") % 6).cast("int")
     b = (F.col("doc_id") % 4).cast("int")
@@ -12565,7 +12584,7 @@ def multimodal_corpus_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         transcode_images,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
     m = F.col("doc_id") % 5
     n = F.lit(24) + (F.col("doc_id") % 8)
     samples = F.transform(
@@ -12648,7 +12667,7 @@ def multimodal_png16_transcode_roundtrip(
         transcode_images,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
     h = F.lit(8) + (F.col("doc_id") % 5).cast("int")
     w = F.lit(6) + (F.col("doc_id") % 7).cast("int")
     pixels = F.transform(
@@ -13270,7 +13289,7 @@ def doc_span_excision_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         excise_duplicated_spans_to_fixpoint,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
     role = F.col("doc_id") % 4
     m = F.floor(F.col("doc_id") / F.lit(4)).cast("long")
     did = F.col("doc_id")
@@ -13420,7 +13439,7 @@ def multimodal_wav_width_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_wav_blobs,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
     n = F.lit(32) + (F.col("doc_id") % 3) * 16
     samples = F.transform(
         F.sequence(F.lit(0), n - 1),
@@ -13485,7 +13504,7 @@ def multimodal_real_image_16bit(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_netpbm_blobs,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
     h = F.lit(6) + (F.col("doc_id") % 4).cast("int")
     w = F.lit(5) + (F.col("doc_id") % 6).cast("int")
     pixels = F.transform(
@@ -13549,7 +13568,7 @@ def multimodal_real_image_rgb(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_netpbm_blobs,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
     h = F.lit(5) + (F.col("doc_id") % 3).cast("int")
     w = F.lit(4) + (F.col("doc_id") % 5).cast("int")
     pixels = F.transform(

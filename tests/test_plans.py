@@ -516,11 +516,17 @@ EXCHANGE_BUDGET = [
     ("event_lateness_profile", 2),
     # r6 real-codec chains: map-only (0-2 exchanges are the tiny
     # doc_id joins in the roundtrip variants), never a fact shuffle
-    ("multimodal_real_wav_envelope", 0),
-    ("multimodal_real_image_features", 0),
-    ("multimodal_image_transcode_roundtrip", 1),
-    ("multimodal_audio_transcode_roundtrip", 2),
-    ("multimodal_png_transcode_roundtrip", 1),
+    # r8: + the _doc_ids scan-spread repartition before the heavy
+    # Arrow synthesize/decode stages (bench-scale only; no-op on real
+    # multi-split inputs — the doc_simhash rationale above). The
+    # roundtrip queries consume the doc scan in BOTH join branches, so
+    # the bigint repartition appears twice (one per branch — the same
+    # pre-existing two-branch shape, each branch now 8-way parallel)
+    ("multimodal_real_wav_envelope", 1),
+    ("multimodal_real_image_features", 1),
+    ("multimodal_image_transcode_roundtrip", 3),
+    ("multimodal_audio_transcode_roundtrip", 5),  # three doc-scan branches
+    ("multimodal_png_transcode_roundtrip", 3),
     # round-2 scale operators
     ("heavy_hitter_users", 3),
     ("bitmap_distinct_customers_by_priority", 2),
