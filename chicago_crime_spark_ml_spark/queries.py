@@ -12479,6 +12479,125 @@ def video_frame_incremental_index_check(
 
 
 @query(
+    "media_curation_funnel",
+    """
+    WITH RECURSIVE d AS (SELECT doc_id, doc_id // 2 AS f,
+                      doc_id % 7 = 3 AS bad
+               FROM documents),
+    dec AS (SELECT doc_id, f FROM d WHERE NOT bad),
+    g AS (SELECT doc_id, f, unnest(generate_series(0, 7)) AS r FROM dec),
+    gc AS (SELECT doc_id, f, r, unnest(generate_series(0, 7)) AS c FROM g),
+    bits AS (SELECT doc_id, r,
+                    CASE WHEN ('0x' || substr(md5(f || '_' || (2 * r) || '_'
+                                                  || (2 * c)), 1, 2))::INT
+                            > ('0x' || substr(md5(f || '_' || (2 * r) || '_'
+                                                  || (2 * c + 2)), 1, 2))::INT
+                         THEN 1 << (7 - c) ELSE 0 END AS bv
+             FROM gc),
+    bytes AS (SELECT doc_id, r, CAST(SUM(bv) AS BIGINT) AS byte
+              FROM bits GROUP BY doc_id, r),
+    bands AS (SELECT e.doc_id, e.r // 2 AS band,
+                     e.byte * 256 + o.byte AS v
+              FROM bytes e JOIN bytes o
+                ON o.doc_id = e.doc_id AND o.r = e.r + 1
+              WHERE e.r % 2 = 0),
+    cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+             FROM bands x JOIN bands y
+               ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id),
+    ham AS (SELECT c2.id_a, c2.id_b,
+                   CAST(SUM(bit_count(xor(ba.byte, bb.byte))) AS INT)
+                     AS hamming
+            FROM cand c2
+            JOIN bytes ba ON ba.doc_id = c2.id_a
+            JOIN bytes bb ON bb.doc_id = c2.id_b AND bb.r = ba.r
+            GROUP BY c2.id_a, c2.id_b),
+    pairs AS (SELECT id_a, id_b FROM ham WHERE hamming <= 3),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(src, dst) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r2.src, e3.b FROM reach r2 JOIN edges e3 ON r2.dst = e3.a),
+    comp AS (SELECT src AS node, least(src, min(dst)) AS label
+             FROM reach GROUP BY src),
+    clusters AS (SELECT dec.doc_id,
+                        CAST(coalesce(c.label, dec.doc_id) AS BIGINT)
+                          AS cid
+                 FROM dec LEFT JOIN comp c ON dec.doc_id = c.node)
+    SELECT 'raw' AS stage, count(*) AS n_docs FROM d
+    UNION ALL SELECT 'decodable', count(*) FROM dec
+    UNION ALL SELECT 'canonical', count(DISTINCT cid) FROM clusters
+    """,
+)
+def media_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The media CURATION FUNNEL — the media twin of
+    corpus_curation_funnel, composing the r8 tier end-to-end in one
+    certified query: (1) raw intake where every 7th-ish doc carries a
+    corrupt blob, (2) media_type_audit's REAL decode triage gates the
+    corpus (corrupt blobs quarantined by classification, never by
+    crash — the on_error contract), (3) the survivors run perceptual
+    dedup (dHash → 2-byte banded pairs → connected components) and the
+    funnel reports the CANONICAL count — how many images a curation
+    run actually keeps. Planted structure: even/odd family twins
+    collapse to one cluster when both decode; a twin whose sibling was
+    quarantined survives as a singleton. The oracle replays the
+    corrupt-set predicate, dHash bytes, banding, rescore,
+    reachability, and the three stage counts closed-form."""
+    from chicago_crime_spark_ml_spark.operators.dedup import (
+        connected_components,
+    )
+    from chicago_crime_spark_ml_spark.operators.multimodal import (
+        dhash_hamming_pairs,
+        image_dhash,
+        media_type_audit,
+        synthesize_netpbm_blobs,
+    )
+
+    docs = _doc_ids(spark, sf_dir)
+    bad = F.col("doc_id") % 7 == 3
+    f = F.floor(F.col("doc_id") / F.lit(2))
+    base = lambda r, c: F.conv(  # noqa: E731
+        F.substring(F.md5(F.concat_ws("_", f, r, c)), 1, 2), 16, 10
+    ).cast("int")
+    pixels = F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda r: F.transform(
+            F.sequence(F.lit(0), F.lit(17)), lambda c: base(r, c)
+        ),
+    )
+    good = synthesize_netpbm_blobs(
+        docs.filter(~bad).select("doc_id", pixels.alias("pixels"))
+    )
+    junk = docs.filter(bad).select(
+        "doc_id", F.lit(bytes(b"JUNK")).alias("blob")
+    )
+    # blobs feed TWO consumers (audit triage + the dedup pipeline over
+    # the survivors): materialize the synthesize mapInPandas once
+    blobs = good.unionByName(junk).localCheckpoint(eager=True)
+    audit = media_type_audit(blobs)
+    dec = audit.filter(F.col("decodable")).select("doc_id")
+    pairs = dhash_hamming_pairs(
+        image_dhash(blobs.join(dec, "doc_id", "left_semi")),
+        max_distance=3,
+        band_bytes=2,
+    )
+    comp = connected_components(pairs)
+    clusters = dec.join(comp, dec["doc_id"] == comp["node"], "left").select(
+        F.coalesce("label", "doc_id").alias("cid")
+    )
+    raw_n = docs.agg(F.count(F.lit(1)).alias("n_docs")).select(
+        F.lit("raw").alias("stage"), "n_docs"
+    )
+    dec_n = dec.agg(F.count(F.lit(1)).alias("n_docs")).select(
+        F.lit("decodable").alias("stage"), "n_docs"
+    )
+    canon_n = clusters.agg(
+        F.countDistinct("cid").alias("n_docs")
+    ).select(F.lit("canonical").alias("stage"), "n_docs")
+    return raw_n.unionByName(dec_n).unionByName(canon_n)
+
+
+@query(
     "multimodal_silence_trim",
     """
     WITH d AS (SELECT doc_id, 33 + (doc_id % 3) * 16 AS n,
