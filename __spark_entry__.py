@@ -122,31 +122,10 @@ _STATS_TIER_NUDGE = [
 # outrank the other greens for re-certification when the driver's
 # bounded budget reaches past the never-checked tier. Self-demoting:
 # once re-checked green they sort with other greens in later rounds'
-# evidence. REFRESHED per round (the 7 r7 names earned green r7 rows
-# on the new impls and dropped off; the two below gained r8 skew
-# guards — max_bucket banding cap / max_df hot-frame pruning, VERDICT
-# r7 ask #1 — so their r7 rows certify the unguarded bodies).
-_REWRITTEN_GREENS = [
-    "multimodal_image_near_dup_pairs",  # r8: skew guards + 2-byte banding
-    "multimodal_video_near_dup_pairs",  # r8: max_df hot-frame pruning
-    # r8: _doc_ids narrow-scan fan-out (plan-only; values are per-doc
-    # deterministic) applied to every media/synthetic certification
-    # query — re-certify the r7 greens on the fanned plans
-    "multimodal_real_wav_envelope",
-    "multimodal_real_image_features",
-    "multimodal_image_transcode_roundtrip",
-    "multimodal_audio_transcode_roundtrip",
-    "multimodal_flac_roundtrip",
-    "multimodal_audio_resample_roundtrip",
-    "multimodal_png_transcode_roundtrip",
-    "multimodal_keyframe_selection",
-    "multimodal_silence_trim",
-    "multimodal_corpus_audit",
-    "multimodal_png16_transcode_roundtrip",
-    "multimodal_wav_width_matrix",
-    "multimodal_real_image_16bit",
-    "multimodal_real_image_rgb",
-]
+# evidence. REFRESHED per round (all 16 r8 names — the 2 guard/banding
+# rewrites + 14 _doc_ids fan-outs — earned green r8 rows on the new
+# impls and dropped off; r9 entries added as rewrites land).
+_REWRITTEN_GREENS: list = []
 
 
 def _rotated(catalog: dict) -> dict:
