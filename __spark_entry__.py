@@ -124,8 +124,19 @@ _STATS_TIER_NUDGE = [
 # once re-checked green they sort with other greens in later rounds'
 # evidence. REFRESHED per round (all 16 r8 names — the 2 guard/banding
 # rewrites + 14 _doc_ids fan-outs — earned green r8 rows on the new
-# impls and dropped off; r9 entries added as rewrites land).
-_REWRITTEN_GREENS: list = []
+# impls and dropped off).
+_REWRITTEN_GREENS = [
+    # r9: replay-idempotent delta maintenance (broadcast dup-id
+    # anti-join + occupancy/df over index ∪ fresh) rewrote both
+    # incremental media operators under these certifications
+    "dhash_incremental_index_check",
+    "video_frame_incremental_index_check",
+    # r9: epsilon-gap tolerance contract (ADVICE r8) rewrote the
+    # comparison side
+    "ivf_delta_assignment_check",
+    # r9: the batched trainer now runs on delta-maintained pair counts
+    "bpe_merge_learning_batched",
+]
 
 
 def _rotated(catalog: dict) -> dict:

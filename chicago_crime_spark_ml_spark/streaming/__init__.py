@@ -204,19 +204,26 @@ def incremental_rollup_to_parquet(
     writers the sinks Structured Streaming lacks natively (here: keyed
     upsert). Exactly-once per group follows from update-mode emitting
     the LATEST value per changed key and the merge being idempotent on
-    replays of the same batch."""
-    import os  # noqa: PLC0415
-
-    from chicago_crime_spark_ml_spark.sources.io import merge_parquet  # noqa: PLC0415
+    replays of the same batch. The does-the-table-exist-yet probe
+    ATTEMPTS the read (sources.io.try_read_parquet): a driver-local
+    ``os.path`` check is always False on hdfs://s3a:// stores, so every
+    batch would take the initial-write branch and the second one would
+    kill the stream (the ADVICE r7 bug class, fixed in the near-dup
+    ingest sinks in r8 and here in r9). The initial write uses
+    overwrite mode so a replayed first batch lands idempotently."""
+    from chicago_crime_spark_ml_spark.sources.io import (  # noqa: PLC0415
+        merge_parquet,
+        try_read_parquet,
+    )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        if os.path.isdir(path):
+        if try_read_parquet(spark, path) is not None:
             merge_parquet(spark, path, batch_df, keys)
         else:
-            batch_df.write.parquet(path)
+            batch_df.write.mode("overwrite").parquet(path)
 
     return (
         agg.writeStream.outputMode("update")
@@ -260,10 +267,11 @@ def streaming_near_dup_ingest(
     Returns the StreamingQuery; read ``pairs_path`` for candidates and
     ``index_path`` for the live index (both gain a ``batch_id``
     partition column)."""
-    from pyspark.errors import AnalysisException  # noqa: PLC0415
-
     from chicago_crime_spark_ml_spark.operators.dedup import (  # noqa: PLC0415
         lsh_index_delta,
+    )
+    from chicago_crime_spark_ml_spark.sources.io import (  # noqa: PLC0415
+        try_read_parquet,
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -275,13 +283,15 @@ def streaming_near_dup_ingest(
         # is driver-LOCAL and always false on hdfs:///s3a:// stores —
         # every batch would silently probe an empty index while the
         # directory kept accumulating, a recall loss with no error
-        # (ADVICE r7). AnalysisException is raised eagerly by
-        # spark.read for missing paths on ANY Hadoop filesystem.
-        try:
-            index = spark.read.parquet(index_path).select(
-                id_col, "band", "bucket"
-            )
-        except AnalysisException:
+        # (ADVICE r7). Only the missing-dataset error classes map to
+        # the empty frame; any other AnalysisException (corrupt
+        # footers, schema-merge failure, wrong path type) re-raises —
+        # silently probing empty on those would drop all historical
+        # recall with no error (ADVICE r8).
+        idx = try_read_parquet(spark, index_path)
+        if idx is not None:
+            index = idx.select(id_col, "band", "bucket")
+        else:
             index = spark.createDataFrame(
                 [], f"{id_col} long, band int, bucket bigint"
             )
@@ -321,6 +331,8 @@ def streaming_media_near_dup_ingest(
     id_col: str = "doc_id",
     band_bytes: int = 2,
     min_shared: int = 2,
+    max_bucket: int | None = 10_000,
+    max_df: int | None = 10_000,
     query_name: str = "media_near_dup_ingest",
 ):
     """Continuous-ingestion MEDIA near-dup detection — the streaming
@@ -342,18 +354,25 @@ def streaming_media_near_dup_ingest(
     subdirectory with overwrite mode (parquet append is not
     idempotent; per-batch overwrite is), and the pair write is forced
     BEFORE the index append so a batch never collides with itself.
-    The index existence probe attempts the read and falls back to an
-    empty frame on AnalysisException — never a driver-local
-    filesystem check (ADVICE r7: os.path is always false on
-    hdfs://s3a:// stores)."""
-    from pyspark.errors import AnalysisException  # noqa: PLC0415
-
+    The delta operators additionally drop postings whose doc already
+    sits in the index (re-ingest of a doc in a later batch), so the
+    live index never accumulates duplicates. The index existence probe
+    attempts the read and falls back to an empty frame ONLY on the
+    missing-dataset error classes; other AnalysisExceptions re-raise
+    instead of silently probing empty (ADVICE r8). ``max_bucket``
+    (image/audio) and ``max_df`` (video) are the per-micro-batch
+    occupancy guards: a degenerate hot cell — flat/black frames
+    banding to one value — would otherwise cost every future batch
+    O(delta × cell size) forever."""
     from chicago_crime_spark_ml_spark.operators.multimodal import (  # noqa: PLC0415
         audio_fingerprint,
         dhash_index_delta,
         frame_index_delta,
         frame_stream_dhash,
         image_dhash,
+    )
+    from chicago_crime_spark_ml_spark.sources.io import (  # noqa: PLC0415
+        try_read_parquet,
     )
 
     sig_fn = {
@@ -377,9 +396,10 @@ def streaming_media_near_dup_ingest(
         else:
             idx_schema = f"{id_col} long, band int, byte int"
             idx_cols = [id_col, "band", "byte"]
-        try:
-            index = spark.read.parquet(index_path).select(*idx_cols)
-        except AnalysisException:
+        idx = try_read_parquet(spark, index_path)
+        if idx is not None:
+            index = idx.select(*idx_cols)
+        else:
             index = spark.createDataFrame([], idx_schema)
         # signature once behind a barrier: the delta rows feed the
         # probe AND both union branches — lazy, the per-blob decode
@@ -389,11 +409,19 @@ def streaming_media_near_dup_ingest(
         ).localCheckpoint(eager=True)
         if modality == "video":
             delta_rows, pairs = frame_index_delta(
-                index, sig, id_col=id_col, min_shared=min_shared
+                index,
+                sig,
+                id_col=id_col,
+                min_shared=min_shared,
+                max_df=max_df,
             )
         else:
             delta_rows, pairs = dhash_index_delta(
-                index, sig, id_col=id_col, band_bytes=band_bytes
+                index,
+                sig,
+                id_col=id_col,
+                band_bytes=band_bytes,
+                max_bucket=max_bucket,
             )
         delta_rows = delta_rows.localCheckpoint(eager=True)
         pairs.write.mode("overwrite").parquet(

@@ -704,9 +704,13 @@ def test_image_dhash_and_hamming_pairs(spark):
     assert got[1] != got[4]
     assert len(got[1]) == 16 and int(got[1], 16) >= 0
 
+    # wide-distance recall is the explicit 1-byte-band opt-in since r9
+    # (defaults are the scale setting: band_bytes=2, max_distance=3)
     pairs = {
         (r.id_a, r.id_b): r.hamming
-        for r in dhash_hamming_pairs(hashes, max_distance=7).collect()
+        for r in dhash_hamming_pairs(
+            hashes, max_distance=7, band_bytes=1
+        ).collect()
     }
     assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 0 and pairs[(2, 3)] == 0
     assert (1, 4) not in pairs  # far pair rescored out
@@ -787,20 +791,24 @@ def test_dhash_hamming_pairs_hot_bucket_cap(spark):
     hashes = spark.createDataFrame(
         rows, "doc_id BIGINT, dhash STRING, row_bytes ARRAY<INT>"
     )
+    # the planted pairs live at hamming 7 in one-byte-band geometry —
+    # the explicit wide-recall opt-in (r9 defaults: band_bytes=2/3)
+    wide = dict(max_distance=7, band_bytes=1)
     uncapped = {
         (r.id_a, r.id_b)
-        for r in dhash_hamming_pairs(hashes, max_bucket=None).collect()
+        for r in dhash_hamming_pairs(hashes, max_bucket=None, **wide).collect()
     }
     assert (100, 101) in uncapped and (200, 201) in uncapped
     capped = {
         (r.id_a, r.id_b)
-        for r in dhash_hamming_pairs(hashes, max_bucket=5).collect()
+        for r in dhash_hamming_pairs(hashes, max_bucket=5, **wide).collect()
     }
     assert (100, 101) in capped  # survives via the 7 uncrowded bands
     assert (200, 201) not in capped  # its only band was the hot cell
     # default cap (10_000) never binds at this scale
     assert (200, 201) in {
-        (r.id_a, r.id_b) for r in dhash_hamming_pairs(hashes).collect()
+        (r.id_a, r.id_b)
+        for r in dhash_hamming_pairs(hashes, **wide).collect()
     }
 
 
@@ -976,11 +984,69 @@ def test_dhash_index_delta_matches_full_rebuild(spark):
     appended = index.unionByName(new_rows)
     assert appended.exceptAll(full).count() == 0
     assert full.exceptAll(appended).count() == 0
-    # band_bytes=2 index shares the pairs' band space
+    # band_bytes=2 index shares the pairs' band space (and is the r9
+    # default: the bare-call index has 4 sixteen-bit bands per doc)
     idx2 = dhash_band_index(sig, band_bytes=2)
     assert idx2.count() == sig.count() * 4
+    assert dhash_band_index(sig).count() == sig.count() * 4
     with pytest.raises(ValueError, match="band_bytes"):
         dhash_band_index(sig, band_bytes=3)
+    # replay / re-ingest idempotence (ADVICE r8): probing again with a
+    # delta whose docs already sit in the appended index must append
+    # ZERO new postings while still reporting the delta's pairs
+    rr_rows, rr_pairs = dhash_index_delta(appended, delta)
+    assert rr_rows.count() == 0
+    assert {(r.id_a, r.id_b) for r in rr_pairs.collect()} == got
+
+
+def test_dhash_index_delta_hot_cell_cap(spark):
+    """max_bucket on the INCREMENTAL path (ADVICE r8): a degenerate hot
+    (band, byte) cell is dropped from both the probe and the index side
+    — occupancy counted over index ∪ delta, so the delta emits exactly
+    what a capped rebuild would — while pairs riding uncrowded bands
+    survive."""
+    from pyspark.sql import functions as F
+
+    from chicago_crime_spark_ml_spark.operators.multimodal import (
+        dhash_band_index,
+        dhash_index_delta,
+    )
+
+    rows = []
+    # 19-doc OLD crowd in the byte0=0 cell; bytes 1-7 deterministic and
+    # DISJOINT from every other doc's values (random bytes collide by
+    # chance at these densities), so crowd docs collide ONLY in the hot
+    # cell
+    for i in range(1, 20):
+        rows.append((i, "", [0] + [i] * 7))
+    twin = [77] + [100 + j for j in range(7)]
+    rows.append((100, "", list(twin)))   # old half of an all-band pair
+    rows.append((101, "", list(twin)))   # delta twin: collides in all 8
+    tail = [150 + j for j in range(7)]
+    rows.append((200, "", [0] + tail))   # old: only-hot-cell pair...
+    rows.append((201, "", [0] + [b ^ 1 for b in tail]))  # ...delta half
+    sig = spark.createDataFrame(
+        rows, "doc_id BIGINT, dhash STRING, row_bytes ARRAY<INT>"
+    )
+    old = sig.filter(~F.col("doc_id").isin(101, 201))
+    delta = sig.filter(F.col("doc_id").isin(101, 201))
+    index = dhash_band_index(old, band_bytes=1)
+    # uncapped: both planted pairs emitted (plus 201×crowd candidates)
+    _, unc = dhash_index_delta(index, delta, band_bytes=1, max_bucket=None)
+    unc_pairs = {(r.id_a, r.id_b) for r in unc.collect()}
+    assert (100, 101) in unc_pairs and (200, 201) in unc_pairs
+    assert (1, 201) in unc_pairs  # crowd collision, pre-cap
+    # capped at 5: hot cell (occupancy 21 over index ∪ delta) dropped
+    # from probe AND index side; the all-band twin survives
+    fresh, capped = dhash_index_delta(
+        index, delta, band_bytes=1, max_bucket=5
+    )
+    cap_pairs = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (100, 101) in cap_pairs
+    assert (200, 201) not in cap_pairs
+    assert not any(a < 100 for a, _ in cap_pairs)  # no crowd candidates
+    # the cap affects PAIRS only, never which postings are appended
+    assert fresh.count() == delta.count() * 8
 
 
 def test_audio_fingerprint_invariances(spark):
@@ -1060,27 +1126,40 @@ def test_frame_index_delta_matches_full_rebuild(spark):
     old = sig.filter(F.col("doc_id") < 10)
     delta = sig.filter(F.col("doc_id") >= 10)
     index = old.select("doc_id", "dhash").distinct()
+    wants = {}
     for df_cap in (None, 5):
         new_rows, pairs = frame_index_delta(
             index, delta, min_shared=1, max_df=df_cap
         )
         got = {(r.id_a, r.id_b): r.shared_frames for r in pairs.collect()}
         full = video_near_dup_pairs(sig, min_shared=1, max_df=df_cap)
-        want = {
+        wants[df_cap] = {
             (r.id_a, r.id_b): r.shared_frames
             for r in full.filter(
                 (F.col("id_a") >= 10) | (F.col("id_b") >= 10)
             ).collect()
         }
-        assert got == want, (df_cap, got, want)
+        assert got == wants[df_cap], (df_cap, got, wants[df_cap])
         assert all(a >= 10 or b >= 10 for a, b in got)  # never old-old
     # capped run pruned the hot frame: only the rare-frame pair remains
-    assert want == {(5, 10): 3}
+    assert wants[5] == {(5, 10): 3}
     # appended index == rebuild postings
     appended = index.unionByName(new_rows)
     full_idx = sig.select("doc_id", "dhash").distinct()
     assert appended.exceptAll(full_idx).count() == 0
     assert full_idx.exceptAll(appended).count() == 0
+    # replay / re-ingest (ADVICE r8): delta streams already indexed →
+    # zero new postings, df NOT double-counted. max_df=10 is the
+    # boundary: hot frame hh has df exactly 10, so a replay that
+    # counted its delta postings twice (df 12) would drop it and lose
+    # the hot-frame pairs; correct dedup keeps the uncapped pair set.
+    rr_rows, rr_pairs = frame_index_delta(
+        full_idx, delta, min_shared=1, max_df=10
+    )
+    assert rr_rows.count() == 0
+    assert {
+        (r.id_a, r.id_b): r.shared_frames for r in rr_pairs.collect()
+    } == wants[None]
 
 
 def test_streaming_video_modality_ingest(spark, tmp_path):
