@@ -131,6 +131,7 @@ _REWRITTEN_GREENS = [
     # incremental media operators under these certifications
     "dhash_incremental_index_check",
     "video_frame_incremental_index_check",
+    "lsh_incremental_index_check",
     # r9: epsilon-gap tolerance contract (ADVICE r8) rewrote the
     # comparison side
     "ivf_delta_assignment_check",

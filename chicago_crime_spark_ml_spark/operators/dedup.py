@@ -671,14 +671,29 @@ def lsh_index_delta(
 
     Exact rescoring (n-gram Jaccard on the pair texts) stays the
     caller's step, same as the batch LSH path.
+
+    Replay/re-ingest idempotence (r9, matching the media delta
+    operators): a delta doc already present in the index contributes
+    IDENTICAL band rows (the hash family is a pure function of the
+    text), so its rows are dropped from new_index_rows — appending the
+    return value never accumulates duplicates under stream replays or
+    re-sent docs. Detection is a broadcast semi-join against the
+    bounded delta ids (one column-pruned index scan, no corpus
+    shuffle); the probe still runs ALL delta postings against
+    index ∪ fresh, so pairs cover re-ingested docs identically.
     """
     delta_rows = lsh_band_index(
         new_docs, text_col, id_col, n, num_hashes, seed
     )
+    delta_ids = delta_rows.select(id_col).distinct()
+    dup_ids = index.select(id_col).join(
+        F.broadcast(delta_ids), id_col, "left_semi"
+    ).distinct()
+    fresh = delta_rows.join(F.broadcast(dup_ids), id_col, "left_anti")
     probe = delta_rows.select(
         "band", "bucket", F.col(id_col).alias("__new_id")
     )
-    both = index.unionByName(delta_rows).select(
+    both = index.unionByName(fresh).select(
         "band", "bucket", F.col(id_col).alias("__any_id")
     )
     pairs = (
@@ -690,4 +705,4 @@ def lsh_index_delta(
         )
         .distinct()
     )
-    return delta_rows, pairs
+    return fresh, pairs

@@ -1023,7 +1023,16 @@ def bpe_learn_merges_batched(
                 break
             syms = {s for c in accepted for s in (c.a, c.b)}
             merged = {c.a + c.b for c in accepted}
-            if {cand.a, cand.b} & (syms | merged):
+            # the (a+b) checks close the string-collision pathologies
+            # that would break ONE-PASS batch application: a concat
+            # equal to an accepted symbol could chain inside the
+            # simultaneous fold (sequential application cannot), and
+            # two merges with the same concat would conflate the
+            # per-merge event counts. Ending the batch early is always
+            # safe (worst case = sequential).
+            if {cand.a, cand.b} & (syms | merged) or (
+                cand.a + cand.b
+            ) in (syms | merged):
                 break
             accepted.append(cand)
         if len(pool) > len(accepted):
@@ -1038,40 +1047,71 @@ def bpe_learn_merges_batched(
                 batch.append(cand)
             else:
                 break
-        for cand in batch:
-            if len(rows) >= k:
-                break
-            cur, pcs, total = _bpe_apply_merge_delta(
-                cur, pcs, total, cand.a, cand.b
-            )
-            rows.append((len(rows) + 1, cand.a, cand.b, int(cand.pc), total))
+        batch = batch[: k - len(rows)]
+        cur, pcs, totals = _bpe_apply_batch_delta(cur, pcs, total, batch)
+        for cand, tot in zip(batch, totals):
+            rows.append((len(rows) + 1, cand.a, cand.b, int(cand.pc), tot))
+        total = totals[-1]
     return spark.createDataFrame(rows, _BPE_MERGES_SCHEMA)
 
 
-def _bpe_apply_merge_delta(
-    cur: DataFrame, pcs: DataFrame, total: int, a: str, b: str
+def _bpe_apply_batch_delta(
+    cur: DataFrame, pcs: DataFrame, total: int, batch
 ):
-    """Apply one merge to the vocab frame while MAINTAINING the pair
-    counts: fold only the affected words (those whose symbol string
-    contains the adjacency ``a b`` — exactly the words the fold
-    changes), subtract their before-pairs, add their after-pairs,
-    and adjust the running weighted symbol total by the symbols the
-    merge consumed. Affected/after frames are eagerly checkpointed
-    (interpreted folds must never stack — the let_expr lesson) and the
-    maintained counts frame is checkpointed per merge to keep lineage
-    flat across hundreds of rounds."""
-    hit = F.concat(F.lit(" "), F.col("sym"), F.lit(" ")).contains(
-        f" {a} {b} "
-    )
+    """Apply a WHOLE accepted batch of mutually-non-interfering merges
+    in ONE fold pass while MAINTAINING the pair counts — the per-round
+    cost is now independent of batch size (one affected-filter, one
+    multi-merge fold, one event agg, one counts update, one vocab
+    rebuild), where r9's first cut still paid one vocab rewrite per
+    merge.
+
+    Why one pass equals sequential application of the batch: batch
+    members share no symbols (guard i), no member's symbol equals
+    another's concatenation in either direction (guard ii + the r9
+    concat-collision guard), so (1) at most one branch of the combined
+    fold can trigger at any position (triggers need x == b_j — the b's
+    are distinct), (2) a merge can neither consume another's trigger
+    symbols nor produce a token that triggers another (outputs differ
+    from every a_j/b_j), and (3) merging never makes two non-adjacent
+    tokens adjacent, so no new cross-merge opportunities appear that a
+    later sequential pass would have seen. Property-tested equal to the
+    sequential trainer at k=12.
+
+    Pair counts update from only the affected words (a word changes
+    iff it contains some batch adjacency " a b " — exact, see
+    bpe_learn_merges_batched). Per-merge n_symbols_after totals are
+    recovered from per-merge EVENT counts: each event of merge j
+    creates exactly one (a_j+b_j) token and no batch merge destroys
+    one, so events_j = weighted occurrences of that token after −
+    before over the affected slice (the subtraction handles vocab
+    symbols that happen to equal a concatenation). Affected/after
+    frames are eagerly checkpointed (interpreted folds must never
+    stack — the let_expr lesson); the counts frame is checkpointed per
+    round to keep lineage flat across hundreds of rounds. Returns
+    (cur, pcs, totals) with totals[t] = weighted symbol count after
+    batch merge t."""
+    merges = [(c.a, c.b) for c in batch]
+    spaced = F.concat(F.lit(" "), F.col("sym"), F.lit(" "))
+    hit = spaced.contains(f" {merges[0][0]} {merges[0][1]} ")
+    for a, b in merges[1:]:
+        hit = hit | spaced.contains(f" {a} {b} ")
     affected = cur.filter(hit).localCheckpoint(eager=True)
     new_aff = affected.select(
-        "w", "cnt", _bpe_merge_fold(F.split("sym", " "), a, b).alias("sym")
+        "w",
+        "cnt",
+        _bpe_merge_fold_multi(F.split("sym", " "), merges).alias("sym"),
     ).localCheckpoint(eager=True)
-    sym_count = F.sum(F.col("cnt") * F.size(F.split("sym", " "))).cast(
-        "long"
+    toks = [a + b for a, b in merges]
+    ev_rows = (
+        affected.select((-F.col("cnt")).alias("s"), "sym")
+        .unionByName(new_aff.select(F.col("cnt").alias("s"), "sym"))
+        .select("s", F.explode(F.split("sym", " ")).alias("t"))
+        .filter(F.col("t").isin(toks))
+        .groupBy("t")
+        .agg(F.sum("s").cast("long").alias("ev"))
+        .collect()
     )
-    before = int(affected.agg(sym_count).first()[0] or 0)
-    after = int(new_aff.agg(sym_count).first()[0] or 0)
+    events = {r.t: int(r.ev) for r in ev_rows}
     minus = _bpe_adjacent_pair_counts(affected).select(
         "a", "b", (-F.col("pc")).alias("pc")
     )
@@ -1085,9 +1125,9 @@ def _bpe_apply_merge_delta(
         .localCheckpoint(eager=True)
     )
     # unionByName SUMS partition counts, so without the coalesce the
-    # vocab frame doubles its partitions every merge (4096× after 12
+    # vocab frame doubles its partitions every round (4096× after 12
     # rounds: thousand-task stages + fd exhaustion from checkpoint
-    # files). Pin it back to the pre-merge count — no shuffle, and the
+    # files). Pin it back to the pre-round count — no shuffle, and the
     # count stays constant across hundreds of rounds.
     n_parts = max(1, cur.rdd.getNumPartitions())
     cur = (
@@ -1096,7 +1136,34 @@ def _bpe_apply_merge_delta(
         .coalesce(n_parts)
         .localCheckpoint(eager=True)
     )
-    return cur, pcs, total - (before - after)
+    totals = []
+    for a, b in merges:
+        total -= events.get(a + b, 0)
+        totals.append(total)
+    return cur, pcs, totals
+
+
+def _bpe_merge_fold_multi(arr: Column, merges) -> Column:
+    """One greedy left-to-right pass applying ALL merges of a
+    non-interfering batch simultaneously (see _bpe_apply_batch_delta
+    for why this equals sequential application). At most one branch
+    can trigger per step — the b symbols are pairwise distinct — so
+    branch order is immaterial; with one merge this IS
+    :func:`_bpe_merge_fold`."""
+
+    def step(acc, x):
+        expr = F.when(acc == "", x).otherwise(F.concat(acc, F.lit(" "), x))
+        for a, b in reversed(merges):
+            expr = F.when(
+                ((acc == a) | acc.endswith(" " + a)) & (x == b),
+                F.concat(
+                    F.substring(acc, 1, F.length(acc) - len(a)),
+                    F.lit(a + b),
+                ),
+            ).otherwise(expr)
+        return expr
+
+    return F.aggregate(arr, F.lit(""), step)
 
 
 def _bpe_merge_fold(arr: Column, a: str, b: str) -> Column:

@@ -416,6 +416,13 @@ def test_lsh_index_delta_equals_full_rebuild_on_delta_pairs(spark, sf_dir):
     rebuilt = {(r.doc_id, r.band, r.bucket) for r in full.collect()}
     assert appended == rebuilt
 
+    # replay / re-ingest (r9): probing again with a delta whose docs
+    # already sit in the appended index appends ZERO new rows while
+    # still reporting the delta's pairs
+    rr_rows, rr_pairs = lsh_index_delta(full, delta)
+    assert rr_rows.count() == 0
+    assert {(r.id_a, r.id_b) for r in rr_pairs.collect()} == got
+
 
 def test_lsh_index_delta_empty_delta(spark, sf_dir):
     from pyspark.sql import functions as F
