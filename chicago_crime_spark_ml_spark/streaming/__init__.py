@@ -440,6 +440,57 @@ def streaming_media_near_dup_ingest(
     )
 
 
+def streaming_ivf_ingest(
+    vectors: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_name: str = "ivf_ingest",
+):
+    """Continuous EMBEDDING ingestion into a materialized IVF index —
+    completing streaming delta-ingest across every modality the engine
+    deduplicates (text: streaming_near_dup_ingest; image/audio/video:
+    streaming_media_near_dup_ingest; embeddings: THIS). Each
+    micro-batch assigns ONLY its own vectors to the index's frozen
+    centroids and lands them via ivf_index_delta with
+    ``ingest_id=f"batch-{batch_id}"`` — the dynamic partition
+    overwrite into ``cell=*/ingest=batch-N`` makes a replayed
+    micro-batch overwrite exactly its own partitions (the same
+    per-batch_id idempotence rule as the other ingest sinks, expressed
+    through the index layout itself). Probes (probe_ivf_index) see new
+    vectors immediately with zero refit; schedule a rebuild when
+    ivf_drift_metric trips. The index must exist (write_ivf_index) —
+    frozen-centroid assignment is meaningless without centroids, so a
+    missing index is a real error and the AnalysisException from the
+    centers read propagates (deliberately NOT the empty-frame
+    fallback the near-dup sinks use for their build-as-you-go
+    indexes)."""
+    from chicago_crime_spark_ml_spark.operators.similarity import (  # noqa: PLC0415
+        ivf_index_delta,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ivf_index_delta(
+            batch_df.sparkSession,
+            index_path,
+            batch_df,
+            ingest_id=f"batch-{batch_id}",
+            vec_col=vec_col,
+            id_col=id_col,
+        )
+
+    return (
+        vectors.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+        .start()
+    )
+
+
 def user_value_stats_tws(events: DataFrame) -> DataFrame:
     """Custom stateful operator on the transformWithStateInPandas API
     (Spark 4's typed-state successor to applyInPandasWithState): per-user

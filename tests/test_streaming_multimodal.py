@@ -1018,3 +1018,65 @@ def test_streaming_media_near_dup_ingest_equals_batch(spark, tmp_path):
         streaming_media_near_dup_ingest(
             stream, index_path, pairs_path, str(tmp_path), modality="text"
         )
+
+
+def test_streaming_ivf_ingest_stream_equals_batch(spark, tmp_path):
+    """Embedding micro-batches land in the IVF index via per-batch
+    ingest partitions: after the drain the index holds base + all delta
+    vectors exactly once, and a probe finds a streamed vector."""
+    import numpy as np
+
+    from chicago_crime_spark_ml_spark.operators.similarity import (
+        probe_ivf_index,
+        write_ivf_index,
+    )
+    from chicago_crime_spark_ml_spark.streaming import streaming_ivf_ingest
+
+    rng = np.random.default_rng(137)
+    dim = 8
+
+    def vecs(ids):
+        return [
+            (int(i), [float(x) for x in rng.normal(size=dim)]) for i in ids
+        ]
+
+    base = spark.createDataFrame(
+        vecs(range(100)), "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    )
+    path = str(tmp_path / "ivf_stream_index")
+    write_ivf_index(base, path, n_clusters=4)
+
+    src = tmp_path / "vec_src"
+    src.mkdir()
+    for batch, ids in enumerate((range(100, 110), range(110, 120))):
+        spark.createDataFrame(
+            vecs(ids), "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema("vec_id BIGINT, embedding ARRAY<DOUBLE>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = streaming_ivf_ingest(
+        stream, path, str(tmp_path / "ivf_ckpt"), query_name="ivf_ing_t"
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    idx = spark.read.parquet(path)
+    assert idx.count() == 120
+    assert idx.groupBy("vec_id").count().filter("count > 1").count() == 0
+    ingests = {r.ingest for r in idx.select("ingest").distinct().collect()}
+    assert "base" in ingests and len(ingests) >= 2  # per-batch partitions
+    # a probe for a streamed vector's own embedding finds it top-1
+    qvec = [
+        float(x)
+        for x in spark.read.parquet(str(src))
+        .filter("vec_id = 115")
+        .first()["embedding"]
+    ]
+    top = probe_ivf_index(spark, path, qvec, k=3, n_probe=4).collect()
+    assert top[0].vec_id == 115 and top[0].cosine == 1.0

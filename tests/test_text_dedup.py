@@ -1042,3 +1042,35 @@ def test_ivf_index_delta_append_and_probe(spark, emb, tmp_path):
     centers = spark.read.parquet(path + "__centers")
     two = assign_to_centroids(delta.limit(2), centers)
     assert two.count() == 2
+
+
+def test_ivf_drift_metric_trips_on_shifted_delta(spark, emb, tmp_path):
+    """The staleness signal on a REAL materialized index: a delta drawn
+    from the indexed distribution reads drift ~1 (no rebuild); a delta
+    shifted far outside every cell trips rebuild_recommended."""
+    from pyspark.sql import functions as F
+
+    from chicago_crime_spark_ml_spark.operators.similarity import (
+        ivf_drift_metric,
+        write_ivf_index,
+    )
+
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    delta = emb.filter(F.col("vec_id") % 5 == 0)
+    path = str(tmp_path / "ivf_drift_index")
+    write_ivf_index(old, path, n_clusters=8)
+
+    same = ivf_drift_metric(spark, path, delta).collect()[0]
+    assert same.n_delta > 0 and same.n_index > 0
+    assert 0.5 < same.drift_ratio < 1.5
+    assert not same.rebuild_recommended
+
+    shifted = delta.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: x + 100.0
+        ).alias("embedding"),
+    )
+    far = ivf_drift_metric(spark, path, shifted).collect()[0]
+    assert far.drift_ratio > 10
+    assert far.rebuild_recommended
