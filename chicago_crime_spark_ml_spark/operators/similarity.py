@@ -258,6 +258,43 @@ def cosine_topk_pandas(
     )
 
 
+def _block_pair_gen(cut: float):
+    """mapInPandas generator over block-pair rows (bx, xids, xv, by,
+    yids, yv): one BLAS matmul per block pair, emitting candidate
+    (id_a, id_b) pairs with cosine ≥ ``cut`` — the shared kernel of
+    :func:`near_dup_pairs_blocked` and :func:`near_dup_delta_blocked`."""
+
+    def gen(it):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in it:
+            out_a, out_b = [], []
+            for xids, xv, yids, yv in zip(
+                pdf["xids"], pdf["xv"], pdf["yids"], pdf["yv"]
+            ):
+                X = np.array([np.asarray(r) for r in xv])
+                Y = np.array([np.asarray(r) for r in yv])
+                xn = np.linalg.norm(X, axis=1)
+                yn = np.linalg.norm(Y, axis=1)
+                xn[xn == 0] = np.inf  # zero vectors: cosine 0, never pair
+                yn[yn == 0] = np.inf
+                S = (X / xn[:, None]) @ (Y / yn[:, None]).T
+                ii, jj = np.nonzero(S >= cut)
+                xa = np.asarray(xids)[ii]
+                yb = np.asarray(yids)[jj]
+                keep = xa != yb
+                xa, yb = xa[keep], yb[keep]
+                out_a.extend(np.minimum(xa, yb).tolist())
+                out_b.extend(np.maximum(xa, yb).tolist())
+            if out_a:
+                yield pd.DataFrame(
+                    {"id_a": out_a, "id_b": out_b}
+                ).drop_duplicates()
+
+    return gen
+
+
 def near_dup_pairs_blocked(
     df: DataFrame,
     threshold: float = 0.4,
@@ -299,8 +336,6 @@ def near_dup_pairs_blocked(
        pair is examined; margin covers BLAS-vs-fold summation-order
        drift at the threshold boundary).
     """
-    import pandas as pd  # noqa: PLC0415
-
     v = F.col(vec_col).cast("array<double>")
     blocks = (
         # NULL vectors are dropped BEFORE the block aggregation: the two
@@ -337,37 +372,8 @@ def near_dup_pairs_blocked(
         F.col("y._ids").alias("yids"),
         F.col("y._vecs").alias("yv"),
     )
-    cut = threshold - margin
-
-    def gen(it):
-        import numpy as np  # noqa: PLC0415
-
-        for pdf in it:
-            out_a, out_b = [], []
-            for bx, xids, xv, by, yids, yv in zip(
-                pdf["bx"], pdf["xids"], pdf["xv"], pdf["by"], pdf["yids"], pdf["yv"]
-            ):
-                X = np.array([np.asarray(r) for r in xv])
-                Y = np.array([np.asarray(r) for r in yv])
-                xn = np.linalg.norm(X, axis=1)
-                yn = np.linalg.norm(Y, axis=1)
-                xn[xn == 0] = np.inf  # zero vectors: cosine 0, never pair
-                yn[yn == 0] = np.inf
-                S = (X / xn[:, None]) @ (Y / yn[:, None]).T
-                ii, jj = np.nonzero(S >= cut)
-                xa = np.asarray(xids)[ii]
-                yb = np.asarray(yids)[jj]
-                keep = xa != yb
-                xa, yb = xa[keep], yb[keep]
-                out_a.extend(np.minimum(xa, yb).tolist())
-                out_b.extend(np.maximum(xa, yb).tolist())
-            if out_a:
-                yield pd.DataFrame(
-                    {"id_a": out_a, "id_b": out_b}
-                ).drop_duplicates()
-
     cand = pairs_of_blocks.mapInPandas(
-        gen, schema="id_a BIGINT, id_b BIGINT"
+        _block_pair_gen(threshold - margin), schema="id_a BIGINT, id_b BIGINT"
     ).distinct()
     sa = df.select(
         F.col(id_col).alias("id_a"), v.alias("_va")
@@ -387,6 +393,88 @@ def near_dup_pairs_blocked(
 # Back-compat alias: the former BucketedRandomProjection implementation
 # is superseded (see near_dup_pairs_blocked docstring for measurements).
 near_dup_pairs_lsh_exact = near_dup_pairs_blocked
+
+
+def near_dup_delta_blocked(
+    corpus: DataFrame,
+    new_df: DataFrame,
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_blocks: int = 16,
+    n_delta_blocks: int = 4,
+    margin: float = 1e-3,
+) -> DataFrame:
+    """Incremental embedding near-dup pairs — the DELTA form of
+    :func:`near_dup_pairs_blocked`, completing incremental dedup for
+    the one modality that still lacked it (text/image/audio/video have
+    their index deltas; IVF delta covers ANN retrieval but not
+    near-dup PAIRS). Emits every (old,new) and (new,new) pair with
+    cosine ≥ threshold — exactly the pairs a full rebuild would emit
+    that touch a delta vector (certified by embedding_near_dup_delta)
+    — and never re-compares history against itself: the block-pair
+    join is delta-blocks × (corpus-blocks ∪ delta-blocks), so FLOP
+    cost is O(delta·corpus·d + delta²·d), not O(corpus²·d). Scores
+    ride the same exact float64 rescore as the batch operator, so
+    emitted values are bit-identical to the all-pairs SQL.
+
+    At 100 TB: corpus blocks are the persisted aggregation (one row
+    per block — rebuild only when the corpus grows past the block
+    sizing, or persist the blocks frame alongside the corpus); each
+    micro-batch then pays one BLAS pass over the corpus blocks. A
+    re-ingested delta id pairs against its stored twin (cosine 1)
+    rather than self-cancelling — callers that replay batches should
+    anti-join delta ids against the corpus first or overwrite
+    per-batch outputs like the streaming sinks."""
+    v = F.col(vec_col).cast("array<double>")
+
+    def blocks_of(frame: DataFrame, n: int, tag: str) -> DataFrame:
+        return (
+            frame.filter(F.col(vec_col).isNotNull())
+            .select(
+                F.col(id_col).alias("_id"),
+                v.alias("_u"),
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(n)).alias("_bid"),
+            )
+            .groupBy("_bid")
+            .agg(
+                F.collect_list("_id").alias("_ids"),
+                F.collect_list("_u").alias("_vecs"),
+            )
+            .select(F.lit(tag).alias("_side"), "_bid", "_ids", "_vecs")
+        )
+
+    cb = blocks_of(corpus, n_blocks, "c")
+    db = blocks_of(new_df, n_delta_blocks, "d")
+    x = db.alias("x")
+    y = cb.unionByName(db).alias("y")
+    # delta × corpus: every combination; delta × delta: bid_x ≤ bid_y
+    # (each unordered delta block pair once — same dedup rule as the
+    # batch operator's self-join)
+    cond = (F.col("y._side") == "c") | (
+        F.col("x._bid") <= F.col("y._bid")
+    )
+    pairs_of_blocks = x.join(y, cond).select(
+        F.col("x._ids").alias("xids"),
+        F.col("x._vecs").alias("xv"),
+        F.col("y._ids").alias("yids"),
+        F.col("y._vecs").alias("yv"),
+    )
+    cand = pairs_of_blocks.mapInPandas(
+        _block_pair_gen(threshold - margin), schema="id_a BIGINT, id_b BIGINT"
+    ).distinct()
+    allv = corpus.select(F.col(id_col), v.alias("_v")).unionByName(
+        new_df.select(F.col(id_col), v.alias("_v"))
+    )
+    sa = allv.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"))
+    sb = allv.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"))
+    cos = cosine_expr(F.col("_va"), F.col("_vb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(cos, 4).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
 
 
 def quantize_embeddings(

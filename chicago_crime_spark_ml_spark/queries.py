@@ -2200,6 +2200,40 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs_blocked(emb, threshold=0.4)
 
 
+@query(
+    "embedding_near_dup_delta",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.e, b.e), 4) AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.e, b.e), 4) >= 0.4
+      AND (a.vec_id % 5 = 0 OR b.vec_id % 5 = 0)
+    """,
+)
+def embedding_near_dup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental embedding near-dup detection certified end-to-end
+    (r9 — delta PAIR coverage for the last modality without it):
+    split 80/20 on vec_id, treat the 20% as a continuous-ingest delta,
+    and near_dup_delta_blocked must emit EXACTLY the full rebuild's
+    ≥0.4-cosine pairs that touch a delta vector — (old,new) and
+    (new,new), never old↔old — with scores bit-identical to the exact
+    all-pairs SQL (the same float64 rescore algebra as the batch
+    operator). The block-pair join is delta-blocks × (corpus ∪ delta)
+    blocks: O(delta·corpus·d) BLAS FLOPs per ingest instead of the
+    rebuild's O(corpus²·d). The oracle is the closed-form all-pairs
+    cosine restricted to delta-touching pairs — a direct value oracle,
+    not a verdict boolean."""
+    from chicago_crime_spark_ml_spark.operators.similarity import (
+        near_dup_delta_blocked,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    delta = emb.filter(F.col("vec_id") % 5 == 0)
+    return near_dup_delta_blocked(corpus, delta, threshold=0.4)
+
+
 # NOT @query-registered (VERDICT r5 #6): the LSH hash family is
 # engine-specific, so a registered entry could only ever earn the
 # driver's `err: no_oracle` row. The REGISTERED certification surface

@@ -271,6 +271,63 @@ def compact_parquet(
     return len(_glob.glob(_os.path.join(dst_path, "part-*")))
 
 
+def compact_ingest_index(
+    spark: SparkSession,
+    path: str,
+    batch_col: str = "batch_id",
+    target_file_rows: int = 1_000_000,
+    sort_within_by: list[str] | None = None,
+) -> int:
+    """Compact a per-batch-partitioned ingest index (the
+    ``batch_id=N`` layout every streaming near-dup sink writes) into a
+    few right-sized files under ONE partition directory — the
+    maintenance job a continuous-ingest deployment must run
+    periodically: after a year of micro-batches the index is millions
+    of KB-sized files whose listing+open cost dominates every probe
+    long before bytes do.
+
+    Procedure (restart-safe): rewrite all rows into a staging
+    directory as a single ``batch_id=<max_seen>`` partition with
+    ceil(rows/target_file_rows) files (optionally sorted within files
+    for tight row-group stats), then swap directories. The partition
+    VALUE is kept at the highest batch id seen so the layout stays
+    what the sinks produce and a resumed stream (whose checkpoint is
+    already past that id) keeps appending new ``batch_id=N`` dirs
+    above it; per-row ingest provenance below the compaction horizon
+    is deliberately collapsed (it was only ever replay bookkeeping —
+    replays of pre-compaction batches are impossible once the
+    checkpoint passed them). Run in the stream's maintenance window
+    (stopped or between triggers): the swap is not atomic for
+    concurrent readers — same bare-parquet caveat as merge_parquet;
+    a table format gives you the transactional version. Returns the
+    file count written."""
+    import math  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
+    df = spark.read.parquet(path)
+    if batch_col not in df.columns:
+        raise ValueError(f"{path} has no {batch_col!r} partition column")
+    max_bid = df.agg(F.max(batch_col)).first()[0]
+    rows = df.drop(batch_col)
+    n_rows = rows.count()
+    n_files = max(1, math.ceil(n_rows / target_file_rows))
+    out = rows.repartition(n_files)
+    if sort_within_by:
+        out = out.sortWithinPartitions(*sort_within_by)
+    staging = path.rstrip("/") + "__compacting"
+    out.write.mode("overwrite").parquet(
+        f"{staging}/{batch_col}={max_bid}"
+    )
+    shutil.rmtree(path)
+    shutil.move(staging, path)
+    import glob as _glob  # noqa: PLC0415
+    import os as _os  # noqa: PLC0415
+
+    return len(
+        _glob.glob(_os.path.join(path, f"{batch_col}={max_bid}", "part-*"))
+    )
+
+
 def write_zordered(
     df: DataFrame,
     path: str,

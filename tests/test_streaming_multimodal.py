@@ -1080,3 +1080,76 @@ def test_streaming_ivf_ingest_stream_equals_batch(spark, tmp_path):
     ]
     top = probe_ivf_index(spark, path, qvec, k=3, n_probe=4).collect()
     assert top[0].vec_id == 115 and top[0].cosine == 1.0
+
+
+def test_compact_ingest_index_preserves_probe_semantics(spark, tmp_path):
+    """Small-files maintenance for per-batch ingest indexes: after two
+    micro-batches the index compacts into one partition with identical
+    content (minus provenance), far fewer files, and a resumed stream
+    keeps pairing new docs against the COMPACTED history."""
+    import glob
+
+    from chicago_crime_spark_ml_spark.sources.io import compact_ingest_index
+    from chicago_crime_spark_ml_spark.streaming import (
+        streaming_near_dup_ingest,
+    )
+
+    near1 = "the quick brown fox jumps over the lazy dog again and again"
+    rows1 = [(1, near1), (2, "completely unrelated text about spark plans")]
+    rows2 = [(3, "yet another unrelated document entirely"), (4, "and one more filler row")]
+    schema = "doc_id BIGINT, text STRING"
+    src = tmp_path / "csrc"
+    src.mkdir()
+    index_path = str(tmp_path / "c_index")
+    pairs_path = str(tmp_path / "c_pairs")
+
+    def emit(rows):
+        spark.createDataFrame(rows, schema).coalesce(4).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    emit(rows1)
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = streaming_near_dup_ingest(
+        stream, index_path, pairs_path, str(tmp_path / "c_ckpt")
+    )
+    try:
+        q.processAllAvailable()
+        emit(rows2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    before = {
+        (r.doc_id, r.band, r.bucket)
+        for r in spark.read.parquet(index_path).collect()
+    }
+    n_files_before = len(
+        glob.glob(f"{index_path}/batch_id=*/part-*")
+    )
+    written = compact_ingest_index(spark, index_path)
+    after_df = spark.read.parquet(index_path)
+    after = {
+        (r.doc_id, r.band, r.bucket) for r in after_df.collect()
+    }
+    assert after == before                      # content preserved
+    assert written == 1 < n_files_before        # actually compacted
+    assert after_df.select("batch_id").distinct().count() == 1
+
+    # a resumed stream still pairs a new near-dup against COMPACTED
+    # history (same checkpoint — the source continues where it left off)
+    emit([(9, near1 + " ok")])
+    stream2 = spark.readStream.schema(schema).parquet(str(src))
+    q2 = streaming_near_dup_ingest(
+        stream2, index_path, pairs_path, str(tmp_path / "c_ckpt")
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got_pairs = {
+        (r.id_a, r.id_b) for r in spark.read.parquet(pairs_path).collect()
+    }
+    assert (1, 9) in got_pairs
+    idx_docs = {r.doc_id for r in spark.read.parquet(index_path).collect()}
+    assert idx_docs == {1, 2, 3, 4, 9}

@@ -1074,3 +1074,30 @@ def test_ivf_drift_metric_trips_on_shifted_delta(spark, emb, tmp_path):
     far = ivf_drift_metric(spark, path, shifted).collect()[0]
     assert far.drift_ratio > 10
     assert far.rebuild_recommended
+
+
+def test_near_dup_delta_blocked_equals_rebuild(spark, emb):
+    """The delta operator must emit exactly the full blocked rebuild's
+    delta-touching pairs (same scores), and never an old-old pair."""
+    from pyspark.sql import functions as F
+
+    from chicago_crime_spark_ml_spark.operators.similarity import (
+        near_dup_delta_blocked,
+        near_dup_pairs_blocked,
+    )
+
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    delta = emb.filter(F.col("vec_id") % 5 == 0)
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in near_dup_delta_blocked(corpus, delta, threshold=0.3).collect()
+    }
+    full = near_dup_pairs_blocked(emb, threshold=0.3)
+    want = {
+        (r.id_a, r.id_b): r.cosine
+        for r in full.filter(
+            (F.col("id_a") % 5 == 0) | (F.col("id_b") % 5 == 0)
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+    assert all(a % 5 == 0 or b % 5 == 0 for a, b in got)  # never old-old
