@@ -12643,6 +12643,61 @@ def video_frame_incremental_index_check(
 
 
 @query(
+    "cc_incremental_check",
+    "SELECT true AS incremental_equals_full",
+)
+def cc_incremental_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract query for INCREMENTAL CLUSTERING
+    (dedup.connected_components_delta — the final composition step of
+    every delta-ingest pipeline: delta pairs exist for all five
+    modalities, and this turns them into updated clusters without
+    re-flooding history). Deterministic group-of-8 edge corpus over
+    doc ids: old edges build two components per group (chain
+    8g–8g+1–8g+2 and pair 8g+4–8g+5); delta edges extend the first
+    with a NEW node (8g+2 → 8g+6), MERGE the two through that new node
+    (8g+6 → 8g+4), and attach another new node to the second
+    (8g+3 → 8g+5) — exercising extend/merge/new-node in every group.
+    The delta run contracts new edges onto the stored labels and
+    floods only that O(delta) quotient graph; the verdict asserts the
+    updated labeling EQUALS a full connected_components rebuild over
+    all edges (distributed exceptAll, both directions). Labels are
+    engine-invariant min-ids but component membership is
+    engine-specific flooding, so the driver-checkable output is the
+    equality verdict."""
+    from chicago_crime_spark_ml_spark.operators.dedup import (
+        connected_components,
+        connected_components_delta,
+    )
+
+    docs = _doc_ids(spark, sf_dir)
+    g = F.floor(F.col("doc_id") / F.lit(8)) * 8
+    r = F.col("doc_id") % 8
+    edge = (
+        F.when(r == 1, F.struct(g.alias("id_a"), (g + 1).alias("id_b")))
+        .when(r == 2, F.struct((g + 1).alias("id_a"), (g + 2).alias("id_b")))
+        .when(r == 5, F.struct((g + 4).alias("id_a"), (g + 5).alias("id_b")))
+        .when(r == 6, F.struct((g + 2).alias("id_a"), (g + 6).alias("id_b")))
+        .when(r == 7, F.struct((g + 6).alias("id_a"), (g + 4).alias("id_b")))
+        .when(r == 3, F.struct((g + 3).alias("id_a"), (g + 5).alias("id_b")))
+    )
+    is_delta = r.isin(3, 6, 7)
+    edges = docs.select(
+        edge.alias("e"), is_delta.alias("_d")
+    ).filter(F.col("e").isNotNull())
+    old_e = edges.filter(~F.col("_d")).select("e.id_a", "e.id_b")
+    delta_e = edges.filter(F.col("_d")).select("e.id_a", "e.id_b")
+    labels = connected_components(old_e)
+    updated = connected_components_delta(labels, delta_e)
+    full = connected_components(old_e.unionByName(delta_e))
+    diff = (
+        updated.exceptAll(full).count() + full.exceptAll(updated).count()
+    )
+    return spark.createDataFrame(
+        [(diff == 0,)], "incremental_equals_full boolean"
+    )
+
+
+@query(
     "media_curation_funnel",
     """
     WITH RECURSIVE d AS (SELECT doc_id, doc_id // 2 AS f,

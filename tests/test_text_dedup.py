@@ -1101,3 +1101,44 @@ def test_near_dup_delta_blocked_equals_rebuild(spark, emb):
     }
     assert got == want and len(got) > 0
     assert all(a % 5 == 0 or b % 5 == 0 for a, b in got)  # never old-old
+
+
+def test_connected_components_delta_crafted(spark):
+    """Incremental CC on a crafted graph: extend a component with a new
+    node, MERGE two existing components through a new node, add a
+    brand-new component, and re-send an internal edge — the updated
+    labeling must equal a full rebuild, and untouched components must
+    keep their labels."""
+    from chicago_crime_spark_ml_spark.operators.dedup import (
+        connected_components,
+        connected_components_delta,
+    )
+
+    old_edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], ["id_a", "id_b"]
+    )
+    labels = connected_components(old_edges)
+    delta = spark.createDataFrame(
+        [(3, 30), (30, 10), (40, 41), (20, 21)], ["id_a", "id_b"]
+    )
+    updated = {
+        r.node: r.label
+        for r in connected_components_delta(labels, delta).collect()
+    }
+    full = {
+        r.node: r.label
+        for r in connected_components(old_edges.unionByName(delta)).collect()
+    }
+    assert updated == full
+    assert updated[30] == updated[1] == updated[10] == 1  # merged via 30
+    assert updated[20] == 20 and updated[21] == 20        # untouched
+    assert updated[40] == 40 and updated[41] == 40        # new component
+    # delta with no effect (all internal edges) changes nothing
+    noop = {
+        r.node: r.label
+        for r in connected_components_delta(
+            connected_components(old_edges.unionByName(delta)),
+            spark.createDataFrame([(1, 2)], ["id_a", "id_b"]),
+        ).collect()
+    }
+    assert noop == full
