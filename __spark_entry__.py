@@ -126,17 +126,20 @@ _STATS_TIER_NUDGE = [
 # rewrites + 14 _doc_ids fan-outs — earned green r8 rows on the new
 # impls and dropped off).
 _REWRITTEN_GREENS = [
-    # r9: replay-idempotent delta maintenance (broadcast dup-id
-    # anti-join + occupancy/df over index ∪ fresh) rewrote both
-    # incremental media operators under these certifications
-    "dhash_incremental_index_check",
-    "video_frame_incremental_index_check",
-    "lsh_incremental_index_check",
-    # r9: epsilon-gap tolerance contract (ADVICE r8) rewrote the
-    # comparison side
+    # r10: dangling mass folded as a scalar term (no |dangling|×N edge
+    # materialization) rewrote the rank update under this certification
+    "nation_trade_pagerank",
+    # r10: self-edge endpoints now seed new_nodes (ADVICE r9) — the
+    # delta==rebuild contract code changed
+    "cc_incremental_check",
+    # r10: per-write dynamic partitionOverwriteMode (ADVICE r9) rewrote
+    # the delta write path these certify
     "ivf_delta_assignment_check",
-    # r9: the batched trainer now runs on delta-maintained pair counts
+    "ivf_staleness_drift",
+    # r10: fused accept-fold + pair-delta projection rewrote the round
+    # body under both BPE certifications
     "bpe_merge_learning_batched",
+    "bpe_merge_learning_delta",
 ]
 
 

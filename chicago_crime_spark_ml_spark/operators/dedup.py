@@ -485,8 +485,14 @@ def connected_components_delta(
         .distinct()
         .join(labels.select("node"), "node", "left_anti")
     )
-    new_labeled = new_nodes.join(merged, "node", "inner").select(
-        "node", "label"
+    # LEFT join + coalesce, not inner (ADVICE r9): a brand-new node
+    # whose only delta edge is a self-edge (id_a == id_b) never reaches
+    # the contracted graph — the self-loop filter above drops it — so
+    # it is absent from `merged`. A full rebuild over E_old ∪ E_delta
+    # WOULD label it (with its own id); matching that contract means
+    # labeling unmerged new endpoints as themselves here.
+    new_labeled = new_nodes.join(merged, "node", "left").select(
+        "node", F.coalesce("label", F.col("node")).alias("label")
     )
     return updated_old.unionByName(new_labeled)
 
@@ -737,14 +743,26 @@ def lsh_index_delta(
     caller's step, same as the batch LSH path.
 
     Replay/re-ingest idempotence (r9, matching the media delta
-    operators): a delta doc already present in the index contributes
-    IDENTICAL band rows (the hash family is a pure function of the
-    text), so its rows are dropped from new_index_rows — appending the
-    return value never accumulates duplicates under stream replays or
-    re-sent docs. Detection is a broadcast semi-join against the
-    bounded delta ids (one column-pruned index scan, no corpus
-    shuffle); the probe still runs ALL delta postings against
+    operators): a delta doc already present in the index with the SAME
+    content contributes IDENTICAL band rows (the hash family is a pure
+    function of the text), so its rows are dropped from new_index_rows
+    — appending the return value never accumulates duplicates under
+    stream replays or re-sent docs. Detection is a broadcast semi-join
+    against the bounded delta ids (one column-pruned index scan, no
+    corpus shuffle); the probe still runs ALL delta postings against
     index ∪ fresh, so pairs cover re-ingested docs identically.
+
+    Changed-content re-sends (ADVICE r9): an id already indexed whose
+    delta postings DIFFER from its stored postings is an update, not a
+    replay — dropping it (the r9 behavior) left the index permanently
+    stale with no error. Such ids are detected by comparing posting
+    sets (one anti-join of the bounded re-sent postings against the
+    index rows for those ids) and their new postings ARE emitted in
+    new_index_rows. Storage note: append-only maintenance then holds
+    postings for BOTH versions of the doc — bucket recall is a
+    superset (conservative; the exact-rescore step restores precision),
+    and a caller that wants pure replace semantics deletes the id's old
+    rows (or compacts keeping max-ingest) before appending.
     """
     delta_rows = lsh_band_index(
         new_docs, text_col, id_col, n, num_hashes, seed
@@ -753,7 +771,16 @@ def lsh_index_delta(
     dup_ids = index.select(id_col).join(
         F.broadcast(delta_ids), id_col, "left_semi"
     ).distinct()
-    fresh = delta_rows.join(F.broadcast(dup_ids), id_col, "left_anti")
+    # postings of re-sent ids, as stored: bounded (|dup ids| × bands)
+    dup_stored = index.join(F.broadcast(dup_ids), id_col, "left_semi")
+    changed_ids = (
+        delta_rows.join(F.broadcast(dup_ids), id_col, "left_semi")
+        .join(dup_stored, [id_col, "band", "bucket"], "left_anti")
+        .select(id_col)
+        .distinct()
+    )
+    unchanged_dups = dup_ids.join(changed_ids, id_col, "left_anti")
+    fresh = delta_rows.join(F.broadcast(unchanged_dups), id_col, "left_anti")
     probe = delta_rows.select(
         "band", "bucket", F.col(id_col).alias("__new_id")
     )

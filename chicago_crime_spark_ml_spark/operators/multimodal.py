@@ -533,14 +533,20 @@ def dhash_index_delta(
     the caller's step, same as the text path.
 
     Replay/re-ingest idempotence: a delta doc already present in the
-    index contributes IDENTICAL postings (the signature is a pure
-    function of the blob), so its rows are dropped from
-    new_index_rows — appending the return value never accumulates
+    index with the SAME content contributes IDENTICAL postings (the
+    signature is a pure function of the blob), so its rows are dropped
+    from new_index_rows — appending the return value never accumulates
     duplicates, and occupancy counts stay exact under stream replays
     (ADVICE r8). Pairs still cover re-ingested docs (the probe runs
     against index ∪ delta), and the dup-id detection is a broadcast
     semi-join against the bounded delta — one column-pruned index
-    scan, no corpus shuffle.
+    scan, no corpus shuffle. A re-sent id whose postings DIFFER from
+    its stored ones is an update, not a replay (ADVICE r9): its new
+    postings ARE emitted (detected by one anti-join of the bounded
+    re-sent postings against the stored rows for those ids), and the
+    append-only index then holds both versions' postings — superset
+    recall; callers wanting pure replace delete the id's old rows
+    first.
 
     ``max_bucket`` is the occupancy guard the batch operator gained in
     r8, now on the incremental path too: a degenerate hot (band, byte)
@@ -559,7 +565,17 @@ def dhash_index_delta(
     dup_ids = index.select(id_col).join(
         F.broadcast(delta_ids), id_col, "left_semi"
     ).distinct()
-    fresh = delta_rows.join(F.broadcast(dup_ids), id_col, "left_anti")
+    dup_stored = index.join(F.broadcast(dup_ids), id_col, "left_semi")
+    changed_ids = (
+        delta_rows.join(F.broadcast(dup_ids), id_col, "left_semi")
+        .join(dup_stored, [id_col, "band", "byte"], "left_anti")
+        .select(id_col)
+        .distinct()
+    )
+    unchanged_dups = dup_ids.join(changed_ids, id_col, "left_anti")
+    fresh = delta_rows.join(
+        F.broadcast(unchanged_dups), id_col, "left_anti"
+    )
     both = index.unionByName(fresh).select(
         "band", "byte", F.col(id_col).alias("__any_id")
     )
@@ -942,14 +958,30 @@ def frame_index_delta(
     appended index accumulates duplicates. Detection is a broadcast
     semi-join against the bounded delta ids — one column-pruned index
     scan, no corpus shuffle; pairs still cover re-ingested streams
-    (the probe side is index ∪ delta semi-joined to delta ids)."""
+    (the probe side is index ∪ delta semi-joined to delta ids). A
+    re-sent id whose frame-hash set DIFFERS from its stored postings
+    is an update, not a replay (ADVICE r9): its new postings ARE
+    emitted (one anti-join of the bounded re-sent postings against
+    the stored rows for those ids); the append-only index then holds
+    both versions' frames — superset recall, callers wanting pure
+    replace delete the id's old rows first."""
     d = (
         new_sig.select(id_col, "dhash").distinct().localCheckpoint(eager=True)
     )
     dup_ids = index.select(id_col).join(
         F.broadcast(d.select(id_col).distinct()), id_col, "left_semi"
     ).distinct()
-    fresh = d.join(F.broadcast(dup_ids), id_col, "left_anti")
+    dup_stored = index.select(id_col, "dhash").join(
+        F.broadcast(dup_ids), id_col, "left_semi"
+    )
+    changed_ids = (
+        d.join(F.broadcast(dup_ids), id_col, "left_semi")
+        .join(dup_stored, [id_col, "dhash"], "left_anti")
+        .select(id_col)
+        .distinct()
+    )
+    unchanged_dups = dup_ids.join(changed_ids, id_col, "left_anti")
+    fresh = d.join(F.broadcast(unchanged_dups), id_col, "left_anti")
     both = index.select(id_col, "dhash").unionByName(fresh)
     if max_df is not None:
         from pyspark.sql.window import Window  # noqa: PLC0415

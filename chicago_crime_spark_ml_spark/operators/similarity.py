@@ -665,19 +665,73 @@ def ivf_index_delta(
     centers = spark.read.parquet(path + "__centers")
     assigned = assign_to_centroids(new_df, centers, vec_col, id_col)
     out = assigned.withColumn("ingest", F.lit(str(ingest_id)))
-    prev = spark.conf.get(
-        "spark.sql.sources.partitionOverwriteMode", "static"
+    # Per-WRITE dynamic overwrite (ADVICE r9): mutating the session-
+    # global spark.sql.sources.partitionOverwriteMode races with any
+    # concurrent writer in the same session (the streaming foreachBatch
+    # sinks this delta path is designed to run alongside) — a static-
+    # mode overwrite landing inside the set/restore window would delete
+    # unrelated partitions. The DataFrameWriter option scopes the
+    # semantics to exactly this write.
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell", "ingest")
+        .parquet(path)
     )
-    try:
-        spark.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", "dynamic"
-        )
-        out.write.mode("overwrite").partitionBy("cell", "ingest").parquet(
-            path
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return assigned
+
+
+def compact_ivf_index(
+    spark,
+    path: str,
+    n_tasks: int | None = None,
+) -> int:
+    """Small-files maintenance for a materialized IVF index (VERDICT
+    r9 #7): the ``cell=*/ingest=<id>`` layout accumulates one ingest
+    partition per delta/micro-batch forever — after a year of
+    continuous ingest every probe lists and opens thousands of
+    KB-sized files per probed cell. This collapses each cell to a
+    single compacted ``ingest`` partition (value = the max ingest id
+    seen, mirroring compact_ingest_index's resumed-stream contract)
+    while PRESERVING the leading ``cell=`` level, so probe-side
+    partition pruning is untouched and probe results are identical
+    (certified by the ivf_compaction_check query).
+
+    Layout discipline: the rewrite is ``repartition(n, "cell")`` —
+    every cell lands wholly in one task, so each cell directory gets
+    exactly ONE file regardless of how many ingests it had. The swap
+    is the shared crash-safe rename-aside (io.commit_compaction_swap;
+    recovery preamble repairs any prior crash). The ``__centers``
+    sidecar is not touched. Replays of pre-compaction ingest ids are
+    out of contract once compacted (same rule as compact_ingest_index:
+    the stream's checkpoint is already past them); a replayed id
+    would land as a fresh partition and duplicate its vectors. Run in
+    the ingest maintenance window. Returns the file count written."""
+    from chicago_crime_spark_ml_spark.sources.io import (  # noqa: PLC0415
+        commit_compaction_swap,
+        recover_compaction_swap,
+    )
+
+    recover_compaction_swap(path)
+    df = spark.read.parquet(path)
+    max_ing = df.agg(F.max("ingest")).first()[0]
+    n = n_tasks or max(1, spark.sparkContext.defaultParallelism)
+    out = (
+        df.drop("ingest")
+        .repartition(n, "cell")
+        .withColumn("ingest", F.lit(str(max_ing)))
+    )
+    staging = path.rstrip("/") + "__compacting"
+    out.write.mode("overwrite").partitionBy("cell", "ingest").parquet(
+        staging
+    )
+    commit_compaction_swap(path, staging)
+    import glob as _glob  # noqa: PLC0415
+    import os as _os  # noqa: PLC0415
+
+    return len(
+        _glob.glob(_os.path.join(path, "cell=*", "ingest=*", "part-*"))
+    )
 
 
 def ivf_drift_metric(
@@ -731,15 +785,22 @@ def ivf_drift_metric(
         F.avg(F.when(~F.col("_delta"), F.col("d2"))).alias("mb"),
         F.avg(F.when(F.col("_delta"), F.col("d2"))).alias("md"),
     )
+    # Degenerate-index guard (ADVICE r9): an index whose vectors sit
+    # exactly on their centroids has mb = 0, and md/mb would emit NULL
+    # drift_ratio / NULL rebuild_recommended — silencing the very
+    # rebuild signal this metric exists to raise. Clamp the denominator
+    # to a tiny epsilon so any nonzero delta distance over a perfect
+    # index reads as (huge ratio, rebuild_recommended = true), and a
+    # perfect delta over a perfect index reads as (0.0, false).
+    eps = F.lit(1e-12)
+    ratio = F.col("md") / F.greatest(F.col("mb"), eps)
     return s.select(
         "n_index",
         "n_delta",
         F.round("mb", 6).alias("mean_d2_index"),
         F.round("md", 6).alias("mean_d2_delta"),
-        F.round(F.col("md") / F.col("mb"), 4).alias("drift_ratio"),
-        (F.col("md") / F.col("mb") > float(threshold)).alias(
-            "rebuild_recommended"
-        ),
+        F.round(ratio, 4).alias("drift_ratio"),
+        (ratio > float(threshold)).alias("rebuild_recommended"),
     )
 
 

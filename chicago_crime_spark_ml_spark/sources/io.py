@@ -271,6 +271,41 @@ def compact_parquet(
     return len(_glob.glob(_os.path.join(dst_path, "part-*")))
 
 
+def recover_compaction_swap(path: str) -> None:
+    """Crash-recovery preamble shared by every compaction job (ADVICE
+    r9): a dangling ``path__old`` with the live path present is
+    leftover garbage from a crash during the final delete — remove it;
+    ``path__old`` present with the live path MISSING means the crash
+    hit between the two renames — rename the old data back. Either
+    way the dataset is readable afterwards. LOCAL-FILESYSTEM-ONLY
+    (like file_spans); on hdfs/s3a run the equivalent through the
+    FileSystem API or a table format."""
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
+    old = path.rstrip("/") + "__old"
+    if os.path.exists(old):
+        if os.path.exists(path):
+            shutil.rmtree(old)  # crash during final delete: garbage
+        else:
+            os.rename(old, path)  # crash between renames: restore
+
+
+def commit_compaction_swap(path: str, staging: str) -> None:
+    """Rename-aside swap shared by every compaction job: live →
+    ``__old`` (atomic), staging → live (atomic), delete ``__old`` —
+    no failure point leaves the data deleted-but-unreplaced, and
+    :func:`recover_compaction_swap` repairs every intermediate state.
+    LOCAL-FILESYSTEM-ONLY (see recover_compaction_swap)."""
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
+    old = path.rstrip("/") + "__old"
+    os.rename(path.rstrip("/"), old)
+    os.rename(staging, path.rstrip("/"))
+    shutil.rmtree(old)
+
+
 def compact_ingest_index(
     spark: SparkSession,
     path: str,
@@ -286,24 +321,39 @@ def compact_ingest_index(
     of KB-sized files whose listing+open cost dominates every probe
     long before bytes do.
 
-    Procedure (restart-safe): rewrite all rows into a staging
+    Procedure (crash-safe, ADVICE r9): rewrite all rows into a staging
     directory as a single ``batch_id=<max_seen>`` partition with
     ceil(rows/target_file_rows) files (optionally sorted within files
-    for tight row-group stats), then swap directories. The partition
-    VALUE is kept at the highest batch id seen so the layout stays
-    what the sinks produce and a resumed stream (whose checkpoint is
-    already past that id) keeps appending new ``batch_id=N`` dirs
-    above it; per-row ingest provenance below the compaction horizon
-    is deliberately collapsed (it was only ever replay bookkeeping —
-    replays of pre-compaction batches are impossible once the
-    checkpoint passed them). Run in the stream's maintenance window
-    (stopped or between triggers): the swap is not atomic for
-    concurrent readers — same bare-parquet caveat as merge_parquet;
-    a table format gives you the transactional version. Returns the
-    file count written."""
-    import math  # noqa: PLC0415
-    import shutil  # noqa: PLC0415
+    for tight row-group stats), then swap via RENAME-ASIDE: the live
+    path is renamed to ``path__old`` (atomic), staging is renamed into
+    place (atomic), and only then is ``path__old`` deleted — so no
+    failure point leaves the data deleted-but-unreplaced. The earlier
+    rmtree-then-move swap had exactly that window, and try_read_parquet
+    would have mapped the missing path to an EMPTY index, silently
+    rebuilding recall from scratch on restart. If a previous compaction
+    crashed mid-swap, the preamble restores: a dangling ``path__old``
+    with the live path present is leftover garbage (crash during final
+    delete — remove it); ``path__old`` present with the live path
+    MISSING means the crash hit between the two renames — the old
+    data is renamed back before recompacting.
 
+    The partition VALUE is kept at the highest batch id seen so the
+    layout stays what the sinks produce and a resumed stream (whose
+    checkpoint is already past that id) keeps appending new
+    ``batch_id=N`` dirs above it; per-row ingest provenance below the
+    compaction horizon is deliberately collapsed (it was only ever
+    replay bookkeeping — replays of pre-compaction batches are
+    impossible once the checkpoint passed them). Run in the stream's
+    maintenance window (stopped or between triggers): the swap is not
+    atomic for concurrent readers — same bare-parquet caveat as
+    merge_parquet; a table format gives you the transactional version.
+    LOCAL-FILESYSTEM-ONLY (like file_spans): the swap uses driver-local
+    os.rename/shutil — on hdfs:// or s3a:// run the equivalent rename
+    dance through the FileSystem API or a table format's REPLACE.
+    Returns the file count written."""
+    import math  # noqa: PLC0415
+
+    recover_compaction_swap(path)
     df = spark.read.parquet(path)
     if batch_col not in df.columns:
         raise ValueError(f"{path} has no {batch_col!r} partition column")
@@ -318,8 +368,7 @@ def compact_ingest_index(
     out.write.mode("overwrite").parquet(
         f"{staging}/{batch_col}={max_bid}"
     )
-    shutil.rmtree(path)
-    shutil.move(staging, path)
+    commit_compaction_swap(path, staging)
     import glob as _glob  # noqa: PLC0415
     import os as _os  # noqa: PLC0415
 
@@ -417,10 +466,12 @@ def merge_parquet_partitioned(
        collect, guarded);
     2. the target read is filtered to those literal tuples — static
        partition pruning, so the scan never opens untouched directories;
-    3. the write uses dynamic partition overwrite
-       (spark.sql.sources.partitionOverwriteMode=dynamic), which replaces
-       exactly the partitions present in the output and leaves the rest
-       alone — one job, no staging swap of the whole dataset.
+    3. the write uses dynamic partition overwrite (the per-write
+       DataFrameWriter ``partitionOverwriteMode=dynamic`` option — never
+       the session-global conf, which races with concurrent writers),
+       which replaces exactly the partitions present in the output and
+       leaves the rest alone — one job, no staging swap of the whole
+       dataset.
 
     This is the bare-parquet answer to Iceberg/Delta's file-pruned MERGE:
     same bounded-IO shape, minus snapshot isolation (readers of a touched
@@ -447,12 +498,15 @@ def merge_parquet_partitioned(
         F.broadcast(updates.select(*keys).distinct()), keys, "left_anti"
     )
     merged = keep.unionByName(updates.select(*tgt.columns))
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    try:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        merged.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # per-WRITE dynamic overwrite (ADVICE r9 on ivf_index_delta, same
+    # class): mutating the session-global conf races with concurrent
+    # writers in the same session
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
     return len(touched)
 
 

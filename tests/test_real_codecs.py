@@ -1214,3 +1214,67 @@ def test_streaming_video_modality_ingest(spark, tmp_path):
     assert got == {(1, 3): 3}
     idx_docs = {r.doc_id for r in spark.read.parquet(index_path).collect()}
     assert idx_docs == {1, 2, 3}
+
+
+def test_dhash_index_delta_changed_content_reindexed(spark):
+    """ADVICE r9: a re-sent doc_id whose dHash postings DIFFER from the
+    stored index is an update — its new postings must be emitted, not
+    silently dropped as a replay."""
+    from pyspark.sql import functions as F
+
+    from chicago_crime_spark_ml_spark.operators.multimodal import (
+        dhash_band_index,
+        dhash_index_delta,
+    )
+
+    sig = spark.createDataFrame(
+        [
+            (1, "", [1, 2, 3, 4, 5, 6, 7, 8]),
+            (2, "", [9, 10, 11, 12, 13, 14, 15, 16]),
+        ],
+        "doc_id BIGINT, dhash STRING, row_bytes ARRAY<INT>",
+    )
+    index = dhash_band_index(sig, band_bytes=1)
+    # identical re-send: zero new postings
+    rr, _ = dhash_index_delta(index, sig.filter(F.col("doc_id") == 1),
+                              band_bytes=1)
+    assert rr.count() == 0
+    # changed content under the same id: all 8 new postings emitted
+    changed = spark.createDataFrame(
+        [(1, "", [21, 22, 23, 24, 25, 26, 27, 28])],
+        "doc_id BIGINT, dhash STRING, row_bytes ARRAY<INT>",
+    )
+    fresh, _ = dhash_index_delta(index, changed, band_bytes=1)
+    got = {(r.doc_id, r.band, r.byte) for r in fresh.collect()}
+    want = {
+        (r.doc_id, r.band, r.byte)
+        for r in dhash_band_index(changed, band_bytes=1).collect()
+    }
+    assert got == want and len(got) == 8
+
+
+def test_frame_index_delta_changed_content_reindexed(spark):
+    """ADVICE r9, video twin: a re-sent stream id with a different
+    frame-hash set must have its new postings emitted."""
+    from pyspark.sql import functions as F
+
+    from chicago_crime_spark_ml_spark.operators.multimodal import (
+        frame_index_delta,
+    )
+
+    index = spark.createDataFrame(
+        [(1, "h1"), (1, "h2"), (2, "h3")], "doc_id BIGINT, dhash STRING"
+    )
+    # identical re-send of stream 1: zero new postings
+    same = spark.createDataFrame(
+        [(1, "h1"), (1, "h2")], "doc_id BIGINT, dhash STRING"
+    )
+    rr, _ = frame_index_delta(index, same)
+    assert rr.count() == 0
+    # stream 1 re-sent with a new frame: its distinct postings emitted
+    changed = spark.createDataFrame(
+        [(1, "h1"), (1, "h9")], "doc_id BIGINT, dhash STRING"
+    )
+    fresh, _ = frame_index_delta(index, changed)
+    got = {(r.doc_id, r.dhash) for r in fresh.collect()}
+    assert got == {(1, "h1"), (1, "h9")}

@@ -1153,3 +1153,50 @@ def test_compact_ingest_index_preserves_probe_semantics(spark, tmp_path):
     assert (1, 9) in got_pairs
     idx_docs = {r.doc_id for r in spark.read.parquet(index_path).collect()}
     assert idx_docs == {1, 2, 3, 4, 9}
+
+
+def test_compact_ingest_index_crash_recovery(spark, tmp_path):
+    """ADVICE r9: the compaction swap must never leave the dataset
+    deleted-but-unreplaced. Simulate both crash points of the
+    rename-aside protocol and assert the next compaction run restores
+    and completes with identical content."""
+    import os
+    import shutil
+
+    from chicago_crime_spark_ml_spark.sources.io import compact_ingest_index
+
+    index_path = str(tmp_path / "r_index")
+    for bid in (0, 1):
+        spark.createDataFrame(
+            [(bid * 10 + i, i % 3, i) for i in range(6)],
+            "doc_id BIGINT, band INT, bucket BIGINT",
+        ).coalesce(3).write.mode("append").parquet(
+            f"{index_path}/batch_id={bid}"
+        )
+    before = {
+        (r.doc_id, r.band, r.bucket)
+        for r in spark.read.parquet(index_path).collect()
+    }
+
+    # crash point A: between the two renames (live path missing, all
+    # data under __old) — preamble must rename it back and compact
+    os.rename(index_path, index_path + "__old")
+    assert not os.path.exists(index_path)
+    compact_ingest_index(spark, index_path)
+    after_a = {
+        (r.doc_id, r.band, r.bucket)
+        for r in spark.read.parquet(index_path).collect()
+    }
+    assert after_a == before
+    assert not os.path.exists(index_path + "__old")
+
+    # crash point B: during the final delete (live path present AND a
+    # stale __old) — preamble must discard the garbage, not the data
+    shutil.copytree(index_path, index_path + "__old")
+    compact_ingest_index(spark, index_path)
+    after_b = {
+        (r.doc_id, r.band, r.bucket)
+        for r in spark.read.parquet(index_path).collect()
+    }
+    assert after_b == before
+    assert not os.path.exists(index_path + "__old")

@@ -1142,3 +1142,121 @@ def test_connected_components_delta_crafted(spark):
         ).collect()
     }
     assert noop == full
+
+
+def test_lsh_index_delta_changed_content_reindexed(spark):
+    """ADVICE r9: a re-sent doc_id with CHANGED text is an update, not a
+    replay — its new postings must be emitted (the r9 behavior silently
+    dropped them, leaving the index permanently stale), while a re-sent
+    id with identical text still appends zero rows."""
+    from chicago_crime_spark_ml_spark.operators.dedup import (
+        lsh_band_index,
+        lsh_index_delta,
+    )
+
+    schema = "doc_id BIGINT, text STRING"
+    old = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely unrelated text about query planning in spark"),
+        ],
+        schema,
+    )
+    index = lsh_band_index(old)
+
+    # identical re-send: unchanged dup, zero new rows
+    same = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")], schema
+    )
+    rr_rows, _ = lsh_index_delta(index, same)
+    assert rr_rows.count() == 0
+
+    # changed re-send: postings differ -> ALL new postings emitted, and
+    # index ∪ new rows now covers the new content's buckets (the new
+    # text's full rebuild postings are a subset of the appended index)
+    changed = spark.createDataFrame(
+        [(1, "an entirely different document about streaming watermarks")],
+        schema,
+    )
+    new_rows, _ = lsh_index_delta(index, changed)
+    got_new = {(r.doc_id, r.band, r.bucket) for r in new_rows.collect()}
+    want_new = {
+        (r.doc_id, r.band, r.bucket)
+        for r in lsh_band_index(changed).collect()
+    }
+    assert got_new == want_new and len(got_new) > 0
+
+
+def test_connected_components_delta_self_edge_new_node(spark):
+    """ADVICE r9: a brand-new node whose ONLY delta edge is a self-edge
+    must appear in the updated labeling (label = own id), matching a
+    full rebuild over E_old ∪ E_delta; self-edges on existing nodes
+    change nothing."""
+    from chicago_crime_spark_ml_spark.operators.dedup import (
+        connected_components,
+        connected_components_delta,
+    )
+
+    old_edges = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    labels = connected_components(old_edges)
+    delta = spark.createDataFrame(
+        [(50, 50), (2, 2)], ["id_a", "id_b"]
+    )
+    updated = {
+        r.node: r.label
+        for r in connected_components_delta(labels, delta).collect()
+    }
+    full = {
+        r.node: r.label
+        for r in connected_components(old_edges.unionByName(delta)).collect()
+    }
+    assert updated == full
+    assert updated[50] == 50  # self-edge-only new node labeled as itself
+    assert updated[1] == updated[2] == 1  # untouched
+
+
+def test_ivf_drift_metric_degenerate_index_guard(spark, tmp_path):
+    """ADVICE r9: an index whose vectors sit EXACTLY on their centroids
+    (mean_d2_index = 0) must still trip rebuild_recommended for a
+    drifted delta — not emit NULL drift_ratio / NULL recommendation."""
+    from pyspark.sql import functions as F
+
+    from chicago_crime_spark_ml_spark.operators.similarity import (
+        ivf_drift_metric,
+        write_ivf_index,
+    )
+
+    # 4 well-separated points, each replicated 3x: k-means with k=4
+    # puts one centroid ON each point (mean of identical points), so
+    # every assignment distance is exactly 0.0
+    pts = [
+        [100.0, 0.0, 0.0],
+        [0.0, 100.0, 0.0],
+        [0.0, 0.0, 100.0],
+        [100.0, 100.0, 100.0],
+    ]
+    rows = [(i * 10 + j, p) for i, p in enumerate(pts) for j in range(3)]
+    emb = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    )
+    path = str(tmp_path / "ivf_degenerate")
+    write_ivf_index(emb, path, n_clusters=4)
+
+    base = ivf_drift_metric(spark, path, emb).collect()[0]
+    if base.mean_d2_index != 0.0:
+        import pytest
+
+        pytest.skip("k-means did not isolate each point; guard untestable")
+    # perfect delta over perfect index: ratio 0, no rebuild — not NULL
+    assert base.drift_ratio == 0.0
+    assert base.rebuild_recommended is False
+
+    shifted = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x + 50.0).alias(
+            "embedding"
+        ),
+    )
+    far = ivf_drift_metric(spark, path, shifted).collect()[0]
+    assert far.rebuild_recommended is True
+    assert far.drift_ratio is not None and far.drift_ratio > 1e6
