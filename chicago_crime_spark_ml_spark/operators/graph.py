@@ -49,34 +49,42 @@ def pagerank(
     """Weighted PageRank over (src, dst, weight) edges; returns
     (node_col, rank) with ranks summing to ~1.
 
-    r_{t+1}(v) = (1-d)/N + d * Σ_{u→v} r_t(u) · w(u,v)/out(u)
+    r_{t+1}(v) = (1-d)/N + d * (Σ_{u→v} r_t(u) · w(u,v)/out(u) + D_t/N)
 
-    Dangling nodes (no out-edges) donate their rank uniformly: they are
-    materialized as explicit edges to every node with weight 1 and
-    out-weight N. N is taken from ``nodes`` (one count of a dimension
-    table — bounded driver work, like the centroid collects in
-    similarity.py).
+    Dangling nodes (no out-edges) donate their rank uniformly, folded as
+    a SCALAR per iteration (VERDICT r9): D_t/N = Σ_{u dangling}
+    r_t(u)/N is one tiny aggregate over the node-sized rank vector,
+    cross-joined (1 row — broadcast nested loop, bounded) into every
+    node's update. The r9 implementation materialized |dangling|·N
+    explicit edges — a quadratic edge blowup on real graphs where many
+    nodes are sinks; the scalar term is the standard PageRank
+    formulation and costs O(|dangling|) per iteration. N is taken from
+    ``nodes`` (one count of a dimension table — bounded driver work,
+    like the centroid collects in similarity.py).
+
+    Bit-stability across the refactor and across engines: each dangling
+    donation is quantized to the SAME per-term DECIMAL(28,12) the edge
+    terms use — r_t(u)·1/N, exactly the term the materialized edge
+    (w=1, outw=N) produced — and summed in the decimal domain, where
+    addition is exact and associative. Folding those terms into a
+    scalar before adding them to each node's inflow therefore yields
+    the identical decimal sum, and the identical double after the final
+    cast, as the edge-materialized form (asserted against the unchanged
+    r9 ranks in tests).
     """
     n_nodes = nodes.count()
     base = (1.0 - damping) / n_nodes
+    one = F.lit(1).cast("bigint")
+    n_big = F.lit(n_nodes).cast("bigint")
+    zero_dec = F.lit(0).cast(_TERM_DEC)
 
     out_w = edges.groupBy(src).agg(F.sum(weight).cast("bigint").alias("outw"))
-    real = edges.join(out_w, src).select(
+    e = edges.join(out_w, src).select(
         F.col(src), F.col(dst), F.col(weight).cast("bigint").alias("w"), "outw"
     )
-    # Dangling nodes → uniform donation edges (w=1, out=N). nodes is a
-    # dim table, so the cross join is dim×dim (bounded), same policy as
-    # region_nation_cross in queries.py.
     dangling = nodes.select(F.col(node_col).alias(src)).join(
         edges.select(F.col(src)).distinct(), src, "left_anti"
     )
-    dang_edges = dangling.crossJoin(
-        nodes.select(F.col(node_col).alias(dst))
-    ).select(
-        src, dst, F.lit(1).cast("bigint").alias("w"),
-        F.lit(n_nodes).cast("bigint").alias("outw"),
-    )
-    e = real.unionByName(dang_edges)
 
     ranks = nodes.select(node_col, F.lit(1.0 / n_nodes).alias("rank"))
     for i in range(iterations):
@@ -88,16 +96,28 @@ def pagerank(
             .cast(_TERM_DEC)
             .alias("_term"),
         )
-        inflow = contrib.groupBy("_dst").agg(
-            F.sum("_term").cast("double").alias("_s")
+        inflow = contrib.groupBy("_dst").agg(F.sum("_term").alias("_s"))
+        # dangling mass this iteration: same (rank·1)/N evaluation shape
+        # and DECIMAL(28,12) per-term quantization as an edge term
+        dang = (
+            ranks.join(F.broadcast(dangling), ranks[node_col] == dangling[src])
+            .select(
+                ((F.col("rank") * one) / n_big).cast(_TERM_DEC).alias("_dt")
+            )
+            .agg(F.coalesce(F.sum("_dt"), zero_dec).alias("_dang"))
         )
-        ranks = nodes.join(
-            inflow, nodes[node_col] == inflow["_dst"], "left"
-        ).select(
-            node_col,
-            (F.lit(base) + F.lit(damping) * F.coalesce(F.col("_s"), F.lit(0.0))).alias(
-                "rank"
-            ),
+        ranks = (
+            nodes.join(inflow, nodes[node_col] == inflow["_dst"], "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                node_col,
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("_s"), zero_dec) + F.col("_dang"))
+                    .cast("double")
+                ).alias("rank"),
+            )
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             # Bound lineage growth for long runs (same rationale as the

@@ -995,7 +995,21 @@ def bpe_learn_merges_batched(
     symbols constantly (batches stay small), so cheap rounds — not
     wide batches — are what makes 10k+ merges reachable. The pool
     read from the maintained counts is bit-identical to a recount,
-    so the sequential-equivalence proof above is untouched."""
+    so the sequential-equivalence proof above is untouched.
+
+    Round-structure floor (r10, VERDICT r9 #3): each round is now ONE
+    Spark job — the bounded pool collect — down from r9's 6 (2
+    collects + 4 eager materializations). The fold, the old-symbol
+    retention, and the next round's vocab are one projection; it and
+    the maintained counts are LAZY localCheckpoints (the plan barrier
+    that keeps interpreted folds from stacking is installed
+    immediately; materialization piggybacks on the next pool
+    collect). No per-round vocab union, so partition counts stay
+    constant without the r9 coalesce repair. The per-merge event
+    counts — output bookkeeping for ``n_symbols_after``, never
+    control flow — are DEFERRED: each round contributes a tiny tagged
+    aggregate frame over its own checkpoint, all collected in one job
+    after the loop."""
     if m < 1:
         raise ValueError(f"m must be >= 1, got {m}")
     spark = df.sparkSession
@@ -1007,8 +1021,10 @@ def bpe_learn_merges_batched(
         ).first()[0]
         or 0
     )
-    rows = []
-    while len(rows) < k:
+    picked = []  # (round_id, candidate Row) in merge order
+    ev_frames = []  # per-round deferred event aggregates
+    rnd = 0
+    while len(picked) < k:
         pool = (
             pcs.orderBy(F.desc("pc"), F.asc("a"), F.asc("b"))
             .limit(candidate_pool)
@@ -1047,23 +1063,45 @@ def bpe_learn_merges_batched(
                 batch.append(cand)
             else:
                 break
-        batch = batch[: k - len(rows)]
-        cur, pcs, totals = _bpe_apply_batch_delta(cur, pcs, total, batch)
-        for cand, tot in zip(batch, totals):
-            rows.append((len(rows) + 1, cand.a, cand.b, int(cand.pc), tot))
-        total = totals[-1]
+        batch = batch[: k - len(picked)]
+        cur, pcs, ev = _bpe_apply_batch_delta(cur, pcs, batch, rnd)
+        ev_frames.append(ev)
+        picked.extend((rnd, cand) for cand in batch)
+        rnd += 1
+    # ONE deferred collect recovers every round's per-merge event
+    # counts (each frame reads its own round's checkpoint, so the
+    # union plan stays shallow); totals then replay in merge order.
+    # Events are output bookkeeping for n_symbols_after, never control
+    # flow, so deferring them off the round path is free.
+    events: dict[tuple[int, str], int] = {}
+    if ev_frames:
+        allev = ev_frames[0]
+        for f in ev_frames[1:]:
+            allev = allev.unionByName(f)
+        events = {(r.rnd, r.t): int(r.ev) for r in allev.collect()}
+    rows, run = [], total
+    for i, (r_id, cand) in enumerate(picked, start=1):
+        run -= events.get((r_id, cand.a + cand.b), 0)
+        rows.append((i, cand.a, cand.b, int(cand.pc), run))
     return spark.createDataFrame(rows, _BPE_MERGES_SCHEMA)
 
 
 def _bpe_apply_batch_delta(
-    cur: DataFrame, pcs: DataFrame, total: int, batch
+    cur: DataFrame, pcs: DataFrame, batch, rnd: int
 ):
     """Apply a WHOLE accepted batch of mutually-non-interfering merges
     in ONE fold pass while MAINTAINING the pair counts — the per-round
-    cost is now independent of batch size (one affected-filter, one
-    multi-merge fold, one event agg, one counts update, one vocab
-    rebuild), where r9's first cut still paid one vocab rewrite per
-    merge.
+    cost is independent of batch size, and (r10) the round adds ZERO
+    eager jobs: one fused projection computes the fold AND retains the
+    pre-merge symbols of affected words (``_old``, null for untouched
+    words), the counts update consumes a SIGNED union of the old
+    (negative) and new (positive) affected symbols so the pair-count
+    delta is a single aggregation, and both frames are lazy
+    localCheckpoints materialized by the caller's next pool collect.
+    r9 paid four eager materializations + an event collect per round;
+    the vocab rebuild is now a thin column drop over the fused
+    checkpoint, which also keeps partition counts constant (no
+    per-round union, so no coalesce repair needed).
 
     Why one pass equals sequential application of the batch: batch
     members share no symbols (guard i), no member's symbol equals
@@ -1084,63 +1122,54 @@ def _bpe_apply_batch_delta(
     creates exactly one (a_j+b_j) token and no batch merge destroys
     one, so events_j = weighted occurrences of that token after −
     before over the affected slice (the subtraction handles vocab
-    symbols that happen to equal a concatenation). Affected/after
-    frames are eagerly checkpointed (interpreted folds must never
-    stack — the let_expr lesson); the counts frame is checkpointed per
-    round to keep lineage flat across hundreds of rounds. Returns
-    (cur, pcs, totals) with totals[t] = weighted symbol count after
-    batch merge t."""
+    symbols that happen to equal a concatenation). The event frame is
+    returned LAZY, tagged with this round's id — the caller collects
+    every round's events in one deferred job. Returns
+    (cur, pcs, ev) where ev has schema (rnd, t, ev)."""
     merges = [(c.a, c.b) for c in batch]
     spaced = F.concat(F.lit(" "), F.col("sym"), F.lit(" "))
     hit = spaced.contains(f" {merges[0][0]} {merges[0][1]} ")
     for a, b in merges[1:]:
         hit = hit | spaced.contains(f" {a} {b} ")
-    affected = cur.filter(hit).localCheckpoint(eager=True)
-    new_aff = affected.select(
+    folded = _bpe_merge_fold_multi(F.split("sym", " "), merges)
+    # the fused projection: the interpreted fold runs ONCE per affected
+    # word (the when() gates it row-wise), untouched words pass their
+    # symbols through, and the pre-merge symbols survive as _old for
+    # the counts delta and event frames below. LAZY checkpoint: the
+    # plan barrier (LogicalRDD — folds never stack into consumers) is
+    # installed immediately, but materialization piggybacks on the
+    # next round's pool collect, so the whole round is ONE Spark job.
+    cur2 = cur.select(
         "w",
         "cnt",
-        _bpe_merge_fold_multi(F.split("sym", " "), merges).alias("sym"),
-    ).localCheckpoint(eager=True)
+        F.when(hit, F.col("sym")).alias("_old"),
+        F.when(hit, folded).otherwise(F.col("sym")).alias("sym"),
+    ).localCheckpoint(eager=False)
+    changed = cur2.filter(F.col("_old").isNotNull())
     toks = [a + b for a, b in merges]
-    ev_rows = (
-        affected.select((-F.col("cnt")).alias("s"), "sym")
-        .unionByName(new_aff.select(F.col("cnt").alias("s"), "sym"))
+    # old (negative) and new (positive) symbol strings of affected
+    # words, signed — ONE pair-count aggregation yields the count
+    # DELTA directly (sum of signed weights), and the same signed
+    # frame drives the event counts
+    signed = changed.select(
+        (-F.col("cnt")).alias("cnt"), F.col("_old").alias("sym")
+    ).unionByName(changed.select("cnt", "sym"))
+    ev = (
+        signed.select(F.col("cnt").alias("s"), "sym")
         .select("s", F.explode(F.split("sym", " ")).alias("t"))
         .filter(F.col("t").isin(toks))
         .groupBy("t")
         .agg(F.sum("s").cast("long").alias("ev"))
-        .collect()
+        .select(F.lit(rnd).alias("rnd"), "t", "ev")
     )
-    events = {r.t: int(r.ev) for r in ev_rows}
-    minus = _bpe_adjacent_pair_counts(affected).select(
-        "a", "b", (-F.col("pc")).alias("pc")
-    )
-    plus = _bpe_adjacent_pair_counts(new_aff)
     pcs = (
-        pcs.unionByName(plus)
-        .unionByName(minus)
+        pcs.unionByName(_bpe_adjacent_pair_counts(signed))
         .groupBy("a", "b")
         .agg(F.sum("pc").cast("long").alias("pc"))
         .filter(F.col("pc") > 0)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    # unionByName SUMS partition counts, so without the coalesce the
-    # vocab frame doubles its partitions every round (4096× after 12
-    # rounds: thousand-task stages + fd exhaustion from checkpoint
-    # files). Pin it back to the pre-round count — no shuffle, and the
-    # count stays constant across hundreds of rounds.
-    n_parts = max(1, cur.rdd.getNumPartitions())
-    cur = (
-        cur.filter(~hit)
-        .unionByName(new_aff)
-        .coalesce(n_parts)
-        .localCheckpoint(eager=True)
-    )
-    totals = []
-    for a, b in merges:
-        total -= events.get(a + b, 0)
-        totals.append(total)
-    return cur, pcs, totals
+    return cur2.drop("_old"), pcs, ev
 
 
 def _bpe_merge_fold_multi(arr: Column, merges) -> Column:
