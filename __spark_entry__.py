@@ -132,14 +132,19 @@ _REWRITTEN_GREENS = [
     # r10: self-edge endpoints now seed new_nodes (ADVICE r9) — the
     # delta==rebuild contract code changed
     "cc_incremental_check",
-    # r10: per-write dynamic partitionOverwriteMode (ADVICE r9) rewrote
-    # the delta write path these certify
-    "ivf_delta_assignment_check",
-    "ivf_staleness_drift",
-    # r10: fused accept-fold + pair-delta projection rewrote the round
-    # body under both BPE certifications
+    # r10: changed-content re-sends now re-indexed (ADVICE r9) rewrote
+    # the dup-drop path of all three delta indexes these certify
+    "lsh_incremental_index_check",
+    "dhash_incremental_index_check",
+    "video_frame_incremental_index_check",
+    # r10: one-job round structure (lazy checkpoints, signed pair-count
+    # delta, deferred events) rewrote the round body under both BPE
+    # certifications
     "bpe_merge_learning_batched",
     "bpe_merge_learning_delta",
+    # r10: blob synthesis refactored into the shared helper the
+    # incremental funnel reuses
+    "media_curation_funnel_multimodal",
 ]
 
 

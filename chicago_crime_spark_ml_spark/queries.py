@@ -5517,7 +5517,10 @@ def _pagerank_sql(iters: int = 3, damping: float = 0.85, n: int = 25) -> str:
     """Unrolled weighted-PageRank oracle. Literals are repr()'d Python
     floats so DuckDB parses the EXACT double the Spark operator uses;
     per-term DECIMAL(28,12) quantization makes each iteration's rank
-    vector bit-identical across engines (see operators/graph.py)."""
+    vector bit-identical across engines (see operators/graph.py).
+    Dangling mass is the r10 SCALAR term (per-iteration d{{t}} CTE), the
+    same decimal-exact sum the operator computes — never a
+    |dangling|×N edge materialization."""
     base, d = repr((1.0 - damping) / n), repr(damping)
     ctes = [
         f"""e0 AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
@@ -5530,23 +5533,28 @@ def _pagerank_sql(iters: int = 3, damping: float = 0.85, n: int = 25) -> str:
     ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM e0 GROUP BY src),
     nodes AS (SELECT n_nationkey AS node FROM nation),
     e AS (SELECT e0.src, e0.dst, e0.w, ow.outw
-          FROM e0 JOIN ow ON e0.src = ow.src
-          UNION ALL
-          SELECT dg.node, n2.node, CAST(1 AS BIGINT), CAST({n} AS BIGINT)
-          FROM (SELECT node FROM nodes
-                WHERE node NOT IN (SELECT src FROM e0)) dg
-          CROSS JOIN nodes n2),
+          FROM e0 JOIN ow ON e0.src = ow.src),
+    dangling AS (SELECT node FROM nodes
+                 WHERE node NOT IN (SELECT src FROM e0)),
     r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / {n} AS rank FROM nodes)"""
     ]
     for t in range(1, iters + 1):
         ctes.append(
             f"""s{t} AS (SELECT e.dst,
-                    CAST(sum(CAST((r.rank * e.w) / e.outw AS DECIMAL(28,12)))
-                         AS DOUBLE) AS s
+                    sum(CAST((r.rank * e.w) / e.outw AS DECIMAL(28,12))) AS s
              FROM e JOIN r{t - 1} r ON e.src = r.node GROUP BY e.dst),
+    d{t} AS (SELECT coalesce(
+                 sum(CAST((r.rank * CAST(1 AS BIGINT)) / CAST({n} AS BIGINT)
+                          AS DECIMAL(28,12))),
+                 CAST(0 AS DECIMAL(28,12))) AS dang
+             FROM r{t - 1} r
+             WHERE r.node IN (SELECT node FROM dangling)),
     r{t} AS (SELECT n.node,
-                    CAST({base} AS DOUBLE) + {d} * coalesce(s{t}.s, 0.0) AS rank
-             FROM nodes n LEFT JOIN s{t} ON n.node = s{t}.dst)"""
+                    CAST({base} AS DOUBLE) + {d} *
+                    CAST(coalesce(s{t}.s, CAST(0 AS DECIMAL(28,12)))
+                         + d{t}.dang AS DOUBLE) AS rank
+             FROM nodes n LEFT JOIN s{t} ON n.node = s{t}.dst
+             CROSS JOIN d{t})"""
         )
     return (
         "WITH "
@@ -5565,8 +5573,9 @@ def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem count. Iterative DataFrame joins, no GraphX: per iteration
     one edge⋈rank join keyed on src + one inflow agg keyed on dst; the
     rank vector is node-sized so every shuffle after edge construction
-    is dimension-scale. Dangling nodes donate rank uniformly via
-    materialized uniform edges. Cross-engine bit-stability via per-term
+    is dimension-scale. Dangling nodes donate rank uniformly via a
+    per-iteration scalar mass term (one tiny agg, broadcast — never a
+    |dangling|×N edge blowup). Cross-engine bit-stability via per-term
     DECIMAL(28,12) quantization (operators/graph.py)."""
     from chicago_crime_spark_ml_spark.operators.graph import pagerank
 
@@ -6009,6 +6018,85 @@ def ivf_delta_assignment_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(diff == 0 and n_mine == n_delta,)],
         "delta_equals_transform boolean",
+    )
+
+
+@query(
+    "ivf_compaction_check",
+    "SELECT true AS probe_preserved_and_files_reduced",
+)
+def ivf_compaction_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract query for IVF small-files maintenance
+    (similarity.compact_ivf_index — VERDICT r9 #7): the
+    ``cell=*/ingest=<id>`` layout accumulates one partition per delta
+    forever; compaction must collapse them WITHOUT changing what any
+    probe returns. Build a real k-means index on the 80% split
+    (write_ivf_index), land the 20% delta as three separate ingests
+    (ivf_index_delta — the accumulation being compacted), record a
+    probe's full top-10 (ids AND rounded scores), compact, and verify
+    (a) the identical probe returns the identical rows, (b) the data
+    file count strictly dropped, (c) every cell directory holds
+    exactly one compacted ingest partition. Cells and scores are
+    fit-specific, so the driver-checkable output is the verdict
+    boolean. Scratch index lives in a driver tempdir, removed before
+    returning."""
+    import glob  # noqa: PLC0415
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from chicago_crime_spark_ml_spark.operators.similarity import (
+        compact_ivf_index,
+        ivf_index_delta,
+        probe_ivf_index,
+        write_ivf_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    root = tempfile.mkdtemp(prefix="ivf_compact_")
+    path = os.path.join(root, "ivf")
+    try:
+        write_ivf_index(old, path, n_clusters=8)
+        for i in range(3):
+            delta_i = emb.filter(
+                (F.col("vec_id") % 5 == 0) & (F.col("vec_id") % 3 == i)
+            )
+            ivf_index_delta(spark, path, delta_i, ingest_id=f"batch-{i}")
+        qvec = [
+            float(x)
+            for x in emb.orderBy("vec_id").first()["embedding"]
+        ]
+        probe = lambda: [  # noqa: E731
+            (r.vec_id, r.cosine)
+            for r in probe_ivf_index(
+                spark, path, qvec, k=10, n_probe=4
+            ).collect()
+        ]
+        before = probe()
+        files_before = len(
+            glob.glob(os.path.join(path, "cell=*", "ingest=*", "part-*"))
+        )
+        compact_ivf_index(spark, path)
+        after = probe()
+        files_after = len(
+            glob.glob(os.path.join(path, "cell=*", "ingest=*", "part-*"))
+        )
+        one_ingest_per_cell = all(
+            len(os.listdir(os.path.join(path, c))) == 1
+            for c in os.listdir(path)
+            if c.startswith("cell=")
+        )
+        verdict = bool(
+            after == before
+            and len(before) == 10
+            and files_after < files_before
+            and one_ingest_per_cell
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [(verdict,)], "probe_preserved_and_files_reduced boolean"
     )
 
 
@@ -12698,6 +12786,145 @@ def cc_incremental_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cc_labels_upsert_check",
+    "SELECT true AS upsert_equals_rebuild",
+)
+def cc_labels_upsert_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract query for incremental CC **on a STORED labeling**
+    (VERDICT r9 #4): at 100 TB the labeling lives as parquet
+    partitioned by node bucket, and maintaining it must be a
+    partition-pruned upsert — only partitions holding relabeled or new
+    nodes are rewritten; every other partition's files stay
+    byte-identical on disk. cc_incremental_check certifies the
+    in-memory delta==rebuild math; this certifies the STORAGE path
+    (dedup.connected_components_delta → changed-row diff →
+    io.merge_parquet_partitioned) end-to-end.
+
+    Corpus: the group-of-8 edge corpus, but delta edges fire only in
+    every 8th group, and the labeling is bucketed ``part =
+    node // 32`` (4 groups per partition) — so about half the
+    partitions contain no changed node and MUST come through the merge
+    with identical files. Asserted file-level via stats.file_spans
+    (per-file min/max/rows footers) plus name+size listings on every
+    untouched partition directory, and the merged table must equal a
+    full connected_components rebuild over all edges exactly
+    (distributed exceptAll). Also asserts the merge actually PRUNED
+    (touched < total partitions) — a full rewrite would pass the
+    equality check but fail this. Scratch parquet lives in a driver
+    tempdir (bounded: node-scale rows), removed before returning."""
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from chicago_crime_spark_ml_spark.operators.dedup import (
+        connected_components,
+        connected_components_delta,
+    )
+    from chicago_crime_spark_ml_spark.sources.io import (
+        merge_parquet_partitioned,
+    )
+    from chicago_crime_spark_ml_spark.sources.stats import file_spans
+
+    docs = _doc_ids(spark, sf_dir)
+    g = F.floor(F.col("doc_id") / F.lit(8)) * 8
+    r = F.col("doc_id") % 8
+    in_delta_group = (F.floor(F.col("doc_id") / F.lit(8)) % 8) == 0
+    edge = (
+        F.when(r == 1, F.struct(g.alias("id_a"), (g + 1).alias("id_b")))
+        .when(r == 2, F.struct((g + 1).alias("id_a"), (g + 2).alias("id_b")))
+        .when(r == 5, F.struct((g + 4).alias("id_a"), (g + 5).alias("id_b")))
+        .when(
+            r == 6,
+            F.when(
+                in_delta_group,
+                F.struct((g + 2).alias("id_a"), (g + 6).alias("id_b")),
+            ),
+        )
+        .when(
+            r == 7,
+            F.when(
+                in_delta_group,
+                F.struct((g + 6).alias("id_a"), (g + 4).alias("id_b")),
+            ),
+        )
+    )
+    is_delta = r.isin(6, 7)
+    edges = docs.select(
+        edge.alias("e"), is_delta.alias("_d")
+    ).filter(F.col("e").isNotNull())
+    old_e = edges.filter(~F.col("_d")).select("e.id_a", "e.id_b")
+    delta_e = edges.filter(F.col("_d")).select("e.id_a", "e.id_b")
+
+    part = (F.floor(F.col("node") / F.lit(32))).cast("bigint").alias("part")
+    root = tempfile.mkdtemp(prefix="cc_labels_")
+    path = os.path.join(root, "labels")
+    try:
+        connected_components(old_e).select("node", "label", part).write.mode(
+            "overwrite"
+        ).partitionBy("part").parquet(path)
+        stored = spark.read.parquet(path)
+
+        updated = connected_components_delta(
+            stored.select("node", "label"), delta_e
+        )
+        # materialized BEFORE the merge: the plan reads the stored
+        # parquet, which the merge below partially overwrites — a lazy
+        # re-execution after the merge would hit replaced files
+        changed = (
+            updated.join(
+                stored.select("node", F.col("label").alias("_prev")),
+                "node",
+                "left",
+            )
+            .filter(
+                F.col("_prev").isNull() | (F.col("_prev") != F.col("label"))
+            )
+            .select("node", "label", part)
+            .localCheckpoint(eager=True)
+        )
+        touched_vals = {
+            int(row.part)
+            for row in changed.select("part").distinct().collect()
+        }
+
+        def listing(d):  # (name, size) + footer spans per partition dir
+            files = sorted(
+                f for f in os.listdir(d) if f.endswith(".parquet")
+            )
+            sizes = [
+                (f, os.path.getsize(os.path.join(d, f))) for f in files
+            ]
+            return sizes, file_spans(d, "node")
+
+        part_dirs = sorted(
+            d for d in os.listdir(path) if d.startswith("part=")
+        )
+        before = {d: listing(os.path.join(path, d)) for d in part_dirs}
+        n_touched = merge_parquet_partitioned(
+            spark, path, changed, keys=["node"], partition_cols=["part"]
+        )
+        untouched_ok = all(
+            listing(os.path.join(path, d)) == before[d]
+            for d in part_dirs
+            if int(d.split("=", 1)[1]) not in touched_vals
+        )
+        pruned = 0 < n_touched == len(touched_vals) < len(part_dirs)
+
+        merged_back = spark.read.parquet(path).select("node", "label")
+        full = connected_components(old_e.unionByName(delta_e))
+        diff = (
+            merged_back.exceptAll(full).count()
+            + full.exceptAll(merged_back).count()
+        )
+        verdict = bool(diff == 0 and untouched_ok and pruned)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [(verdict,)], "upsert_equals_rebuild boolean"
+    )
+
+
+@query(
     "media_curation_funnel",
     """
     WITH RECURSIVE d AS (SELECT doc_id, doc_id // 2 AS f,
@@ -12816,9 +13043,68 @@ def media_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw_n.unionByName(dec_n).unionByName(canon_n)
 
 
-@query(
-    "media_curation_funnel_multimodal",
-    """
+def _funnel_multimodal_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared mixed-modality blob corpus of the curation-funnel
+    queries (batch + incremental): even ids are netpbm images
+    (md5-pixel families of doc_id//4), odd ids the same waveform
+    family as WAV (doc_id%4==1) vs FLAC (doc_id%4==3), doc_id%7==3
+    corrupt JUNK the audit must quarantine. Materialized once — the
+    synthesize mapInPandas stages feed the audit AND every signature
+    pipeline."""
+    from chicago_crime_spark_ml_spark.operators.multimodal import (
+        synthesize_flac_blobs,
+        synthesize_netpbm_blobs,
+        synthesize_wav_blobs,
+    )
+
+    docs = _doc_ids(spark, sf_dir)
+    bad = F.col("doc_id") % 7 == 3
+    is_img = F.col("doc_id") % 2 == 0
+    fam = F.floor(F.col("doc_id") / F.lit(4))
+    base = lambda r, c: F.conv(  # noqa: E731
+        F.substring(F.md5(F.concat_ws("_", fam, r, c)), 1, 2), 16, 10
+    ).cast("int")
+    pixels = F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda r: F.transform(
+            F.sequence(F.lit(0), F.lit(17)), lambda c: base(r, c)
+        ),
+    )
+    img_good = synthesize_netpbm_blobs(
+        docs.filter(is_img & ~bad).select("doc_id", pixels.alias("pixels"))
+    )
+    n = (F.lit(130) + (fam % 3) * 65).cast("int")
+    samples = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: (
+            F.conv(
+                F.substring(F.md5(F.concat_ws("_", fam, i)), 1, 2), 16, 10
+            ).cast("int")
+            - 128
+        ).cast("double")
+        / 256.0,
+    )
+    aud_base = docs.filter(~is_img & ~bad).select(
+        "doc_id", samples.alias("samples")
+    )
+    wav = synthesize_wav_blobs(aud_base.filter(F.col("doc_id") % 4 == 1))
+    flac = synthesize_flac_blobs(aud_base.filter(F.col("doc_id") % 4 == 3))
+    junk = docs.filter(bad).select(
+        "doc_id", F.lit(bytes(b"JUNK")).alias("blob")
+    )
+    return (
+        img_good.unionByName(wav)
+        .unionByName(flac)
+        .unionByName(junk)
+        .localCheckpoint(eager=True)
+    )
+
+
+# Closed-form full-rebuild oracle for the multimodal curation funnel —
+# shared by the batch query AND the incremental (delta-maintained)
+# query: the strongest possible delta==rebuild certification is the
+# incremental path hash-matching the full rebuild's closed form.
+_FUNNEL_MULTIMODAL_SQL = """
     WITH RECURSIVE d AS (SELECT doc_id, doc_id // 4 AS f,
                       doc_id % 7 = 3 AS bad, doc_id % 2 = 0 AS img
                FROM documents),
@@ -12895,8 +13181,10 @@ def media_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN img THEN 'image' ELSE 'audio' END,
            count(DISTINCT cid)
     FROM clusters GROUP BY img
-    """,
-)
+    """
+
+
+@query("media_curation_funnel_multimodal", _FUNNEL_MULTIMODAL_SQL)
 def media_curation_funnel_multimodal(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -12928,54 +13216,11 @@ def media_curation_funnel_multimodal(
         dhash_hamming_pairs,
         image_dhash,
         media_type_audit,
-        synthesize_flac_blobs,
-        synthesize_netpbm_blobs,
-        synthesize_wav_blobs,
     )
 
     docs = _doc_ids(spark, sf_dir)
-    bad = F.col("doc_id") % 7 == 3
     is_img = F.col("doc_id") % 2 == 0
-    fam = F.floor(F.col("doc_id") / F.lit(4))
-    base = lambda r, c: F.conv(  # noqa: E731
-        F.substring(F.md5(F.concat_ws("_", fam, r, c)), 1, 2), 16, 10
-    ).cast("int")
-    pixels = F.transform(
-        F.sequence(F.lit(0), F.lit(15)),
-        lambda r: F.transform(
-            F.sequence(F.lit(0), F.lit(17)), lambda c: base(r, c)
-        ),
-    )
-    img_good = synthesize_netpbm_blobs(
-        docs.filter(is_img & ~bad).select("doc_id", pixels.alias("pixels"))
-    )
-    n = (F.lit(130) + (fam % 3) * 65).cast("int")
-    samples = F.transform(
-        F.sequence(F.lit(0), n - 1),
-        lambda i: (
-            F.conv(
-                F.substring(F.md5(F.concat_ws("_", fam, i)), 1, 2), 16, 10
-            ).cast("int")
-            - 128
-        ).cast("double")
-        / 256.0,
-    )
-    aud_base = docs.filter(~is_img & ~bad).select(
-        "doc_id", samples.alias("samples")
-    )
-    wav = synthesize_wav_blobs(aud_base.filter(F.col("doc_id") % 4 == 1))
-    flac = synthesize_flac_blobs(aud_base.filter(F.col("doc_id") % 4 == 3))
-    junk = docs.filter(bad).select(
-        "doc_id", F.lit(bytes(b"JUNK")).alias("blob")
-    )
-    # blobs feed the audit AND both signature pipelines: materialize
-    # the synthesize mapInPandas stages once
-    blobs = (
-        img_good.unionByName(wav)
-        .unionByName(flac)
-        .unionByName(junk)
-        .localCheckpoint(eager=True)
-    )
+    blobs = _funnel_multimodal_blobs(spark, sf_dir)
     audit = media_type_audit(blobs)
     dec = audit.filter(F.col("decodable")).select("doc_id").localCheckpoint(
         eager=True
@@ -12998,6 +13243,139 @@ def media_curation_funnel_multimodal(
         F.count(F.lit(1)).alias("n_docs")
     ).select(F.lit("raw").alias("stage"), "modality", "n_docs")
     dec_n = dec.groupBy(modality.alias("modality")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    ).select(F.lit("decodable").alias("stage"), "modality", "n_docs")
+    canon_n = clusters.groupBy(modality.alias("modality")).agg(
+        F.countDistinct("cid").alias("n_docs")
+    ).select(F.lit("canonical").alias("stage"), "modality", "n_docs")
+    return raw_n.unionByName(dec_n).unionByName(canon_n)
+
+
+@query("media_curation_funnel_incremental", _FUNNEL_MULTIMODAL_SQL)
+def media_curation_funnel_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The DELTA-MAINTAINED curation funnel (r10, VERDICT r9 #8 — the
+    capstone the delta operator family was built for): the same mixed
+    image/audio corpus as media_curation_funnel_multimodal, but 20% of
+    docs arrive as a DELTA against an already-curated history, and
+    every stage is maintained incrementally — audit only the delta,
+    signature only the delta survivors, probe the stored per-modality
+    band indexes (dhash_index_delta: delta×history candidates, never
+    history×history), exact-rescore only those candidates, contract
+    the rescored delta pairs onto the STORED labeling
+    (connected_components_delta — O(delta), no re-flood), and
+    recompute canonical counts from the updated labels. The oracle is
+    the full rebuild's closed form, UNCHANGED — hash equality IS the
+    delta==rebuild certification, end to end across audit, banding,
+    rescore, and clustering. Per-stage delta==rebuild contracts:
+    dhash_incremental_index_check (candidates), cc_incremental_check
+    (labels); this composes them under one hash. Output: (stage,
+    modality, n_docs) — identical schema/values to the batch funnel."""
+    from chicago_crime_spark_ml_spark.operators.dedup import (
+        connected_components,
+        connected_components_delta,
+    )
+    from chicago_crime_spark_ml_spark.operators.multimodal import (
+        audio_fingerprint,
+        dhash_band_index,
+        dhash_hamming_pairs,
+        dhash_index_delta,
+        image_dhash,
+        media_type_audit,
+    )
+
+    docs = _doc_ids(spark, sf_dir)
+    is_img = F.col("doc_id") % 2 == 0
+    is_hist = F.col("doc_id") % 5 != 0
+    blobs = _funnel_multimodal_blobs(spark, sf_dir)
+
+    # ---- history pass (what ran before the delta arrived) ----
+    hist_blobs = blobs.filter(is_hist)
+    dec_hist = (
+        media_type_audit(hist_blobs)
+        .filter(F.col("decodable"))
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    surv_hist = hist_blobs.join(dec_hist, "doc_id", "left_semi")
+    sig_hist = {
+        "image": image_dhash(surv_hist.filter(is_img))
+        .select("doc_id", "row_bytes")
+        .localCheckpoint(eager=True),
+        "audio": audio_fingerprint(surv_hist.filter(~is_img))
+        .select("doc_id", "row_bytes")
+        .localCheckpoint(eager=True),
+    }
+    hist_pairs = [
+        dhash_hamming_pairs(s, max_distance=3, band_bytes=2).select(
+            "id_a", "id_b"
+        )
+        for s in sig_hist.values()
+    ]
+    labels = connected_components(hist_pairs[0].unionByName(hist_pairs[1]))
+
+    # ---- delta pass (incremental maintenance only) ----
+    delta_blobs = blobs.filter(~is_hist)
+    dec_delta = (
+        media_type_audit(delta_blobs)
+        .filter(F.col("decodable"))
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    surv_delta = delta_blobs.join(dec_delta, "doc_id", "left_semi")
+    sig_delta = {
+        "image": image_dhash(surv_delta.filter(is_img))
+        .select("doc_id", "row_bytes")
+        .localCheckpoint(eager=True),
+        "audio": audio_fingerprint(surv_delta.filter(~is_img))
+        .select("doc_id", "row_bytes")
+        .localCheckpoint(eager=True),
+    }
+    hamming = F.aggregate(
+        F.zip_with(
+            "rb_a", "rb_b", lambda x, y: F.bit_count(x.bitwiseXOR(y))
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    delta_pairs = None
+    for m in ("image", "audio"):
+        index_m = dhash_band_index(sig_hist[m], band_bytes=2)
+        _, cand = dhash_index_delta(index_m, sig_delta[m], band_bytes=2)
+        sig_all = sig_hist[m].unionByName(sig_delta[m])
+        a = sig_all.select(
+            F.col("doc_id").alias("id_a"), F.col("row_bytes").alias("rb_a")
+        )
+        b = sig_all.select(
+            F.col("doc_id").alias("id_b"), F.col("row_bytes").alias("rb_b")
+        )
+        rescored = (
+            cand.join(a, "id_a")
+            .join(b, "id_b")
+            .filter(hamming.cast("int") <= 3)
+            .select("id_a", "id_b")
+        )
+        delta_pairs = (
+            rescored
+            if delta_pairs is None
+            else delta_pairs.unionByName(rescored)
+        )
+    updated = connected_components_delta(labels, delta_pairs)
+
+    # ---- funnel counts from the delta-maintained state ----
+    dec_all = dec_hist.unionByName(dec_delta)
+    clusters = dec_all.join(
+        updated, dec_all["doc_id"] == updated["node"], "left"
+    ).select(
+        dec_all["doc_id"],
+        F.coalesce("label", dec_all["doc_id"]).alias("cid"),
+    )
+    modality = F.when(F.col("doc_id") % 2 == 0, "image").otherwise("audio")
+    raw_n = docs.groupBy(modality.alias("modality")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    ).select(F.lit("raw").alias("stage"), "modality", "n_docs")
+    dec_n = dec_all.groupBy(modality.alias("modality")).agg(
         F.count(F.lit(1)).alias("n_docs")
     ).select(F.lit("decodable").alias("stage"), "modality", "n_docs")
     canon_n = clusters.groupBy(modality.alias("modality")).agg(
