@@ -126,6 +126,88 @@ def pagerank(
     return ranks
 
 
+def label_propagation(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "node",
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    iterations: int = 4,
+    seed_labels: DataFrame | None = None,
+) -> DataFrame:
+    """Synchronous weighted label propagation (Raghavan et al. 2007)
+    over (src, dst, weight) edges, fully deterministic: each round,
+    every node adopts the label with the LARGEST total incident edge
+    weight among its neighbors' current labels, ties broken on the
+    smallest label — so both engines (and any two cluster runs) replay
+    the same communities, no randomized visit order. Returns
+    (node_col, label) for every node in ``nodes``; isolated nodes keep
+    their own label.
+
+    The near-dup use case (VERDICT r9 #9): community ids for cluster
+    STABILITY across re-ingests — pass ``seed_labels`` (the previous
+    run's labeling) and unchanged regions of the graph converge to
+    their previous ids instead of re-deriving everything from node
+    ids, so downstream keep-lists don't churn when a delta lands.
+    Without seeds every node starts as its own label (the classic
+    init).
+
+    Scale shape: identical to :func:`pagerank` — per round one
+    edge⋈labels join keyed on dst + one (node,label) weight agg + one
+    argmax agg, all node/edge-scale, no quadratic frame anywhere;
+    per-round localCheckpoint keeps the plan flat. Synchronous updates
+    can oscillate on bipartite structures, so ``iterations`` is a
+    fixed budget, not a convergence loop — the standard batch LPA
+    trade (GraphFrames makes the same choice)."""
+    e = edges.select(
+        F.col(src).alias("_s"),
+        F.col(dst).alias("_d"),
+        F.col(weight).cast("bigint").alias("_w"),
+    )
+    und = e.unionByName(
+        e.select(
+            F.col("_d").alias("_s"), F.col("_s").alias("_d"), "_w"
+        )
+    ).localCheckpoint(eager=True)
+    if seed_labels is not None:
+        labels = nodes.join(
+            seed_labels.select(
+                F.col(node_col).alias("_n"), F.col("label").alias("_l")
+            ),
+            nodes[node_col] == F.col("_n"),
+            "left",
+        ).select(
+            node_col, F.coalesce("_l", F.col(node_col)).alias("label")
+        )
+    else:
+        labels = nodes.select(node_col, F.col(node_col).alias("label"))
+    for _ in range(iterations):
+        msgs = und.join(labels, und["_d"] == labels[node_col]).select(
+            F.col("_s").alias("_node"), "label", "_w"
+        )
+        votes = msgs.groupBy("_node", "label").agg(
+            F.sum("_w").alias("_wt")
+        )
+        # (weight DESC, label ASC) argmax via struct-min on (-wt, label)
+        pick = votes.groupBy("_node").agg(
+            F.min(F.struct((-F.col("_wt")).alias("nw"), "label")).alias(
+                "pk"
+            )
+        )
+        labels = (
+            nodes.join(pick, nodes[node_col] == pick["_node"], "left")
+            .select(
+                node_col,
+                F.coalesce(F.col("pk.label"), F.col(node_col)).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
 def degree_profile(
     edges: DataFrame, src: str = "src", dst: str = "dst", weight: str = "w"
 ) -> DataFrame:
