@@ -704,18 +704,21 @@ def lsh_band_index(
     n: int = 3,
     num_hashes: int = 8,
     seed: int = 42,
+    band_width: int = 1,
 ) -> DataFrame:
     """Materializable LSH bucket index: (id, band, bucket) rows, one per
     minhash band per doc — the unit of INCREMENTAL near-dup detection.
 
     The hash family (_minhash_bands: xxhash64 seeded per band, pure
-    Column algebra) is a pure function of (seed, num_hashes) — never of
-    the data — so an index built today and a delta hashed tomorrow land
-    in the SAME bucket space. Persist this frame (partitioned by band)
-    and a daily corpus delta probes it instead of re-scanning history.
-    """
+    Column algebra) is a pure function of (seed, num_hashes,
+    band_width) — never of the data — so an index built today and a
+    delta hashed tomorrow land in the SAME bucket space. Persist this
+    frame (partitioned by band) and a daily corpus delta probes it
+    instead of re-scanning history. ``band_width`` is the same
+    precision lever as minhash_lsh_pairs (r10: threaded through so the
+    incremental path can run the 32×2 certification banding)."""
     sets = _hashed_shingle_sets(df, text_col, id_col, n)
-    return _minhash_bands(sets, id_col, num_hashes, seed)
+    return _minhash_bands(sets, id_col, num_hashes, seed, band_width)
 
 
 def lsh_index_delta(
@@ -726,6 +729,7 @@ def lsh_index_delta(
     n: int = 3,
     num_hashes: int = 8,
     seed: int = 42,
+    band_width: int = 1,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental LSH maintenance: hash ONLY the delta, probe the stored
     index, return (new_index_rows, candidate_pairs_touching_the_delta).
@@ -765,7 +769,7 @@ def lsh_index_delta(
     rows (or compacts keeping max-ingest) before appending.
     """
     delta_rows = lsh_band_index(
-        new_docs, text_col, id_col, n, num_hashes, seed
+        new_docs, text_col, id_col, n, num_hashes, seed, band_width
     )
     delta_ids = delta_rows.select(id_col).distinct()
     dup_ids = index.select(id_col).join(
@@ -797,3 +801,51 @@ def lsh_index_delta(
         .distinct()
     )
     return fresh, pairs
+
+
+def rescore_jaccard(
+    cand: DataFrame,
+    docs: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Exact n-gram set-Jaccard rescore of CANDIDATE pairs — the
+    shared back half of every LSH pipeline, public so the incremental
+    path (lsh_index_delta emits candidates; rescoring was "the
+    caller's step") gets the identical arithmetic as the batch
+    minhash_lsh_pairs rescore: hashed shingle sets (xxhash64 longs,
+    single-eval checkpoint), array_intersect, jaccard ≥ threshold.
+    Shingle sets are computed ONLY for docs appearing in a candidate
+    pair (semi-join on the pair ids) — at 100 TB the candidate set is
+    delta-scale, so the rescore never re-shingles the corpus. Returns
+    (id_a, id_b, jaccard) with the same round-4 rounding as the batch
+    operator."""
+    ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .unionByName(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sets = _hashed_shingle_sets(
+        docs.join(ids, id_col, "left_semi"), text_col, id_col, n
+    )
+    sa = sets.select(
+        F.col(id_col).alias("id_a"),
+        F.col("hshingles").alias("_sa"),
+        F.col("n_shingles").alias("_na"),
+    )
+    sb = sets.select(
+        F.col(id_col).alias("id_b"),
+        F.col("hshingles").alias("_sb"),
+        F.col("n_shingles").alias("_nb"),
+    )
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    jac = inter / (F.col("_na") + F.col("_nb") - inter)
+    return (
+        cand.select("id_a", "id_b")
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(jac >= threshold)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    )

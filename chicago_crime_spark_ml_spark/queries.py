@@ -2044,9 +2044,10 @@ def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, threshold=0.8, max_df=None)
 
 
-@query(
-    "near_dup_clusters",
-    f"""
+# Full-rebuild closed form for text near-dup clustering — shared by
+# the batch query AND the incremental (delta-maintained) query, whose
+# hash match against this IS its delta==rebuild certification.
+_NEAR_DUP_CLUSTERS_SQL = f"""
     WITH RECURSIVE {_NGRAM_JACCARD_CTES},
     edges AS (SELECT id_a AS a, id_b AS b FROM jac
               UNION ALL SELECT id_b, id_a FROM jac),
@@ -2059,8 +2060,10 @@ def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.doc_id,
            CAST(coalesce(c.label, d.doc_id) AS BIGINT) AS cluster_id
     FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
-    """,
-)
+    """
+
+
+@query("near_dup_clusters", _NEAR_DUP_CLUSTERS_SQL)
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTER assignment: connected components over the
     Jaccard≥0.8 pair graph — every document labeled with the min doc_id
@@ -2087,6 +2090,55 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", F.coalesce("label", "doc_id").alias("cluster_id")
     )
+
+
+@query("text_dedup_incremental", _NEAR_DUP_CLUSTERS_SQL)
+def text_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DELTA-MAINTAINED text near-dup clustering (r10 — the TEXT
+    twin of media_curation_funnel_incremental, completing incremental
+    capstones across modalities): 20% of documents arrive as a delta
+    against an already-clustered history, and every stage runs
+    delta-scale — the stored LSH band index is probed
+    (lsh_index_delta: delta×history candidates, never
+    history×history), only delta-touching candidates are
+    exact-rescored (rescore_jaccard shingles only candidate docs), and
+    the rescored pairs contract onto the STORED labeling
+    (connected_components_delta — O(delta), no re-flood). The oracle
+    is near_dup_clusters' full-rebuild closed form UNCHANGED: the hash
+    match certifies delta == rebuild end to end. Banding is the 32×2
+    certification setting (per-pair miss ≤ 6.3e-15 at J ≥ 0.8), so a
+    red row means arithmetic, not banding luck. Output: (doc_id,
+    cluster_id) for the WHOLE corpus, identical to the batch query."""
+    from chicago_crime_spark_ml_spark.operators.dedup import (
+        connected_components,
+        connected_components_delta,
+        lsh_band_index,
+        lsh_index_delta,
+        minhash_lsh_pairs,
+        rescore_jaccard,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    hist = d.filter(F.col("doc_id") % 5 != 0)
+    delta = d.filter(F.col("doc_id") % 5 == 0)
+
+    # history state (what ran before the delta): pairs -> labels, index
+    labels = connected_components(
+        minhash_lsh_pairs(
+            hist, num_hashes=32, jaccard_threshold=0.8, band_width=2
+        )
+    )
+    index = lsh_band_index(hist, num_hashes=32, band_width=2)
+
+    # delta maintenance only
+    _, cand = lsh_index_delta(index, delta, num_hashes=32, band_width=2)
+    rescored = rescore_jaccard(cand, d, threshold=0.8).select(
+        "id_a", "id_b"
+    )
+    updated = connected_components_delta(labels, rescored)
+    return d.select("doc_id").join(
+        updated, d["doc_id"] == updated["node"], "left"
+    ).select("doc_id", F.coalesce("label", "doc_id").alias("cluster_id"))
 
 
 @query(
