@@ -685,6 +685,7 @@ def compact_ivf_index(
     spark,
     path: str,
     n_tasks: int | None = None,
+    files_per_cell: int = 1,
 ) -> int:
     """Small-files maintenance for a materialized IVF index (VERDICT
     r9 #7): the ``cell=*/ingest=<id>`` layout accumulates one ingest
@@ -697,9 +698,14 @@ def compact_ivf_index(
     partition pruning is untouched and probe results are identical
     (certified by the ivf_compaction_check query).
 
-    Layout discipline: the rewrite is ``repartition(n, "cell")`` —
-    every cell lands wholly in one task, so each cell directory gets
-    exactly ONE file regardless of how many ingests it had. The swap
+    Layout discipline: the rewrite is ``repartition(n, "cell",
+    salt)`` with a per-row salt in [0, files_per_cell) — every
+    (cell, salt) slice lands wholly in one task, so each cell
+    directory gets exactly ``files_per_cell`` files regardless of how
+    many ingests it had. The default 1 is right while cells fit one
+    task; at corpus scale set ``files_per_cell ≈ ceil(rows_per_cell /
+    target_file_rows)`` so probing one cell still fans out across
+    executors instead of reading one giant file serially. The swap
     is the shared crash-safe rename-aside (io.commit_compaction_swap;
     recovery preamble repairs any prior crash). The ``__centers``
     sidecar is not touched. Replays of pre-compaction ingest ids are
@@ -716,9 +722,17 @@ def compact_ivf_index(
     df = spark.read.parquet(path)
     max_ing = df.agg(F.max("ingest")).first()[0]
     n = n_tasks or max(1, spark.sparkContext.defaultParallelism)
+    if files_per_cell < 1:
+        raise ValueError(f"files_per_cell must be >= 1; got {files_per_cell}")
+    # salt from the data columns (id whatever the writer called it), so
+    # the split is deterministic and layout-schema-agnostic
+    data_cols = [c for c in df.columns if c not in ("cell", "ingest")]
+    salt = F.pmod(F.xxhash64(*data_cols), F.lit(files_per_cell))
     out = (
         df.drop("ingest")
-        .repartition(n, "cell")
+        .withColumn("_salt", salt)
+        .repartition(n, "cell", "_salt")
+        .drop("_salt")
         .withColumn("ingest", F.lit(str(max_ing)))
     )
     staging = path.rstrip("/") + "__compacting"

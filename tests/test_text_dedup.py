@@ -1260,3 +1260,53 @@ def test_ivf_drift_metric_degenerate_index_guard(spark, tmp_path):
     far = ivf_drift_metric(spark, path, shifted).collect()[0]
     assert far.rebuild_recommended is True
     assert far.drift_ratio is not None and far.drift_ratio > 1e6
+
+
+def test_compact_ivf_index_files_per_cell(spark, emb, tmp_path):
+    """IVF compaction must preserve probe results while collapsing the
+    per-ingest accumulation; files_per_cell splits big cells across
+    that many files so a probed cell still reads in parallel."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from chicago_crime_spark_ml_spark.operators.similarity import (
+        compact_ivf_index,
+        ivf_index_delta,
+        probe_ivf_index,
+        write_ivf_index,
+    )
+
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    path = str(tmp_path / "ivf_fpc")
+    write_ivf_index(old, path, n_clusters=4)
+    for i in range(2):
+        ivf_index_delta(
+            spark,
+            path,
+            emb.filter(
+                (F.col("vec_id") % 5 == 0) & (F.col("vec_id") % 2 == i)
+            ),
+            ingest_id=f"b{i}",
+        )
+    qvec = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    before = [
+        (r.vec_id, r.cosine)
+        for r in probe_ivf_index(spark, path, qvec, k=8, n_probe=4).collect()
+    ]
+    compact_ivf_index(spark, path, files_per_cell=2)
+    after = [
+        (r.vec_id, r.cosine)
+        for r in probe_ivf_index(spark, path, qvec, k=8, n_probe=4).collect()
+    ]
+    assert after == before
+    cells = [d for d in os.listdir(path) if d.startswith("cell=")]
+    assert cells
+    for c in cells:
+        ingests = os.listdir(os.path.join(path, c))
+        assert len(ingests) == 1  # one compacted ingest partition
+        files = glob.glob(os.path.join(path, c, ingests[0], "part-*"))
+        assert len(files) == 2  # files_per_cell honored
+    with __import__("pytest").raises(ValueError, match="files_per_cell"):
+        compact_ivf_index(spark, path, files_per_cell=0)
