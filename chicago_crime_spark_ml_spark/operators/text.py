@@ -356,6 +356,125 @@ def bm25_search(
     )
 
 
+def lexical_index(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """Materializable lexical (inverted) index state: ``postings``
+    (id, term, tf) and ``doclen`` (id, dl) — the two frames BM25/TF-IDF
+    scoring needs, and the unit of INCREMENTAL retrieval maintenance
+    (the text-search twin of lsh_band_index). Persist postings
+    partitioned by term (query-term pruning) and doclen by id; corpus
+    stats (N, total_dl, per-term df) derive from these by aggregation —
+    or, in a continuous-ingest deployment, are maintained as monoid
+    partials (operators/incremental.py) instead of recomputed."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokens_expr(text_col, lowercase=True)).alias("term"),
+    )
+    postings = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    doclen = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("dl")
+    )
+    return postings, doclen
+
+
+def lexical_index_delta(
+    postings: DataFrame,
+    doclen: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental lexical-index maintenance: tokenize ONLY the delta
+    and return (new_postings, new_doclen) to append — appending keeps
+    the index equal to a full rebuild (tokenization is per-doc, so
+    history rows never change). O(delta) work; the stored index is
+    read only for the bounded dup-id probe below.
+
+    Replay idempotence (the delta-index family contract): a re-sent id
+    with IDENTICAL content contributes identical rows, so it is
+    dropped; a re-sent id with CHANGED content is re-emitted. Unlike
+    the LSH twins, detection here is PROVABLY exact: a doc is
+    unchanged iff its delta dl equals its stored dl AND every delta
+    posting row exists in the stored postings — tf values are
+    positive and dl = Σ tf, so an equal sum over a subset forces the
+    sets equal (no strict-subset blind spot). Changed ids' old rows
+    remain under append-only storage (delete-or-compact for replace
+    semantics, same note as lsh_index_delta)."""
+    d_post, d_len = lexical_index(new_docs, text_col, id_col)
+    d_post = d_post.localCheckpoint(eager=True)
+    d_len = d_len.localCheckpoint(eager=True)
+    delta_ids = d_len.select(id_col)
+    dup_ids = doclen.select(id_col).join(
+        F.broadcast(delta_ids), id_col, "left_semi"
+    ).distinct()
+    dup_stored_post = postings.join(F.broadcast(dup_ids), id_col, "left_semi")
+    dup_stored_len = doclen.join(F.broadcast(dup_ids), id_col, "left_semi")
+    changed_by_len = (
+        d_len.join(F.broadcast(dup_ids), id_col, "left_semi")
+        .join(dup_stored_len, [id_col, "dl"], "left_anti")
+        .select(id_col)
+    )
+    changed_by_post = (
+        d_post.join(F.broadcast(dup_ids), id_col, "left_semi")
+        .join(dup_stored_post, [id_col, "term", "tf"], "left_anti")
+        .select(id_col)
+    )
+    changed_ids = changed_by_len.unionByName(changed_by_post).distinct()
+    unchanged_dups = dup_ids.join(changed_ids, id_col, "left_anti")
+    fresh_post = d_post.join(F.broadcast(unchanged_dups), id_col, "left_anti")
+    fresh_len = d_len.join(F.broadcast(unchanged_dups), id_col, "left_anti")
+    return fresh_post, fresh_len
+
+
+def bm25_search_from_index(
+    postings: DataFrame,
+    doclen: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k from a MATERIALIZED lexical index (lexical_index /
+    lexical_index_delta) — identical scoring to :func:`bm25_search`
+    (certified: bm25_incremental_search hash-matches the from-raw-text
+    oracle), but the plan touches stored query-term postings instead
+    of re-tokenizing the corpus: with postings partitioned by term the
+    TF read is partition-pruned to the query's terms — the difference
+    between a search request and a corpus scan at 100 TB. Corpus
+    stats ride in on broadcast 1-row aggregates of doclen."""
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_dl"),
+    )
+    tf = postings.filter(
+        F.col("term").isin([t.lower() for t in query_terms])
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    avgdl = F.col("total_dl") / F.col("n_docs")
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    per_term = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(doclen, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "score",
+            idf
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl)),
+        )
+    )
+    scored = per_term.groupBy(id_col).agg(
+        F.round(F.sum("score"), 4).alias("bm25")
+    )
+    return scored.orderBy(F.desc("bm25"), F.asc(id_col)).limit(k)
+
+
 def pack_greedy(
     df: DataFrame,
     group_cols: Sequence[str],

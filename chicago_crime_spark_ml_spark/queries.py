@@ -3096,9 +3096,10 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=5)
 
 
-@query(
-    "bm25_search_top10",
-    r"""
+# Full-corpus BM25 closed form — shared by the from-raw-text query and
+# the incremental (index-maintained) query, whose hash match against it
+# certifies append-maintained index == rebuild.
+_BM25_TOP10_SQL = r"""
     WITH tok AS (
       SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
       FROM documents),
@@ -3118,8 +3119,10 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, round(sum(score), 4) AS bm25
     FROM per_term GROUP BY doc_id
     ORDER BY bm25 DESC, doc_id LIMIT 10
-    """,
-)
+    """
+
+
+@query("bm25_search_top10", _BM25_TOP10_SQL)
 def bm25_search_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-10 for the query {spark, table, window} — lexical ranked
     retrieval (k1=1.2, b=0.75, +1-inside-ln idf). The query-term filter
@@ -3130,6 +3133,39 @@ def bm25_search_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return bm25_search(
         _t(spark, sf_dir, "documents"), ["spark", "table", "window"], k=10
+    )
+
+
+@query("bm25_incremental_search", _BM25_TOP10_SQL)
+def bm25_incremental_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 served from a DELTA-MAINTAINED lexical index (r10 —
+    the retrieval member of the incremental family): history (80% of
+    docs) is indexed once (text.lexical_index → postings + doclen);
+    the 20% delta is tokenized alone and appended
+    (text.lexical_index_delta — O(delta), provably-exact changed-id
+    detection via the dl = Σ tf identity); the search then runs
+    entirely from the maintained frames
+    (text.bm25_search_from_index — query-term postings, never a
+    corpus re-tokenize). The oracle is bm25_search_top10's
+    from-raw-text closed form UNCHANGED, so the hash match certifies
+    append-maintained index == rebuild through tokenization, tf/df,
+    corpus stats, and the BM25 formula."""
+    from chicago_crime_spark_ml_spark.operators.text import (
+        bm25_search_from_index,
+        lexical_index,
+        lexical_index_delta,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    hist = d.filter(F.col("doc_id") % 5 != 0)
+    delta = d.filter(F.col("doc_id") % 5 == 0)
+    postings, doclen = lexical_index(hist)
+    fresh_post, fresh_len = lexical_index_delta(postings, doclen, delta)
+    return bm25_search_from_index(
+        postings.unionByName(fresh_post),
+        doclen.unionByName(fresh_len),
+        ["spark", "table", "window"],
+        k=10,
     )
 
 

@@ -1310,3 +1310,46 @@ def test_compact_ivf_index_files_per_cell(spark, emb, tmp_path):
         assert len(files) == 2  # files_per_cell honored
     with __import__("pytest").raises(ValueError, match="files_per_cell"):
         compact_ivf_index(spark, path, files_per_cell=0)
+
+
+def test_lexical_index_delta_replay_and_changed_content(spark):
+    """Incremental lexical-index maintenance: appended delta == full
+    rebuild; identical re-sends append zero rows; changed content is
+    re-emitted — including the strict-subset case (fewer tokens, all
+    surviving postings identical), which the dl = sum(tf) identity
+    catches exactly."""
+    from pyspark.sql import functions as F
+
+    from chicago_crime_spark_ml_spark.operators.text import (
+        lexical_index,
+        lexical_index_delta,
+    )
+
+    schema = "doc_id BIGINT, text STRING"
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "spark window table"), (3, "b c")], schema
+    )
+    hist = docs.filter(F.col("doc_id") != 3)
+    delta = docs.filter(F.col("doc_id") == 3)
+    postings, doclen = lexical_index(hist)
+    fp, fl = lexical_index_delta(postings, doclen, delta)
+    full_p, full_l = lexical_index(docs)
+    assert postings.unionByName(fp).exceptAll(full_p).count() == 0
+    assert full_p.exceptAll(postings.unionByName(fp)).count() == 0
+    assert doclen.unionByName(fl).exceptAll(full_l).count() == 0
+
+    # identical re-send: zero new rows
+    rp, rl = lexical_index_delta(full_p, full_l, delta)
+    assert rp.count() == 0 and rl.count() == 0
+
+    # strict-subset re-send ("a a b" -> "a a"): every new posting row
+    # exists in the stored index, only dl differs — must be re-emitted
+    sub = spark.createDataFrame([(1, "a a")], schema)
+    sp, sl = lexical_index_delta(full_p, full_l, sub)
+    assert {(r.doc_id, r.term, r.tf) for r in sp.collect()} == {(1, "a", 2)}
+    assert [(r.doc_id, r.dl) for r in sl.collect()] == [(1, 2)]
+
+    # changed-content re-send: re-emitted in full
+    ch = spark.createDataFrame([(2, "entirely new words")], schema)
+    cp, cl = lexical_index_delta(full_p, full_l, ch)
+    assert cp.count() == 3 and cl.count() == 1
