@@ -491,6 +491,75 @@ def streaming_ivf_ingest(
     )
 
 
+def streaming_lexical_ingest(
+    docs: DataFrame,
+    postings_path: str,
+    doclen_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_name: str = "lexical_ingest",
+):
+    """Continuous lexical-index ingestion — the RETRIEVAL member of the
+    streaming ingest family (text near-dups: streaming_near_dup_ingest;
+    media: streaming_media_near_dup_ingest; embeddings:
+    streaming_ivf_ingest; search: THIS). Each micro-batch tokenizes
+    ONLY its own docs and appends (postings, doclen) rows via
+    text.lexical_index_delta, so bm25_search_from_index over the two
+    directories is always current with zero corpus re-tokenization.
+
+    Exactly-once on replays: both sinks write into a ``batch_id=N``
+    subdirectory with overwrite mode (a replayed batch overwrites its
+    own output — parquet append is not idempotent), and the delta
+    operator's dup-id probe additionally drops docs already indexed by
+    EARLIER batches (re-sent ids; changed content re-emits, see
+    lexical_index_delta). Missing index directories map to empty
+    frames via try_read_parquet's error-class probe — build-as-you-go
+    like the near-dup sinks, never an os.path check."""
+    from chicago_crime_spark_ml_spark.operators.text import (  # noqa: PLC0415
+        lexical_index_delta,
+    )
+    from chicago_crime_spark_ml_spark.sources.io import (  # noqa: PLC0415
+        try_read_parquet,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        post = try_read_parquet(spark, postings_path)
+        dlen = try_read_parquet(spark, doclen_path)
+        if post is None:
+            post = spark.createDataFrame(
+                [], f"{id_col} long, term string, tf long"
+            )
+        else:
+            post = post.select(id_col, "term", "tf")
+        if dlen is None:
+            dlen = spark.createDataFrame([], f"{id_col} long, dl long")
+        else:
+            dlen = dlen.select(id_col, "dl")
+        fresh_post, fresh_len = lexical_index_delta(
+            post, dlen, batch_df, text_col=text_col, id_col=id_col
+        )
+        fresh_post = fresh_post.localCheckpoint(eager=True)
+        fresh_len = fresh_len.localCheckpoint(eager=True)
+        fresh_post.write.mode("overwrite").parquet(
+            f"{postings_path}/batch_id={batch_id}"
+        )
+        fresh_len.write.mode("overwrite").parquet(
+            f"{doclen_path}/batch_id={batch_id}"
+        )
+
+    return (
+        docs.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+        .start()
+    )
+
+
 def user_value_stats_tws(events: DataFrame) -> DataFrame:
     """Custom stateful operator on the transformWithStateInPandas API
     (Spark 4's typed-state successor to applyInPandasWithState): per-user

@@ -1200,3 +1200,72 @@ def test_compact_ingest_index_crash_recovery(spark, tmp_path):
     }
     assert after_b == before
     assert not os.path.exists(index_path + "__old")
+
+
+def test_streaming_lexical_ingest_search_equals_batch(spark, tmp_path):
+    """Retrieval joins the streaming ingest family: after two
+    micro-batches the maintained (postings, doclen) directories serve
+    the SAME BM25 top-k as a batch run over the full corpus, and a
+    re-sent doc appends nothing."""
+    from pyspark.sql import functions as F
+
+    from chicago_crime_spark_ml_spark.operators.text import (
+        bm25_search,
+        bm25_search_from_index,
+    )
+    from chicago_crime_spark_ml_spark.streaming import (
+        streaming_lexical_ingest,
+    )
+
+    rows1 = [
+        (1, "spark window table spark"),
+        (2, "table of contents and a window seat"),
+    ]
+    rows2 = [
+        (3, "spark spark spark everywhere"),
+        (2, "table of contents and a window seat"),  # re-sent, identical
+    ]
+    schema = "doc_id BIGINT, text STRING"
+    src = tmp_path / "lex_src"
+    src.mkdir()
+    post_path = str(tmp_path / "lex_postings")
+    len_path = str(tmp_path / "lex_doclen")
+
+    def emit(rows):
+        spark.createDataFrame(rows, schema).coalesce(2).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    emit(rows1)
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = streaming_lexical_ingest(
+        stream, post_path, len_path, str(tmp_path / "lex_ckpt")
+    )
+    try:
+        q.processAllAvailable()
+        emit(rows2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    postings = spark.read.parquet(post_path).select("doc_id", "term", "tf")
+    doclen = spark.read.parquet(len_path).select("doc_id", "dl")
+    # the re-sent doc 2 appended nothing: one dl row per doc
+    assert doclen.groupBy("doc_id").count().filter(
+        F.col("count") > 1
+    ).count() == 0
+
+    corpus = spark.createDataFrame(rows1 + rows2[:1], schema)
+    want = [
+        (r.doc_id, r.bm25)
+        for r in bm25_search(
+            corpus, ["spark", "table", "window"], k=10
+        ).collect()
+    ]
+    got = [
+        (r.doc_id, r.bm25)
+        for r in bm25_search_from_index(
+            postings, doclen, ["spark", "table", "window"], k=10
+        ).collect()
+    ]
+    assert got == want and len(got) == 3
