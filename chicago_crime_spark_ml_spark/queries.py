@@ -3160,6 +3160,12 @@ def bm25_incremental_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = d.filter(F.col("doc_id") % 5 != 0)
     delta = d.filter(F.col("doc_id") % 5 == 0)
     postings, doclen = lexical_index(hist)
+    # the stored-index shape: in production these frames are parquet on
+    # disk; materializing them here keeps the certified plan (and its
+    # measured cost) search+delta-maintenance, not repeated history
+    # re-tokenization through the lazy plan
+    postings = postings.localCheckpoint(eager=True)
+    doclen = doclen.localCheckpoint(eager=True)
     fresh_post, fresh_len = lexical_index_delta(postings, doclen, delta)
     return bm25_search_from_index(
         postings.unionByName(fresh_post),
@@ -12966,9 +12972,15 @@ def cc_labels_upsert_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dedup.connected_components_delta → changed-row diff →
     io.merge_parquet_partitioned) end-to-end.
 
-    Corpus: the group-of-8 edge corpus, but delta edges fire only in
-    every 8th group, and the labeling is bucketed ``part =
-    node // 32`` (4 groups per partition) — so about half the
+    Corpus: the group-of-8 edge corpus, with the labeling bucketed
+    into a SCALE-INVARIANT number of id-range partitions (~64 at any
+    corpus size: bucket width B = ceil(max_id/64) rounded to a
+    multiple of the group size — partition count is a layout choice
+    sized to the cluster, never to the data, exactly like
+    spark.sql.shuffle.partitions; the r10 first cut used a fixed
+    width, which meant data-proportional directory counts and a
+    data-proportional driver listing, measured 6.5x at 10x in the r10
+    sweep). Delta edges fire only in every 8th BUCKET, so ~7/8 of the
     partitions contain no changed node and MUST come through the merge
     with identical files. Asserted file-level via stats.file_spans
     (per-file min/max/rows footers) plus name+size listings on every
@@ -12992,9 +13004,14 @@ def cc_labels_upsert_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chicago_crime_spark_ml_spark.sources.stats import file_spans
 
     docs = _doc_ids(spark, sf_dir)
+    # bucket width: ~64 id-range partitions at ANY scale, multiple of
+    # the group size so a group never straddles buckets (bounded 1-row
+    # agg — the same class of driver read as a centroid collect)
+    max_id = int(docs.agg(F.max("doc_id")).first()[0])
+    bw = max(8, ((max_id // 64) // 8 + 1) * 8)
     g = F.floor(F.col("doc_id") / F.lit(8)) * 8
     r = F.col("doc_id") % 8
-    in_delta_group = (F.floor(F.col("doc_id") / F.lit(8)) % 8) == 0
+    in_delta_bucket = (F.floor(F.col("doc_id") / F.lit(bw)) % 8) == 0
     edge = (
         F.when(r == 1, F.struct(g.alias("id_a"), (g + 1).alias("id_b")))
         .when(r == 2, F.struct((g + 1).alias("id_a"), (g + 2).alias("id_b")))
@@ -13002,14 +13019,14 @@ def cc_labels_upsert_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(
             r == 6,
             F.when(
-                in_delta_group,
+                in_delta_bucket,
                 F.struct((g + 2).alias("id_a"), (g + 6).alias("id_b")),
             ),
         )
         .when(
             r == 7,
             F.when(
-                in_delta_group,
+                in_delta_bucket,
                 F.struct((g + 6).alias("id_a"), (g + 4).alias("id_b")),
             ),
         )
@@ -13021,7 +13038,7 @@ def cc_labels_upsert_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     old_e = edges.filter(~F.col("_d")).select("e.id_a", "e.id_b")
     delta_e = edges.filter(F.col("_d")).select("e.id_a", "e.id_b")
 
-    part = (F.floor(F.col("node") / F.lit(32))).cast("bigint").alias("part")
+    part = (F.floor(F.col("node") / F.lit(bw))).cast("bigint").alias("part")
     root = tempfile.mkdtemp(prefix="cc_labels_")
     path = os.path.join(root, "labels")
     try:
