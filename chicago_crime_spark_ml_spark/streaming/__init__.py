@@ -234,6 +234,30 @@ def incremental_rollup_to_parquet(
     )
 
 
+def _read_state_excluding_batch(
+    spark: SparkSession, path: str, batch_id: int, cols, schema: str
+) -> DataFrame:
+    """Read a ``batch_id=N``-partitioned state store for batch
+    ``batch_id``'s processing, EXCLUDING that batch's own partition
+    (r10 replay-safety fix): after a crash between the state write and
+    the checkpoint commit, the replayed batch would otherwise see its
+    own prior attempt's rows, the delta operators' dup-id drop would
+    then empty the recomputed output, and the per-batch overwrite
+    would REPLACE the batch's data with nothing — permanent loss of
+    exactly the rows the replay was supposed to guarantee. Filtering
+    out the current batch partition makes the replay recompute the
+    identical output and overwrite it with itself. Missing store →
+    empty frame (try_read_parquet's error-class probe)."""
+    from chicago_crime_spark_ml_spark.sources.io import (  # noqa: PLC0415
+        try_read_parquet,
+    )
+
+    df = try_read_parquet(spark, path)
+    if df is None:
+        return spark.createDataFrame([], schema)
+    return df.filter(F.col("batch_id") != F.lit(batch_id)).select(*cols)
+
+
 def streaming_near_dup_ingest(
     docs: DataFrame,
     index_path: str,
@@ -270,9 +294,6 @@ def streaming_near_dup_ingest(
     from chicago_crime_spark_ml_spark.operators.dedup import (  # noqa: PLC0415
         lsh_index_delta,
     )
-    from chicago_crime_spark_ml_spark.sources.io import (  # noqa: PLC0415
-        try_read_parquet,
-    )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -287,14 +308,16 @@ def streaming_near_dup_ingest(
         # the empty frame; any other AnalysisException (corrupt
         # footers, schema-merge failure, wrong path type) re-raises —
         # silently probing empty on those would drop all historical
-        # recall with no error (ADVICE r8).
-        idx = try_read_parquet(spark, index_path)
-        if idx is not None:
-            index = idx.select(id_col, "band", "bucket")
-        else:
-            index = spark.createDataFrame(
-                [], f"{id_col} long, band int, bucket bigint"
-            )
+        # recall with no error (ADVICE r8). The current batch's own
+        # partition is excluded so a crash-replay can't self-
+        # cannibalize (see _read_state_excluding_batch).
+        index = _read_state_excluding_batch(
+            spark,
+            index_path,
+            batch_id,
+            [id_col, "band", "bucket"],
+            f"{id_col} long, band int, bucket bigint",
+        )
         delta_rows, pairs = lsh_index_delta(
             index,
             batch_df,
@@ -371,9 +394,6 @@ def streaming_media_near_dup_ingest(
         frame_stream_dhash,
         image_dhash,
     )
-    from chicago_crime_spark_ml_spark.sources.io import (  # noqa: PLC0415
-        try_read_parquet,
-    )
 
     sig_fn = {
         "image": image_dhash,
@@ -396,11 +416,9 @@ def streaming_media_near_dup_ingest(
         else:
             idx_schema = f"{id_col} long, band int, byte int"
             idx_cols = [id_col, "band", "byte"]
-        idx = try_read_parquet(spark, index_path)
-        if idx is not None:
-            index = idx.select(*idx_cols)
-        else:
-            index = spark.createDataFrame([], idx_schema)
+        index = _read_state_excluding_batch(
+            spark, index_path, batch_id, idx_cols, idx_schema
+        )
         # signature once behind a barrier: the delta rows feed the
         # probe AND both union branches — lazy, the per-blob decode
         # mapInPandas would re-run per consumer
@@ -491,6 +509,170 @@ def streaming_ivf_ingest(
     )
 
 
+def streaming_cluster_maintenance(
+    docs: DataFrame,
+    index_path: str,
+    docs_path: str,
+    labels_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.8,
+    n: int = 3,
+    num_hashes: int = 32,
+    seed: int = 42,
+    band_width: int = 2,
+    n_label_buckets: int = 64,
+    query_name: str = "cluster_maintenance",
+):
+    """Continuously-maintained NEAR-DUP CLUSTER LABELS — the streaming
+    composition of the whole incremental dedup family in one sink
+    (probe → exact rescore → incremental CC → partition-pruned label
+    upsert): after every micro-batch, ``labels_path`` holds the
+    complete (node, label, part) labeling equal to a full rebuild over
+    every pair ever observed, without ever re-flooding history.
+
+    Per batch: (1) the persisted band index is probed with only the
+    batch's docs (dedup.lsh_index_delta — (old,new) and (new,new)
+    candidates, history never re-compared); (2) candidates are
+    exact-rescored at ``jaccard_threshold`` (dedup.rescore_jaccard,
+    shingling only candidate docs — texts come from the maintained
+    ``docs_path`` corpus ∪ the batch); (3) surviving pairs contract
+    onto the stored labeling (dedup.connected_components_delta —
+    O(delta) flooding); (4) only label buckets containing relabeled or
+    new nodes are rewritten (io.merge_parquet_partitioned over
+    ``part = node % n_label_buckets`` — a FIXED bucket count, the
+    layout-choice-not-data-size rule, so the upsert's partition work
+    is bounded at any corpus size).
+
+    Replay idempotence, layer by layer: index/docs rows land in
+    ``batch_id=N`` overwrite dirs (a replayed batch overwrites its own
+    output) and already-indexed ids append nothing; the CC delta is
+    naturally idempotent (re-applying the same edges to the updated
+    labeling changes no label, so the replayed upsert rewrites
+    nothing). Default banding is the 32×2 certification setting.
+    Returns the StreamingQuery."""
+    from chicago_crime_spark_ml_spark.operators.dedup import (  # noqa: PLC0415
+        connected_components_delta,
+        lsh_index_delta,
+        rescore_jaccard,
+    )
+    from chicago_crime_spark_ml_spark.sources.io import (  # noqa: PLC0415
+        merge_parquet_partitioned,
+        try_read_parquet,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch_docs = batch_df.select(id_col, text_col).localCheckpoint(
+            eager=True
+        )
+        index = _read_state_excluding_batch(
+            spark,
+            index_path,
+            batch_id,
+            [id_col, "band", "bucket"],
+            f"{id_col} long, band int, bucket bigint",
+        )
+        delta_rows, cand = lsh_index_delta(
+            index,
+            batch_docs,
+            text_col=text_col,
+            id_col=id_col,
+            n=n,
+            num_hashes=num_hashes,
+            seed=seed,
+            band_width=band_width,
+        )
+        delta_rows = delta_rows.localCheckpoint(eager=True)
+        # batch-precedence corpus with UNIQUE ids: a re-sent id's
+        # stored text is shadowed (changed content rescans against the
+        # new text), and duplicate (id, text) rows can never multiply
+        # the rescore joins. The current batch's own partition is
+        # excluded (crash-replay self-cannibalization guard).
+        stored_docs = _read_state_excluding_batch(
+            spark,
+            docs_path,
+            batch_id,
+            [id_col, text_col],
+            f"{id_col} long, {text_col} string",
+        )
+        corpus = batch_docs.unionByName(
+            stored_docs.join(
+                F.broadcast(batch_docs.select(id_col)),
+                id_col,
+                "left_anti",
+            )
+        )
+        pairs = rescore_jaccard(
+            cand, corpus, threshold=jaccard_threshold,
+            text_col=text_col, id_col=id_col, n=n,
+        ).select("id_a", "id_b").localCheckpoint(eager=True)
+
+        part = (F.col("node") % n_label_buckets).cast("bigint").alias(
+            "part"
+        )
+        stored_labels = try_read_parquet(spark, labels_path)
+        if stored_labels is None:
+            first = connected_components_delta(
+                spark.createDataFrame([], "node long, label long"), pairs
+            )
+            first.select("node", "label", part).write.mode(
+                "overwrite"
+            ).partitionBy("part").parquet(labels_path)
+        else:
+            labels = stored_labels.select("node", "label")
+            updated = connected_components_delta(labels, pairs)
+            changed = (
+                updated.join(
+                    labels.select(
+                        "node", F.col("label").alias("_prev")
+                    ),
+                    "node",
+                    "left",
+                )
+                .filter(
+                    F.col("_prev").isNull()
+                    | (F.col("_prev") != F.col("label"))
+                )
+                .select("node", "label", part)
+                .localCheckpoint(eager=True)
+            )
+            if not changed.isEmpty():
+                merge_parquet_partitioned(
+                    spark,
+                    labels_path,
+                    changed,
+                    keys=["node"],
+                    partition_cols=["part"],
+                )
+        # appends LAST: pairs/labels above read index ∪ fresh lazily,
+        # and appending first would let a batch collide with itself
+        delta_rows.write.mode("overwrite").parquet(
+            f"{index_path}/batch_id={batch_id}"
+        )
+        # only ids not stored by EARLIER batches land in the docs store
+        # (the same dup-drop rule as the index rows), keeping it
+        # id-unique; stored_docs already excludes this batch_id, so a
+        # replay rewrites its own rows instead of emptying them
+        fresh_docs = batch_docs.join(
+            stored_docs.select(id_col), id_col, "left_anti"
+        )
+        fresh_docs.write.mode("overwrite").parquet(
+            f"{docs_path}/batch_id={batch_id}"
+        )
+
+    return (
+        docs.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+        .start()
+    )
+
+
 def streaming_lexical_ingest(
     docs: DataFrame,
     postings_path: str,
@@ -519,26 +701,25 @@ def streaming_lexical_ingest(
     from chicago_crime_spark_ml_spark.operators.text import (  # noqa: PLC0415
         lexical_index_delta,
     )
-    from chicago_crime_spark_ml_spark.sources.io import (  # noqa: PLC0415
-        try_read_parquet,
-    )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        post = try_read_parquet(spark, postings_path)
-        dlen = try_read_parquet(spark, doclen_path)
-        if post is None:
-            post = spark.createDataFrame(
-                [], f"{id_col} long, term string, tf long"
-            )
-        else:
-            post = post.select(id_col, "term", "tf")
-        if dlen is None:
-            dlen = spark.createDataFrame([], f"{id_col} long, dl long")
-        else:
-            dlen = dlen.select(id_col, "dl")
+        post = _read_state_excluding_batch(
+            spark,
+            postings_path,
+            batch_id,
+            [id_col, "term", "tf"],
+            f"{id_col} long, term string, tf long",
+        )
+        dlen = _read_state_excluding_batch(
+            spark,
+            doclen_path,
+            batch_id,
+            [id_col, "dl"],
+            f"{id_col} long, dl long",
+        )
         fresh_post, fresh_len = lexical_index_delta(
             post, dlen, batch_df, text_col=text_col, id_col=id_col
         )

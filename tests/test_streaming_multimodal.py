@@ -1269,3 +1269,129 @@ def test_streaming_lexical_ingest_search_equals_batch(spark, tmp_path):
         ).collect()
     ]
     assert got == want and len(got) == 3
+
+
+def test_streaming_cluster_maintenance_equals_batch(spark, tmp_path):
+    """The streaming cluster capstone: after two micro-batches (with a
+    cross-batch near-dup and a re-sent doc) the labels store equals a
+    full batch near-dup clustering over the same corpus, and only
+    label buckets — never the whole store — were rewritten."""
+    from pyspark.sql import functions as F
+
+    from chicago_crime_spark_ml_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+    from chicago_crime_spark_ml_spark.streaming import (
+        streaming_cluster_maintenance,
+    )
+
+    near = (
+        "the quick brown fox jumps over the lazy dog again and again today"
+    )
+    rows1 = [
+        (1, near),
+        (2, "completely unrelated text about catalyst query planning"),
+    ]
+    rows2 = [
+        (3, near + " ok"),  # near-dup of doc 1, lands in a later batch
+        (4, "another unrelated document entirely about parquet footers"),
+        (2, "completely unrelated text about catalyst query planning"),
+    ]
+    schema = "doc_id BIGINT, text STRING"
+    src = tmp_path / "cm_src"
+    src.mkdir()
+    paths = {
+        k: str(tmp_path / f"cm_{k}")
+        for k in ("index", "docs", "labels", "ckpt")
+    }
+
+    def emit(rows):
+        spark.createDataFrame(rows, schema).coalesce(2).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    emit(rows1)
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = streaming_cluster_maintenance(
+        stream, paths["index"], paths["docs"], paths["labels"],
+        paths["ckpt"],
+    )
+    try:
+        q.processAllAvailable()
+        emit(rows2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r.node, r.label)
+        for r in spark.read.parquet(paths["labels"]).collect()
+    }
+    corpus = spark.createDataFrame(rows1 + rows2[:2], schema)
+    want = {
+        (r.node, r.label)
+        for r in connected_components(
+            minhash_lsh_pairs(
+                corpus, num_hashes=32, jaccard_threshold=0.8, band_width=2
+            )
+        ).collect()
+    }
+    assert got == want
+    assert (1, 1) in got and (3, 1) in got  # cross-batch pair clustered
+    # docs store is id-unique despite the re-sent doc 2
+    docs = spark.read.parquet(paths["docs"])
+    assert docs.groupBy("doc_id").count().filter(
+        F.col("count") > 1
+    ).count() == 0
+
+
+def test_streaming_ingest_crash_replay_keeps_index(spark, tmp_path):
+    """r10 replay-safety regression: a replayed micro-batch previously
+    read its OWN prior output from the index, the dup-id drop emptied
+    the recomputed rows, and the per-batch overwrite erased the
+    batch's postings. Simulate the replay by deleting the checkpoint
+    (the source re-delivers every batch over the existing output dirs)
+    and assert the index is unchanged — not emptied."""
+    import shutil
+
+    from chicago_crime_spark_ml_spark.streaming import (
+        streaming_near_dup_ingest,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "completely unrelated text about spark plans and codegen"),
+    ]
+    schema = "doc_id BIGINT, text STRING"
+    src = tmp_path / "cr_src"
+    src.mkdir()
+    index_path = str(tmp_path / "cr_index")
+    pairs_path = str(tmp_path / "cr_pairs")
+    ckpt = str(tmp_path / "cr_ckpt")
+    spark.createDataFrame(rows, schema).coalesce(2).write.mode(
+        "append"
+    ).parquet(str(src))
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = streaming_near_dup_ingest(stream, index_path, pairs_path, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run()
+    before = {
+        (r.doc_id, r.band, r.bucket)
+        for r in spark.read.parquet(index_path).collect()
+    }
+    assert before  # postings exist after the first run
+
+    shutil.rmtree(ckpt)  # lose the commit log -> full replay
+    run()
+    after = {
+        (r.doc_id, r.band, r.bucket)
+        for r in spark.read.parquet(index_path).collect()
+    }
+    assert after == before  # replay rewrote itself, lost nothing
