@@ -2092,6 +2092,72 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("streaming_cluster_maintenance_check", _NEAR_DUP_CLUSTERS_SQL)
+def streaming_cluster_maintenance_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING under the oracle gate (r10 — the first driver-certified
+    Structured Streaming row; §2.8 coverage was previously
+    pytest-only): the documents table is fed through a real
+    foreachBatch stream in multiple micro-batches
+    (maxFilesPerTrigger=1 over a multi-file staging copy), each batch
+    maintaining the band index, the id-unique docs store, and the
+    CLUSTER LABELS via streaming_cluster_maintenance (probe → exact
+    rescore → connected_components_delta → bucket-pruned upsert). The
+    returned frame is the labels store joined back to the corpus —
+    and the oracle is near_dup_clusters' full-rebuild recursive-CTE
+    closed form UNCHANGED: hash equality certifies that a
+    continuously-maintained streaming clustering equals the batch
+    rebuild, end to end through banding (32×2), rescore, incremental
+    CC, and the parquet upsert. Scratch stores live in a driver
+    tempdir, removed before returning (the result is materialized
+    first)."""
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from chicago_crime_spark_ml_spark.streaming import (
+        streaming_cluster_maintenance,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="stream_cc_")
+    src = os.path.join(root, "src")
+    try:
+        # stage the corpus as 3 files -> 3 micro-batches
+        d.repartition(3).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema("doc_id BIGINT, text STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = streaming_cluster_maintenance(
+            stream,
+            os.path.join(root, "index"),
+            os.path.join(root, "docs"),
+            os.path.join(root, "labels"),
+            os.path.join(root, "ckpt"),
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        labels = spark.read.parquet(os.path.join(root, "labels")).select(
+            "node", "label"
+        )
+        out = (
+            d.select("doc_id")
+            .join(labels, d["doc_id"] == labels["node"], "left")
+            .select(
+                "doc_id", F.coalesce("label", "doc_id").alias("cluster_id")
+            )
+            .localCheckpoint(eager=True)  # materialize before rmtree
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 @query("text_dedup_incremental", _NEAR_DUP_CLUSTERS_SQL)
 def text_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DELTA-MAINTAINED text near-dup clustering (r10 — the TEXT
