@@ -2352,6 +2352,68 @@ def embedding_near_dup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_delta_blocked(corpus, delta, threshold=0.4)
 
 
+@query(
+    "embedding_dedup_incremental",
+    """
+    WITH RECURSIVE v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+                         FROM embeddings),
+    prs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM v a JOIN v b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.e, b.e), 4) >= 0.4),
+    edges AS (SELECT id_a AS a, id_b AS b FROM prs
+              UNION ALL SELECT id_b, id_a FROM prs),
+    reach(src, dst) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+    comp AS (SELECT src AS node, least(src, min(dst)) AS label
+             FROM reach GROUP BY src)
+    SELECT em.vec_id,
+           CAST(coalesce(c.label, em.vec_id) AS BIGINT) AS cluster_id
+    FROM embeddings em LEFT JOIN comp c ON em.vec_id = c.node
+    """,
+)
+def embedding_dedup_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta-maintained EMBEDDING near-dup clustering (r10 — closing
+    the clusters-delta certification for the last modality: text has
+    text_dedup_incremental, media has the incremental funnel; this is
+    the embedding twin): 20% of vectors arrive as a delta against an
+    already-clustered history — the delta pairs come from
+    near_dup_delta_blocked (delta-blocks × corpus-blocks BLAS,
+    O(delta·corpus·d), never corpus²) and contract onto the stored
+    labeling via connected_components_delta. The oracle is the
+    full-rebuild closed form (exact all-pairs cosine ≥ 0.4 →
+    recursive-CTE components), so the hash match certifies
+    delta == rebuild through scoring, thresholding, and clustering.
+    Output: (vec_id, cluster_id) for the whole corpus."""
+    from chicago_crime_spark_ml_spark.operators.dedup import (
+        connected_components,
+        connected_components_delta,
+    )
+    from chicago_crime_spark_ml_spark.operators.similarity import (
+        near_dup_delta_blocked,
+        near_dup_pairs_blocked,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    hist = emb.filter(F.col("vec_id") % 5 != 0)
+    delta = emb.filter(F.col("vec_id") % 5 == 0)
+    labels = connected_components(
+        near_dup_pairs_blocked(hist, threshold=0.4).select("id_a", "id_b")
+    )
+    delta_pairs = near_dup_delta_blocked(
+        hist, delta, threshold=0.4
+    ).select("id_a", "id_b")
+    updated = connected_components_delta(labels, delta_pairs)
+    return emb.select("vec_id").join(
+        updated, emb["vec_id"] == updated["node"], "left"
+    ).select(
+        "vec_id", F.coalesce("label", "vec_id").alias("cluster_id")
+    )
+
+
 # NOT @query-registered (VERDICT r5 #6): the LSH hash family is
 # engine-specific, so a registered entry could only ever earn the
 # driver's `err: no_oracle` row. The REGISTERED certification surface
