@@ -2353,6 +2353,114 @@ def embedding_near_dup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "video_dedup_incremental",
+    """
+    WITH RECURSIVE d AS (SELECT doc_id, doc_id // 4 AS g FROM documents),
+    frames AS (SELECT doc_id, g,
+                      CASE WHEN doc_id % 2 = 1 AND fi = 5 THEN 'z'
+                           ELSE CAST(fi AS VARCHAR) END AS lbl
+               FROM d, unnest(generate_series(0, 5)) AS t(fi)),
+    fv AS (SELECT DISTINCT doc_id, g || '_' || lbl AS fh FROM frames),
+    shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n
+               FROM fv a JOIN fv b
+                 ON a.fh = b.fh AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+    prs AS (SELECT id_a, id_b FROM shared WHERE n >= 4),
+    edges AS (SELECT id_a AS a, id_b AS b FROM prs
+              UNION ALL SELECT id_b, id_a FROM prs),
+    reach(src, dst) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+    comp AS (SELECT src AS node, least(src, min(dst)) AS label
+             FROM reach GROUP BY src)
+    SELECT d.doc_id,
+           CAST(coalesce(c.label, d.doc_id) AS BIGINT) AS cluster_id
+    FROM d LEFT JOIN comp c ON d.doc_id = c.node
+    """,
+)
+def video_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-maintained VIDEO near-dup clustering (r10 — the last
+    modality's clusters-delta certification; text/media/embeddings have
+    theirs): synthesize real netpbm frame streams (groups of 4 docs
+    share 5-6 frame families — odd docs swap frame 5 for a variant, so
+    every group is a ≥5-shared-frame clique), decode + per-frame dHash
+    ONCE, split 80/20, cluster history with the batch containment join
+    (video_near_dup_pairs), then probe the stored (id, dhash) frame
+    index with only the delta (frame_index_delta) and contract the
+    delta pairs onto the stored labeling (connected_components_delta).
+    The oracle needs NO bit replay: containment uses EXACT hash
+    equality, and frame dHashes are equal iff the frames' md5 pixel
+    family is equal (cross-family collision ~2^-64 — the engine's
+    standard hash-certainty stance), so the closed form clusters
+    (group, frame-label) identity classes through the same
+    ≥4-shared recursive-CTE components. Hash match == delta==rebuild
+    through decode, per-frame signatures, containment, and
+    clustering."""
+    from chicago_crime_spark_ml_spark.operators.dedup import (
+        connected_components,
+        connected_components_delta,
+    )
+    from chicago_crime_spark_ml_spark.operators.multimodal import (
+        frame_index_delta,
+        frame_stream_dhash,
+        synthesize_netpbm_stream_blobs,
+        video_near_dup_pairs,
+    )
+
+    docs = _doc_ids(spark, sf_dir)
+    g = F.floor(F.col("doc_id") / F.lit(4))
+    frames = F.transform(
+        F.sequence(F.lit(0), F.lit(5)),
+        lambda fi: F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda r: F.transform(
+                F.sequence(F.lit(0), F.lit(17)),
+                lambda c: F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "_",
+                                g,
+                                F.when(
+                                    (F.col("doc_id") % 2 == 1) & (fi == 5),
+                                    F.lit("z"),
+                                ).otherwise(fi.cast("string")),
+                                r,
+                                c,
+                            )
+                        ),
+                        1,
+                        2,
+                    ),
+                    16,
+                    10,
+                ).cast("int"),
+            ),
+        ),
+    )
+    blobs = synthesize_netpbm_stream_blobs(
+        docs.select("doc_id", frames.alias("frames"))
+    )
+    sig = frame_stream_dhash(blobs).localCheckpoint(eager=True)
+    hist = sig.filter(F.col("doc_id") % 5 != 0)
+    delta = sig.filter(F.col("doc_id") % 5 == 0)
+    labels = connected_components(
+        video_near_dup_pairs(hist, min_shared=4).select("id_a", "id_b")
+    )
+    index = hist.select("doc_id", "dhash").distinct()
+    _, delta_pairs = frame_index_delta(index, delta, min_shared=4)
+    updated = connected_components_delta(
+        labels, delta_pairs.select("id_a", "id_b")
+    )
+    return docs.join(
+        updated, docs["doc_id"] == updated["node"], "left"
+    ).select(
+        "doc_id", F.coalesce("label", "doc_id").alias("cluster_id")
+    )
+
+
+@query(
     "embedding_dedup_incremental",
     """
     WITH RECURSIVE v AS (SELECT vec_id, embedding::DOUBLE[] AS e
