@@ -429,6 +429,42 @@ def lexical_index_delta(
     return fresh_post, fresh_len
 
 
+def tfidf_top_terms_from_index(
+    postings: DataFrame,
+    n_docs: int,
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k characteristic terms per document from a MATERIALIZED
+    lexical index (lexical_index / lexical_index_delta) — identical
+    scoring and ranking to :func:`tfidf_top_terms` (certified:
+    tfidf_incremental_top_terms hash-matches the from-raw-text
+    oracle), but the per-term df and tf come from stored postings
+    instead of re-tokenizing the corpus. ``n_docs`` is the corpus
+    cardinality — a maintained stat in a continuous-ingest deployment
+    (one monoid counter, see operators/incremental.py), passed in
+    rather than recomputed so the plan stays index-only."""
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    dfreq = postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    scored = postings.join(dfreq, "term").withColumn(
+        "tfidf",
+        F.round(
+            F.col("tf")
+            * (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0),
+            4,
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "tfidf", "rank")
+    )
+
+
 def bm25_search_from_index(
     postings: DataFrame,
     doclen: DataFrame,

@@ -3303,9 +3303,10 @@ def event_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "doc_tfidf_top_terms",
-    r"""
+# Full-corpus TF-IDF closed form — shared by the from-raw-text query
+# and the incremental (index-maintained) query, whose hash match
+# against it certifies append-maintained index == rebuild.
+_TFIDF_TOP5_SQL = r"""
     WITH tok AS (
       SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
       FROM documents),
@@ -3321,8 +3322,10 @@ def event_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                        ORDER BY tfidf DESC, term) AS INTEGER) AS rank
       FROM scored)
     WHERE rank <= 5
-    """,
-)
+    """
+
+
+@query("doc_tfidf_top_terms", _TFIDF_TOP5_SQL)
 def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 characteristic terms per doc by smoothed TF-IDF — the
     text-analysis keyword extractor (SURVEY §7.6). Rank on the rounded
@@ -3330,6 +3333,40 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chicago_crime_spark_ml_spark.operators.text import tfidf_top_terms
 
     return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=5)
+
+
+@query("tfidf_incremental_top_terms", _TFIDF_TOP5_SQL)
+def tfidf_incremental_top_terms(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-doc TF-IDF keywords served from the DELTA-MAINTAINED lexical
+    index (r10 — the keyword-extraction member of the incremental
+    retrieval family next to bm25_incremental_search): history (80%)
+    is indexed once, the 20% delta is tokenized alone and appended
+    (text.lexical_index_delta), and tf/df come entirely from the
+    maintained postings (text.tfidf_top_terms_from_index) — the corpus
+    cardinality rides in as the maintained stat it is in a
+    continuous-ingest deployment. The oracle is doc_tfidf_top_terms'
+    from-raw-text closed form UNCHANGED: hash equality certifies
+    append-maintained index == rebuild through tokenization, tf, df,
+    and the smoothed-idf ranking."""
+    from chicago_crime_spark_ml_spark.operators.text import (
+        lexical_index,
+        lexical_index_delta,
+        tfidf_top_terms_from_index,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    hist = d.filter(F.col("doc_id") % 5 != 0)
+    delta = d.filter(F.col("doc_id") % 5 == 0)
+    postings, doclen = lexical_index(hist)
+    postings = postings.localCheckpoint(eager=True)
+    doclen = doclen.localCheckpoint(eager=True)
+    fresh_post, _ = lexical_index_delta(postings, doclen, delta)
+    n_docs = d.count()  # the maintained corpus-cardinality stat
+    return tfidf_top_terms_from_index(
+        postings.unionByName(fresh_post), n_docs=n_docs, k=5
+    )
 
 
 # Full-corpus BM25 closed form — shared by the from-raw-text query and
