@@ -126,25 +126,20 @@ _STATS_TIER_NUDGE = [
 # rewrites + 14 _doc_ids fan-outs — earned green r8 rows on the new
 # impls and dropped off).
 _REWRITTEN_GREENS = [
-    # r10: dangling mass folded as a scalar term (no |dangling|×N edge
-    # materialization) rewrote the rank update under this certification
-    "nation_trade_pagerank",
-    # r10: self-edge endpoints now seed new_nodes (ADVICE r9) — the
-    # delta==rebuild contract code changed
-    "cc_incremental_check",
-    # r10: changed-content re-sends now re-indexed (ADVICE r9) rewrote
-    # the dup-drop path of all three delta indexes these certify
-    "lsh_incremental_index_check",
-    "dhash_incremental_index_check",
-    "video_frame_incremental_index_check",
-    # r10: one-job round structure (lazy checkpoints, signed pair-count
-    # delta, deferred events) rewrote the round body under both BPE
-    # certifications
+    # r11: batch-widened non-interfering lookahead rewrote the round
+    # body under both BPE certifications (and the delta-slice
+    # checkpointing from ADVICE r10 changed event bookkeeping)
     "bpe_merge_learning_batched",
     "bpe_merge_learning_delta",
-    # r10: blob synthesis refactored into the shared helper the
-    # incremental funnel reuses
-    "media_curation_funnel_multimodal",
+    # r11: streaming docs store now tracks changed-content re-sends
+    # (ADVICE r10) — the stream==batch contract code changed
+    "streaming_cluster_maintenance_check",
+    # r11: compacted-partition sentinel moved outside the ingest-id
+    # namespace (ADVICE r10) rewrote the compaction this certifies
+    "ivf_compaction_check",
+    # r11: exact changed-content detection (per-id distinct-count
+    # identity, ADVICE r10) rewrote the dup-drop path this certifies
+    "video_frame_incremental_index_check",
 ]
 
 

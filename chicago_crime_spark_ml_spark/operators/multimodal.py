@@ -961,10 +961,19 @@ def frame_index_delta(
     (the probe side is index ∪ delta semi-joined to delta ids). A
     re-sent id whose frame-hash set DIFFERS from its stored postings
     is an update, not a replay (ADVICE r9): its new postings ARE
-    emitted (one anti-join of the bounded re-sent postings against
-    the stored rows for those ids); the append-only index then holds
-    both versions' frames — superset recall, callers wanting pure
-    replace delete the id's old rows first."""
+    emitted; the append-only index then holds both versions' frames —
+    superset recall, callers wanting pure replace delete the id's old
+    rows first (or read latest-wins / compact with replace).
+
+    Changed-content detection is EXACT (r11, ADVICE r10 — the
+    anti-join alone missed the strict-subset case, e.g. a trimmed
+    re-sent video whose new hash set is a proper subset of its stored
+    set): a re-sent id is unchanged iff its delta postings all exist
+    in the stored postings AND the per-id DISTINCT-hash counts match —
+    both sets are distinct rows, so containment plus equal cardinality
+    forces set equality (the video twin of lexical_index_delta's
+    dl = Σ tf identity). Both checks run on the bounded re-sent
+    slice."""
     d = (
         new_sig.select(id_col, "dhash").distinct().localCheckpoint(eager=True)
     )
@@ -974,12 +983,25 @@ def frame_index_delta(
     dup_stored = index.select(id_col, "dhash").join(
         F.broadcast(dup_ids), id_col, "left_semi"
     )
-    changed_ids = (
+    changed_by_row = (
         d.join(F.broadcast(dup_ids), id_col, "left_semi")
         .join(dup_stored, [id_col, "dhash"], "left_anti")
         .select(id_col)
-        .distinct()
     )
+    changed_by_count = (
+        d.join(F.broadcast(dup_ids), id_col, "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_n_delta"))
+        .join(
+            dup_stored.groupBy(id_col).agg(
+                F.count(F.lit(1)).alias("_n_stored")
+            ),
+            id_col,
+        )
+        .filter(F.col("_n_delta") != F.col("_n_stored"))
+        .select(id_col)
+    )
+    changed_ids = changed_by_row.unionByName(changed_by_count).distinct()
     unchanged_dups = dup_ids.join(changed_ids, id_col, "left_anti")
     fresh = d.join(F.broadcast(unchanged_dups), id_col, "left_anti")
     both = index.select(id_col, "dhash").unionByName(fresh)

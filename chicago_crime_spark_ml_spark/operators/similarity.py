@@ -628,6 +628,20 @@ def assign_to_centroids(
     )
 
 
+# Reserved partition value for compacted IVF cells (r11, ADVICE r10):
+# compact_ivf_index previously stamped the collapsed partition with
+# F.max('ingest') — a LEXICOGRAPHIC max over a string domain that
+# includes 'base' and numeric-string ids ('9' > '10', 'base' > any
+# digit string), so the stamped value was not "the max ingest id seen",
+# and worse: if it collided with a later reused/replayed ingest id,
+# ivf_index_delta's dynamic partition overwrite would REPLACE the
+# compacted whole-corpus cell partitions with just that delta — data
+# loss, not the duplication the docstring warned about. A sentinel
+# OUTSIDE the ingest-id namespace (ivf_index_delta rejects it) makes
+# that collision impossible by construction.
+COMPACTED_INGEST = "__compacted__"
+
+
 def ivf_index_delta(
     spark,
     path: str,
@@ -655,13 +669,21 @@ def ivf_index_delta(
     build and to other ingests are untouched by the dynamic mode.
     Contract: one ingest_id ⇔ one delta dataset; reusing an id with
     different data REPLACES the earlier delta (that is the replay
-    semantics doing its job).
+    semantics doing its job). ``'base'`` (the full build) and the
+    compaction sentinel :data:`COMPACTED_INGEST` are REJECTED as
+    ingest ids — the dynamic overwrite aimed at either would replace
+    whole-corpus partitions with a delta (r11, ADVICE r10).
 
     Frozen centroids drift from the true k-means optimum as the
     corpus grows — the standard IVF trade-off; measure it with
     ivf_staleness_drift (queries.py) and schedule a rebuild
     (write_ivf_index) when the delta's assignment distances degrade
     vs the base build's."""
+    if str(ingest_id) in (COMPACTED_INGEST, "base"):
+        raise ValueError(
+            f"ingest_id {ingest_id!r} is reserved (compaction sentinel / "
+            "base build); pick an id outside the reserved namespace"
+        )
     centers = spark.read.parquet(path + "__centers")
     assigned = assign_to_centroids(new_df, centers, vec_col, id_col)
     out = assigned.withColumn("ingest", F.lit(str(ingest_id)))
@@ -692,11 +714,16 @@ def compact_ivf_index(
     partition per delta/micro-batch forever — after a year of
     continuous ingest every probe lists and opens thousands of
     KB-sized files per probed cell. This collapses each cell to a
-    single compacted ``ingest`` partition (value = the max ingest id
-    seen, mirroring compact_ingest_index's resumed-stream contract)
-    while PRESERVING the leading ``cell=`` level, so probe-side
-    partition pruning is untouched and probe results are identical
-    (certified by the ivf_compaction_check query).
+    single compacted ``ingest`` partition stamped with the RESERVED
+    sentinel :data:`COMPACTED_INGEST` (r11, ADVICE r10 — the earlier
+    max-ingest stamp was a lexicographic string max that could
+    collide with a reused ingest id, and ivf_index_delta's dynamic
+    overwrite would then REPLACE the compacted corpus partitions with
+    just that delta; the sentinel sits outside the ingest-id
+    namespace, which ivf_index_delta enforces) while PRESERVING the
+    leading ``cell=`` level, so probe-side partition pruning is
+    untouched and probe results are identical (certified by the
+    ivf_compaction_check query).
 
     Layout discipline: the rewrite is ``repartition(n, "cell",
     salt)`` with a per-row salt in [0, files_per_cell) — every
@@ -711,8 +738,11 @@ def compact_ivf_index(
     sidecar is not touched. Replays of pre-compaction ingest ids are
     out of contract once compacted (same rule as compact_ingest_index:
     the stream's checkpoint is already past them); a replayed id
-    would land as a fresh partition and duplicate its vectors. Run in
-    the ingest maintenance window. Returns the file count written."""
+    lands as a fresh partition and DUPLICATES its vectors (recall
+    superset, fixed by the next compaction) — never overwrites the
+    compacted partitions, because the sentinel can't collide with any
+    legal ingest id. Run in the ingest maintenance window. Returns
+    the file count written."""
     from chicago_crime_spark_ml_spark.sources.io import (  # noqa: PLC0415
         commit_compaction_swap,
         recover_compaction_swap,
@@ -720,7 +750,6 @@ def compact_ivf_index(
 
     recover_compaction_swap(path)
     df = spark.read.parquet(path)
-    max_ing = df.agg(F.max("ingest")).first()[0]
     n = n_tasks or max(1, spark.sparkContext.defaultParallelism)
     if files_per_cell < 1:
         raise ValueError(f"files_per_cell must be >= 1; got {files_per_cell}")
@@ -733,7 +762,7 @@ def compact_ivf_index(
         .withColumn("_salt", salt)
         .repartition(n, "cell", "_salt")
         .drop("_salt")
-        .withColumn("ingest", F.lit(str(max_ing)))
+        .withColumn("ingest", F.lit(COMPACTED_INGEST))
     )
     staging = path.rstrip("/") + "__compacting"
     out.write.mode("overwrite").partitionBy("cell", "ingest").parquet(

@@ -1091,7 +1091,7 @@ def bpe_learn_merges_batched(
     df: DataFrame,
     text_col: str = "text",
     k: int = 6,
-    m: int = 2,
+    m: int = 16,
     lowercase: bool = True,
     candidate_pool: int = 64,
 ) -> DataFrame:
@@ -1113,7 +1113,7 @@ def bpe_learn_merges_batched(
     at the first candidate that (i) shares a left/right symbol with
     an accepted merge, or (ii) contains an accepted merge's
     concatenated symbol, or (iii) is position t ≥ 2 with
-    pc ≤ t·pc_break, where pc_break is the pc of the first
+    pc ≤ min(t, 3)·pc_break, where pc_break is the pc of the first
     non-accepted candidate (0 when the pair list was exhausted).
     Then, for each accepted merge at batch position t:
     - its own pair count is INVARIANT under the earlier accepted
@@ -1123,12 +1123,20 @@ def bpe_learn_merges_batched(
     - every competitor in the sequential recount either kept its
       count and name (ranked below the prefix → loses the original
       (pc, a, b) comparison verbatim), or was created/boosted by the
-      earlier t−1 merges — each such pair shares a symbol with (or
-      is headed by the concatenation of) an accepted merge, so its
-      PRE-count is ≤ pc_break by the prefix argument, and each of
-      the t−1 applied merges adds at most pc_break new instances,
-      bounding its recount by t·pc_break < pc (guard iii) — so the
-      accepted merge still wins its round strictly.
+      earlier t−1 merges. A boosted/created pair must CONTAIN a new
+      token ``a_j+b_j`` (pairs free of batch symbols are untouched,
+      and pairs touching batch symbols but no new token only lose
+      occurrences); a pair has two slots, so at most TWO of the
+      applied merges can boost it (r11 — this is what tightened the
+      old t·pc_break guard). Its PRE-count is ≤ pc_break by the
+      prefix argument (a pair already containing the string
+      ``a_j+b_j`` above the prefix would have ended the batch before
+      j via guard ii), and each boosting merge adds at most pc_break
+      instances — every created occurrence of the competitor consumes
+      a distinct pre-merge adjacency touching that merge's symbols,
+      itself a non-accepted pair with count ≤ pc_break. Recount
+      ≤ (1 + min(t−1, 2))·pc_break = min(t, 3)·pc_break < pc
+      (guard iii) — the accepted merge still wins its round strictly.
     Whenever a guard fails the batch just ends early (worst case
     size 1 = plain sequential), so output equality holds on EVERY
     corpus, not just benign ones — certified against the sequential
@@ -1214,7 +1222,7 @@ def bpe_learn_merges_batched(
             pc_break = 0
         batch = [accepted[0]]
         for t, cand in enumerate(accepted[1:], start=2):
-            if int(cand.pc) > t * pc_break:
+            if int(cand.pc) > min(t, 3) * pc_break:
                 batch.append(cand)
             else:
                 break
@@ -1305,10 +1313,19 @@ def _bpe_apply_batch_delta(
     # old (negative) and new (positive) symbol strings of affected
     # words, signed — ONE pair-count aggregation yields the count
     # DELTA directly (sum of signed weights), and the same signed
-    # frame drives the event counts
-    signed = changed.select(
-        (-F.col("cnt")).alias("cnt"), F.col("_old").alias("sym")
-    ).unionByName(changed.select("cnt", "sym"))
+    # frame drives the event counts. Lazily checkpointed at DELTA
+    # scale (ADVICE r10): the deferred event frames otherwise pin
+    # every round's FULL-vocab cur2 checkpoint until the post-loop
+    # collect — O(rounds × vocab) executor storage; through this
+    # barrier they pin only the changed slice, and each round's cur2
+    # storage is released when the next round rebinds it.
+    signed = (
+        changed.select(
+            (-F.col("cnt")).alias("cnt"), F.col("_old").alias("sym")
+        )
+        .unionByName(changed.select("cnt", "sym"))
+        .localCheckpoint(eager=False)
+    )
     ev = (
         signed.select(F.col("cnt").alias("s"), "sym")
         .select("s", F.explode(F.split("sym", " ")).alias("t"))

@@ -2092,26 +2092,55 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("streaming_cluster_maintenance_check", _NEAR_DUP_CLUSTERS_SQL)
+# The streaming check's corpus: the even-id HALF of documents (r11,
+# VERDICT r10 #7 — the full-corpus stream was the rotation's heaviest
+# row; the half corpus keeps every pair class, measured at every SF)
+# — the same closed form with the subset folded into both scans.
+_NEAR_DUP_CLUSTERS_EVEN_SQL = _NEAR_DUP_CLUSTERS_SQL.replace(
+    "AS w FROM documents)",
+    "AS w FROM documents WHERE doc_id % 2 = 0)",
+).replace(
+    "FROM documents d",
+    "FROM (SELECT * FROM documents WHERE doc_id % 2 = 0) d",
+)
+
+
+@query("streaming_cluster_maintenance_check", _NEAR_DUP_CLUSTERS_EVEN_SQL)
 def streaming_cluster_maintenance_check(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """STREAMING under the oracle gate (r10 — the first driver-certified
     Structured Streaming row; §2.8 coverage was previously
-    pytest-only): the documents table is fed through a real
-    foreachBatch stream in multiple micro-batches
-    (maxFilesPerTrigger=1 over a multi-file staging copy), each batch
-    maintaining the band index, the id-unique docs store, and the
+    pytest-only): a corpus is fed through a real foreachBatch stream
+    in three DETERMINISTICALLY-ORDERED micro-batches (one staged file
+    each, mtime-ordered — the file source processes oldest-first),
+    each batch maintaining the band index, the docs store, and the
     CLUSTER LABELS via streaming_cluster_maintenance (probe → exact
-    rescore → connected_components_delta → bucket-pruned upsert). The
-    returned frame is the labels store joined back to the corpus —
-    and the oracle is near_dup_clusters' full-rebuild recursive-CTE
-    closed form UNCHANGED: hash equality certifies that a
-    continuously-maintained streaming clustering equals the batch
-    rebuild, end to end through banding (32×2), rescore, incremental
-    CC, and the parquet upsert. Scratch stores live in a driver
-    tempdir, removed before returning (the result is materialized
-    first)."""
+    rescore → connected_components_delta → bucket-pruned upsert).
+
+    r11 adds the CHANGED-CONTENT RE-SEND scenario (ADVICE r10) and
+    shrinks the corpus to the even-id half (VERDICT r10 #7). The
+    batches: (0) the A docs (id % 8 == 0) arrive with PLACEHOLDER
+    junk text plus the B docs (other non-Z evens) with their true
+    text; (1) A is re-sent with its TRUE text — a changed-content
+    update the sink must both re-index AND record in the docs store;
+    (2) the Z docs (id % 4 == 2) arrive. Every A–Z near-dup pair can
+    then only be found by rescoring Z's candidates against A's text
+    READ BACK FROM THE DOCS STORE — exactly the path that silently
+    dropped true pairs when the store kept the stale v1 text (the
+    latest-wins read + (id, text) dup-drop fix this certifies). The
+    corpus holds A–Z pairs at every shipped SF (checked 0.001/0.01/
+    0.1), plus A–A/A–B re-send pairs and plain B–B/Z–Z arrivals.
+
+    The oracle is the near-dup clusters closed form over the even-id
+    subset — the LATEST contents, since every junk v1 was re-sent
+    true: hash equality certifies the continuously-maintained
+    streaming clustering equals the batch rebuild end to end through
+    banding (32×2), changed-content re-indexing, the stored-text
+    rescore, incremental CC, and the parquet upsert. Scratch stores
+    live in a driver tempdir, removed before returning (the result is
+    materialized first)."""
+    import glob  # noqa: PLC0415
     import os  # noqa: PLC0415
     import shutil  # noqa: PLC0415
     import tempfile  # noqa: PLC0415
@@ -2121,11 +2150,38 @@ def streaming_cluster_maintenance_check(
     )
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    s = d.filter(F.col("doc_id") % 2 == 0)
+    is_z = F.col("doc_id") % 4 == 2
+    is_a = F.col("doc_id") % 8 == 0
+    junk = F.concat(
+        F.lit("placeholder draft zq zq zq "),
+        F.col("doc_id").cast("string"),
+    )
+    batches = (
+        # b0: A with junk v1 (matches nothing at J >= 0.8) + B true
+        s.filter(~is_z).withColumn(
+            "text", F.when(is_a, junk).otherwise(F.col("text"))
+        ),
+        # b1: A re-sent with true text (the changed-content update)
+        s.filter(is_a),
+        # b2: late arrivals whose pairs reach back to stored texts
+        s.filter(is_z),
+    )
     root = tempfile.mkdtemp(prefix="stream_cc_")
     src = os.path.join(root, "src")
+    os.makedirs(src)
     try:
-        # stage the corpus as 3 files -> 3 micro-batches
-        d.repartition(3).write.mode("overwrite").parquet(src)
+        # one file per batch, strictly increasing mtimes: the parquet
+        # file source orders by modification time, so the replayed
+        # sequence is exactly b0 -> b1 -> b2
+        for i, frame in enumerate(batches):
+            stage = os.path.join(root, f"stage{i}")
+            frame.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            dst = os.path.join(src, f"b{i}.parquet")
+            shutil.copyfile(part, dst)
+            t = 1_600_000_000 + i * 1_000
+            os.utime(dst, (t, t))
         stream = (
             spark.readStream.schema("doc_id BIGINT, text STRING")
             .option("maxFilesPerTrigger", 1)
@@ -2146,8 +2202,8 @@ def streaming_cluster_maintenance_check(
             "node", "label"
         )
         out = (
-            d.select("doc_id")
-            .join(labels, d["doc_id"] == labels["node"], "left")
+            s.select("doc_id")
+            .join(labels, s["doc_id"] == labels["node"], "left")
             .select(
                 "doc_id", F.coalesce("label", "doc_id").alias("cluster_id")
             )
@@ -2205,6 +2261,93 @@ def text_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id").join(
         updated, d["doc_id"] == updated["node"], "left"
     ).select("doc_id", F.coalesce("label", "doc_id").alias("cluster_id"))
+
+
+@query(
+    "lsh_compact_replace_check",
+    f"WITH {_NGRAM_JACCARD_CTES} SELECT id_a, id_b, jaccard FROM jac",
+)
+def lsh_compact_replace_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPACT-WITH-REPLACE certification for the append-only LSH band
+    store (r11, VERDICT r10 #1 — the near-dup twin of
+    lexical_compact_replace_check): a changed-content re-sent id's new
+    band rows are re-emitted by lsh_index_delta but append-only
+    storage keeps BOTH versions' rows. This query builds exactly that
+    history on disk: batch 0 indexes the corpus with every
+    doc_id % 7 == 0 text adulterated (shuffled-in junk tokens change
+    the shingle set, hence the minhash signature), batch 1 re-sends
+    those docs with their TRUE text (posting-set comparison flags
+    them changed, new rows emitted).
+    io.compact_ingest_index(replace_latest_by='doc_id') keeps each
+    id's highest-batch rows — and the in-query raise proves the
+    compacted store row-for-row EQUALS lsh_band_index over the true
+    corpus (exceptAll both ways). The returned frame then runs the
+    standard index consumer — band-bucket self-join candidates +
+    exact Jaccard rescore on the true texts — against
+    ngram_jaccard_near_dups' exact closed form UNCHANGED (banding
+    32×2: per-pair miss ≤ 6.3e-15 at J ≥ 0.8, the certified recall
+    contract)."""
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from chicago_crime_spark_ml_spark.operators.dedup import (
+        lsh_band_index,
+        lsh_index_delta,
+        rescore_jaccard,
+    )
+    from chicago_crime_spark_ml_spark.sources.io import (
+        compact_ingest_index,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    changed = F.col("doc_id") % 7 == 0
+    poisoned = d.withColumn(
+        "text",
+        F.when(
+            changed,
+            F.concat(F.lit("zq zq placeholder "), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    resend = d.filter(changed)
+    root = tempfile.mkdtemp(prefix="lsh_compact_")
+    idx_path = os.path.join(root, "bands")
+    try:
+        lsh_band_index(poisoned, num_hashes=32, band_width=2).write.mode(
+            "overwrite"
+        ).parquet(f"{idx_path}/batch_id=0")
+        fresh, _ = lsh_index_delta(
+            spark.read.parquet(idx_path).drop("batch_id"),
+            resend,
+            num_hashes=32,
+            band_width=2,
+        )
+        fresh.write.mode("overwrite").parquet(f"{idx_path}/batch_id=1")
+        compact_ingest_index(spark, idx_path, replace_latest_by="doc_id")
+        idx = spark.read.parquet(idx_path).drop("batch_id")
+        want = lsh_band_index(d, num_hashes=32, band_width=2)
+        if idx.exceptAll(want).count() + want.exceptAll(idx).count() != 0:
+            raise AssertionError(
+                "replace-compacted band store must equal a rebuild over "
+                "the latest contents"
+            )
+        idx = idx.localCheckpoint(eager=True)  # survive the rmtree
+        cand = (
+            idx.select("band", "bucket", F.col("doc_id").alias("id_a"))
+            .join(
+                idx.select("band", "bucket", F.col("doc_id").alias("id_b")),
+                ["band", "bucket"],
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        out = rescore_jaccard(cand, d, threshold=0.8).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
 
 
 @query(
@@ -3446,6 +3589,193 @@ def bm25_incremental_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["spark", "table", "window"],
         k=10,
     )
+
+
+@query("lexical_compact_replace_check", _BM25_TOP10_SQL)
+def lexical_compact_replace_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COMPACT-WITH-REPLACE certification for the append-only lexical
+    store (r11, VERDICT r10 #1): a changed-content re-sent id is
+    re-emitted by lexical_index_delta (staleness is worse than
+    duplication) but its OLD rows stay in the ``batch_id=N`` layout —
+    the one legal input stream where the maintained index ≠ a rebuild
+    (bm25_search_from_index double-counts that doc's terms). This
+    query materializes exactly that poisoned history ON DISK: batch 0
+    indexes the corpus with every doc_id % 7 == 0 text adulterated
+    (extra copies of the query term 'spark' — so the staleness would
+    visibly corrupt the ranking), batch 1 re-sends those docs with
+    their TRUE text (detected changed via the dl = Σ tf identity and
+    re-emitted). io.compact_ingest_index(replace_latest_by='doc_id')
+    then keeps only each id's highest-batch rows through the
+    crash-safe rename-aside swap, and the BM25 search runs from the
+    compacted store. The oracle is bm25_search_top10's from-raw-text
+    closed form UNCHANGED — the hash match certifies maintained →
+    changed re-send → compacted == rebuild-on-latest-content.
+    Layout side-contracts raise in-query: the doclen store must hold
+    duplicate ids BEFORE compaction, exactly one row per doc and one
+    batch directory AFTER."""
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from chicago_crime_spark_ml_spark.operators.text import (
+        bm25_search_from_index,
+        lexical_index,
+        lexical_index_delta,
+    )
+    from chicago_crime_spark_ml_spark.sources.io import (
+        compact_ingest_index,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    changed = F.col("doc_id") % 7 == 0
+    poisoned = d.withColumn(
+        "text",
+        F.when(
+            changed, F.concat(F.col("text"), F.lit(" spark spark spark"))
+        ).otherwise(F.col("text")),
+    )
+    resend = d.filter(changed)
+    root = tempfile.mkdtemp(prefix="lex_compact_")
+    post_path = os.path.join(root, "postings")
+    dlen_path = os.path.join(root, "doclen")
+    try:
+        p0, l0 = lexical_index(poisoned)
+        p0.write.mode("overwrite").parquet(f"{post_path}/batch_id=0")
+        l0.write.mode("overwrite").parquet(f"{dlen_path}/batch_id=0")
+        fp, fl = lexical_index_delta(
+            spark.read.parquet(post_path).drop("batch_id"),
+            spark.read.parquet(dlen_path).drop("batch_id"),
+            resend,
+        )
+        fp.write.mode("overwrite").parquet(f"{post_path}/batch_id=1")
+        fl.write.mode("overwrite").parquet(f"{dlen_path}/batch_id=1")
+        n_docs = d.count()
+        if not spark.read.parquet(dlen_path).count() > n_docs:
+            raise AssertionError(
+                "changed re-send must leave stale duplicate rows"
+            )
+        for pth in (post_path, dlen_path):
+            compact_ingest_index(spark, pth, replace_latest_by="doc_id")
+        batch_dirs = [
+            x for x in os.listdir(dlen_path) if x.startswith("batch_id=")
+        ]
+        if (
+            spark.read.parquet(dlen_path).count() != n_docs
+            or len(batch_dirs) != 1
+        ):
+            raise AssertionError(
+                "replace-compaction must keep exactly the latest row per "
+                "id in one batch partition"
+            )
+        out = bm25_search_from_index(
+            spark.read.parquet(post_path).drop("batch_id"),
+            spark.read.parquet(dlen_path).drop("batch_id"),
+            ["spark", "table", "window"],
+            k=10,
+        ).localCheckpoint(eager=True)  # materialize before rmtree
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@query("streaming_lexical_ingest_check", _BM25_TOP10_SQL)
+def streaming_lexical_ingest_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING lexical ingest under the oracle gate (r11, VERDICT
+    r10 #5 — previously pytest-only): the documents table is fed
+    through a REAL Structured Streaming foreachBatch run in three
+    micro-batches (maxFilesPerTrigger=1 over a 3-file staging copy),
+    each batch tokenizing only its own docs and appending to the
+    ``batch_id=N`` postings/doclen stores (streaming_lexical_ingest →
+    lexical_index_delta). BM25 then runs entirely from the maintained
+    stores, and the oracle is bm25_search_top10's from-raw-text
+    closed form UNCHANGED — stream-maintained index == rebuild.
+    The round's second contract (VERDICT r10 #2 — unbounded
+    ``batch_id=N`` growth): the three-partition store is compacted
+    (io.compact_ingest_index, crash-safe rename-aside) and the
+    in-query raises verify the directory count collapsed to one, the
+    data file count strictly dropped, and the identical search
+    returns IDENTICAL rows from the compacted store. Scratch stores
+    live in a driver tempdir, removed before returning."""
+    import glob  # noqa: PLC0415
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from chicago_crime_spark_ml_spark.operators.text import (
+        bm25_search_from_index,
+    )
+    from chicago_crime_spark_ml_spark.sources.io import (
+        compact_ingest_index,
+    )
+    from chicago_crime_spark_ml_spark.streaming import (
+        streaming_lexical_ingest,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="stream_lex_")
+    src = os.path.join(root, "src")
+    post_path = os.path.join(root, "postings")
+    dlen_path = os.path.join(root, "doclen")
+    try:
+        # stage the corpus as 3 files -> 3 micro-batches
+        d.repartition(3).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema("doc_id BIGINT, text STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = streaming_lexical_ingest(
+            stream, post_path, dlen_path, os.path.join(root, "ckpt")
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        def search() -> DataFrame:
+            return bm25_search_from_index(
+                spark.read.parquet(post_path).drop("batch_id"),
+                spark.read.parquet(dlen_path).drop("batch_id"),
+                ["spark", "table", "window"],
+                k=10,
+            )
+
+        before = [(r.doc_id, r.bm25) for r in search().collect()]
+        dirs_before = [
+            x for x in os.listdir(post_path) if x.startswith("batch_id=")
+        ]
+        files_before = len(
+            glob.glob(os.path.join(post_path, "batch_id=*", "part-*"))
+        )
+        for pth in (post_path, dlen_path):
+            compact_ingest_index(spark, pth)
+        dirs_after = [
+            x for x in os.listdir(post_path) if x.startswith("batch_id=")
+        ]
+        files_after = len(
+            glob.glob(os.path.join(post_path, "batch_id=*", "part-*"))
+        )
+        if not (
+            len(dirs_before) >= 2
+            and len(dirs_after) == 1
+            and files_after < files_before
+        ):
+            raise AssertionError(
+                "compaction must collapse the per-batch partitions and "
+                "strictly reduce the data file count"
+            )
+        out = search().localCheckpoint(eager=True)  # before rmtree
+        if [(r.doc_id, r.bm25) for r in out.collect()] != before:
+            raise AssertionError(
+                "compaction must not change search results"
+            )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
 
 
 _LATERAL_TOP_ITEM_SQL = """

@@ -312,6 +312,7 @@ def compact_ingest_index(
     batch_col: str = "batch_id",
     target_file_rows: int = 1_000_000,
     sort_within_by: list[str] | None = None,
+    replace_latest_by: str | None = None,
 ) -> int:
     """Compact a per-batch-partitioned ingest index (the
     ``batch_id=N`` layout every streaming near-dup sink writes) into a
@@ -347,6 +348,21 @@ def compact_ingest_index(
     maintenance window (stopped or between triggers): the swap is not
     atomic for concurrent readers — same bare-parquet caveat as
     merge_parquet; a table format gives you the transactional version.
+
+    COMPACT-WITH-REPLACE (r11, VERDICT r10 #1): the delta index
+    operators re-EMIT a changed-content re-sent id's rows (staleness
+    is worse than duplication), but append-only storage then holds
+    BOTH versions — the one legal input stream where a maintained
+    index ≠ its rebuild (bm25_search_from_index double-counts that
+    doc's terms). Passing ``replace_latest_by=<id col>`` makes this
+    compaction restore replace semantics exactly: for each id only
+    the rows of its HIGHEST batch id survive (each delta batch writes
+    a doc's complete posting set, so per-id-latest-batch IS the
+    current version; older batches' rows for that id are the stale
+    ones). One extra shuffle on the id column — linear, and certified
+    by lexical_compact_replace_check: ingest → changed re-send →
+    compact(replace) → bm25/tf-idf hash == the from-raw-text rebuild
+    on the latest content.
     LOCAL-FILESYSTEM-ONLY (like file_spans): the swap uses driver-local
     os.rename/shutil — on hdfs:// or s3a:// run the equivalent rename
     dance through the FileSystem API or a table format's REPLACE.
@@ -358,7 +374,15 @@ def compact_ingest_index(
     if batch_col not in df.columns:
         raise ValueError(f"{path} has no {batch_col!r} partition column")
     max_bid = df.agg(F.max(batch_col)).first()[0]
-    rows = df.drop(batch_col)
+    if replace_latest_by is not None:
+        latest = df.groupBy(replace_latest_by).agg(
+            F.max(batch_col).alias(batch_col)
+        )
+        rows = df.join(
+            latest, [replace_latest_by, batch_col], "left_semi"
+        ).drop(batch_col)
+    else:
+        rows = df.drop(batch_col)
     n_rows = rows.count()
     n_files = max(1, math.ceil(n_rows / target_file_rows))
     out = rows.repartition(n_files)

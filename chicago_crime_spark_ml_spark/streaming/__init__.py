@@ -258,6 +258,59 @@ def _read_state_excluding_batch(
     return df.filter(F.col("batch_id") != F.lit(batch_id)).select(*cols)
 
 
+def _read_state_latest_by(
+    spark: SparkSession,
+    path: str,
+    batch_id: int,
+    id_col: str,
+    cols,
+    schema: str,
+) -> DataFrame:
+    """LATEST-WINS read of a ``batch_id=N``-partitioned per-id state
+    store (r11, ADVICE r10): a changed-content re-sent id has rows in
+    TWO batch partitions — the delta operators re-emit the new
+    version (staleness is worse than duplication) but append-only
+    storage keeps the old one. Readers that treat the store as "the
+    current version of each id" (the rescore corpus, the delta
+    operators' changed-content detection) must see only the id's
+    HIGHEST-batch rows, or they compare against a v1 ∪ v2 union —
+    e.g. the stored text a rescore shingles would stay the ORIGINAL
+    text forever while the index tracked the new one, silently
+    dropping true pairs, and a revert-to-v1 re-send would look
+    "unchanged" against the union and never be re-emitted.
+
+    Cost shape: multi-version ids are found with a column-pruned
+    aggregate over (id, batch_id) — the text/posting payload never
+    shuffles — and are the rare changed-re-send set, so they ride a
+    broadcast join; single-version ids (the corpus) stream through a
+    filter untouched. Excludes the current batch's own partition
+    (crash-replay guard, see _read_state_excluding_batch)."""
+    df = _read_state_excluding_batch(
+        spark,
+        path,
+        batch_id,
+        [*cols, "batch_id"],
+        schema + ", batch_id bigint",
+    )
+    multi = (
+        df.groupBy(id_col)
+        .agg(
+            F.countDistinct("batch_id").alias("_nv"),
+            F.max("batch_id").alias("_latest"),
+        )
+        .filter(F.col("_nv") > 1)
+        .select(id_col, "_latest")
+    )
+    return (
+        df.join(F.broadcast(multi), id_col, "left")
+        .filter(
+            F.col("_latest").isNull()
+            | (F.col("batch_id") == F.col("_latest"))
+        )
+        .select(*cols)
+    )
+
+
 def streaming_near_dup_ingest(
     docs: DataFrame,
     index_path: str,
@@ -310,11 +363,13 @@ def streaming_near_dup_ingest(
         # silently probing empty on those would drop all historical
         # recall with no error (ADVICE r8). The current batch's own
         # partition is excluded so a crash-replay can't self-
-        # cannibalize (see _read_state_excluding_batch).
-        index = _read_state_excluding_batch(
+        # cannibalize, and a changed-content re-sent id resolves to
+        # its newest band rows (latest-wins, r11).
+        index = _read_state_latest_by(
             spark,
             index_path,
             batch_id,
+            id_col,
             [id_col, "band", "bucket"],
             f"{id_col} long, band int, bucket bigint",
         )
@@ -416,8 +471,8 @@ def streaming_media_near_dup_ingest(
         else:
             idx_schema = f"{id_col} long, band int, byte int"
             idx_cols = [id_col, "band", "byte"]
-        index = _read_state_excluding_batch(
-            spark, index_path, batch_id, idx_cols, idx_schema
+        index = _read_state_latest_by(
+            spark, index_path, batch_id, id_col, idx_cols, idx_schema
         )
         # signature once behind a barrier: the delta rows feed the
         # probe AND both union branches — lazy, the per-blob decode
@@ -569,10 +624,11 @@ def streaming_cluster_maintenance(
         batch_docs = batch_df.select(id_col, text_col).localCheckpoint(
             eager=True
         )
-        index = _read_state_excluding_batch(
+        index = _read_state_latest_by(
             spark,
             index_path,
             batch_id,
+            id_col,
             [id_col, "band", "bucket"],
             f"{id_col} long, band int, bucket bigint",
         )
@@ -590,12 +646,17 @@ def streaming_cluster_maintenance(
         # batch-precedence corpus with UNIQUE ids: a re-sent id's
         # stored text is shadowed (changed content rescans against the
         # new text), and duplicate (id, text) rows can never multiply
-        # the rescore joins. The current batch's own partition is
-        # excluded (crash-replay self-cannibalization guard).
-        stored_docs = _read_state_excluding_batch(
+        # the rescore joins. LATEST-WINS read (r11, ADVICE r10): a
+        # changed-content id re-sent in an EARLIER batch now resolves
+        # to its newest stored text — previously the id-only dup-drop
+        # below kept the original text forever and later batches'
+        # rescores silently scored candidates against it. The current
+        # batch's own partition is excluded (crash-replay guard).
+        stored_docs = _read_state_latest_by(
             spark,
             docs_path,
             batch_id,
+            id_col,
             [id_col, text_col],
             f"{id_col} long, {text_col} string",
         )
@@ -653,12 +714,16 @@ def streaming_cluster_maintenance(
         delta_rows.write.mode("overwrite").parquet(
             f"{index_path}/batch_id={batch_id}"
         )
-        # only ids not stored by EARLIER batches land in the docs store
-        # (the same dup-drop rule as the index rows), keeping it
-        # id-unique; stored_docs already excludes this batch_id, so a
-        # replay rewrites its own rows instead of emptying them
+        # (id, text) rows not already current in the docs store land in
+        # this batch's partition: identical re-sends append nothing
+        # (replay idempotence), while a CHANGED-content re-send IS
+        # written — its newer batch id makes the latest-wins readers
+        # above resolve to the new text (r11, ADVICE r10; the id-only
+        # anti-join kept the stale text forever). stored_docs already
+        # excludes this batch_id, so a replay rewrites its own rows
+        # instead of emptying them.
         fresh_docs = batch_docs.join(
-            stored_docs.select(id_col), id_col, "left_anti"
+            stored_docs, [id_col, text_col], "left_anti"
         )
         fresh_docs.write.mode("overwrite").parquet(
             f"{docs_path}/batch_id={batch_id}"
@@ -706,17 +771,23 @@ def streaming_lexical_ingest(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        post = _read_state_excluding_batch(
+        # LATEST-WINS reads (r11): the delta operator's changed-content
+        # detection is provably exact only against a SINGLE stored
+        # version per id — against a v1 ∪ v2 union a revert-to-v1
+        # re-send matches stored rows and is wrongly dropped.
+        post = _read_state_latest_by(
             spark,
             postings_path,
             batch_id,
+            id_col,
             [id_col, "term", "tf"],
             f"{id_col} long, term string, tf long",
         )
-        dlen = _read_state_excluding_batch(
+        dlen = _read_state_latest_by(
             spark,
             doclen_path,
             batch_id,
+            id_col,
             [id_col, "dl"],
             f"{id_col} long, dl long",
         )

@@ -1278,3 +1278,13 @@ def test_frame_index_delta_changed_content_reindexed(spark):
     fresh, _ = frame_index_delta(index, changed)
     got = {(r.doc_id, r.dhash) for r in fresh.collect()}
     assert got == {(1, "h1"), (1, "h9")}
+    # r11 (ADVICE r10): STRICT-SUBSET re-send — a trimmed stream whose
+    # new hash set is a proper subset of its stored set has zero novel
+    # hashes, so the anti-join alone saw it as unchanged; the per-id
+    # distinct-count identity now classifies it as changed and emits
+    # its postings
+    trimmed = spark.createDataFrame(
+        [(1, "h1")], "doc_id BIGINT, dhash STRING"
+    )
+    sub, _ = frame_index_delta(index, trimmed)
+    assert {(r.doc_id, r.dhash) for r in sub.collect()} == {(1, "h1")}

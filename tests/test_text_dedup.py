@@ -961,6 +961,25 @@ def test_bpe_batched_equals_sequential(spark, docs):
     assert rows(bpe_learn_merges_batched(tiny, k=5, m=2)) == rows(
         bpe_learn_merges(tiny, k=5)
     )
+    # r11 min(t,3)·pc_break guard: four disjoint merges whose counts
+    # (100, 81, 27, 13) clear 3·pc_break=12 at every position but
+    # would have FAILED the old t·pc_break guard at t=4 (13 ≤ 16) —
+    # asserts the wider batch still reproduces sequential exactly,
+    # and that it really is taken in ONE pair-count round (the xy/xz
+    # conflicters pin pc_break at 4)
+    steep_text = " ".join(
+        ["ab"] * 100 + ["cd"] * 81 + ["ef"] * 27 + ["gh"] * 13
+        + ["xy"] * 4 + ["xz"] * 4
+    )
+    steep = spark.createDataFrame(
+        [(1, steep_text)], "doc_id BIGINT, text STRING"
+    )
+    seq_s = rows(bpe_learn_merges(steep, k=6))
+    bat_s = rows(bpe_learn_merges_batched(steep, k=6, m=16))
+    assert bat_s == seq_s
+    assert [r[3] for r in seq_s[:4]] == [100, 81, 27, 13]
+    # wide default m on the real corpus stays sequential-identical
+    assert rows(bpe_learn_merges_batched(docs, k=12)) == seq12
 
 
 def test_ivf_index_delta_append_and_probe(spark, emb, tmp_path):
@@ -1310,6 +1329,23 @@ def test_compact_ivf_index_files_per_cell(spark, emb, tmp_path):
         assert len(files) == 2  # files_per_cell honored
     with __import__("pytest").raises(ValueError, match="files_per_cell"):
         compact_ivf_index(spark, path, files_per_cell=0)
+    # r11 (ADVICE r10): the collapsed partition carries the reserved
+    # sentinel — outside the ingest-id namespace, so a replayed or
+    # reused ingest id can never dynamic-overwrite compacted corpus
+    # partitions; the delta writer rejects the reserved names
+    from chicago_crime_spark_ml_spark.operators.similarity import (
+        COMPACTED_INGEST,
+    )
+
+    for c in cells:
+        assert os.listdir(os.path.join(path, c)) == [
+            f"ingest={COMPACTED_INGEST}"
+        ]
+    for bad in (COMPACTED_INGEST, "base"):
+        with __import__("pytest").raises(ValueError, match="reserved"):
+            ivf_index_delta(
+                spark, path, emb.limit(1), ingest_id=bad
+            )
 
 
 def test_lexical_index_delta_replay_and_changed_content(spark):
