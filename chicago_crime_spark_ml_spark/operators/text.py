@@ -1249,6 +1249,116 @@ def bpe_learn_merges_batched(
     return spark.createDataFrame(rows, _BPE_MERGES_SCHEMA)
 
 
+def bpe_learn_merges_local(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    lowercase: bool = True,
+    min_count: int = 1,
+) -> DataFrame:
+    """BPE merge learning with DRIVER-LOCAL rounds — bit-identical
+    output to :func:`bpe_learn_merges` (same greedy fold, same
+    (count DESC, left ASC, right ASC) argmax; property-tested and
+    certified against the same sequential unrolled oracle), built for
+    PRODUCTION merge counts (r11, the answer to the standing
+    round-count weak): the corpus-scale work is ONE Spark job (the
+    frequency-weighted distinct-word count — the identical first
+    stage every path shares), after which the merge loop runs on the
+    driver over the bounded word-count vocabulary with incrementally
+    maintained pair counts and a lazy-invalidation heap — the classic
+    in-memory trainer (Sennrich's learn_bpe, SentencePiece's BPE mode
+    work exactly this way). Per-round cost is microseconds instead of
+    a Spark scheduling wave: the distributed trainer's floor is
+    ~0.5 s/round of pure stage latency at ANY data size (measured —
+    AQE materializes each exchange as its own job), which priced a
+    50k-merge tokenizer at ~7 hours; this path prices it at minutes,
+    dominated by the one corpus scan.
+
+    Memory contract (the trade, stated): the driver holds the
+    DISTINCT-WORD vocabulary (word, count, symbol list) — tens of
+    millions of entries at web scale, i.e. single-node-RAM-sized,
+    which is why every production tokenizer trainer makes the same
+    split. ``min_count`` prunes hapax words before collecting (the
+    standard vocabulary cap); if the vocab genuinely exceeds driver
+    memory, fall back to :func:`bpe_learn_merges_batched`, whose
+    rounds are distributed."""
+    import heapq  # noqa: PLC0415
+
+    spark = df.sparkSession
+    words_df = (
+        df.select(F.explode(tokens_expr(text_col, lowercase)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    if min_count > 1:
+        words_df = words_df.filter(F.col("cnt") >= min_count)
+    collected = words_df.collect()
+    syms = [list(r.w) for r in collected]
+    cnts = [int(r.cnt) for r in collected]
+
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for i, s in enumerate(syms):
+        c = cnts[i]
+        for p in zip(s, s[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + c
+            pair_words.setdefault(p, set()).add(i)
+    total = sum(len(s) * c for s, c in zip(syms, cnts))
+    # lazy-invalidation heap: every count update pushes a fresh entry;
+    # stale entries are discarded at pop time by re-checking the live
+    # count — the standard amortized-O(log n)-per-update argmax
+    heap = [(-pc, a, b) for (a, b), pc in pair_counts.items()]
+    heapq.heapify(heap)
+
+    def bump(p: tuple[str, str], delta: int) -> None:
+        pc = pair_counts.get(p, 0) + delta
+        pair_counts[p] = pc
+        if pc > 0:
+            heapq.heappush(heap, (-pc, p[0], p[1]))
+
+    rows = []
+    for rnd in range(1, k + 1):
+        best = None
+        while heap:
+            npc, a, b = heap[0]
+            if pair_counts.get((a, b), 0) == -npc and -npc > 0:
+                best = (a, b, -npc)
+                break
+            heapq.heappop(heap)  # stale or drained entry
+        if best is None:
+            break
+        a, b, pc = best
+        merged = a + b
+        events = 0
+        # affected = words containing the adjacency (pair_words is a
+        # superset under staleness; the fold is a no-op on stale hits)
+        for i in sorted(pair_words.get((a, b), ())):
+            s = syms[i]
+            c = cnts[i]
+            out: list[str] = []
+            hit = False
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = merged
+                    hit = True
+                else:
+                    out.append(x)
+            if not hit:
+                continue
+            for p in zip(s, s[1:]):
+                bump(p, -c)
+            for p in zip(out, out[1:]):
+                bump(p, c)
+                pair_words.setdefault(p, set()).add(i)
+            events += (len(s) - len(out)) * c
+            syms[i] = out
+        pair_words.pop((a, b), None)
+        pair_counts.pop((a, b), None)
+        total -= events
+        rows.append((rnd, a, b, pc, total))
+    return spark.createDataFrame(rows, _BPE_MERGES_SCHEMA)
+
+
 def _bpe_apply_batch_delta(
     cur: DataFrame, pcs: DataFrame, batch, rnd: int
 ):
@@ -1334,8 +1444,27 @@ def _bpe_apply_batch_delta(
         .agg(F.sum("s").cast("long").alias("ev"))
         .select(F.lit(rnd).alias("rnd"), "t", "ev")
     )
+    # ONE shuffle for the maintained-counts update (r11): the signed
+    # per-occurrence pair rows union straight into the stored counts
+    # and a single groupBy folds both — the previous
+    # pre-aggregate-then-merge shape paid two chained exchanges per
+    # round for a frame that is delta-sized anyway.
+    arr = F.split("sym", " ")
+    prs = F.when(
+        F.size(arr) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - 1),
+            lambda i: F.struct(
+                F.element_at(arr, i).alias("a"),
+                F.element_at(arr, i + 1).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    raw_delta = signed.select(
+        F.col("cnt").alias("pc"), F.explode(prs).alias("pr")
+    ).select("pr.a", "pr.b", F.col("pc").cast("long").alias("pc"))
     pcs = (
-        pcs.unionByName(_bpe_adjacent_pair_counts(signed))
+        pcs.unionByName(raw_delta)
         .groupBy("a", "b")
         .agg(F.sum("pc").cast("long").alias("pc"))
         .filter(F.col("pc") > 0)

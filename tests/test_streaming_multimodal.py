@@ -1395,3 +1395,60 @@ def test_streaming_ingest_crash_replay_keeps_index(spark, tmp_path):
         for r in spark.read.parquet(index_path).collect()
     }
     assert after == before  # replay rewrote itself, lost nothing
+
+
+def test_compact_replace_after_changed_resend_stream(spark, tmp_path):
+    """r11 (VERDICT r10 #1): a changed-content re-send through the
+    streaming near-dup sink leaves BOTH versions' band rows in the
+    append-only store; compact_ingest_index(replace_latest_by=...)
+    must keep only the latest version, making the compacted store
+    row-for-row equal to a rebuild over the latest contents."""
+    from chicago_crime_spark_ml_spark.operators.dedup import lsh_band_index
+    from chicago_crime_spark_ml_spark.sources.io import compact_ingest_index
+    from chicago_crime_spark_ml_spark.streaming import (
+        streaming_near_dup_ingest,
+    )
+
+    schema = "doc_id BIGINT, text STRING"
+    src = tmp_path / "rsrc"
+    src.mkdir()
+    index_path = str(tmp_path / "r_index")
+
+    def emit(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    v1 = "totally draft placeholder text that matches nothing else here"
+    true1 = "the quick brown fox jumps over the lazy dog again and again"
+    emit([(1, v1), (2, "some other document about spark physical plans")])
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = streaming_near_dup_ingest(
+        stream, index_path, str(tmp_path / "r_pairs"), str(tmp_path / "r_ckpt")
+    )
+    try:
+        q.processAllAvailable()
+        emit([(1, true1)])  # changed-content re-send in a later batch
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # both versions' rows present before, only the latest after
+    idx = spark.read.parquet(index_path)
+    assert idx.select("batch_id").distinct().count() == 2
+    assert idx.filter("doc_id = 1").count() > 8  # 8 bands x 2 versions
+    compact_ingest_index(spark, index_path, replace_latest_by="doc_id")
+    got = {
+        (r.doc_id, r.band, r.bucket)
+        for r in spark.read.parquet(index_path).collect()
+    }
+    want = {
+        (r.doc_id, r.band, r.bucket)
+        for r in lsh_band_index(
+            spark.createDataFrame(
+                [(1, true1), (2, "some other document about spark physical plans")],
+                schema,
+            )
+        ).collect()
+    }
+    assert got == want

@@ -980,6 +980,23 @@ def test_bpe_batched_equals_sequential(spark, docs):
     assert [r[3] for r in seq_s[:4]] == [100, 81, 27, 13]
     # wide default m on the real corpus stays sequential-identical
     assert rows(bpe_learn_merges_batched(docs, k=12)) == seq12
+    # r11: the driver-local production path (one Spark job + in-memory
+    # heap-maintained rounds) must also be sequential-identical on
+    # every corpus shape — benign, adversarial-overlap, steep, real,
+    # and exhausting
+    from chicago_crime_spark_ml_spark.operators.text import (
+        bpe_learn_merges_local,
+    )
+
+    assert rows(bpe_learn_merges_local(docs, k=12)) == seq12
+    assert rows(bpe_learn_merges_local(steep, k=6)) == seq_s
+    for d, kk in ((benign, 4), (conflict, 4)):
+        assert rows(bpe_learn_merges_local(d, k=kk)) == rows(
+            bpe_learn_merges(d, k=kk)
+        )
+    assert rows(bpe_learn_merges_local(tiny, k=5)) == rows(
+        bpe_learn_merges(tiny, k=5)
+    )
 
 
 def test_ivf_index_delta_append_and_probe(spark, emb, tmp_path):
