@@ -2153,9 +2153,20 @@ def streaming_cluster_maintenance_check(
     s = d.filter(F.col("doc_id") % 2 == 0)
     is_z = F.col("doc_id") % 4 == 2
     is_a = F.col("doc_id") % 8 == 0
-    junk = F.concat(
-        F.lit("placeholder draft zq zq zq "),
-        F.col("doc_id").cast("string"),
+    # v1 junk: every token carries the doc id, so junk shingle sets
+    # are pairwise DISJOINT — junk docs must match NOTHING, including
+    # each other. (The first cut shared a "placeholder draft zq" stem
+    # across all A docs: pairwise J ≈ 0.6 banded nearly every A×A
+    # pair into candidates — a planted QUADRATIC hot bucket that the
+    # r11 sweep caught at ×9.2 fresh on 10× data.)
+    did = F.col("doc_id").cast("string")
+    junk = F.concat_ws(
+        " ",
+        F.concat(F.lit("zqa"), did),
+        F.concat(F.lit("zqb"), did),
+        F.concat(F.lit("zqc"), did),
+        F.concat(F.lit("zqd"), did),
+        F.concat(F.lit("zqe"), did),
     )
     batches = (
         # b0: A with junk v1 (matches nothing at J >= 0.8) + B true
