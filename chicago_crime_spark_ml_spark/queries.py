@@ -12920,9 +12920,10 @@ def multimodal_image_near_dup_pairs(
     return dhash_hamming_pairs(image_dhash(blobs), max_distance=3, band_bytes=2)
 
 
-@query(
-    "multimodal_video_near_dup_pairs",
-    """
+# Closed-form oracle for the 6-frame video near-dup corpus — shared by
+# the batch pair query AND the compacted-store query, whose hash match
+# against it certifies replace-compaction == rebuild-on-latest.
+_VIDEO_PAIRS_SQL = """
     WITH d AS (SELECT doc_id, doc_id // 2 AS g FROM documents),
     fr AS (SELECT doc_id, g, unnest(generate_series(0, 5)) AS fi FROM d),
     lab AS (SELECT doc_id, g, fi,
@@ -12954,8 +12955,10 @@ def multimodal_image_near_dup_pairs(
       ON a.dhash = b.dhash AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
     HAVING count(*) >= 4
-    """,
-)
+    """
+
+
+@query("multimodal_video_near_dup_pairs", _VIDEO_PAIRS_SQL)
 def multimodal_video_near_dup_pairs(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -13013,6 +13016,129 @@ def multimodal_video_near_dup_pairs(
         docs.select("doc_id", frames.alias("frames"))
     )
     return video_near_dup_pairs(frame_stream_dhash(blobs), min_shared=4)
+
+
+@query("frame_compact_replace_check", _VIDEO_PAIRS_SQL)
+def frame_compact_replace_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPACT-WITH-REPLACE certification for the append-only VIDEO
+    frame store (r11 — the media twin of lsh_compact_replace_check),
+    built to trip the subset blind spot the r11 exactness fix closed
+    (ADVICE r10): batch 0 indexes every doc_id % 3 == 0 stream with an
+    EXTRA per-doc-unique junk frame appended (7 frames); batch 1
+    re-sends those streams in their TRUE 6-frame form — a strict
+    SUBSET of the stored hash set, so the old anti-join-only detection
+    saw "no new hashes" and dropped the update (the in-query raise
+    asserts the delta rows ARE emitted; the per-id distinct-count
+    identity is what fires). io.compact_ingest_index(
+    replace_latest_by='doc_id') then keeps each id's highest-batch
+    rows, and the raise proves the compacted store row-for-row equals
+    frame_stream_dhash over the true corpus. The returned frame is the
+    standard containment consumer (distinct-frame-hash equi-join,
+    ≥ 4 shared) run FROM the compacted store, against
+    multimodal_video_near_dup_pairs' closed form UNCHANGED — junk
+    frames embed the doc id, so they can match nothing (no planted
+    quadratic hot set; the r11 sweep lesson)."""
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from chicago_crime_spark_ml_spark.operators.multimodal import (
+        frame_index_delta,
+        frame_stream_dhash,
+        synthesize_netpbm_stream_blobs,
+    )
+    from chicago_crime_spark_ml_spark.sources.io import (
+        compact_ingest_index,
+    )
+
+    docs = _doc_ids(spark, sf_dir)
+    g = F.floor(F.col("doc_id") / F.lit(2))
+    is_a = F.col("doc_id") % 3 == 0
+
+    def frames_expr(with_junk: bool):
+        top = F.lit(6) if with_junk else F.lit(5)
+        lbl = lambda fi: (  # noqa: E731
+            F.when(
+                fi == 6,
+                F.concat(F.lit("x"), F.col("doc_id").cast("string")),
+            )
+            .when(
+                (F.col("doc_id") % 2 == 1) & (fi == 5), F.lit("z")
+            )
+            .otherwise(fi.cast("string"))
+        )
+        return F.transform(
+            F.sequence(F.lit(0), top),
+            lambda fi: F.transform(
+                F.sequence(F.lit(0), F.lit(15)),
+                lambda r: F.transform(
+                    F.sequence(F.lit(0), F.lit(17)),
+                    lambda c: F.conv(
+                        F.substring(
+                            F.md5(F.concat_ws("_", g, lbl(fi), r, c)), 1, 2
+                        ),
+                        16,
+                        10,
+                    ).cast("int"),
+                ),
+            ),
+        )
+
+    sig_of = lambda frame_docs: (  # noqa: E731
+        frame_stream_dhash(
+            synthesize_netpbm_stream_blobs(frame_docs)
+        )
+        .select("doc_id", "dhash")
+        .distinct()
+    )
+    v1 = docs.select(
+        "doc_id", frames_expr(False).alias("frames")
+    ).withColumn(
+        "frames",
+        F.when(
+            is_a,
+            frames_expr(True),
+        ).otherwise(F.col("frames")),
+    )
+    root = tempfile.mkdtemp(prefix="frame_compact_")
+    idx_path = os.path.join(root, "frames")
+    try:
+        sig_of(v1).write.mode("overwrite").parquet(f"{idx_path}/batch_id=0")
+        resend = sig_of(
+            docs.filter(is_a).select(
+                "doc_id", frames_expr(False).alias("frames")
+            )
+        )
+        fresh, _ = frame_index_delta(
+            spark.read.parquet(idx_path).drop("batch_id"), resend
+        )
+        fresh = fresh.localCheckpoint(eager=True)
+        if fresh.isEmpty():
+            raise AssertionError(
+                "strict-subset re-send must be detected as changed and "
+                "re-emitted (the per-id count identity)"
+            )
+        fresh.write.mode("overwrite").parquet(f"{idx_path}/batch_id=1")
+        compact_ingest_index(spark, idx_path, replace_latest_by="doc_id")
+        idx = spark.read.parquet(idx_path).drop("batch_id")
+        want = sig_of(docs.select("doc_id", frames_expr(False).alias("frames")))
+        if idx.exceptAll(want).count() + want.exceptAll(idx).count() != 0:
+            raise AssertionError(
+                "replace-compacted frame store must equal a rebuild over "
+                "the latest streams"
+            )
+        idx = idx.localCheckpoint(eager=True)  # survive the rmtree
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    a = idx.select(F.col("doc_id").alias("id_a"), "dhash")
+    b = idx.select(F.col("doc_id").alias("id_b"), "dhash")
+    return (
+        a.join(b, "dhash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("int").alias("shared_frames"))
+        .filter(F.col("shared_frames") >= 4)
+    )
 
 
 @query(
