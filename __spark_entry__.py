@@ -140,6 +140,9 @@ _REWRITTEN_GREENS = [
     # r11: exact changed-content detection (per-id distinct-count
     # identity, ADVICE r10) rewrote the dup-drop path this certifies
     "video_frame_incremental_index_check",
+    # r11: explicit .limit(16) witness on the pseudo-center build (the
+    # nested-loop plan gate stopped accepting bare range filters)
+    "ivf_staleness_drift",
 ]
 
 

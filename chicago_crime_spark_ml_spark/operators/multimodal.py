@@ -973,7 +973,16 @@ def frame_index_delta(
     both sets are distinct rows, so containment plus equal cardinality
     forces set equality (the video twin of lexical_index_delta's
     dl = Σ tf identity). Both checks run on the bounded re-sent
-    slice."""
+    slice.
+
+    Exactness and replay idempotence are relative to a SINGLE stored
+    version per id (same contract as lexical_index_delta): against a
+    v1 ∪ v2 union the stored row count double-counts superseded
+    frames, so a replay of the CURRENT version would be misclassified
+    as changed and re-appended on every replay. Callers holding
+    multi-version append-only stores must pass a latest-wins view
+    (streaming._read_state_latest_by — what the media sink does) or
+    compact with replace first (io.compact_ingest_index)."""
     d = (
         new_sig.select(id_col, "dhash").distinct().localCheckpoint(eager=True)
     )

@@ -1037,27 +1037,36 @@ _BPE_MERGES_SCHEMA = (
 )
 
 
-def _bpe_symbol_vocab(
+def _bpe_word_counts(
     df: DataFrame, text_col: str, lowercase: bool
 ) -> DataFrame:
-    """(w, cnt, sym) over the distinct-word vocabulary — the ONE
-    corpus-scale stage of BPE training; everything after runs on this
-    bounded frame."""
-    words = (
+    """(w, cnt) frequency-weighted distinct-word counts — the ONE
+    corpus-scale stage every BPE training path shares (distributed
+    rounds and the driver-local trainer both start here)."""
+    return (
         df.select(F.explode(tokens_expr(text_col, lowercase)).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
-    return words.withColumn(
+
+
+def _bpe_symbol_vocab(
+    df: DataFrame, text_col: str, lowercase: bool
+) -> DataFrame:
+    """(w, cnt, sym) over the distinct-word vocabulary; everything
+    after runs on this bounded frame."""
+    return _bpe_word_counts(df, text_col, lowercase).withColumn(
         "sym", F.trim(F.regexp_replace("w", "(.)", "$1 "))
     ).localCheckpoint(eager=True)
 
 
-def _bpe_adjacent_pair_counts(frame: DataFrame) -> DataFrame:
-    """Frequency-weighted adjacent-symbol pair counts over a
-    (cnt, sym) vocab frame — the expensive per-round BPE stage."""
-    arr = F.split("sym", " ")
-    prs = F.when(
+def _bpe_pair_structs(arr: Column) -> Column:
+    """Adjacent-symbol (a, b) struct array over a split symbol array —
+    THE pair-shape definition, shared by the full count, the signed
+    delta expansion, and (conceptually) the local trainer's zip; any
+    change to what counts as an adjacent pair must happen here once,
+    or the maintained counts would silently diverge from a recount."""
+    return F.when(
         F.size(arr) >= 2,
         F.transform(
             F.sequence(F.lit(1), F.size(arr) - 1),
@@ -1067,6 +1076,12 @@ def _bpe_adjacent_pair_counts(frame: DataFrame) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+
+
+def _bpe_adjacent_pair_counts(frame: DataFrame) -> DataFrame:
+    """Frequency-weighted adjacent-symbol pair counts over a
+    (cnt, sym) vocab frame — the expensive per-round BPE stage."""
+    prs = _bpe_pair_structs(F.split("sym", " "))
     return (
         frame.select("cnt", F.explode(prs).alias("pr"))
         .groupBy("pr.a", "pr.b")
@@ -1285,11 +1300,7 @@ def bpe_learn_merges_local(
     import heapq  # noqa: PLC0415
 
     spark = df.sparkSession
-    words_df = (
-        df.select(F.explode(tokens_expr(text_col, lowercase)).alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    )
+    words_df = _bpe_word_counts(df, text_col, lowercase)
     if min_count > 1:
         words_df = words_df.filter(F.col("cnt") >= min_count)
     collected = words_df.collect()
@@ -1448,18 +1459,10 @@ def _bpe_apply_batch_delta(
     # per-occurrence pair rows union straight into the stored counts
     # and a single groupBy folds both — the previous
     # pre-aggregate-then-merge shape paid two chained exchanges per
-    # round for a frame that is delta-sized anyway.
-    arr = F.split("sym", " ")
-    prs = F.when(
-        F.size(arr) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(arr) - 1),
-            lambda i: F.struct(
-                F.element_at(arr, i).alias("a"),
-                F.element_at(arr, i + 1).alias("b"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    # round for a frame that is delta-sized anyway. The pair shape is
+    # the SHARED _bpe_pair_structs definition (bit-identity with the
+    # full recount is what the sequential-equivalence proof rests on).
+    prs = _bpe_pair_structs(F.split("sym", " "))
     raw_delta = signed.select(
         F.col("cnt").alias("pc"), F.explode(prs).alias("pr")
     ).select("pr.a", "pr.b", F.col("pc").cast("long").alias("pc"))

@@ -92,13 +92,14 @@ _SPINE_MARKERS = (
     "TakeOrderedAndProject(limit=",
     "LocalTableScan",            # driver-built literal frame
     "ReusedExchange",            # shares a build audited at its origin
-    "Scan ExistingRDD",          # localCheckpoint barrier over a
-                                 # bounded frame (certs checkpoint
-                                 # dim-sized intermediates)
     "Range (",                   # literal bounded range
     "org.apache.spark.ml.recommendation",  # MLlib's own blocked
                                  # factor-matrix recommend-for-all
 )
+# NOT witnesses (r11 review): a closed-range Filter (a date-range-
+# filtered FACT table would pass) and Scan ExistingRDD (a checkpointed
+# fact frame would pass) — queries with genuinely bounded filtered
+# builds declare themselves with an explicit .limit(n) instead.
 
 _DIM_SCANS = ("region.parquet", "nation.parquet")
 
@@ -112,10 +113,12 @@ def nested_loop_audit(plan: str) -> list[dict]:
     child, BuildLeft → first) must carry a boundedness witness on its
     SPINE (first few node lines): an aggregate (scalar corpus stats,
     low-cardinality groups, or collect_list block packing — rows =
-    group count), an explicit limit, a LocalTableScan, a literal
-    Range, a closed-range Filter (declared row restriction, e.g. the
-    16-row pseudo-centroid slice), a ReusedExchange (audited at its
-    origin), a checkpoint barrier, MLlib's blocked recommender, or
+    group count), an explicit limit (a query with a genuinely bounded
+    filtered build declares it with .limit(n) — a filter or a
+    checkpoint barrier is NOT a witness, or a date-range-filtered or
+    checkpointed FACT table would silently pass), a LocalTableScan, a
+    literal Range, a ReusedExchange (audited at its origin), MLlib's
+    blocked recommender, or
     file scans confined to the region/nation dims (dim×dim cross). A
     CartesianProduct needs such a witness on EITHER side. Anything
     else — e.g. a new fact×fact cross join — is returned with
@@ -152,26 +155,18 @@ def nested_loop_audit(plan: str) -> list[dict]:
             spine = sub_lines[:_SPINE_LINES]
             if any(m in ln for ln in spine for m in _SPINE_MARKERS):
                 return True
-            # closed-range Filter on the spine: a declared literal row
-            # restriction (e.g. vec_id BETWEEN 1 AND 16 pseudo-centers)
-            if any(
-                "Filter " in ln and " <= " in ln and " >= " in ln
-                for ln in spine
-            ):
-                return True
             scans = [ln for ln in sub_lines if "FileScan parquet" in ln]
             return bool(scans) and all(
                 any(dim in ln for dim in _DIM_SCANS) for ln in scans
             )
 
         if is_bnlj:
-            build = (
-                subtrees[0]
-                if "BuildLeft" in line
-                else subtrees[-1]
-                if subtrees
-                else ""
-            )
+            if not subtrees:  # malformed/truncated plan: fail closed
+                build = ""
+            elif "BuildLeft" in line:
+                build = subtrees[0]
+            else:
+                build = subtrees[-1]
             ok = bounded(build)
         else:
             ok = any(bounded(s) for s in subtrees)

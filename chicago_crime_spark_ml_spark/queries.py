@@ -7090,8 +7090,14 @@ def ivf_staleness_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     centers, per-vector min, one conditional aggregate — no shuffle of
     the vectors at any point, O(n·k) map-side at 100 TB."""
     emb = _t(spark, sf_dir, "embeddings")
+    # .limit(16) is a semantic no-op (the filter yields exactly those
+    # 16 rows) but puts an explicit GlobalLimit witness on the
+    # broadcast build — the nested-loop plan gate (r11) accepts
+    # declared limits, never bare range filters (a date-range-filtered
+    # FACT table must not pass as "bounded")
     centers = (
         emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= 16))
+        .limit(16)
         .select(
             F.col("vec_id").alias("cell"),
             F.col("embedding").cast("array<double>").alias("center"),

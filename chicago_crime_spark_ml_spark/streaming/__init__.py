@@ -606,6 +606,17 @@ def streaming_cluster_maintenance(
     naturally idempotent (re-applying the same edges to the updated
     labeling changes no label, so the replayed upsert rewrites
     nothing). Default banding is the 32×2 certification setting.
+
+    Label semantics under changed-content re-sends: labels are
+    maintained by ADD-ONLY incremental CC, so they equal a full
+    rebuild over every pair EVER observed — edges contributed by a
+    doc's superseded v1 text are never retracted (retraction needs a
+    periodic full rebuild, the standard trade of monotone incremental
+    clustering). The latest-wins docs/index reads (r11) keep all
+    FUTURE probes and rescores on the newest text; the
+    streaming_cluster_maintenance_check certification constructs its
+    v1 junk orthogonal to everything precisely so observed-pairs ==
+    latest-content pairs and the stream==batch hash is meaningful.
     Returns the StreamingQuery."""
     from chicago_crime_spark_ml_spark.operators.dedup import (  # noqa: PLC0415
         connected_components_delta,
