@@ -126,23 +126,11 @@ _STATS_TIER_NUDGE = [
 # rewrites + 14 _doc_ids fan-outs — earned green r8 rows on the new
 # impls and dropped off).
 _REWRITTEN_GREENS = [
-    # r11: batch-widened non-interfering lookahead rewrote the round
-    # body under both BPE certifications (and the delta-slice
-    # checkpointing from ADVICE r10 changed event bookkeeping)
-    "bpe_merge_learning_batched",
-    "bpe_merge_learning_delta",
-    # r11: streaming docs store now tracks changed-content re-sends
-    # (ADVICE r10) — the stream==batch contract code changed
-    "streaming_cluster_maintenance_check",
-    # r11: compacted-partition sentinel moved outside the ingest-id
-    # namespace (ADVICE r10) rewrote the compaction this certifies
+    # (all six r11 names earned green r11 rows on the new impls and
+    # dropped; r12 entries below)
+    # r12: ingest_seq version order + probe-time latest-wins rewrote
+    # the delta/compact/probe path this certifies
     "ivf_compaction_check",
-    # r11: exact changed-content detection (per-id distinct-count
-    # identity, ADVICE r10) rewrote the dup-drop path this certifies
-    "video_frame_incremental_index_check",
-    # r11: explicit .limit(16) witness on the pseudo-center build (the
-    # nested-loop plan gate stopped accepting bare range filters)
-    "ivf_staleness_drift",
 ]
 
 

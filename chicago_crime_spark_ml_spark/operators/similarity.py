@@ -20,6 +20,7 @@ construction).
 
 from __future__ import annotations
 
+import re
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -567,7 +568,17 @@ def write_ivf_index(
     job land idempotently instead of double-inserting (the same
     per-batch-id overwrite rule the streaming sinks follow; plain
     ``mode("append")`` is not replay-safe). Probes filter on ``cell``
-    only — the leading partition level — so pruning is unaffected."""
+    only — the leading partition level — so pruning is unaffected.
+
+    Version order (r12, VERDICT r11 #1): every row carries a
+    monotonic ``ingest_seq`` data column (base = 0; each delta gets
+    the next integer from the tiny ``<path>__seq`` registry — ingest
+    IDs are opaque strings, so lexicographic order over them is
+    meaningless and must never be used as recency). ``ingest_seq`` is
+    what gives a changed re-sent ``vec_id`` a defined latest version:
+    probe_ivf_index dedups per id on max seq, and
+    ``compact_ivf_index(replace_latest_by=...)`` drops superseded
+    rows permanently. A full rebuild resets the registry."""
     from pyspark.ml.clustering import KMeans  # noqa: PLC0415
     from pyspark.ml.functions import array_to_vector  # noqa: PLC0415
 
@@ -581,7 +592,11 @@ def write_ivf_index(
     )
     model = km.fit(vecs)
     assigned = model.transform(vecs).select(
-        id_col, "v", "cell", F.lit("base").alias("ingest")
+        id_col,
+        "v",
+        F.lit(0).cast("long").alias("ingest_seq"),
+        "cell",
+        F.lit("base").alias("ingest"),
     )
     assigned.write.mode("overwrite").partitionBy("cell", "ingest").parquet(
         path
@@ -595,6 +610,13 @@ def write_ivf_index(
     spark.createDataFrame(
         centers, "cell INT, center ARRAY<DOUBLE>"
     ).coalesce(1).write.mode("overwrite").parquet(path + "__centers")
+    # reset the ingest-seq registry: a full rebuild supersedes every
+    # earlier delta, so its rows restart the version order at 0
+    spark.createDataFrame(
+        [(0, "base")], "seq LONG, ingest STRING"
+    ).coalesce(1).write.mode("overwrite").partitionBy("ingest").parquet(
+        path + "__seq"
+    )
 
 
 def assign_to_centroids(
@@ -642,6 +664,51 @@ def assign_to_centroids(
 COMPACTED_INGEST = "__compacted__"
 
 
+def _next_ingest_seq(spark, path: str, ingest_id: str) -> int:
+    """Assign (or look up) the monotonic sequence number for an ingest
+    id in the ``<path>__seq`` registry — the version order behind the
+    IVF store's per-row ``ingest_seq`` column (r12, VERDICT r11 #1:
+    ingest ids are OPAQUE strings; recency must come from an assigned
+    sequence, never from lexicographic order over the ids — 'base' >
+    any digit string and '9' > '10').
+
+    Registry layout: one ``ingest=<id>`` partition per ingest holding
+    a single ``seq`` row, written by the ingest that registered it.
+    A REPLAYED ingest id finds its existing partition and reuses the
+    same seq (its re-registration overwrites the partition with the
+    identical row), so replays stamp identical versions — the
+    registration is written BEFORE the index rows so no crash point
+    can hand a replay a different seq. Reads are two partition-pruned
+    / column-pruned jobs over a registry with one row per ingest ever
+    seen — never a collect of the registry. Single-writer per index
+    (the streaming sink's foreachBatch serialization), same contract
+    as the store itself."""
+    from chicago_crime_spark_ml_spark.sources.io import (  # noqa: PLC0415
+        try_read_parquet,
+    )
+
+    reg_path = path + "__seq"
+    reg = try_read_parquet(spark, reg_path)
+    seq = None
+    if reg is not None:
+        mine = (
+            reg.filter(F.col("ingest") == F.lit(str(ingest_id)))
+            .select("seq")
+            .first()
+        )
+        if mine is not None:
+            return int(mine[0])
+        seq = int(reg.agg(F.max("seq")).first()[0]) + 1
+    else:
+        # pre-registry store (or a bare assign-only layout): deltas
+        # start above the implicit base seq 0
+        seq = 1
+    spark.createDataFrame([(seq,)], "seq LONG").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{reg_path}/ingest={ingest_id}")
+    return seq
+
+
 def ivf_index_delta(
     spark,
     path: str,
@@ -684,8 +751,19 @@ def ivf_index_delta(
             f"ingest_id {ingest_id!r} is reserved (compaction sentinel / "
             "base build); pick an id outside the reserved namespace"
         )
+    if not re.fullmatch(r"[A-Za-z0-9._-]+", str(ingest_id)):
+        raise ValueError(
+            f"ingest_id {ingest_id!r} must match [A-Za-z0-9._-]+ (it "
+            "names a partition directory and a seq-registry partition)"
+        )
     centers = spark.read.parquet(path + "__centers")
+    # registered BEFORE the data write: a replay that crashed between
+    # registration and the row write re-reads the SAME seq
+    seq = _next_ingest_seq(spark, path, str(ingest_id))
     assigned = assign_to_centroids(new_df, centers, vec_col, id_col)
+    assigned = assigned.withColumn(
+        "ingest_seq", F.lit(seq).cast("long")
+    )
     out = assigned.withColumn("ingest", F.lit(str(ingest_id)))
     # Per-WRITE dynamic overwrite (ADVICE r9): mutating the session-
     # global spark.sql.sources.partitionOverwriteMode races with any
@@ -708,6 +786,7 @@ def compact_ivf_index(
     path: str,
     n_tasks: int | None = None,
     files_per_cell: int = 1,
+    replace_latest_by: str | None = None,
 ) -> int:
     """Small-files maintenance for a materialized IVF index (VERDICT
     r9 #7): the ``cell=*/ingest=<id>`` layout accumulates one ingest
@@ -724,6 +803,23 @@ def compact_ivf_index(
     leading ``cell=`` level, so probe-side partition pruning is
     untouched and probe results are identical (certified by the
     ivf_compaction_check query).
+
+    COMPACT-WITH-REPLACE (r12, VERDICT r11 #1 — the last store family
+    to get it): a changed re-sent ``vec_id`` lands under a new ingest
+    with a higher ``ingest_seq``, but append-only storage keeps the
+    old version too. Passing ``replace_latest_by=<id col>`` keeps,
+    for each id, only the rows of its HIGHEST ``ingest_seq`` — the
+    defined version order (assigned by the ``__seq`` registry; never
+    lexicographic order over the opaque ingest-id strings). After the
+    swap the stale versions are physically gone, so even a probe
+    whose ``n_probe`` misses the new version's cell can no longer
+    surface the superseded vector (the bounded-staleness window
+    probe_ivf_index documents closes here). One extra linear shuffle
+    on the id column; certified by ivf_compact_replace_check (probe
+    hash == a from-scratch index on the latest vectors). Rows keep
+    their per-row ``ingest_seq`` through compaction, so later deltas
+    still compete per id with higher seqs. Requires the store to
+    carry ``ingest_seq`` (any index written by the r12+ writers).
 
     Layout discipline: the rewrite is ``repartition(n, "cell",
     salt)`` with a per-row salt in [0, files_per_cell) — every
@@ -753,6 +849,17 @@ def compact_ivf_index(
     n = n_tasks or max(1, spark.sparkContext.defaultParallelism)
     if files_per_cell < 1:
         raise ValueError(f"files_per_cell must be >= 1; got {files_per_cell}")
+    if replace_latest_by is not None:
+        if "ingest_seq" not in df.columns:
+            raise ValueError(
+                f"{path} has no ingest_seq column — replace semantics "
+                "need the registry-assigned version order (rebuild the "
+                "index with the current write_ivf_index)"
+            )
+        latest = df.groupBy(replace_latest_by).agg(
+            F.max("ingest_seq").alias("ingest_seq")
+        )
+        df = df.join(latest, [replace_latest_by, "ingest_seq"], "left_semi")
     # salt from the data columns (id whatever the writer called it), so
     # the split is deterministic and layout-schema-agnostic
     data_cols = [c for c in df.columns if c not in ("cell", "ingest")]
@@ -861,7 +968,22 @@ def probe_ivf_index(
     a partition filter (`PartitionFilters: [cell IN (...)]` — asserted
     in tests), so unprobed cells are never read. Scoring/top-k is the
     same exact float64 cosine + TakeOrderedAndProject as every other
-    ANN tier."""
+    ANN tier.
+
+    Multi-version contract (r12, VERDICT r11 #2): a changed re-sent
+    id has rows under several ingests until replace-compaction runs;
+    within the PROBED cells the probe resolves each id to its highest
+    ``ingest_seq`` version (a narrow (id, seq, score) partial-agg —
+    the vectors themselves never shuffle), so both versions can never
+    co-occur in one result. BOUNDED STALENESS across cells: if the
+    new version moved to a cell outside the probe set while the old
+    version's cell is probed, the superseded score still surfaces —
+    the same recall trade-off n_probe already makes for unchanged
+    vectors, closed permanently by
+    ``compact_ivf_index(replace_latest_by=...)`` (certified:
+    ivf_compact_replace_check probes at full n_probe, where the
+    dedup is exact). Pre-seq stores (no ingest_seq column) keep the
+    old single-version behavior."""
     import numpy as np  # noqa: PLC0415
 
     q = np.asarray(list(query_vec), dtype=float)
@@ -877,10 +999,26 @@ def probe_ivf_index(
     idx = spark.read.parquet(path)
     qcol = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
     score = cosine_expr(F.col("v"), qcol)
+    scored = idx.filter(
+        F.col("cell").isin([int(p) for p in probes])
+    ).select(
+        F.col(id_col),
+        *(["ingest_seq"] if "ingest_seq" in idx.columns else []),
+        F.round(score, 4).alias("cosine"),
+    )
+    if "ingest_seq" in idx.columns:
+        # per-id latest wins within the probed cells: max over
+        # (seq, score) structs — seq decides, score breaks the
+        # duplicate-rows-in-one-ingest tie deterministically
+        scored = (
+            scored.groupBy(id_col)
+            .agg(
+                F.max(F.struct("ingest_seq", "cosine")).alias("_lv")
+            )
+            .select(id_col, F.col("_lv.cosine").alias("cosine"))
+        )
     return (
-        idx.filter(F.col("cell").isin([int(p) for p in probes]))
-        .select(F.col(id_col), F.round(score, 4).alias("cosine"))
-        .orderBy(F.desc("cosine"), F.asc(id_col))
+        scored.orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
 

@@ -91,8 +91,6 @@ _SPINE_MARKERS = (
     "GlobalLimit",               # explicit row bound
     "TakeOrderedAndProject(limit=",
     "LocalTableScan",            # driver-built literal frame
-    "ReusedExchange",            # shares a build audited at its origin
-    "Range (",                   # literal bounded range
     "org.apache.spark.ml.recommendation",  # MLlib's own blocked
                                  # factor-matrix recommend-for-all
 )
@@ -100,6 +98,39 @@ _SPINE_MARKERS = (
 # filtered FACT table would pass) and Scan ExistingRDD (a checkpointed
 # fact frame would pass) — queries with genuinely bounded filtered
 # builds declare themselves with an explicit .limit(n) instead.
+# (r12, ADVICE r11): ReusedExchange is NOT a witness either — the
+# origin exchange may feed an ordinary join and never itself be
+# audited as a nested-loop build, so "audited at its origin" was a
+# silent-pass hole; and a bare "Range (" marker accepted an
+# arbitrarily large spark.range(1e12) literal. Range is now accepted
+# only when its PARSED row count is small (see _bounded_range_rows).
+
+# A literal Range build is bounded only when its parsed cardinality is
+# at most this many rows — far above any declared literal build in the
+# catalog (the largest is a handful of pseudo-centers), far below
+# anything a nested-loop join could survive at scale.
+_RANGE_ROWS_MAX = 1_000_000
+_RANGE_RE = None  # compiled lazily
+
+
+def _bounded_range_rows(line: str) -> bool:
+    """True iff a ``Range (start, end, step=s, ...)`` plan line denotes
+    at most _RANGE_ROWS_MAX rows. Unparseable ranges fail closed."""
+    global _RANGE_RE  # noqa: PLW0603
+    if _RANGE_RE is None:
+        import re  # noqa: PLC0415
+
+        _RANGE_RE = re.compile(
+            r"Range \((-?\d+), (-?\d+), step=(-?\d+)"
+        )
+    m = _RANGE_RE.search(line)
+    if not m:
+        return False
+    start, end, step = (int(g) for g in m.groups())
+    if step == 0:
+        return False
+    rows = max(0, -(-(end - start) // step))
+    return rows <= _RANGE_ROWS_MAX
 
 _DIM_SCANS = ("region.parquet", "nation.parquet")
 
@@ -117,16 +148,23 @@ def nested_loop_audit(plan: str) -> list[dict]:
     filtered build declares it with .limit(n) — a filter or a
     checkpoint barrier is NOT a witness, or a date-range-filtered or
     checkpointed FACT table would silently pass), a LocalTableScan, a
-    literal Range, a ReusedExchange (audited at its origin), MLlib's
-    blocked recommender, or
-    file scans confined to the region/nation dims (dim×dim cross). A
+    literal Range whose PARSED cardinality is ≤ _RANGE_ROWS_MAX
+    (r12, ADVICE r11: a bare Range marker accepted spark.range(1e12)),
+    MLlib's blocked recommender, or
+    file scans confined to the region/nation dims (dim×dim cross).
+    ReusedExchange is NOT a witness (r12, ADVICE r11): its origin may
+    feed an ordinary join and never be audited as a build side, so
+    "audited at its origin" was a silent-pass hole — a reused build
+    must carry its own witness on the reuse spine or the query
+    declares a .limit. A
     CartesianProduct needs such a witness on EITHER side. Anything
     else — e.g. a new fact×fact cross join — is returned with
     bounded=False, which tools/plan_report.py treats as FATAL (modulo
     its short declared-superlinear allowlist: the brute-force
     certification twins) and test_plans locks in. Heuristic by
-    design, but the failure mode is a false ALARM, never a silent
-    pass of an undeclared unbounded join."""
+    design: the remaining soft spot is an aggregate witness whose
+    group-key cardinality is data-dependent, but every other known
+    failure mode is a false ALARM, not a silent pass."""
     lines = plan.splitlines()
     out = []
     for i, line in enumerate(lines):
@@ -154,6 +192,11 @@ def nested_loop_audit(plan: str) -> list[dict]:
             sub_lines = sub.splitlines()
             spine = sub_lines[:_SPINE_LINES]
             if any(m in ln for ln in spine for m in _SPINE_MARKERS):
+                return True
+            if any(
+                "Range (" in ln and _bounded_range_rows(ln)
+                for ln in spine
+            ):
                 return True
             scans = [ln for ln in sub_lines if "FileScan parquet" in ln]
             return bool(scans) and all(

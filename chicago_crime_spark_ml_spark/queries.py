@@ -7040,6 +7040,120 @@ def ivf_compaction_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ivf_compact_replace_check",
+    """
+    WITH latest AS (
+        SELECT vec_id,
+               CASE WHEN vec_id % 7 = 0
+                    THEN list_transform(embedding::DOUBLE[], x -> x + 0.5)
+                    ELSE embedding::DOUBLE[] END AS e
+        FROM embeddings),
+    q AS (SELECT e AS qe FROM latest WHERE vec_id = 0),
+    topk AS (
+        SELECT vec_id,
+               round(list_cosine_similarity(e, qe), 4) AS cosine
+        FROM latest, q
+        ORDER BY cosine DESC, vec_id
+        LIMIT 10)
+    SELECT phase, vec_id, cosine
+    FROM (SELECT 'pre' AS phase UNION ALL SELECT 'post') p, topk
+    ORDER BY phase DESC, cosine DESC, vec_id
+    """,
+)
+def ivf_compact_replace_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPLACE semantics for the IVF vector store (r12, VERDICT r11 #1
+    — the last store family to get compact-with-replace, mirroring
+    io.compact_ingest_index(replace_latest_by=)): a changed re-sent
+    ``vec_id`` must not leave its stale vector probe-visible. The run:
+    build the base index on vec_id%5!=0 (write_ivf_index), ingest the
+    remaining ids as delta ``d1``, then re-send every vec_id%7==0 —
+    ids from BOTH the base build and d1 — with CHANGED embeddings
+    (x → x+0.5) as delta ``d2`` under its own ingest id. Probe ``pre``
+    (before compaction) certifies the probe-time per-id latest-wins on
+    ``ingest_seq`` (VERDICT r11 #2): at full n_probe both versions of
+    a changed id are in probed cells and the probe must resolve each
+    to its d2 version — the registry-assigned seq ORDER decides, never
+    lexicographic order over the opaque ingest ids. Then
+    compact_ivf_index(replace_latest_by="vec_id") drops the
+    superseded rows physically (verified: per-id row counts all 1,
+    one compacted partition per cell) and probe ``post`` must return
+    the identical rows. Both probes hash against ONE closed form: the
+    exact cosine top-10 over the LATEST version of every vector (the
+    query vector is vec 0's CHANGED embedding — cosine 1.0 with
+    itself, so a dedup failure or a stale survivor perturbs the rows
+    and the hash). Full probe (n_probe = n_clusters) makes the
+    comparison cell-layout-independent, so the k-means fit drops out
+    of the oracle; partition pruning at partial n_probe is certified
+    separately (ivf_compaction_check, ann_ivf_recall_check)."""
+    import glob  # noqa: PLC0415
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from chicago_crime_spark_ml_spark.operators.similarity import (
+        compact_ivf_index,
+        ivf_index_delta,
+        probe_ivf_index,
+        write_ivf_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="ivf_replace_")
+    path = os.path.join(root, "ivf")
+    try:
+        base = emb.filter(F.col("vec_id") % 5 != 0)
+        write_ivf_index(base, path, n_clusters=8)
+        d1 = emb.filter(F.col("vec_id") % 5 == 0)
+        ivf_index_delta(spark, path, d1, ingest_id="d1")
+        changed = emb.filter(F.col("vec_id") % 7 == 0).withColumn(
+            "embedding",
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: x + F.lit(0.5),
+            ),
+        )
+        ivf_index_delta(spark, path, changed, ingest_id="d2")
+        qvec = [
+            float(x) + 0.5
+            for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+        ]
+        pre = probe_ivf_index(spark, path, qvec, k=10, n_probe=8).collect()
+        compact_ivf_index(spark, path, replace_latest_by="vec_id")
+        post = probe_ivf_index(spark, path, qvec, k=10, n_probe=8).collect()
+        # physical replace: the stale versions are GONE, not shadowed
+        store = spark.read.parquet(path)
+        n_rows, n_ids, n_multi = store.agg(
+            F.count(F.lit(1)),
+            F.countDistinct("vec_id"),
+            F.countDistinct(
+                F.when(F.col("ingest_seq") > 0, F.col("vec_id"))
+            ),
+        ).first()
+        assert n_rows == n_ids == emb.count(), (
+            f"replace-compaction left duplicates: {n_rows} rows, "
+            f"{n_ids} ids"
+        )
+        assert n_multi > 0, "d2 rows vanished — nothing was replaced"
+        one_part_per_cell = all(
+            os.listdir(os.path.join(path, c)) == ["ingest=__compacted__"]
+            for c in os.listdir(path)
+            if c.startswith("cell=")
+        )
+        assert one_part_per_cell, "cells not collapsed to the sentinel"
+        rows = [("pre", r.vec_id, r.cosine) for r in pre] + [
+            ("post", r.vec_id, r.cosine) for r in post
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return (
+        spark.createDataFrame(
+            rows, "phase string, vec_id long, cosine double"
+        )
+        .orderBy(F.desc("phase"), F.desc("cosine"), F.asc("vec_id"))
+    )
+
+
+@query(
     "ivf_staleness_drift",
     """
     WITH c AS MATERIALIZED (

@@ -1365,6 +1365,81 @@ def test_compact_ivf_index_files_per_cell(spark, emb, tmp_path):
             )
 
 
+def test_ivf_replace_semantics(spark, emb, tmp_path):
+    """r12 (VERDICT r11 #1/#2): a changed re-sent vec_id resolves to
+    its newest version at probe time (per-id max ingest_seq within the
+    probed cells) and is physically dropped by
+    compact_ivf_index(replace_latest_by=); the seq registry hands a
+    REPLAYED ingest id its original seq, and the version order is the
+    registry's — never lexicographic over the opaque ingest ids."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from chicago_crime_spark_ml_spark.operators.similarity import (
+        _next_ingest_seq,
+        compact_ivf_index,
+        ivf_index_delta,
+        probe_ivf_index,
+        write_ivf_index,
+    )
+
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    path = str(tmp_path / "ivf_replace")
+    write_ivf_index(old, path, n_clusters=4)
+    ivf_index_delta(
+        spark, path, emb.filter(F.col("vec_id") % 5 == 0), ingest_id="z9"
+    )
+    # changed re-send under an ingest id that sorts LEXICOGRAPHICALLY
+    # BEFORE both 'base' and 'z9' — only the registry seq makes it win
+    changed = emb.filter(F.col("vec_id") % 3 == 0).withColumn(
+        "embedding",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: x + F.lit(1.0),
+        ),
+    )
+    ivf_index_delta(spark, path, changed, ingest_id="a0")
+    qvec = [
+        float(x) + 1.0
+        for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    expect_top = (0, 1.0)  # vec 0's CHANGED version: cosine 1.0 with q
+    pre = [
+        (r.vec_id, r.cosine)
+        for r in probe_ivf_index(spark, path, qvec, k=8, n_probe=4).collect()
+    ]
+    assert pre[0] == expect_top
+    assert len(pre) == len({i for i, _ in pre})  # one row per id
+    compact_ivf_index(spark, path, replace_latest_by="vec_id")
+    post = [
+        (r.vec_id, r.cosine)
+        for r in probe_ivf_index(spark, path, qvec, k=8, n_probe=4).collect()
+    ]
+    assert post == pre
+    store = spark.read.parquet(path)
+    assert store.count() == store.select("vec_id").distinct().count()
+    # rows keep their per-row seq through compaction, so a LATER delta
+    # still wins per id
+    assert store.filter(F.col("ingest_seq") > 0).count() > 0
+    # replayed ids reuse their seq; a new id advances it
+    assert _next_ingest_seq(spark, path, "z9") == 1
+    assert _next_ingest_seq(spark, path, "a0") == 2
+    assert _next_ingest_seq(spark, path, "b1") == 3
+    # path-hostile ingest ids are rejected before touching the registry
+    with pytest.raises(ValueError, match="A-Za-z0-9"):
+        ivf_index_delta(spark, path, emb.limit(1), ingest_id="x/y=1")
+    # replace on a pre-seq store (no ingest_seq column) fails loudly
+    legacy = str(tmp_path / "ivf_legacy")
+    old.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        (F.col("vec_id") % 4).cast("int").alias("cell"),
+        F.lit("base").alias("ingest"),
+    ).write.partitionBy("cell", "ingest").parquet(legacy)
+    with pytest.raises(ValueError, match="ingest_seq"):
+        compact_ivf_index(spark, legacy, replace_latest_by="vec_id")
+
+
 def test_lexical_index_delta_replay_and_changed_content(spark):
     """Incremental lexical-index maintenance: appended delta == full
     rebuild; identical re-sends append zero rows; changed content is
