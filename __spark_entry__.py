@@ -131,6 +131,17 @@ _REWRITTEN_GREENS = [
     # r12: ingest_seq version order + probe-time latest-wins rewrote
     # the delta/compact/probe path this certifies
     "ivf_compaction_check",
+    # r12: compact_ingest_index now stamps the reserved batch_id=-1
+    # (ADVICE r11) and rejects plain compaction of live multi-version
+    # stores — the compaction these certify changed
+    "lexical_compact_replace_check",
+    "lsh_compact_replace_check",
+    "frame_compact_replace_check",
+    # r12: the latest-wins readers moved from a per-batch full-store
+    # aggregate to the _mv manifest, and the sinks now write it — the
+    # stream==batch contracts these certify run on rewritten code
+    "streaming_lexical_ingest_check",
+    "streaming_cluster_maintenance_check",
 ]
 
 

@@ -730,9 +730,14 @@ def lsh_index_delta(
     num_hashes: int = 8,
     seed: int = 42,
     band_width: int = 1,
-) -> tuple[DataFrame, DataFrame]:
+    return_resent: bool = False,
+) -> tuple[DataFrame, DataFrame] | tuple[DataFrame, DataFrame, DataFrame]:
     """Incremental LSH maintenance: hash ONLY the delta, probe the stored
-    index, return (new_index_rows, candidate_pairs_touching_the_delta).
+    index, return (new_index_rows, candidate_pairs_touching_the_delta);
+    with ``return_resent=True`` also the changed-re-send id set (the
+    ids that become multi-version on append — what the streaming sink
+    writes to the ``_mv`` manifest, r12 VERDICT r11 #5; it falls out
+    of the dup-detection joins below at no extra cost).
 
     ``candidate pairs`` = every (old,new) and (new,new) pair sharing ≥1
     band bucket — exactly the pairs a full rebuild would emit that
@@ -800,6 +805,8 @@ def lsh_index_delta(
         )
         .distinct()
     )
+    if return_resent:
+        return fresh, pairs, changed_ids
     return fresh, pairs
 
 

@@ -518,7 +518,8 @@ def dhash_index_delta(
     id_col: str = "doc_id",
     band_bytes: int = 2,
     max_bucket: int | None = 10_000,
-) -> tuple[DataFrame, DataFrame]:
+    return_resent: bool = False,
+) -> tuple[DataFrame, DataFrame] | tuple[DataFrame, DataFrame, DataFrame]:
     """Incremental image-dedup maintenance (the image twin of
     ``lsh_index_delta``): band ONLY the delta signatures, probe the
     stored index, return (new_index_rows,
@@ -600,6 +601,10 @@ def dhash_index_delta(
         )
         .distinct()
     )
+    if return_resent:
+        # the changed-re-send ids (multi-version on append): what the
+        # streaming sink writes to the _mv manifest (r12)
+        return fresh, pairs, changed_ids
     return fresh, pairs
 
 
@@ -933,7 +938,8 @@ def frame_index_delta(
     id_col: str = "doc_id",
     min_shared: int = 2,
     max_df: int | None = 10_000,
-) -> tuple[DataFrame, DataFrame]:
+    return_resent: bool = False,
+) -> tuple[DataFrame, DataFrame] | tuple[DataFrame, DataFrame, DataFrame]:
     """Incremental VIDEO-dedup maintenance — the containment-join twin
     of :func:`dhash_index_delta`: ``index`` holds distinct
     (id, dhash) frame-hash postings for history; ``new_sig`` is the
@@ -1042,6 +1048,10 @@ def frame_index_delta(
         .agg(F.count(F.lit(1)).cast("int").alias("shared_frames"))
         .filter(F.col("shared_frames") >= min_shared)
     )
+    if return_resent:
+        # the changed-re-send ids (multi-version on append): what the
+        # streaming sink writes to the _mv manifest (r12)
+        return fresh, pairs, changed_ids
     return fresh, pairs
 
 

@@ -386,7 +386,8 @@ def lexical_index_delta(
     new_docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-) -> tuple[DataFrame, DataFrame]:
+    return_resent: bool = False,
+) -> tuple[DataFrame, DataFrame] | tuple[DataFrame, DataFrame, DataFrame]:
     """Incremental lexical-index maintenance: tokenize ONLY the delta
     and return (new_postings, new_doclen) to append — appending keeps
     the index equal to a full rebuild (tokenization is per-doc, so
@@ -402,7 +403,15 @@ def lexical_index_delta(
     positive and dl = Σ tf, so an equal sum over a subset forces the
     sets equal (no strict-subset blind spot). Changed ids' old rows
     remain under append-only storage (delete-or-compact for replace
-    semantics, same note as lsh_index_delta)."""
+    semantics, same note as lsh_index_delta).
+
+    ``return_resent=True`` (r12, VERDICT r11 #5) additionally returns
+    the changed-re-send id set — exactly the ids that become
+    MULTI-VERSION when the caller appends the fresh rows. The
+    streaming sink writes them to the store's ``_mv`` manifest so the
+    latest-wins readers never need an aggregate over the store; the
+    set falls out of the dup-detection joins above at no extra
+    cost."""
     d_post, d_len = lexical_index(new_docs, text_col, id_col)
     d_post = d_post.localCheckpoint(eager=True)
     d_len = d_len.localCheckpoint(eager=True)
@@ -426,6 +435,8 @@ def lexical_index_delta(
     unchanged_dups = dup_ids.join(changed_ids, id_col, "left_anti")
     fresh_post = d_post.join(F.broadcast(unchanged_dups), id_col, "left_anti")
     fresh_len = d_len.join(F.broadcast(unchanged_dups), id_col, "left_anti")
+    if return_resent:
+        return fresh_post, fresh_len, changed_ids
     return fresh_post, fresh_len
 
 

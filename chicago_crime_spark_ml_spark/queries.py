@@ -3789,6 +3789,176 @@ def streaming_lexical_ingest_check(
     return out
 
 
+@query("streaming_compaction_span_check", _BM25_TOP10_SQL)
+def streaming_compaction_span_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A STREAM THAT SPANS A REPLACE-COMPACTION (r12, VERDICT r11 #5):
+    the maintenance-window story end to end, certified against the
+    from-raw-text BM25 closed form UNCHANGED. The run: (b0) the corpus
+    arrives with doc_id%7==0 texts poisoned one way and %11==0 texts
+    poisoned another (both with extra query-term copies, so any stale
+    survivor visibly corrupts the ranking); (b1) the %7 docs are
+    re-sent TRUE — a changed re-send the sink re-emits AND records in
+    the stores' ``_mv`` manifests (the r12 bookkeeping that replaced
+    the per-batch full-store aggregate). The stream is STOPPED,
+    io.compact_ingest_index(replace_latest_by='doc_id') collapses both
+    stores to the reserved ``batch_id=-1`` partition — latest-only
+    rows, manifest retired atomically by the directory swap — and the
+    stream RESUMES FROM THE SAME CHECKPOINT with (b2) the %11 docs
+    re-sent TRUE: a changed re-send detected AGAINST THE COMPACTED
+    store (its stale version sits under the sentinel partition; the
+    delta op must still classify it changed and the fresh manifest
+    must make the latest-wins readers skip it). BM25 is then served
+    through streaming.read_state_latest — the manifest-driven
+    latest-wins view, since the %11 docs are live multi-version at
+    this point — and must hash-equal the closed form over the TRUE
+    corpus; a second replace-compaction and a raw-store search must
+    return the identical rows. In-query raises pin the layout at each
+    phase: duplicates + non-empty manifest before each compaction,
+    exactly one ``batch_id=-1`` directory and NO manifest after."""
+    import glob  # noqa: PLC0415
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from chicago_crime_spark_ml_spark.operators.text import (
+        bm25_search_from_index,
+    )
+    from chicago_crime_spark_ml_spark.sources.io import (
+        compact_ingest_index,
+    )
+    from chicago_crime_spark_ml_spark.streaming import (
+        read_state_latest,
+        streaming_lexical_ingest,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    is7 = F.col("doc_id") % 7 == 0
+    is11 = F.col("doc_id") % 11 == 0
+    poisoned = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(is7, F.lit(" spark spark spark")).otherwise(F.lit("")),
+            F.when(is11, F.lit(" window window table")).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    batches = (
+        poisoned,            # b0: everything, two families poisoned
+        d.filter(is7),       # b1: %7 re-sent true (pre-compaction)
+        d.filter(is11),      # b2: %11 re-sent true (post-compaction)
+    )
+    root = tempfile.mkdtemp(prefix="stream_span_")
+    src = os.path.join(root, "src")
+    post_path = os.path.join(root, "postings")
+    dlen_path = os.path.join(root, "doclen")
+    ckpt = os.path.join(root, "ckpt")
+    os.makedirs(src)
+
+    def stage(i: int, frame: DataFrame) -> None:
+        tmp = os.path.join(root, f"stage{i}")
+        frame.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"b{i}.parquet")
+        shutil.copyfile(part, dst)
+        t = 1_600_000_000 + i * 1_000
+        os.utime(dst, (t, t))
+
+    def run_stream() -> None:
+        stream = (
+            spark.readStream.schema("doc_id BIGINT, text STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = streaming_lexical_ingest(stream, post_path, dlen_path, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    def phase(n_docs: int, multi: bool, label: str) -> None:
+        n = spark.read.parquet(dlen_path).count()
+        mv_dir = os.path.join(dlen_path, "_mv")
+        mv_rows = (
+            spark.read.parquet(mv_dir).count()
+            if os.path.isdir(mv_dir)
+            else None
+        )
+        if multi and not (n > n_docs and mv_rows):
+            raise AssertionError(
+                f"{label}: expected stale duplicates + non-empty "
+                f"manifest, got rows={n} mv={mv_rows}"
+            )
+        if not multi and not (
+            n == n_docs
+            and mv_rows is None
+            and [
+                x
+                for x in os.listdir(dlen_path)
+                if x.startswith("batch_id=")
+            ]
+            == ["batch_id=-1"]
+        ):
+            raise AssertionError(
+                f"{label}: expected latest-only rows under batch_id=-1 "
+                f"with the manifest retired, got rows={n} mv={mv_rows}"
+            )
+
+    try:
+        n_docs = d.count()
+        stage(0, batches[0])
+        stage(1, batches[1])
+        run_stream()  # processes b0, b1; then the maintenance window
+        phase(n_docs, multi=True, label="pre-compaction")
+        for pth in (post_path, dlen_path):
+            compact_ingest_index(spark, pth, replace_latest_by="doc_id")
+        phase(n_docs, multi=False, label="post-compaction")
+        stage(2, batches[2])
+        run_stream()  # resumes from the checkpoint: b2 only
+        phase(n_docs, multi=True, label="post-resume")
+
+        def serve_latest() -> DataFrame:
+            return bm25_search_from_index(
+                read_state_latest(
+                    spark,
+                    post_path,
+                    "doc_id",
+                    ["doc_id", "term", "tf"],
+                    "doc_id long, term string, tf long",
+                ),
+                read_state_latest(
+                    spark,
+                    dlen_path,
+                    "doc_id",
+                    ["doc_id", "dl"],
+                    "doc_id long, dl long",
+                ),
+                ["spark", "table", "window"],
+                k=10,
+            )
+
+        served = [(r.doc_id, r.bm25) for r in serve_latest().collect()]
+        for pth in (post_path, dlen_path):
+            compact_ingest_index(spark, pth, replace_latest_by="doc_id")
+        phase(n_docs, multi=False, label="final compaction")
+        out = bm25_search_from_index(
+            spark.read.parquet(post_path).drop("batch_id"),
+            spark.read.parquet(dlen_path).drop("batch_id"),
+            ["spark", "table", "window"],
+            k=10,
+        ).localCheckpoint(eager=True)  # materialize before rmtree
+        if [(r.doc_id, r.bm25) for r in out.collect()] != served:
+            raise AssertionError(
+                "latest-wins serving and the compacted rebuild disagree"
+            )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 _LATERAL_TOP_ITEM_SQL = """
     SELECT o.o_orderkey, t.l_extendedprice AS top_price,
            t.l_linenumber AS top_linenumber

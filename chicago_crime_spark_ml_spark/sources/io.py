@@ -306,6 +306,13 @@ def commit_compaction_swap(path: str, staging: str) -> None:
     shutil.rmtree(old)
 
 
+# Reserved partition value for compacted ingest stores (r12, ADVICE
+# r11): foreachBatch ids are non-negative, so a replayed micro-batch
+# can never collide with the compacted partition — the same
+# outside-the-namespace rule as similarity.COMPACTED_INGEST.
+RESERVED_COMPACTED_BATCH = -1
+
+
 def compact_ingest_index(
     spark: SparkSession,
     path: str,
@@ -338,13 +345,24 @@ def compact_ingest_index(
     MISSING means the crash hit between the two renames — the old
     data is renamed back before recompacting.
 
-    The partition VALUE is kept at the highest batch id seen so the
-    layout stays what the sinks produce and a resumed stream (whose
-    checkpoint is already past that id) keeps appending new
-    ``batch_id=N`` dirs above it; per-row ingest provenance below the
-    compaction horizon is deliberately collapsed (it was only ever
-    replay bookkeeping — replays of pre-compaction batches are
-    impossible once the checkpoint passed them). Run in the stream's
+    The partition VALUE is the RESERVED id ``batch_id=-1`` (r12,
+    ADVICE r11 — foreachBatch ids are non-negative, so no streaming
+    replay can ever collide with it). The earlier max-seen stamp had a
+    real data-loss window: if the stream crashed between writing batch
+    ``max_bid``'s state and committing its checkpoint, and compaction
+    ran before restart, the REPLAYED batch ``max_bid`` (a) read state
+    via the exclusion readers — which exclude ``batch_id=max_bid``,
+    i.e. the ENTIRE compacted store, so its delta was computed against
+    an empty index — and (b) its per-batch overwrite of
+    ``batch_id=max_bid`` then replaced the whole compacted corpus with
+    just that batch's recomputed rows. With the sentinel, a replayed
+    ``N>=0`` lands in its own partition (worst case: duplicates its
+    rows until the next compaction), latest-wins reads still resolve
+    newer batches above ``-1``, and the exclusion read never excludes
+    compacted history. Per-row ingest provenance below the compaction
+    horizon is deliberately collapsed (it was only ever replay
+    bookkeeping). A resumed stream keeps appending new ``batch_id=N``
+    dirs above the sentinel. Run in the stream's
     maintenance window (stopped or between triggers): the swap is not
     atomic for concurrent readers — same bare-parquet caveat as
     merge_parquet; a table format gives you the transactional version.
@@ -363,6 +381,16 @@ def compact_ingest_index(
     by lexical_compact_replace_check: ingest → changed re-send →
     compact(replace) → bm25/tf-idf hash == the from-raw-text rebuild
     on the latest content.
+    Manifest retirement (r12): the streaming sinks keep a tiny
+    ``_mv`` multi-version manifest INSIDE the store directory
+    (underscore-prefixed, invisible to the store's parquet reads);
+    the swap replaces the whole directory, so compaction retires the
+    manifest atomically with the superseded rows it described — the
+    post-compaction store is all-single-version and the latest-wins
+    readers take their manifest-free fast path. Plain (non-replace)
+    compaction of a store whose manifest holds LIVE multi-version ids
+    is rejected: collapsing the batch partitions would erase the
+    version order and merge superseded versions into the corpus.
     LOCAL-FILESYSTEM-ONLY (like file_spans): the swap uses driver-local
     os.rename/shutil — on hdfs:// or s3a:// run the equivalent rename
     dance through the FileSystem API or a table format's REPLACE.
@@ -373,7 +401,25 @@ def compact_ingest_index(
     df = spark.read.parquet(path)
     if batch_col not in df.columns:
         raise ValueError(f"{path} has no {batch_col!r} partition column")
-    max_bid = df.agg(F.max(batch_col)).first()[0]
+    # r12: the _mv manifest (streaming latest-wins bookkeeping) rides
+    # inside the store directory, so the swap below retires it with the
+    # rows it describes. That makes PLAIN compaction of a store holding
+    # LIVE multi-version ids ill-formed — collapsing every batch into
+    # one partition erases the version order, and the latest-wins
+    # readers would then see v1 ∪ v2 as one current version. Demand the
+    # replace form instead (it resolves the versions before the merge).
+    mv = try_read_parquet(spark, path.rstrip("/") + "/_mv")
+    if (
+        replace_latest_by is None
+        and mv is not None
+        and mv.limit(1).count() > 0
+    ):
+        raise ValueError(
+            f"{path} holds multi-version ids (changed re-sends in its "
+            "_mv manifest); pass replace_latest_by=<id col> — plain "
+            "compaction would merge superseded versions into the "
+            "current corpus"
+        )
     if replace_latest_by is not None:
         latest = df.groupBy(replace_latest_by).agg(
             F.max(batch_col).alias(batch_col)
@@ -390,14 +436,18 @@ def compact_ingest_index(
         out = out.sortWithinPartitions(*sort_within_by)
     staging = path.rstrip("/") + "__compacting"
     out.write.mode("overwrite").parquet(
-        f"{staging}/{batch_col}={max_bid}"
+        f"{staging}/{batch_col}={RESERVED_COMPACTED_BATCH}"
     )
     commit_compaction_swap(path, staging)
     import glob as _glob  # noqa: PLC0415
     import os as _os  # noqa: PLC0415
 
     return len(
-        _glob.glob(_os.path.join(path, f"{batch_col}={max_bid}", "part-*"))
+        _glob.glob(
+            _os.path.join(
+                path, f"{batch_col}={RESERVED_COMPACTED_BATCH}", "part-*"
+            )
+        )
     )
 
 

@@ -258,6 +258,44 @@ def _read_state_excluding_batch(
     return df.filter(F.col("batch_id") != F.lit(batch_id)).select(*cols)
 
 
+# The multi-version manifest lives INSIDE the store directory under an
+# underscore-prefixed name: partition discovery skips "_"-prefixed
+# paths, so the store's own parquet reads never see it, and the
+# compaction swap (rename the whole store directory) retires the
+# manifest ATOMICALLY with the generation of rows it describes — no
+# crash point can leave a fresh store paired with a stale manifest.
+_MV_DIRNAME = "_mv"
+# ADVICE r11: the multi-version set is broadcast only while it is
+# provably small; a backfill that re-sends a large slice of the corpus
+# falls back to a shuffle join instead of OOMing the driver.
+_MV_BROADCAST_MAX = 4_000_000
+
+
+def _mv_path(path: str) -> str:
+    return path.rstrip("/") + "/" + _MV_DIRNAME
+
+
+def _write_multiversion_manifest(
+    resent_ids: DataFrame, path: str, batch_id: int, id_col: str
+) -> None:
+    """Record the ids this batch re-emitted with CHANGED content — the
+    ids that now hold rows in more than one batch partition — into the
+    store's tiny ``_mv/batch_id=N`` manifest (r12, VERDICT r11 #5).
+    The set comes from the delta operator's own changed-content
+    detection (joins it already runs), so maintaining the manifest
+    adds no store scan; a replayed batch recomputes the identical set
+    and overwrites its own partition. Written unconditionally (an
+    empty write is one empty parquet file) so the manifest's existence
+    tracks the store's, keeping the reader's fast path explicit."""
+    (
+        resent_ids.select(id_col)
+        .distinct()
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{_mv_path(path)}/batch_id={batch_id}")
+    )
+
+
 def _read_state_latest_by(
     spark: SparkSession,
     path: str,
@@ -279,12 +317,25 @@ def _read_state_latest_by(
     dropping true pairs, and a revert-to-v1 re-send would look
     "unchanged" against the union and never be re-emitted.
 
-    Cost shape: multi-version ids are found with a column-pruned
-    aggregate over (id, batch_id) — the text/posting payload never
-    shuffles — and are the rare changed-re-send set, so they ride a
-    broadcast join; single-version ids (the corpus) stream through a
-    filter untouched. Excludes the current batch's own partition
-    (crash-replay guard, see _read_state_excluding_batch)."""
+    Cost shape (r12, VERDICT r11 #5): multi-version ids come from the
+    store's maintained ``_mv`` manifest — one row per changed re-send
+    ever, written per batch by the sinks from the delta operators' own
+    changed-content detection — NOT from an aggregate over the store
+    (the r11 implementation ran a full (id, batch_id) group-by over
+    the corpus on every micro-batch; the store is now scanned exactly
+    once, by the filter itself — plan-asserted in tests). An id's
+    highest manifest batch equals its highest store batch (every
+    re-emission after the first writes a manifest row), so per-id max
+    over the TINY manifest is the correct latest pointer. The
+    manifest set is broadcast only below _MV_BROADCAST_MAX ids
+    (ADVICE r11: a corpus-scale backfill must shuffle, not OOM);
+    an empty set skips the join entirely — the common every-batch
+    path. Excludes the current batch's own partition from BOTH the
+    store and the manifest (crash-replay guard, see
+    _read_state_excluding_batch). Stores predating the manifest
+    (no ``_mv``) are read as all-single-version — correct for every
+    store the r12+ sinks write, and for compacted stores (the swap
+    retires the manifest with the superseded rows)."""
     df = _read_state_excluding_batch(
         spark,
         path,
@@ -292,23 +343,50 @@ def _read_state_latest_by(
         [*cols, "batch_id"],
         schema + ", batch_id bigint",
     )
-    multi = (
-        df.groupBy(id_col)
-        .agg(
-            F.countDistinct("batch_id").alias("_nv"),
-            F.max("batch_id").alias("_latest"),
-        )
-        .filter(F.col("_nv") > 1)
-        .select(id_col, "_latest")
+    from chicago_crime_spark_ml_spark.sources.io import (  # noqa: PLC0415
+        try_read_parquet,
     )
+
+    mv_raw = try_read_parquet(spark, _mv_path(path))
+    if mv_raw is None:
+        return df.select(*cols)
+    mv = (
+        mv_raw.filter(F.col("batch_id") != F.lit(batch_id))
+        .groupBy(id_col)
+        .agg(F.max("batch_id").alias("_latest"))
+        .localCheckpoint(eager=True)
+    )
+    n_mv = mv.count()
+    if n_mv == 0:
+        return df.select(*cols)
+    right = F.broadcast(mv) if n_mv <= _MV_BROADCAST_MAX else mv
     return (
-        df.join(F.broadcast(multi), id_col, "left")
+        df.join(right, id_col, "left")
         .filter(
             F.col("_latest").isNull()
             | (F.col("batch_id") == F.col("_latest"))
         )
         .select(*cols)
     )
+
+
+def read_state_latest(
+    spark: SparkSession,
+    path: str,
+    id_col: str,
+    cols,
+    schema: str,
+) -> DataFrame:
+    """PUBLIC latest-wins view of a streaming-maintained state store —
+    the serving-side read (r12): each id resolved to its newest
+    version via the store's ``_mv`` manifest, no batch excluded (the
+    reserved never-a-batch id -2 disables the crash-replay exclusion,
+    which only applies INSIDE a replaying sink; sinks write N >= 0 and
+    compaction stamps -1). Use this — not a raw parquet read — when a
+    store may hold changed re-sends that compaction hasn't retired
+    yet: bm25_search_from_index over a raw read would double-count a
+    multi-version doc's terms."""
+    return _read_state_latest_by(spark, path, -2, id_col, cols, schema)
 
 
 def streaming_near_dup_ingest(
@@ -373,7 +451,7 @@ def streaming_near_dup_ingest(
             [id_col, "band", "bucket"],
             f"{id_col} long, band int, bucket bigint",
         )
-        delta_rows, pairs = lsh_index_delta(
+        delta_rows, pairs, resent = lsh_index_delta(
             index,
             batch_df,
             text_col=text_col,
@@ -381,14 +459,17 @@ def streaming_near_dup_ingest(
             n=n,
             num_hashes=num_hashes,
             seed=seed,
+            return_resent=True,
         )
         delta_rows = delta_rows.localCheckpoint(eager=True)
+        resent = resent.localCheckpoint(eager=True)
         pairs.write.mode("overwrite").parquet(
             f"{pairs_path}/batch_id={batch_id}"
         )
         delta_rows.write.mode("overwrite").parquet(
             f"{index_path}/batch_id={batch_id}"
         )
+        _write_multiversion_manifest(resent, index_path, batch_id, id_col)
 
     return (
         docs.writeStream.outputMode("append")
@@ -481,28 +562,32 @@ def streaming_media_near_dup_ingest(
             batch_df, blob_col=blob_col, id_col=id_col
         ).localCheckpoint(eager=True)
         if modality == "video":
-            delta_rows, pairs = frame_index_delta(
+            delta_rows, pairs, resent = frame_index_delta(
                 index,
                 sig,
                 id_col=id_col,
                 min_shared=min_shared,
                 max_df=max_df,
+                return_resent=True,
             )
         else:
-            delta_rows, pairs = dhash_index_delta(
+            delta_rows, pairs, resent = dhash_index_delta(
                 index,
                 sig,
                 id_col=id_col,
                 band_bytes=band_bytes,
                 max_bucket=max_bucket,
+                return_resent=True,
             )
         delta_rows = delta_rows.localCheckpoint(eager=True)
+        resent = resent.localCheckpoint(eager=True)
         pairs.write.mode("overwrite").parquet(
             f"{pairs_path}/batch_id={batch_id}"
         )
         delta_rows.write.mode("overwrite").parquet(
             f"{index_path}/batch_id={batch_id}"
         )
+        _write_multiversion_manifest(resent, index_path, batch_id, id_col)
 
     return (
         media.writeStream.outputMode("append")
@@ -643,7 +728,7 @@ def streaming_cluster_maintenance(
             [id_col, "band", "bucket"],
             f"{id_col} long, band int, bucket bigint",
         )
-        delta_rows, cand = lsh_index_delta(
+        delta_rows, cand, resent_idx = lsh_index_delta(
             index,
             batch_docs,
             text_col=text_col,
@@ -652,8 +737,10 @@ def streaming_cluster_maintenance(
             num_hashes=num_hashes,
             seed=seed,
             band_width=band_width,
+            return_resent=True,
         )
         delta_rows = delta_rows.localCheckpoint(eager=True)
+        resent_idx = resent_idx.localCheckpoint(eager=True)
         # batch-precedence corpus with UNIQUE ids: a re-sent id's
         # stored text is shadowed (changed content rescans against the
         # new text), and duplicate (id, text) rows can never multiply
@@ -725,6 +812,9 @@ def streaming_cluster_maintenance(
         delta_rows.write.mode("overwrite").parquet(
             f"{index_path}/batch_id={batch_id}"
         )
+        _write_multiversion_manifest(
+            resent_idx, index_path, batch_id, id_col
+        )
         # (id, text) rows not already current in the docs store land in
         # this batch's partition: identical re-sends append nothing
         # (replay idempotence), while a CHANGED-content re-send IS
@@ -735,9 +825,28 @@ def streaming_cluster_maintenance(
         # instead of emptying them.
         fresh_docs = batch_docs.join(
             stored_docs, [id_col, text_col], "left_anti"
+        ).localCheckpoint(eager=True)
+        # the docs store's own changed-re-send set, on the store's
+        # (id, text) semantics — NOT the index's band-row semantics
+        # (two texts can collide to identical band rows): fresh ids
+        # the store already holds. One broadcast-filtered scan of the
+        # store's id column — the same pass the rescore corpus above
+        # already makes this batch.
+        resent_docs = (
+            stored_docs.select(id_col)
+            .join(
+                F.broadcast(fresh_docs.select(id_col)),
+                id_col,
+                "left_semi",
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
         )
         fresh_docs.write.mode("overwrite").parquet(
             f"{docs_path}/batch_id={batch_id}"
+        )
+        _write_multiversion_manifest(
+            resent_docs, docs_path, batch_id, id_col
         )
 
     return (
@@ -802,17 +911,29 @@ def streaming_lexical_ingest(
             [id_col, "dl"],
             f"{id_col} long, dl long",
         )
-        fresh_post, fresh_len = lexical_index_delta(
-            post, dlen, batch_df, text_col=text_col, id_col=id_col
+        fresh_post, fresh_len, resent = lexical_index_delta(
+            post,
+            dlen,
+            batch_df,
+            text_col=text_col,
+            id_col=id_col,
+            return_resent=True,
         )
         fresh_post = fresh_post.localCheckpoint(eager=True)
         fresh_len = fresh_len.localCheckpoint(eager=True)
+        resent = resent.localCheckpoint(eager=True)
         fresh_post.write.mode("overwrite").parquet(
             f"{postings_path}/batch_id={batch_id}"
         )
         fresh_len.write.mode("overwrite").parquet(
             f"{doclen_path}/batch_id={batch_id}"
         )
+        # a changed re-send re-emits BOTH its postings and its doclen
+        # row, so the same id set is multi-version in both stores
+        _write_multiversion_manifest(
+            resent, postings_path, batch_id, id_col
+        )
+        _write_multiversion_manifest(resent, doclen_path, batch_id, id_col)
 
     return (
         docs.writeStream.outputMode("append")

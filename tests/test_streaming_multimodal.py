@@ -1202,6 +1202,149 @@ def test_compact_ingest_index_crash_recovery(spark, tmp_path):
     assert not os.path.exists(index_path + "__old")
 
 
+def test_read_state_latest_by_manifest(spark, tmp_path):
+    """r12 (VERDICT r11 #5): the latest-wins read takes its
+    multi-version set from the store's tiny _mv manifest, NOT from an
+    aggregate over the store — the store is scanned exactly ONCE per
+    read (plan-asserted), the empty-manifest fast path skips the join
+    entirely, and the crash-replay guard excludes the current batch
+    from the manifest too."""
+    from pyspark.sql import functions as F
+
+    from chicago_crime_spark_ml_spark.plans import explain_str
+    from chicago_crime_spark_ml_spark.streaming import (
+        _read_state_latest_by,
+        _write_multiversion_manifest,
+    )
+
+    path = str(tmp_path / "lw_store")
+    rows = {
+        0: [(1, "v1-a"), (1, "v1-b")],
+        1: [(2, "x")],
+        2: [(1, "v2-a")],  # changed re-send of id 1
+    }
+    for bid, rs in rows.items():
+        spark.createDataFrame(rs, "doc_id BIGINT, term STRING").write.mode(
+            "overwrite"
+        ).parquet(f"{path}/batch_id={bid}")
+        resent = spark.createDataFrame(
+            [(1,)] if bid == 2 else [], "doc_id BIGINT"
+        )
+        _write_multiversion_manifest(resent, path, bid, "doc_id")
+
+    def read(bid):
+        return _read_state_latest_by(
+            spark,
+            path,
+            bid,
+            "doc_id",
+            ["doc_id", "term"],
+            "doc_id bigint, term string",
+        )
+
+    got = {(r.doc_id, r.term) for r in read(5).collect()}
+    assert got == {(1, "v2-a"), (2, "x")}
+    # crash-replay of the changed batch: its manifest entry AND its
+    # store partition are excluded — id 1 resolves to v1
+    got_replay = {(r.doc_id, r.term) for r in read(2).collect()}
+    assert got_replay == {(1, "v1-a"), (1, "v1-b"), (2, "x")}
+    # plan shape: ONE parquet scan (the store; the manifest set is a
+    # checkpointed literal behind the broadcast), NO aggregate
+    plan = explain_str(read(5), "simple")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Aggregate" not in plan, plan
+    # empty multi-version set (the every-batch common case): the read
+    # is the bare exclusion filter — no join at all
+    empty_store = str(tmp_path / "lw_empty")
+    spark.createDataFrame(
+        rows[1], "doc_id BIGINT, term STRING"
+    ).write.mode("overwrite").parquet(f"{empty_store}/batch_id=0")
+    _write_multiversion_manifest(
+        spark.createDataFrame([], "doc_id BIGINT"), empty_store, 0, "doc_id"
+    )
+    fast = _read_state_latest_by(
+        spark,
+        empty_store,
+        3,
+        "doc_id",
+        ["doc_id", "term"],
+        "doc_id bigint, term string",
+    )
+    assert "Join" not in explain_str(fast, "simple")
+    assert fast.count() == 1
+    # pre-manifest stores read as all-single-version
+    legacy = str(tmp_path / "lw_legacy")
+    spark.createDataFrame(
+        rows[1], "doc_id BIGINT, term STRING"
+    ).write.mode("overwrite").parquet(f"{legacy}/batch_id=0")
+    assert _read_state_latest_by(
+        spark,
+        legacy,
+        3,
+        "doc_id",
+        ["doc_id", "term"],
+        "doc_id bigint, term string",
+    ).count() == 1
+
+
+def test_compact_ingest_index_reserved_batch_survives_replay(
+    spark, tmp_path
+):
+    """r12 (ADVICE r11): compaction must stamp a batch id NO replay can
+    collide with. Under the old max-seen stamp, a crash between batch
+    max_bid's state write and its checkpoint commit followed by a
+    compaction meant the replayed batch (a) excluded the ENTIRE
+    compacted store from its state read (delta computed against
+    nothing) and (b) overwrote the compacted corpus with just its own
+    rows. With the -1 sentinel both failure legs are closed."""
+    import os
+
+    from chicago_crime_spark_ml_spark.sources.io import (
+        RESERVED_COMPACTED_BATCH,
+        compact_ingest_index,
+    )
+    from chicago_crime_spark_ml_spark.streaming import (
+        _read_state_excluding_batch,
+    )
+
+    index_path = str(tmp_path / "replay_index")
+    for bid in (0, 1):
+        spark.createDataFrame(
+            [(bid * 10 + i, i % 3, i) for i in range(6)],
+            "doc_id BIGINT, band INT, bucket BIGINT",
+        ).write.mode("overwrite").parquet(f"{index_path}/batch_id={bid}")
+    before = {
+        (r.doc_id, r.band, r.bucket)
+        for r in spark.read.parquet(index_path).collect()
+    }
+    compact_ingest_index(spark, index_path)
+    assert os.path.isdir(
+        os.path.join(index_path, f"batch_id={RESERVED_COMPACTED_BATCH}")
+    )
+    # leg (a): the replayed last batch still sees ALL compacted history
+    seen = {
+        (r.doc_id, r.band, r.bucket)
+        for r in _read_state_excluding_batch(
+            spark,
+            index_path,
+            1,
+            ["doc_id", "band", "bucket"],
+            "doc_id bigint, band int, bucket bigint",
+        ).collect()
+    }
+    assert seen == before
+    # leg (b): the replayed batch's per-batch overwrite lands in its
+    # OWN partition; the compacted corpus is untouched
+    spark.createDataFrame(
+        [(11, 1, 1)], "doc_id BIGINT, band INT, bucket BIGINT"
+    ).write.mode("overwrite").parquet(f"{index_path}/batch_id=1")
+    after = {
+        (r.doc_id, r.band, r.bucket)
+        for r in spark.read.parquet(index_path).collect()
+    }
+    assert before <= after  # nothing lost — worst case duplicates
+
+
 def test_streaming_lexical_ingest_search_equals_batch(spark, tmp_path):
     """Retrieval joins the streaming ingest family: after two
     micro-batches the maintained (postings, doclen) directories serve
