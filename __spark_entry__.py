@@ -142,6 +142,13 @@ _REWRITTEN_GREENS = [
     # stream==batch contracts these certify run on rewritten code
     "streaming_lexical_ingest_check",
     "streaming_cluster_maintenance_check",
+    # r12: guard iii moved to the constant 4·pc_break bound (ADVICE
+    # r11 concat-collision soundness) and the local path gained the
+    # enforced max_vocab_rows fallback — the selection code these
+    # certify changed
+    "bpe_merge_learning_batched",
+    "bpe_merge_learning_delta",
+    "bpe_merge_learning_local",
 ]
 
 

@@ -961,14 +961,14 @@ def test_bpe_batched_equals_sequential(spark, docs):
     assert rows(bpe_learn_merges_batched(tiny, k=5, m=2)) == rows(
         bpe_learn_merges(tiny, k=5)
     )
-    # r11 min(t,3)·pc_break guard: four disjoint merges whose counts
-    # (100, 81, 27, 13) clear 3·pc_break=12 at every position but
-    # would have FAILED the old t·pc_break guard at t=4 (13 ≤ 16) —
-    # asserts the wider batch still reproduces sequential exactly,
-    # and that it really is taken in ONE pair-count round (the xy/xz
-    # conflicters pin pc_break at 4)
+    # r12 constant 4·pc_break guard (ADVICE r11): four disjoint merges
+    # whose counts (100, 81, 27, 17) clear 4·pc_break=16 at every
+    # position but would have FAILED the old t·pc_break guard at t=4
+    # (17 ≤ 4·pc_break holds only because 17 > 16) — asserts the wide
+    # batch still reproduces sequential exactly (the xy/xz conflicters
+    # pin pc_break at 4)
     steep_text = " ".join(
-        ["ab"] * 100 + ["cd"] * 81 + ["ef"] * 27 + ["gh"] * 13
+        ["ab"] * 100 + ["cd"] * 81 + ["ef"] * 27 + ["gh"] * 17
         + ["xy"] * 4 + ["xz"] * 4
     )
     steep = spark.createDataFrame(
@@ -977,7 +977,28 @@ def test_bpe_batched_equals_sequential(spark, docs):
     seq_s = rows(bpe_learn_merges(steep, k=6))
     bat_s = rows(bpe_learn_merges_batched(steep, k=6, m=16))
     assert bat_s == seq_s
-    assert [r[3] for r in seq_s[:4]] == [100, 81, 27, 13]
+    assert [r[3] for r in seq_s[:4]] == [100, 81, 27, 17]
+    # r12 (ADVICE r11): CONCAT-COLLISION corpora — run-length words
+    # make a merge's concatenated token collide with LIVE vocabulary
+    # symbols reachable by other merge routes ("aa"+"aa" == "aaaa" ==
+    # "aaa"+"a"), the class where the min(t,3)·pc_break bound was
+    # unsound (a competitor holding such a symbol has a nonzero
+    # pre-count AND up to three creation channels). The constant
+    # 4·pc_break guard must stay sequential-identical here.
+    runs = spark.createDataFrame(
+        [
+            (
+                i,
+                " ".join(["a" * (2 + i % 5)] * (3 + i % 7))
+                + " "
+                + "ab" * (1 + i % 3),
+            )
+            for i in range(12)
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    seq_runs = rows(bpe_learn_merges(runs, k=8))
+    assert rows(bpe_learn_merges_batched(runs, k=8, m=16)) == seq_runs
     # wide default m on the real corpus stays sequential-identical
     assert rows(bpe_learn_merges_batched(docs, k=12)) == seq12
     # r11: the driver-local production path (one Spark job + in-memory
@@ -996,6 +1017,27 @@ def test_bpe_batched_equals_sequential(spark, docs):
         )
     assert rows(bpe_learn_merges_local(tiny, k=5)) == rows(
         bpe_learn_merges(tiny, k=5)
+    )
+    assert rows(bpe_learn_merges_local(runs, k=8)) == seq_runs
+    # r12 (VERDICT r11 #6): the enforced memory contract — a vocab
+    # above max_vocab_rows is COUNTED before any collect and falls
+    # back to the distributed batched rounds, with identical output
+    # (and min_count pruning preserved through the handoff)
+    assert (
+        rows(bpe_learn_merges_local(docs, k=6, max_vocab_rows=1))
+        == seq
+    )
+    assert rows(
+        bpe_learn_merges_local(runs, k=8, max_vocab_rows=1)
+    ) == seq_runs
+    pruned_seq = rows(bpe_learn_merges_local(docs, k=6, min_count=2))
+    assert (
+        rows(
+            bpe_learn_merges_local(
+                docs, k=6, min_count=2, max_vocab_rows=1
+            )
+        )
+        == pruned_seq
     )
 
 
