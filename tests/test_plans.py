@@ -652,3 +652,31 @@ def test_nested_loop_audit_gate(spark, sf_dir):
     assert audit and not all(a["bounded"] for a in audit), audit
     with pytest.raises(AssertionError, match="unbounded"):
         assert_bounded_nested_loops(bad)
+
+    # r12 (ADVICE r11): a literal Range is a witness only when its
+    # PARSED cardinality is small — spark.range(1e12) must be flagged
+    small = orders.crossJoin(
+        F.broadcast(spark.range(16).select(F.col("id").alias("r16")))
+    )
+    assert_bounded_nested_loops(small)
+    huge = orders.crossJoin(
+        F.broadcast(
+            spark.range(1_000_000_000_000).select(
+                F.col("id").alias("rbig")
+            )
+        )
+    )
+    audit = nested_loop_audit(explain_str(huge, "simple"))
+    assert audit and not all(a["bounded"] for a in audit), audit
+
+    # r12 (ADVICE r11): ReusedExchange is NOT a witness — the origin
+    # may feed an ordinary join and never be audited as a build side.
+    # The classifier is text-based, so the hole is pinned on a
+    # synthetic plan whose BNLJ build spine is only a reuse marker.
+    reused_plan = (
+        "BroadcastNestedLoopJoin BuildRight, Inner\n"
+        ":- FileScan parquet [o_orderkey] ... orders.parquet\n"
+        "+- ReusedExchange [k2], BroadcastExchange HashedRelation\n"
+    )
+    audit = nested_loop_audit(reused_plan)
+    assert audit and not audit[0]["bounded"], audit
