@@ -845,7 +845,12 @@ def compact_ivf_index(
     )
 
     recover_compaction_swap(path)
-    df = spark.read.parquet(path)
+    # mergeSchema: a MIXED store (pre-seq base files + seq-stamped
+    # delta files) would otherwise infer the base files' schema and
+    # hide ingest_seq entirely — compaction is the maintenance job, so
+    # the all-footers schema merge is the right place to pay for exact
+    # migration (the probe hot path deliberately keeps the cheap read)
+    df = spark.read.option("mergeSchema", "true").parquet(path)
     n = n_tasks or max(1, spark.sparkContext.defaultParallelism)
     if files_per_cell < 1:
         raise ValueError(f"files_per_cell must be >= 1; got {files_per_cell}")
@@ -856,6 +861,15 @@ def compact_ivf_index(
                 "need the registry-assigned version order (rebuild the "
                 "index with the current write_ivf_index)"
             )
+        # a MIXED store (pre-seq base files + seq-stamped deltas) reads
+        # the base rows' seq as NULL; null never equi-joins, so without
+        # the coalesce an id living only in pre-seq rows would vanish
+        # from the compacted store. Pre-seq rows ARE the base build —
+        # seq 0 by definition.
+        df = df.withColumn(
+            "ingest_seq",
+            F.coalesce(F.col("ingest_seq"), F.lit(0).cast("long")),
+        )
         latest = df.groupBy(replace_latest_by).agg(
             F.max("ingest_seq").alias("ingest_seq")
         )
@@ -1009,9 +1023,15 @@ def probe_ivf_index(
     if "ingest_seq" in idx.columns:
         # per-id latest wins within the probed cells: max over
         # (seq, score) structs — seq decides, score breaks the
-        # duplicate-rows-in-one-ingest tie deterministically
+        # duplicate-rows-in-one-ingest tie deterministically. Mixed
+        # stores read pre-seq base rows as NULL seq; coalesce to the
+        # base build's implicit seq 0 so their ordering is defined.
         scored = (
-            scored.groupBy(id_col)
+            scored.withColumn(
+                "ingest_seq",
+                F.coalesce(F.col("ingest_seq"), F.lit(0).cast("long")),
+            )
+            .groupBy(id_col)
             .agg(
                 F.max(F.struct("ingest_seq", "cosine")).alias("_lv")
             )

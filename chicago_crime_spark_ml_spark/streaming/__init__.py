@@ -335,7 +335,11 @@ def _read_state_latest_by(
     _read_state_excluding_batch). Stores predating the manifest
     (no ``_mv``) are read as all-single-version — correct for every
     store the r12+ sinks write, and for compacted stores (the swap
-    retires the manifest with the superseded rows)."""
+    retires the manifest with the superseded rows). MIGRATION: a
+    store that received changed re-sends under the PRE-manifest sinks
+    holds multi-version ids the manifest doesn't know about — run
+    ``compact_ingest_index(replace_latest_by=...)`` once before
+    resuming its stream under this reader."""
     df = _read_state_excluding_batch(
         spark,
         path,

@@ -1480,6 +1480,32 @@ def test_ivf_replace_semantics(spark, emb, tmp_path):
     ).write.partitionBy("cell", "ingest").parquet(legacy)
     with pytest.raises(ValueError, match="ingest_seq"):
         compact_ivf_index(spark, legacy, replace_latest_by="vec_id")
+    # MIXED store (pre-seq base files + a seq-stamped delta): replace
+    # compaction must treat the null-seq base rows as seq 0 — an id
+    # living only in pre-seq rows must SURVIVE (null never equi-joins;
+    # without the coalesce those ids silently vanished)
+    dim = len(old.first()["embedding"])
+    spark.createDataFrame(
+        [(c, [float(c)] * dim) for c in range(4)],
+        "cell INT, center ARRAY<DOUBLE>",
+    ).coalesce(1).write.parquet(legacy + "__centers")
+    n_legacy_ids = old.count()
+    resent2 = emb.filter(
+        (F.col("vec_id") % 5 != 0) & (F.col("vec_id") % 2 == 0)
+    ).withColumn(
+        "embedding",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: x + F.lit(2.0),
+        ),
+    )
+    ivf_index_delta(spark, legacy, resent2, ingest_id="m1")
+    compact_ivf_index(spark, legacy, replace_latest_by="vec_id")
+    mixed = spark.read.parquet(legacy)
+    assert mixed.count() == n_legacy_ids
+    assert (
+        mixed.select("vec_id").distinct().count() == n_legacy_ids
+    )
 
 
 def test_lexical_index_delta_replay_and_changed_content(spark):
