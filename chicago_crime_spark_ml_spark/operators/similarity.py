@@ -864,8 +864,29 @@ def compact_ivf_index(
         # a MIXED store (pre-seq base files + seq-stamped deltas) reads
         # the base rows' seq as NULL; null never equi-joins, so without
         # the coalesce an id living only in pre-seq rows would vanish
-        # from the compacted store. Pre-seq rows ARE the base build —
-        # seq 0 by definition.
+        # from the compacted store. Coalescing null → 0 is only sound
+        # while each id has at most ONE pre-seq version: pre-r12
+        # DELTAS also wrote seq-less rows, and a changed re-send from
+        # that era left two versions whose order was never recorded —
+        # coalescing both to 0 would tie them and keep BOTH forever
+        # (r12 review). No order exists to recover, so refuse and
+        # demand a rebuild rather than guess.
+        legacy_multi = (
+            df.filter(F.col("ingest_seq").isNull())
+            .groupBy(replace_latest_by)
+            .agg(F.countDistinct("ingest").alias("_nv"))
+            .filter(F.col("_nv") > 1)
+            .limit(1)
+            .count()
+        )
+        if legacy_multi:
+            raise ValueError(
+                f"{path} holds pre-ingest_seq rows for the same id "
+                "under multiple ingests — their version order was "
+                "never recorded, so replace semantics cannot be "
+                "reconstructed; rebuild the index (write_ivf_index) "
+                "on the current vectors instead"
+            )
         df = df.withColumn(
             "ingest_seq",
             F.coalesce(F.col("ingest_seq"), F.lit(0).cast("long")),
@@ -1011,6 +1032,19 @@ def probe_ivf_index(
     }
     probes = [c for c, _ in sorted(sims.items(), key=lambda kv: -kv[1])][:n_probe]
     idx = spark.read.parquet(path)
+    if "ingest_seq" not in idx.columns:
+        # MIXED store: schema inference sampled a pre-seq base footer
+        # and hid the column (r12 review). The seq registry existing
+        # proves seq-stamped rows exist, so re-read with mergeSchema —
+        # paid ONLY on actual mixed stores (pure-legacy has no
+        # registry; pure-r12 shows the column on the cheap read), so
+        # the probe hot path stays footer-sample cheap at scale.
+        from chicago_crime_spark_ml_spark.sources.io import (  # noqa: PLC0415
+            try_read_parquet,
+        )
+
+        if try_read_parquet(spark, path + "__seq") is not None:
+            idx = spark.read.option("mergeSchema", "true").parquet(path)
     qcol = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
     score = cosine_expr(F.col("v"), qcol)
     scored = idx.filter(

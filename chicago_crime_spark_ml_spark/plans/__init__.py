@@ -9,6 +9,8 @@ These helpers make those properties assertable in tests (SURVEY.md §4:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 
 
@@ -110,19 +112,12 @@ _SPINE_MARKERS = (
 # catalog (the largest is a handful of pseudo-centers), far below
 # anything a nested-loop join could survive at scale.
 _RANGE_ROWS_MAX = 1_000_000
-_RANGE_RE = None  # compiled lazily
+_RANGE_RE = re.compile(r"Range \((-?\d+), (-?\d+), step=(-?\d+)")
 
 
 def _bounded_range_rows(line: str) -> bool:
     """True iff a ``Range (start, end, step=s, ...)`` plan line denotes
     at most _RANGE_ROWS_MAX rows. Unparseable ranges fail closed."""
-    global _RANGE_RE  # noqa: PLW0603
-    if _RANGE_RE is None:
-        import re  # noqa: PLC0415
-
-        _RANGE_RE = re.compile(
-            r"Range \((-?\d+), (-?\d+), step=(-?\d+)"
-        )
     m = _RANGE_RE.search(line)
     if not m:
         return False

@@ -7305,18 +7305,26 @@ def ivf_compact_replace_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         post = probe_ivf_index(spark, path, qvec, k=10, n_probe=8).collect()
         # physical replace: the stale versions are GONE, not shadowed
         store = spark.read.parquet(path)
-        n_rows, n_ids, n_multi = store.agg(
+        n_rows, n_ids, n_d2 = store.agg(
             F.count(F.lit(1)),
             F.countDistinct("vec_id"),
+            # survivors at the CHANGED re-send's seq (d2 registered
+            # after d1 → seq 2): pins that replacement actually
+            # happened — counting any seq > 0 would pass vacuously on
+            # d1 rows even if every d2 row was dropped (r12 review)
             F.countDistinct(
-                F.when(F.col("ingest_seq") > 0, F.col("vec_id"))
+                F.when(F.col("ingest_seq") == 2, F.col("vec_id"))
             ),
         ).first()
         assert n_rows == n_ids == emb.count(), (
             f"replace-compaction left duplicates: {n_rows} rows, "
             f"{n_ids} ids"
         )
-        assert n_multi > 0, "d2 rows vanished — nothing was replaced"
+        n_changed = emb.filter(F.col("vec_id") % 7 == 0).count()
+        assert n_d2 == n_changed, (
+            f"every changed id must survive at the d2 seq: "
+            f"{n_d2} != {n_changed}"
+        )
         one_part_per_cell = all(
             os.listdir(os.path.join(path, c)) == ["ingest=__compacted__"]
             for c in os.listdir(path)

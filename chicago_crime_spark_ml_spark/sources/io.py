@@ -312,6 +312,19 @@ def commit_compaction_swap(path: str, staging: str) -> None:
 # outside-the-namespace rule as similarity.COMPACTED_INGEST.
 RESERVED_COMPACTED_BATCH = -1
 
+# Directory name of the multi-version manifest the streaming sinks
+# maintain INSIDE a state store (underscore-prefixed, so the store's
+# own parquet reads skip it, and the compaction swap retires it with
+# the rows it describes). SINGLE source of truth — streaming/__init__
+# imports it; a second literal would let a rename silently disable
+# compact_ingest_index's plain-compaction rejection below.
+MV_DIRNAME = "_mv"
+
+
+def mv_manifest_path(path: str) -> str:
+    """Path of a state store's multi-version manifest."""
+    return path.rstrip("/") + "/" + MV_DIRNAME
+
 
 def compact_ingest_index(
     spark: SparkSession,
@@ -408,7 +421,7 @@ def compact_ingest_index(
     # one partition erases the version order, and the latest-wins
     # readers would then see v1 ∪ v2 as one current version. Demand the
     # replace form instead (it resolves the versions before the merge).
-    mv = try_read_parquet(spark, path.rstrip("/") + "/_mv")
+    mv = try_read_parquet(spark, mv_manifest_path(path))
     if (
         replace_latest_by is None
         and mv is not None

@@ -264,15 +264,17 @@ def _read_state_excluding_batch(
 # compaction swap (rename the whole store directory) retires the
 # manifest ATOMICALLY with the generation of rows it describes — no
 # crash point can leave a fresh store paired with a stale manifest.
-_MV_DIRNAME = "_mv"
+# The name itself is io.MV_DIRNAME — ONE source of truth shared with
+# compact_ingest_index's plain-compaction rejection (a second literal
+# would let a rename silently disable that guard).
+from chicago_crime_spark_ml_spark.sources.io import (  # noqa: E402
+    mv_manifest_path as _mv_path,
+)
+
 # ADVICE r11: the multi-version set is broadcast only while it is
 # provably small; a backfill that re-sends a large slice of the corpus
 # falls back to a shuffle join instead of OOMing the driver.
 _MV_BROADCAST_MAX = 4_000_000
-
-
-def _mv_path(path: str) -> str:
-    return path.rstrip("/") + "/" + _MV_DIRNAME
 
 
 def _write_multiversion_manifest(
@@ -286,7 +288,20 @@ def _write_multiversion_manifest(
     adds no store scan; a replayed batch recomputes the identical set
     and overwrites its own partition. Written unconditionally (an
     empty write is one empty parquet file) so the manifest's existence
-    tracks the store's, keeping the reader's fast path explicit."""
+    tracks the store's, keeping the reader's fast path explicit.
+
+    Write ORDER (deliberate): the sinks write the store partition
+    FIRST, manifest second. Between the two writes a concurrent
+    serving-side read sees a changed re-send as two versions
+    (transient duplication); the reverse order would make the id's
+    rows VANISH for the window (manifest points at a batch with no
+    rows yet) — and losing rows is strictly worse than briefly
+    duplicating them, the same staleness-vs-duplication stance as the
+    delta operators. A crash between the writes is healed by replay
+    (the checkpoint hasn't committed, the sink reruns whole, and the
+    reader excludes the replaying batch from BOTH files). Bare
+    parquet has no cross-file transaction; a table format gives the
+    atomic version — same caveat as the compaction swap."""
     (
         resent_ids.select(id_col)
         .distinct()

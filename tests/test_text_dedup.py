@@ -1500,12 +1500,40 @@ def test_ivf_replace_semantics(spark, emb, tmp_path):
         ),
     )
     ivf_index_delta(spark, legacy, resent2, ingest_id="m1")
+    # probe on the MIXED store pre-compaction: schema inference may
+    # hide ingest_seq from the cheap read, but the seq registry
+    # triggers the mergeSchema re-read, so the changed id still
+    # resolves to its m1 version (r12 review)
+    q2 = [
+        float(x) + 2.0
+        for x in emb.filter(F.col("vec_id") == 2).first()["embedding"]
+    ]
+    top_mixed = probe_ivf_index(spark, legacy, q2, k=1, n_probe=4).first()
+    assert (top_mixed.vec_id, top_mixed.cosine) == (2, 1.0)
     compact_ivf_index(spark, legacy, replace_latest_by="vec_id")
     mixed = spark.read.parquet(legacy)
     assert mixed.count() == n_legacy_ids
     assert (
         mixed.select("vec_id").distinct().count() == n_legacy_ids
     )
+    # two pre-seq versions of one id (a pre-r12 changed re-send):
+    # their order was never recorded — replace must REFUSE, not guess
+    ambiguous = str(tmp_path / "ivf_ambiguous")
+    for ing in ("base", "old1"):
+        old.limit(3).select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("v"),
+            F.lit(0).cast("int").alias("cell"),
+            F.lit(ing).alias("ingest"),
+        ).write.mode("append").partitionBy("cell", "ingest").parquet(
+            ambiguous
+        )
+    spark.createDataFrame(
+        [(0, [0.0] * dim)], "cell INT, center ARRAY<DOUBLE>"
+    ).coalesce(1).write.parquet(ambiguous + "__centers")
+    ivf_index_delta(spark, ambiguous, resent2.limit(1), ingest_id="m1")
+    with pytest.raises(ValueError, match="never recorded"):
+        compact_ivf_index(spark, ambiguous, replace_latest_by="vec_id")
 
 
 def test_lexical_index_delta_replay_and_changed_content(spark):
