@@ -286,9 +286,14 @@ def _write_multiversion_manifest(
     The set comes from the delta operator's own changed-content
     detection (joins it already runs), so maintaining the manifest
     adds no store scan; a replayed batch recomputes the identical set
-    and overwrites its own partition. Written unconditionally (an
-    empty write is one empty parquet file) so the manifest's existence
-    tracks the store's, keeping the reader's fast path explicit.
+    and overwrites its own partition (or, identically, re-skips the
+    write). Empty sets write NOTHING — the common every-batch case —
+    so the manifest holds one partition per batch that actually
+    carried a changed re-send, not one per batch: after a year of
+    micro-batches the manifest's directory listing is proportional to
+    the re-send history, and a store that never saw one has no
+    manifest at all (the reader's fastest path). Skipping the write
+    also drops one Spark write job per store per micro-batch.
 
     Write ORDER (deliberate): the sinks write the store partition
     FIRST, manifest second. Between the two writes a concurrent
@@ -302,12 +307,11 @@ def _write_multiversion_manifest(
     reader excludes the replaying batch from BOTH files). Bare
     parquet has no cross-file transaction; a table format gives the
     atomic version — same caveat as the compaction swap."""
-    (
-        resent_ids.select(id_col)
-        .distinct()
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(f"{_mv_path(path)}/batch_id={batch_id}")
+    rows = resent_ids.select(id_col).distinct().coalesce(1)
+    if rows.isEmpty():
+        return
+    rows.write.mode("overwrite").parquet(
+        f"{_mv_path(path)}/batch_id={batch_id}"
     )
 
 
