@@ -126,29 +126,8 @@ _STATS_TIER_NUDGE = [
 # rewrites + 14 _doc_ids fan-outs — earned green r8 rows on the new
 # impls and dropped off).
 _REWRITTEN_GREENS = [
-    # (all six r11 names earned green r11 rows on the new impls and
-    # dropped; r12 entries below)
-    # r12: ingest_seq version order + probe-time latest-wins rewrote
-    # the delta/compact/probe path this certifies
-    "ivf_compaction_check",
-    # r12: compact_ingest_index now stamps the reserved batch_id=-1
-    # (ADVICE r11) and rejects plain compaction of live multi-version
-    # stores — the compaction these certify changed
-    "lexical_compact_replace_check",
-    "lsh_compact_replace_check",
-    "frame_compact_replace_check",
-    # r12: the latest-wins readers moved from a per-batch full-store
-    # aggregate to the _mv manifest, and the sinks now write it — the
-    # stream==batch contracts these certify run on rewritten code
-    "streaming_lexical_ingest_check",
-    "streaming_cluster_maintenance_check",
-    # r12: guard iii moved to the constant 4·pc_break bound (ADVICE
-    # r11 concat-collision soundness) and the local path gained the
-    # enforced max_vocab_rows fallback — the selection code these
-    # certify changed
-    "bpe_merge_learning_batched",
-    "bpe_merge_learning_delta",
-    "bpe_merge_learning_local",
+    # (all nine r12 names earned green r12 rows on the new impls and
+    # dropped; r13 entries added below as engine code is rewritten)
 ]
 
 
