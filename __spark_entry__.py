@@ -127,7 +127,16 @@ _STATS_TIER_NUDGE = [
 # impls and dropped off).
 _REWRITTEN_GREENS = [
     # (all nine r12 names earned green r12 rows on the new impls and
-    # dropped; r13 entries added below as engine code is rewritten)
+    # dropped; r13 entries below)
+    # r13: the __seq registry moved to explicit-schema reads + an iid
+    # data column, compact_ivf_index now folds the registry into one
+    # sentinel partition, and probe_ivf_index's latest-wins agg gained
+    # the legacy-multi passthrough — the probe/delta/compaction paths
+    # these certify are rewritten
+    "ivf_compaction_check",
+    "ivf_compact_replace_check",
+    "ann_ivf_recall_check",
+    "ivf_delta_assignment_check",
 ]
 
 

@@ -579,6 +579,21 @@ def write_ivf_index(
     probe_ivf_index dedups per id on max seq, and
     ``compact_ivf_index(replace_latest_by=...)`` drops superseded
     rows permanently. A full rebuild resets the registry."""
+    assigned, centers, vecs = _kmeans_base_assign(
+        df, n_clusters, vec_col, id_col, seed
+    )
+    assigned.write.mode("overwrite").partitionBy("cell", "ingest").parquet(
+        path
+    )
+    vecs.unpersist()
+    _write_ivf_sidecars(df.sparkSession, path, centers)
+
+
+def _kmeans_base_assign(df, n_clusters, vec_col, id_col, seed):
+    """Fit k-means and assign every vector to its cell as a BASE build
+    (ingest_seq 0, ingest 'base'). Returns (assigned frame, centers as
+    python rows, the persisted vecs frame — caller unpersists after
+    the assigned write materializes it)."""
     from pyspark.ml.clustering import KMeans  # noqa: PLC0415
     from pyspark.ml.functions import array_to_vector  # noqa: PLC0415
 
@@ -598,25 +613,81 @@ def write_ivf_index(
         "cell",
         F.lit("base").alias("ingest"),
     )
-    assigned.write.mode("overwrite").partitionBy("cell", "ingest").parquet(
-        path
-    )
-    vecs.unpersist()
-    spark = df.sparkSession
     centers = [
         (int(i), [float(x) for x in c])
         for i, c in enumerate(model.clusterCenters())
     ]
+    return assigned, centers, vecs
+
+
+def _write_ivf_sidecars(spark, path: str, centers) -> None:
+    """Write the ``__centers`` sidecar and reset the ``__seq`` registry
+    for a fresh base build: a full (re)build supersedes every earlier
+    delta, so the version order restarts at 0 (iid duplicates the id
+    inside the file — see _SEQ_REG_SCHEMA)."""
     spark.createDataFrame(
         centers, "cell INT, center ARRAY<DOUBLE>"
     ).coalesce(1).write.mode("overwrite").parquet(path + "__centers")
-    # reset the ingest-seq registry: a full rebuild supersedes every
-    # earlier delta, so its rows restart the version order at 0
     spark.createDataFrame(
-        [(0, "base")], "seq LONG, ingest STRING"
+        [(0, "base", "base")], "seq LONG, iid STRING, ingest STRING"
     ).coalesce(1).write.mode("overwrite").partitionBy("ingest").parquet(
         path + "__seq"
     )
+
+
+def rebuild_ivf_index(
+    spark,
+    path: str,
+    latest_df: DataFrame,
+    n_clusters: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> None:
+    """MIGRATION escape hatch (r13, VERDICT r12 #2) for the one store
+    state ``compact_ivf_index(replace_latest_by=...)`` refuses: an id
+    holding multiple PRE-``ingest_seq`` versions, whose order was never
+    recorded — no maintenance job can reconstruct it, so the refusal
+    is correct but left the operator with no programmatic way out.
+    The caller supplies the latest snapshot of every vector (the one
+    fact only they still have) and this rebuilds the store from it
+    in place: fresh k-means fit, base layout at ``ingest_seq=0``,
+    swapped over the refused store through the same crash-safe
+    rename-aside as every compaction (io.commit_compaction_swap — no
+    failure point leaves the data deleted-but-unreplaced), then the
+    ``__centers`` sidecar and a reset ``__seq`` registry. Afterwards
+    probes, deltas, and replace-compaction all operate normally.
+
+    Crash contract: the data swap itself is crash-safe, but the
+    sidecars are separate directories with no cross-directory
+    transaction (bare parquet) — a crash between the swap and the
+    sidecar writes leaves new cells probed with the old centroids.
+    The whole job is idempotent (a pure function of ``latest_df``):
+    RERUN IT after any crash. Works on a healthy store too — it is
+    simply write_ivf_index with a crash-safe swap instead of an
+    in-place overwrite (which has a window where the store is absent
+    and a concurrent probe reads an EMPTY index)."""
+    from chicago_crime_spark_ml_spark.sources.io import (  # noqa: PLC0415
+        commit_compaction_swap,
+        recover_compaction_swap,
+    )
+
+    recover_compaction_swap(path)
+    assigned, centers, vecs = _kmeans_base_assign(
+        latest_df, n_clusters, vec_col, id_col, seed
+    )
+    import os as _os  # noqa: PLC0415
+
+    staging = path.rstrip("/") + "__compacting"
+    assigned.write.mode("overwrite").partitionBy("cell", "ingest").parquet(
+        staging
+    )
+    vecs.unpersist()
+    if _os.path.exists(path.rstrip("/")):
+        commit_compaction_swap(path, staging)
+    else:
+        _os.rename(staging, path.rstrip("/"))
+    _write_ivf_sidecars(spark, path, centers)
 
 
 def assign_to_centroids(
@@ -664,6 +735,37 @@ def assign_to_centroids(
 COMPACTED_INGEST = "__compacted__"
 
 
+# Read schema of the `<path>__seq` registry. EXPLICIT on every read
+# (r13, ADVICE r12): with a user schema Spark casts the RAW partition
+# directory string to the declared type (SPARK-26188) instead of
+# type-inferring it, so integer-/date-looking ingest ids stay opaque
+# strings end to end — inference would collapse '0123' and '123' to
+# the same value, letting a replay of one reuse the other's seq. The
+# `iid` data column (r13) duplicates the ingest id INSIDE the file so
+# registry compaction can fold many partitions into one sentinel
+# partition without losing the id→seq mapping; pre-r13 registries have
+# no such column and read it as NULL (fall back to the partition value).
+_SEQ_REG_SCHEMA = "seq LONG, iid STRING, ingest STRING"
+
+
+def _read_seq_registry(spark, reg_path: str):
+    """The registry read every caller must use: explicit schema (see
+    _SEQ_REG_SCHEMA) plus an ``ingest_id`` column normalized across
+    layouts — ``iid`` where a file carries it (r13 writes, compacted
+    sentinel partitions), the partition value otherwise. None when the
+    registry doesn't exist (pre-registry store)."""
+    from chicago_crime_spark_ml_spark.sources.io import (  # noqa: PLC0415
+        try_read_parquet,
+    )
+
+    reg = try_read_parquet(spark, reg_path, schema=_SEQ_REG_SCHEMA)
+    if reg is None:
+        return None
+    return reg.select(
+        "seq", F.coalesce("iid", "ingest").alias("ingest_id")
+    )
+
+
 def _next_ingest_seq(spark, path: str, ingest_id: str) -> int:
     """Assign (or look up) the monotonic sequence number for an ingest
     id in the ``<path>__seq`` registry — the version order behind the
@@ -673,26 +775,34 @@ def _next_ingest_seq(spark, path: str, ingest_id: str) -> int:
     any digit string and '9' > '10').
 
     Registry layout: one ``ingest=<id>`` partition per ingest holding
-    a single ``seq`` row, written by the ingest that registered it.
-    A REPLAYED ingest id finds its existing partition and reuses the
-    same seq (its re-registration overwrites the partition with the
-    identical row), so replays stamp identical versions — the
-    registration is written BEFORE the index rows so no crash point
-    can hand a replay a different seq. Reads are two partition-pruned
-    / column-pruned jobs over a registry with one row per ingest ever
-    seen — never a collect of the registry. Single-writer per index
-    (the streaming sink's foreachBatch serialization), same contract
-    as the store itself."""
+    a single (seq, iid) row, written by the ingest that registered it
+    (compaction may later fold history into one sentinel partition —
+    the mapping is preserved through the ``iid`` data column, so
+    lookups are layout-agnostic). A REPLAYED ingest id finds its
+    existing row and reuses the same seq (its re-registration
+    overwrites the partition with the identical row), so replays stamp
+    identical versions — the registration is written BEFORE the index
+    rows so no crash point can hand a replay a different seq. Reads
+    are two column-pruned jobs over a registry with one row per ingest
+    ever seen — never a collect of the registry; the explicit read
+    schema keeps ingest ids opaque strings (ADVICE r12 — inference
+    collapsed '0123'/'123'). Single-writer per index (the streaming
+    sink's foreachBatch serialization), same contract as the store
+    itself."""
     from chicago_crime_spark_ml_spark.sources.io import (  # noqa: PLC0415
-        try_read_parquet,
+        recover_compaction_swap,
     )
 
     reg_path = path + "__seq"
-    reg = try_read_parquet(spark, reg_path)
+    # heal a registry-compaction crash (r13): between the swap's two
+    # renames the registry is absent, and reading None here would hand
+    # this ingest seq 1 — colliding with history. Cheap os.path probe.
+    recover_compaction_swap(reg_path)
+    reg = _read_seq_registry(spark, reg_path)
     seq = None
     if reg is not None:
         mine = (
-            reg.filter(F.col("ingest") == F.lit(str(ingest_id)))
+            reg.filter(F.col("ingest_id") == F.lit(str(ingest_id)))
             .select("seq")
             .first()
         )
@@ -703,9 +813,11 @@ def _next_ingest_seq(spark, path: str, ingest_id: str) -> int:
         # pre-registry store (or a bare assign-only layout): deltas
         # start above the implicit base seq 0
         seq = 1
-    spark.createDataFrame([(seq,)], "seq LONG").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{reg_path}/ingest={ingest_id}")
+    spark.createDataFrame(
+        [(seq, str(ingest_id))], "seq LONG, iid STRING"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{reg_path}/ingest={ingest_id}"
+    )
     return seq
 
 
@@ -911,6 +1023,26 @@ def compact_ivf_index(
         staging
     )
     commit_compaction_swap(path, staging)
+    # Registry compaction (r13, VERDICT r12 #8): the __seq registry
+    # grows one `ingest=<id>` directory per ingest ever seen and is
+    # read twice per delta — after years of micro-batches that listing
+    # is a linear cost on the INGEST path itself. Fold it into this
+    # maintenance job: rewrite every (seq, id) mapping into ONE
+    # sentinel partition — the `iid` data column carries the id
+    # through the fold — via the same crash-safe rename-aside swap as
+    # the store. The mapping is PRESERVED, not truncated, so a replay
+    # of any past ingest id still reuses its original seq.
+    reg_path = path + "__seq"
+    recover_compaction_swap(reg_path)
+    reg = _read_seq_registry(spark, reg_path)
+    if reg is not None:
+        reg_staging = reg_path + "__compacting"
+        reg.select("seq", F.col("ingest_id").alias("iid")).coalesce(
+            1
+        ).write.mode("overwrite").parquet(
+            f"{reg_staging}/ingest={COMPACTED_INGEST}"
+        )
+        commit_compaction_swap(reg_path, reg_staging)
     import glob as _glob  # noqa: PLC0415
     import os as _os  # noqa: PLC0415
 
@@ -1018,7 +1150,20 @@ def probe_ivf_index(
     ``compact_ivf_index(replace_latest_by=...)`` (certified:
     ivf_compact_replace_check probes at full n_probe, where the
     dedup is exact). Pre-seq stores (no ingest_seq column) keep the
-    old single-version behavior."""
+    old single-version behavior.
+
+    Legacy-multi ids (r13, ADVICE r12): in a MIXED store, an id whose
+    versions are ALL pre-seq has no recorded order — instead of
+    letting the seq-0 coalesce tie-break by cosine (an undefined
+    version order), the probe surfaces every pre-seq version of
+    exactly those ids, agreeing with compact_ivf_index's refusal to
+    guess; migrate with :func:`rebuild_ivf_index`. Detection rides
+    the same single group-by (no extra scan), but only a mixed store
+    whose cheap read HID the seq column takes this path — a mixed
+    store whose footer sample happened to expose it reads pre-seq
+    rows as NULL seq the same way, so its legacy-multi ids are also
+    surfaced; pure-legacy stores (no registry) surface all versions
+    by construction."""
     import numpy as np  # noqa: PLC0415
 
     q = np.asarray(list(query_vec), dtype=float)
@@ -1039,11 +1184,7 @@ def probe_ivf_index(
         # paid ONLY on actual mixed stores (pure-legacy has no
         # registry; pure-r12 shows the column on the cheap read), so
         # the probe hot path stays footer-sample cheap at scale.
-        from chicago_crime_spark_ml_spark.sources.io import (  # noqa: PLC0415
-            try_read_parquet,
-        )
-
-        if try_read_parquet(spark, path + "__seq") is not None:
+        if _read_seq_registry(spark, path + "__seq") is not None:
             idx = spark.read.option("mergeSchema", "true").parquet(path)
     qcol = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
     score = cosine_expr(F.col("v"), qcol)
@@ -1051,25 +1192,61 @@ def probe_ivf_index(
         F.col("cell").isin([int(p) for p in probes])
     ).select(
         F.col(id_col),
-        *(["ingest_seq"] if "ingest_seq" in idx.columns else []),
+        *(
+            ["ingest_seq", "ingest"]
+            if "ingest_seq" in idx.columns
+            else []
+        ),
         F.round(score, 4).alias("cosine"),
     )
     if "ingest_seq" in idx.columns:
         # per-id latest wins within the probed cells: max over
         # (seq, score) structs — seq decides, score breaks the
         # duplicate-rows-in-one-ingest tie deterministically. Mixed
-        # stores read pre-seq base rows as NULL seq; coalesce to the
-        # base build's implicit seq 0 so their ordering is defined.
-        scored = (
-            scored.withColumn(
-                "ingest_seq",
-                F.coalesce(F.col("ingest_seq"), F.lit(0).cast("long")),
-            )
-            .groupBy(id_col)
+        # stores read pre-seq rows as NULL seq; coalesce to the base
+        # build's implicit seq 0 so their ordering is defined —
+        # EXCEPT (r13, ADVICE r12) when an id's versions are ALL
+        # pre-seq and it has more than one: their order was never
+        # recorded, so a seq-0 tie would silently pick a winner by
+        # cosine. For exactly those ids the probe surfaces EVERY
+        # pre-seq version (the pre-r12 behavior, and the same
+        # no-order-exists stance as compact_ivf_index's refusal;
+        # rebuild_ivf_index is the migration out). One pass: the same
+        # group-by computes the winner, whether any stamped row
+        # exists, and the per-id pre-seq version scores (bounded by
+        # versions-per-id), so the ambiguous branch costs no second
+        # scan of the probed cells.
+        legacy = F.col("ingest_seq").isNull()
+        per_id = (
+            scored.groupBy(id_col)
             .agg(
-                F.max(F.struct("ingest_seq", "cosine")).alias("_lv")
+                F.max(
+                    F.struct(
+                        F.coalesce(
+                            F.col("ingest_seq"), F.lit(0).cast("long")
+                        ).alias("ingest_seq"),
+                        F.col("cosine"),
+                    )
+                ).alias("_lv"),
+                F.max(F.col("ingest_seq").isNotNull()).alias("_stamped"),
+                F.countDistinct(
+                    F.when(legacy, F.col("ingest"))
+                ).alias("_nlegacy"),
+                F.collect_list(
+                    F.when(legacy, F.col("cosine"))
+                ).alias("_legacy_scores"),
             )
+        )
+        unambiguous = F.col("_stamped") | (F.col("_nlegacy") <= 1)
+        scored = (
+            per_id.filter(unambiguous)
             .select(id_col, F.col("_lv.cosine").alias("cosine"))
+            .unionByName(
+                per_id.filter(~unambiguous).select(
+                    id_col,
+                    F.explode("_legacy_scores").alias("cosine"),
+                )
+            )
         )
     return (
         scored.orderBy(F.desc("cosine"), F.asc(id_col))

@@ -92,7 +92,12 @@ def is_missing_dataset_exc(exc: Exception) -> bool:
     return any(c in msg for c in _MISSING_DATASET_CONDITIONS)
 
 
-def try_read_parquet(spark: SparkSession, path: str) -> DataFrame | None:
+def try_read_parquet(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    **options,
+) -> DataFrame | None:
     """``spark.read.parquet(path)``, or ``None`` when the dataset does
     not exist yet. The existence probe every incremental sink needs on a
     real store: a driver-local ``os.path`` check is always False on
@@ -100,11 +105,26 @@ def try_read_parquet(spark: SparkSession, path: str) -> DataFrame | None:
     read works on any Hadoop filesystem. Only the two missing-dataset
     error classes map to ``None``; other AnalysisExceptions re-raise so
     a corrupt or mistyped dataset can never masquerade as empty
-    (ADVICE r8)."""
+    (ADVICE r8).
+
+    ``schema`` (r13): an explicit DDL schema for the read. Beyond
+    skipping footer inference, this changes how PARTITION values parse:
+    with a user schema, Spark takes the raw directory string and casts
+    it to the declared type (SPARK-26188) instead of type-inferring it —
+    the only way a string-typed partition column keeps opaque values
+    like ``'0123'`` distinct from ``'123'`` (inference collapses both to
+    the integer 123). Every read of a registry/manifest keyed by opaque
+    string partitions must pass the schema. ``options`` forward to the
+    reader (e.g. ``mergeSchema="true"``)."""
     from pyspark.errors import AnalysisException  # noqa: PLC0415
 
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if options:
+        reader = reader.options(**options)
     try:
-        return spark.read.parquet(path)
+        return reader.parquet(path)
     except AnalysisException as exc:
         if is_missing_dataset_exc(exc):
             return None

@@ -1577,3 +1577,182 @@ def test_lexical_index_delta_replay_and_changed_content(spark):
     ch = spark.createDataFrame([(2, "entirely new words")], schema)
     cp, cl = lexical_index_delta(full_p, full_l, ch)
     assert cp.count() == 3 and cl.count() == 1
+
+
+def _build_legacy_multi_ivf(spark, emb, path):
+    """Construct the store state r12's replace-compaction refuses: a
+    MIXED IVF store whose pre-``ingest_seq`` rows hold TWO versions of
+    the vec_id%7==0 base ids (ingest 'base' and 'old2' — order never
+    recorded), plus one r12 stamped delta ('d1', the %5==0 ids) so the
+    seq machinery is live. Returns the latest-snapshot frame (what the
+    caller of the migration helper would supply: the %7 base ids at
+    x+0.5, everything else original)."""
+    import shutil
+
+    from chicago_crime_spark_ml_spark.operators.similarity import (
+        ivf_index_delta,
+        write_ivf_index,
+    )
+
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    write_ivf_index(base, path, n_clusters=4)
+    legacy = spark.read.parquet(path).drop("ingest_seq").localCheckpoint()
+    shutil.rmtree(path)
+    legacy.write.mode("overwrite").partitionBy("cell", "ingest").parquet(
+        path
+    )
+    v2 = (
+        legacy.filter(F.col("vec_id") % 7 == 0)
+        .withColumn("v", F.transform("v", lambda x: x + F.lit(0.5)))
+        .withColumn("ingest", F.lit("old2"))
+    )
+    v2.write.mode("append").partitionBy("cell", "ingest").parquet(path)
+    ivf_index_delta(
+        spark, path, emb.filter(F.col("vec_id") % 5 == 0), ingest_id="d1"
+    )
+    return emb.withColumn(
+        "embedding",
+        F.when(
+            (F.col("vec_id") % 5 != 0) & (F.col("vec_id") % 7 == 0),
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: x + F.lit(0.5),
+            ),
+        ).otherwise(F.col("embedding").cast("array<double>")),
+    )
+
+
+def test_seq_registry_opaque_ids_survive_and_compact(spark, emb, tmp_path):
+    """ADVICE r12: the __seq registry must treat ingest ids as OPAQUE
+    strings end to end — partition-type inference collapses '0123' and
+    '123' to the integer 123, letting a replay of one reuse the other's
+    seq (the explicit read schema prevents it). And VERDICT r12 #8:
+    compact_ivf_index folds the registry's one-directory-per-ingest
+    history into a single sentinel partition WITHOUT losing any id→seq
+    mapping, so replays of old ingests still reuse their original seq
+    and new ingests continue the order above history."""
+    import os
+
+    from chicago_crime_spark_ml_spark.operators.similarity import (
+        _next_ingest_seq,
+        compact_ivf_index,
+        ivf_index_delta,
+        probe_ivf_index,
+        write_ivf_index,
+    )
+
+    path = str(tmp_path / "ivf_seq_reg")
+    write_ivf_index(
+        emb.filter(F.col("vec_id") % 5 != 0), path, n_clusters=4
+    )
+    d = emb.filter(F.col("vec_id") % 5 == 0)
+    ivf_index_delta(
+        spark, path, d.filter(F.col("vec_id") % 2 == 0), ingest_id="0123"
+    )
+    ivf_index_delta(
+        spark, path, d.filter(F.col("vec_id") % 2 != 0), ingest_id="123"
+    )
+    # distinct opaque ids got distinct seqs; replays reuse their own
+    assert _next_ingest_seq(spark, path, "0123") == 1
+    assert _next_ingest_seq(spark, path, "123") == 2
+    # maintenance folds the registry into ONE sentinel partition
+    compact_ivf_index(spark, path)
+    reg_dirs = [
+        x for x in os.listdir(path + "__seq") if x.startswith("ingest=")
+    ]
+    assert reg_dirs == ["ingest=__compacted__"]
+    # ...preserving every mapping through the iid data column
+    assert _next_ingest_seq(spark, path, "0123") == 1
+    assert _next_ingest_seq(spark, path, "123") == 2
+    assert _next_ingest_seq(spark, path, "later") == 3
+    # the compacted store still probes (sanity)
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 1).first()["embedding"]
+    ]
+    top = probe_ivf_index(spark, path, qvec, k=1, n_probe=4).collect()
+    assert top[0].vec_id == 1 and top[0].cosine == 1.0
+
+
+def test_rebuild_ivf_index_migrates_refused_legacy_multi_store(
+    spark, emb, tmp_path
+):
+    """VERDICT r12 #2: a store holding two pre-ingest_seq versions of
+    one id is REFUSED by replace-compaction (their order was never
+    recorded — refusing beats guessing), and rebuild_ivf_index is the
+    documented way out: the caller supplies the latest snapshot, the
+    store is rebuilt at seq 0 through the crash-safe swap, and probes
+    equal a from-scratch write_ivf_index on the same snapshot."""
+    from chicago_crime_spark_ml_spark.operators.similarity import (
+        compact_ivf_index,
+        probe_ivf_index,
+        rebuild_ivf_index,
+        write_ivf_index,
+    )
+
+    path = str(tmp_path / "ivf_legacy_multi")
+    latest = _build_legacy_multi_ivf(spark, emb, path)
+    with pytest.raises(ValueError, match="pre-ingest_seq"):
+        compact_ivf_index(spark, path, replace_latest_by="vec_id")
+    rebuild_ivf_index(spark, path, latest, n_clusters=4)
+    fresh = str(tmp_path / "ivf_fresh")
+    write_ivf_index(latest, fresh, n_clusters=4)
+    qvec = [
+        float(x)
+        for x in latest.filter(F.col("vec_id") == 1).first()["embedding"]
+    ]
+
+    def probe(p):
+        return [
+            (r.vec_id, r.cosine)
+            for r in probe_ivf_index(spark, p, qvec, k=10, n_probe=4).collect()
+        ]
+
+    want = probe(fresh)
+    assert probe(path) == want
+    # replacement semantics are healthy again on the migrated store
+    compact_ivf_index(spark, path, replace_latest_by="vec_id")
+    assert probe(path) == want
+
+
+def test_probe_surfaces_all_versions_of_legacy_multi_ids(
+    spark, emb, tmp_path
+):
+    """ADVICE r12: the probe must AGREE with compaction on stores it
+    can detect as legacy-multi — where no version order exists it
+    surfaces every pre-seq version of the ambiguous ids (the pre-r12
+    behavior) instead of tie-breaking seq-0 duplicates by cosine,
+    while ids with any stamped row still resolve to one latest row."""
+    from collections import Counter
+
+    from chicago_crime_spark_ml_spark.operators.similarity import (
+        probe_ivf_index,
+    )
+
+    path = str(tmp_path / "ivf_legacy_probe")
+    _build_legacy_multi_ivf(spark, emb, path)
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]
+    ]
+    rows = probe_ivf_index(
+        spark, path, qvec, k=10_000, n_probe=4
+    ).collect()
+    counts = Counter(r.vec_id for r in rows)
+    ambiguous = {
+        r.vec_id
+        for r in emb.filter(
+            (F.col("vec_id") % 5 != 0) & (F.col("vec_id") % 7 == 0)
+        ).collect()
+    }
+    stamped = {
+        r.vec_id
+        for r in emb.filter(F.col("vec_id") % 5 == 0).collect()
+    }
+    for vid in ambiguous:
+        assert counts[vid] == 2, (vid, counts[vid])
+    for vid in stamped:
+        assert counts[vid] == 1, (vid, counts[vid])
+    # the query id itself is ambiguous: its original version must
+    # surface at cosine 1.0 alongside its shifted twin
+    assert 1.0 in [r.cosine for r in rows if r.vec_id == 7]
