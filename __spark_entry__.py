@@ -137,6 +137,9 @@ _REWRITTEN_GREENS = [
     "ivf_compact_replace_check",
     "ann_ivf_recall_check",
     "ivf_delta_assignment_check",
+    # r13: plain compaction gained the verify_single_version_by data
+    # guard and this cert now exercises it
+    "streaming_lexical_ingest_check",
 ]
 
 

@@ -3763,7 +3763,13 @@ def streaming_lexical_ingest_check(
             glob.glob(os.path.join(post_path, "batch_id=*", "part-*"))
         )
         for pth in (post_path, dlen_path):
-            compact_ingest_index(spark, pth)
+            # verify_single_version_by (r13, ADVICE r12): plain
+            # compaction proves from the data that no id spans two
+            # batches — sound even if a crashed sink never wrote its
+            # manifest row
+            compact_ingest_index(
+                spark, pth, verify_single_version_by="doc_id"
+            )
         dirs_after = [
             x for x in os.listdir(post_path) if x.startswith("batch_id=")
         ]

@@ -353,6 +353,7 @@ def compact_ingest_index(
     target_file_rows: int = 1_000_000,
     sort_within_by: list[str] | None = None,
     replace_latest_by: str | None = None,
+    verify_single_version_by: str | None = None,
 ) -> int:
     """Compact a per-batch-partitioned ingest index (the
     ``batch_id=N`` layout every streaming near-dup sink writes) into a
@@ -424,6 +425,13 @@ def compact_ingest_index(
     compaction of a store whose manifest holds LIVE multi-version ids
     is rejected: collapsing the batch partitions would erase the
     version order and merge superseded versions into the corpus.
+    The manifest check alone cannot see a changed re-send whose sink
+    crashed between the store write and the manifest write (ADVICE
+    r12); pass ``verify_single_version_by=<id col>`` to additionally
+    prove single-versionness from the data itself (one aggregate —
+    refuses if any id spans two batch partitions), or observe the
+    discipline of not plain-compacting after an unclean shutdown
+    until the stream has replayed its uncommitted batch.
     LOCAL-FILESYSTEM-ONLY (like file_spans): the swap uses driver-local
     os.rename/shutil — on hdfs:// or s3a:// run the equivalent rename
     dance through the FileSystem API or a table format's REPLACE.
@@ -453,6 +461,35 @@ def compact_ingest_index(
             "compaction would merge superseded versions into the "
             "current corpus"
         )
+    # ADVICE r12 (real data-loss window): the manifest alone is not a
+    # sound single-version witness — the sinks write the store
+    # partition BEFORE the manifest, so a crash between the two writes
+    # of a batch carrying a changed re-send leaves a multi-version
+    # store with no manifest row. If plain compaction then ran before
+    # the stream replayed, v1 and v2 would merge under the sentinel
+    # FOREVER (the replay would classify its re-send as unchanged
+    # against the union and never re-emit). verify_single_version_by
+    # closes it from the DATA: one aggregate over the store (cheap
+    # relative to the rewrite) proves no id spans two batches. Callers
+    # who omit it accept the documented discipline instead: never
+    # plain-compact after an unclean shutdown until the stream has
+    # replayed its uncommitted batch.
+    if replace_latest_by is None and verify_single_version_by is not None:
+        multi = (
+            df.groupBy(verify_single_version_by)
+            .agg(F.countDistinct(batch_col).alias("_nv"))
+            .filter(F.col("_nv") > 1)
+            .limit(1)
+            .count()
+        )
+        if multi:
+            raise ValueError(
+                f"{path} holds rows for one {verify_single_version_by} "
+                "under multiple batch partitions — a changed re-send "
+                "(possibly from a crash before its manifest write); "
+                "pass replace_latest_by=<id col>, or let the stream "
+                "replay its uncommitted batch first"
+            )
     if replace_latest_by is not None:
         latest = df.groupBy(replace_latest_by).agg(
             F.max(batch_col).alias(batch_col)

@@ -1595,3 +1595,78 @@ def test_compact_replace_after_changed_resend_stream(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_plain_compaction_data_guard_catches_manifestless_resend(
+    spark, tmp_path
+):
+    """ADVICE r12 (the crash window the manifest can't see): the sinks
+    write the store partition BEFORE the manifest, so a sink that dies
+    between the two writes of a changed re-send leaves a multi-version
+    store with NO manifest row — the manifest-based rejection passes
+    and plain compaction would merge v1 and v2 under the sentinel
+    forever. verify_single_version_by proves single-versionness from
+    the data itself and must refuse exactly this store; the replace
+    form resolves it."""
+    import shutil
+
+    import pytest
+    from chicago_crime_spark_ml_spark.operators.dedup import lsh_band_index
+    from chicago_crime_spark_ml_spark.sources.io import (
+        compact_ingest_index,
+        mv_manifest_path,
+    )
+    from chicago_crime_spark_ml_spark.streaming import (
+        streaming_near_dup_ingest,
+    )
+
+    schema = "doc_id BIGINT, text STRING"
+    src = tmp_path / "gsrc"
+    src.mkdir()
+    index_path = str(tmp_path / "g_index")
+
+    def emit(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    v1 = "totally draft placeholder text that matches nothing else here"
+    true1 = "the quick brown fox jumps over the lazy dog again and again"
+    other = "some other document about spark physical plans"
+    emit([(1, v1), (2, other)])
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = streaming_near_dup_ingest(
+        stream, index_path, str(tmp_path / "g_pairs"), str(tmp_path / "g_ckpt")
+    )
+    try:
+        q.processAllAvailable()
+        emit([(1, true1)])  # changed-content re-send in a later batch
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # simulate the crash: store partition written, manifest write lost
+    shutil.rmtree(mv_manifest_path(index_path))
+    # the manifest-only guard is blind to it (documented discipline)…
+    # …but the data-level witness refuses
+    with pytest.raises(ValueError, match="multiple batch partitions"):
+        compact_ingest_index(
+            spark, index_path, verify_single_version_by="doc_id"
+        )
+    # the replace form resolves the versions and compacts fine, and a
+    # subsequent verified plain compaction passes on the clean store
+    compact_ingest_index(spark, index_path, replace_latest_by="doc_id")
+    compact_ingest_index(
+        spark, index_path, verify_single_version_by="doc_id"
+    )
+    got = {
+        (r.doc_id, r.band, r.bucket)
+        for r in spark.read.parquet(index_path).collect()
+    }
+    want = {
+        (r.doc_id, r.band, r.bucket)
+        for r in lsh_band_index(
+            spark.createDataFrame([(1, true1), (2, other)], schema)
+        ).collect()
+    }
+    assert got == want
