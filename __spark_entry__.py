@@ -140,6 +140,11 @@ _REWRITTEN_GREENS = [
     # r13: plain compaction gained the verify_single_version_by data
     # guard and this cert now exercises it
     "streaming_lexical_ingest_check",
+    # r13: the latest-wins manifest read moved to mergeSchema +
+    # latest_bid pointers (manifest self-compaction) — the readers
+    # these certify are rewritten
+    "streaming_cluster_maintenance_check",
+    "streaming_compaction_span_check",
 ]
 
 

@@ -370,13 +370,23 @@ def _read_state_latest_by(
         try_read_parquet,
     )
 
-    mv_raw = try_read_parquet(spark, _mv_path(path))
+    # mergeSchema: a SELF-COMPACTED manifest (compact_mv_manifest)
+    # carries its pointers in a latest_bid DATA column under the
+    # sentinel partition, while per-batch partitions written since are
+    # id-only — footer sampling could hide either column. The manifest
+    # is tiny by construction, so the all-footers merge is free.
+    mv_raw = try_read_parquet(spark, _mv_path(path), mergeSchema="true")
     if mv_raw is None:
         return df.select(*cols)
+    ptr = (
+        F.coalesce(F.col("latest_bid"), F.col("batch_id"))
+        if "latest_bid" in mv_raw.columns
+        else F.col("batch_id")
+    )
     mv = (
         mv_raw.filter(F.col("batch_id") != F.lit(batch_id))
         .groupBy(id_col)
-        .agg(F.max("batch_id").alias("_latest"))
+        .agg(F.max(ptr).alias("_latest"))
         .localCheckpoint(eager=True)
     )
     n_mv = mv.count()
@@ -410,6 +420,61 @@ def read_state_latest(
     yet: bm25_search_from_index over a raw read would double-count a
     multi-version doc's terms."""
     return _read_state_latest_by(spark, path, -2, id_col, cols, schema)
+
+
+def compact_mv_manifest(spark: SparkSession, path: str, id_col: str) -> int:
+    """Self-compaction for a store's ``_mv`` multi-version manifest
+    (r13, VERDICT r12 #3): the sinks write one ``batch_id=N`` manifest
+    partition per micro-batch that carried a changed re-send, so a
+    HIGH-CHURN store's manifest listing grows linearly in re-send
+    batches between store compactions — and every latest-wins read
+    lists and scans all of them. This folds the whole history into ONE
+    sentinel partition (``batch_id=-1``, io.RESERVED_COMPACTED_BATCH)
+    holding each id's latest pointer as a ``latest_bid`` DATA column,
+    via the shared crash-safe rename-aside swap — the read is O(1)
+    files again regardless of churn. Store rows are untouched: this is
+    strictly cheaper than a full replace-compaction and can run far
+    more often (the replace-compaction still retires the manifest
+    entirely). Idempotent; re-folding a folded manifest keeps the
+    pointers (max over coalesce(latest_bid, batch_id)).
+
+    Replay interplay (why the maintenance slot needs no checkpoint
+    coordination): if the folded history includes an UNCOMMITTED batch
+    N and the stream replays it, the reader's own-batch exclusion no
+    longer hides those pointer rows — the replaying sink then sees the
+    re-sent id's latest pointer aimed at its own excluded partition,
+    so the id reads as absent, the delta op classifies the re-send as
+    NEW and re-emits the identical rows into partition N (the same
+    rows a changed-re-send classification emits) — the store, manifest
+    pointer, and checkpoint all converge to the pre-crash state. Loss
+    is impossible; the transient cost is one new-doc-shaped probe.
+    Returns the number of pointer rows kept. Missing manifest → 0."""
+    from chicago_crime_spark_ml_spark.sources.io import (  # noqa: PLC0415
+        RESERVED_COMPACTED_BATCH,
+        commit_compaction_swap,
+        recover_compaction_swap,
+        try_read_parquet,
+    )
+
+    mv_dir = _mv_path(path)
+    recover_compaction_swap(mv_dir)
+    mv = try_read_parquet(spark, mv_dir, mergeSchema="true")
+    if mv is None:
+        return 0
+    ptr = (
+        F.coalesce(F.col("latest_bid"), F.col("batch_id"))
+        if "latest_bid" in mv.columns
+        else F.col("batch_id")
+    )
+    rows = mv.groupBy(id_col).agg(
+        F.max(ptr).cast("long").alias("latest_bid")
+    )
+    staging = mv_dir + "__compacting"
+    rows.coalesce(1).write.mode("overwrite").parquet(
+        f"{staging}/batch_id={RESERVED_COMPACTED_BATCH}"
+    )
+    commit_compaction_swap(mv_dir, staging)
+    return spark.read.parquet(mv_dir).count()
 
 
 def streaming_near_dup_ingest(

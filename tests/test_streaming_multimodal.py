@@ -1670,3 +1670,83 @@ def test_plain_compaction_data_guard_catches_manifestless_resend(
         ).collect()
     }
     assert got == want
+
+
+def test_compact_mv_manifest_folds_listing_and_preserves_reads(
+    spark, tmp_path
+):
+    """r13 (VERDICT r12 #3): a high-churn store accumulates one _mv
+    partition per re-send batch between compactions; compact_mv_manifest
+    folds them into ONE sentinel partition carrying latest_bid pointers,
+    latest-wins reads return identical rows before/after (still one
+    store scan), later re-send batches append beside the sentinel
+    (mixed schema), and the fold is idempotent."""
+    import os
+
+    from chicago_crime_spark_ml_spark.plans import explain_str
+    from chicago_crime_spark_ml_spark.sources.io import mv_manifest_path
+    from chicago_crime_spark_ml_spark.streaming import (
+        _read_state_latest_by,
+        _write_multiversion_manifest,
+        compact_mv_manifest,
+    )
+
+    path = str(tmp_path / "churn_store")
+    # id 1 changes in every batch 1..4; id 2 changes once (batch 3)
+    for bid in range(5):
+        rs = [(1, f"v{bid}")] + ([(2, f"w{bid}")] if bid in (0, 3) else [])
+        spark.createDataFrame(rs, "doc_id BIGINT, term STRING").write.mode(
+            "overwrite"
+        ).parquet(f"{path}/batch_id={bid}")
+        resent = [(1,)] if bid > 0 else []
+        if bid == 3:
+            resent.append((2,))
+        _write_multiversion_manifest(
+            spark.createDataFrame(resent, "doc_id BIGINT"),
+            path,
+            bid,
+            "doc_id",
+        )
+
+    def read(bid):
+        return _read_state_latest_by(
+            spark, path, bid, "doc_id",
+            ["doc_id", "term"], "doc_id bigint, term string",
+        )
+
+    mv_dir = mv_manifest_path(path)
+    assert len(os.listdir(mv_dir)) >= 4  # one dir per re-send batch
+    before = {(r.doc_id, r.term) for r in read(99).collect()}
+    assert before == {(1, "v4"), (2, "w3")}
+    kept = compact_mv_manifest(spark, path, "doc_id")
+    assert kept == 2
+    assert [
+        x for x in os.listdir(mv_dir) if x.startswith("batch_id=")
+    ] == ["batch_id=-1"]
+    assert {(r.doc_id, r.term) for r in read(99).collect()} == before
+    # still exactly one scan of the STORE, and no aggregate in the plan
+    plan = explain_str(read(99), "simple")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Aggregate" not in plan, plan
+    # a later re-send batch appends beside the sentinel: the mixed
+    # (latest_bid data column + id-only) manifest still resolves
+    spark.createDataFrame(
+        [(1, "v5")], "doc_id BIGINT, term STRING"
+    ).write.mode("overwrite").parquet(f"{path}/batch_id=5")
+    _write_multiversion_manifest(
+        spark.createDataFrame([(1,)], "doc_id BIGINT"), path, 5, "doc_id"
+    )
+    assert {(r.doc_id, r.term) for r in read(99).collect()} == {
+        (1, "v5"),
+        (2, "w3"),
+    }
+    # idempotent re-fold keeps the newest pointers
+    assert compact_mv_manifest(spark, path, "doc_id") == 2
+    assert {(r.doc_id, r.term) for r in read(99).collect()} == {
+        (1, "v5"),
+        (2, "w3"),
+    }
+    # documented replay interplay: a replay of the folded batch 5 sees
+    # id 1's pointer aimed at its own excluded partition — the id reads
+    # as absent, so the delta op re-emits it as new (self-healing)
+    assert {(r.doc_id, r.term) for r in read(5).collect()} == {(2, "w3")}
