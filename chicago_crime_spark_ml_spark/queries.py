@@ -3978,6 +3978,217 @@ def streaming_compaction_span_check(
     return out
 
 
+# The LSH span cert's closed form: exact n-gram Jaccard pairs over the
+# even-id half corpus it streams (same cost-discipline subset as the
+# lexical span cert; the evens keep both poison families at every
+# shipped SF).
+_NGRAM_JACCARD_EVEN_CTES = _NGRAM_JACCARD_CTES.replace(
+    "AS w FROM documents)", "AS w FROM documents WHERE doc_id % 2 = 0)"
+)
+
+
+@query(
+    "streaming_lsh_span_check",
+    f"WITH {_NGRAM_JACCARD_EVEN_CTES} SELECT id_a, id_b, jaccard FROM jac",
+)
+def streaming_lsh_span_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A NEAR-DUP INGEST STREAM THAT SPANS A REPLACE-COMPACTION (r13,
+    VERDICT r12 #1 — extending streaming_compaction_span_check's
+    scenario from the lexical stores to the LSH band store, the family
+    where the crash/replay × compaction interplay was never certified
+    end to end). The run, all against ngram_jaccard_near_dups' exact
+    closed form over the TRUE even-id half corpus: (b0) every doc
+    arrives with doc_id%7==0 texts prefixed with one junk-shingle
+    family and %11==0 with another (both change the shingle set, hence
+    the minhash bands); (b1) the %7 docs are re-sent TRUE — a changed
+    re-send streaming_near_dup_ingest re-emits and records in the
+    ``_mv`` manifest. The stream is STOPPED,
+    io.compact_ingest_index(replace_latest_by='doc_id') collapses the
+    band store to the reserved ``batch_id=-1`` partition (manifest
+    retired by the swap), and the stream RESUMES FROM THE SAME
+    CHECKPOINT with (b2) the %11 docs re-sent TRUE — a changed re-send
+    detected AGAINST THE COMPACTED store. compact_mv_manifest (r13)
+    then folds the fresh manifest into its sentinel pointer partition,
+    and the serving read (streaming.read_state_latest — the %11 docs
+    are live multi-version) must yield a band index whose standard
+    consumer (band-bucket self-join candidates + exact Jaccard rescore
+    on the true texts) equals the closed form; a second
+    replace-compaction must leave the raw store row-for-row equal to
+    lsh_band_index over the true corpus. Banding is the 32×2
+    certification setting (per-pair miss ≤ 6.3e-15 at J ≥ 0.8), so a
+    red row means arithmetic, not banding luck. In-query raises pin
+    the layout at each phase — duplicates + non-empty manifest before
+    each compaction, exactly one sentinel directory after."""
+    import glob  # noqa: PLC0415
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from chicago_crime_spark_ml_spark.operators.dedup import (
+        lsh_band_index,
+        rescore_jaccard,
+    )
+    from chicago_crime_spark_ml_spark.sources.io import (
+        compact_ingest_index,
+    )
+    from chicago_crime_spark_ml_spark.streaming import (
+        compact_mv_manifest,
+        read_state_latest,
+        streaming_near_dup_ingest,
+    )
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 2 == 0)
+    )
+    is7 = F.col("doc_id") % 7 == 0
+    is11 = F.col("doc_id") % 11 == 0
+    poisoned = d.withColumn(
+        "text",
+        F.concat(
+            F.when(is7, F.lit("zq zq placeholder ")).otherwise(F.lit("")),
+            F.when(is11, F.lit("qj qj filler ")).otherwise(F.lit("")),
+            F.col("text"),
+        ),
+    )
+    batches = (
+        poisoned,            # b0: everything, two families poisoned
+        d.filter(is7),       # b1: %7 re-sent true (pre-compaction)
+        d.filter(is11),      # b2: %11 re-sent true (post-compaction)
+    )
+    root = tempfile.mkdtemp(prefix="stream_lsh_span_")
+    src = os.path.join(root, "src")
+    idx_path = os.path.join(root, "bands")
+    ckpt = os.path.join(root, "ckpt")
+    os.makedirs(src)
+
+    def stage(i: int, frame: DataFrame) -> None:
+        tmp = os.path.join(root, f"stage{i}")
+        frame.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"b{i}.parquet")
+        shutil.copyfile(part, dst)
+        t = 1_600_000_000 + i * 1_000
+        os.utime(dst, (t, t))
+
+    def run_stream() -> None:
+        stream = (
+            spark.readStream.schema("doc_id BIGINT, text STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = streaming_near_dup_ingest(
+            stream,
+            idx_path,
+            os.path.join(root, "pairs"),
+            ckpt,
+            num_hashes=32,
+            band_width=2,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    def phase(n_rows: int, multi: bool, label: str) -> None:
+        n = spark.read.parquet(idx_path).count()
+        mv_dir = os.path.join(idx_path, "_mv")
+        mv_rows = (
+            spark.read.parquet(mv_dir).count()
+            if os.path.isdir(mv_dir)
+            else None
+        )
+        if multi and not (n > n_rows and mv_rows):
+            raise AssertionError(
+                f"{label}: expected stale duplicate band rows + "
+                f"non-empty manifest, got rows={n} mv={mv_rows}"
+            )
+        if not multi and not (
+            n == n_rows
+            and mv_rows is None
+            and [
+                x
+                for x in os.listdir(idx_path)
+                if x.startswith("batch_id=")
+            ]
+            == ["batch_id=-1"]
+        ):
+            raise AssertionError(
+                f"{label}: expected latest-only rows under batch_id=-1 "
+                f"with the manifest retired, got rows={n} mv={mv_rows}"
+            )
+
+    try:
+        want_idx = lsh_band_index(
+            d, num_hashes=32, band_width=2
+        ).localCheckpoint(eager=True)
+        n_rows = want_idx.count()
+        stage(0, batches[0])
+        stage(1, batches[1])
+        run_stream()  # processes b0, b1; then the maintenance window
+        phase(n_rows, multi=True, label="pre-compaction")
+        compact_ingest_index(spark, idx_path, replace_latest_by="doc_id")
+        phase(n_rows, multi=False, label="post-compaction")
+        stage(2, batches[2])
+        run_stream()  # resumes from the checkpoint: b2 only
+        phase(n_rows, multi=True, label="post-resume")
+        # r13: fold the fresh manifest into its sentinel pointer
+        # partition — the serving read below must be unaffected
+        compact_mv_manifest(spark, idx_path, "doc_id")
+        if [
+            x
+            for x in os.listdir(os.path.join(idx_path, "_mv"))
+            if x.startswith("batch_id=")
+        ] != ["batch_id=-1"]:
+            raise AssertionError(
+                "manifest self-compaction must leave one sentinel dir"
+            )
+        served_idx = read_state_latest(
+            spark,
+            idx_path,
+            "doc_id",
+            ["doc_id", "band", "bucket"],
+            "doc_id long, band int, bucket bigint",
+        ).localCheckpoint(eager=True)
+
+        def consume(idx: DataFrame) -> DataFrame:
+            cand = (
+                idx.select("band", "bucket", F.col("doc_id").alias("id_a"))
+                .join(
+                    idx.select(
+                        "band", "bucket", F.col("doc_id").alias("id_b")
+                    ),
+                    ["band", "bucket"],
+                )
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b")
+                .distinct()
+            )
+            return rescore_jaccard(cand, d, threshold=0.8)
+
+        served = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in consume(served_idx).collect()
+        }
+        compact_ingest_index(spark, idx_path, replace_latest_by="doc_id")
+        phase(n_rows, multi=False, label="final compaction")
+        idx = spark.read.parquet(idx_path).drop("batch_id")
+        if idx.exceptAll(want_idx).count() + want_idx.exceptAll(idx).count():
+            raise AssertionError(
+                "the twice-compacted band store must equal a rebuild "
+                "over the latest contents"
+            )
+        out = consume(idx).localCheckpoint(eager=True)  # before rmtree
+        if {(r.id_a, r.id_b, r.jaccard) for r in out.collect()} != served:
+            raise AssertionError(
+                "latest-wins serving and the compacted rebuild disagree"
+            )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 _LATERAL_TOP_ITEM_SQL = """
     SELECT o.o_orderkey, t.l_extendedprice AS top_price,
            t.l_linenumber AS top_linenumber
@@ -7337,6 +7548,177 @@ def ivf_compact_replace_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             if c.startswith("cell=")
         )
         assert one_part_per_cell, "cells not collapsed to the sentinel"
+        rows = [("pre", r.vec_id, r.cosine) for r in pre] + [
+            ("post", r.vec_id, r.cosine) for r in post
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return (
+        spark.createDataFrame(
+            rows, "phase string, vec_id long, cosine double"
+        )
+        .orderBy(F.desc("phase"), F.desc("cosine"), F.asc("vec_id"))
+    )
+
+
+@query(
+    "streaming_ivf_span_check",
+    """
+    WITH latest AS (
+        SELECT vec_id,
+               CASE WHEN vec_id % 11 = 0
+                    THEN list_transform(embedding::DOUBLE[], x -> x + 0.25)
+                    WHEN vec_id % 7 = 0
+                    THEN list_transform(embedding::DOUBLE[], x -> x + 0.5)
+                    ELSE embedding::DOUBLE[] END AS e
+        FROM embeddings),
+    q AS (SELECT e AS qe FROM latest WHERE vec_id = 0),
+    topk AS (
+        SELECT vec_id,
+               round(list_cosine_similarity(e, qe), 4) AS cosine
+        FROM latest, q
+        ORDER BY cosine DESC, vec_id
+        LIMIT 10)
+    SELECT phase, vec_id, cosine
+    FROM (SELECT 'pre' AS phase UNION ALL SELECT 'post') p, topk
+    ORDER BY phase DESC, cosine DESC, vec_id
+    """,
+)
+def streaming_ivf_span_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AN EMBEDDING-INGEST STREAM THAT SPANS A REPLACE-COMPACTION
+    (r13, VERDICT r12 #1 — the IVF member of the span-cert family):
+    streaming_ivf_ingest runs as a REAL checkpointed stream in two
+    micro-batches — (b0) the vec_id%5==0 delta, (b1) every %7==0 id
+    re-sent with CHANGED embeddings (x+0.5) — against a base index on
+    the %5!=0 ids. The stream is STOPPED;
+    compact_ivf_index(replace_latest_by='vec_id') physically drops the
+    superseded versions AND (r13, VERDICT r12 #8) folds the ``__seq``
+    registry into its sentinel partition — the in-query raises pin
+    per-id row counts at 1, one compacted partition per cell, and one
+    registry directory. The stream then RESUMES FROM THE SAME
+    CHECKPOINT with (b2) the %11==0 ids re-sent at x+0.25 — the
+    registry must hand batch-2 the next seq ABOVE the folded history
+    (3), or the probe-time latest-wins would resolve the %77 ids to
+    the wrong version. Probe ``pre`` (live multi-version) certifies
+    probe-time per-id latest-wins across a compaction boundary; a
+    second replace-compaction and probe ``post`` must return identical
+    rows. Both probes run at full n_probe so the closed form — the
+    exact cosine top-10 over each id's LATEST version (%11 wins over
+    %7 for the %77 ids; the query vector is vec 0's newest, %77,
+    version) — is cell-layout-independent and the k-means fit drops
+    out of the oracle."""
+    import glob  # noqa: PLC0415
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from chicago_crime_spark_ml_spark.operators.similarity import (
+        compact_ivf_index,
+        probe_ivf_index,
+        write_ivf_index,
+    )
+    from chicago_crime_spark_ml_spark.streaming import streaming_ivf_ingest
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n_ids = emb.count()
+
+    def shifted(pred, delta):
+        return emb.filter(pred).select(
+            "vec_id",
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: x + F.lit(delta),
+            ).alias("embedding"),
+        )
+
+    batches = (
+        emb.filter(F.col("vec_id") % 5 == 0).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        ),                                          # b0: the delta ids
+        shifted(F.col("vec_id") % 7 == 0, 0.5),     # b1: %7 changed
+        shifted(F.col("vec_id") % 11 == 0, 0.25),   # b2: %11 changed
+    )
+    root = tempfile.mkdtemp(prefix="stream_ivf_span_")
+    src = os.path.join(root, "src")
+    path = os.path.join(root, "ivf")
+    ckpt = os.path.join(root, "ckpt")
+    os.makedirs(src)
+
+    def stage(i: int, frame: DataFrame) -> None:
+        tmp = os.path.join(root, f"stage{i}")
+        frame.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"b{i}.parquet")
+        shutil.copyfile(part, dst)
+        t = 1_600_000_000 + i * 1_000
+        os.utime(dst, (t, t))
+
+    def run_stream() -> None:
+        stream = (
+            spark.readStream.schema("vec_id BIGINT, embedding ARRAY<DOUBLE>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = streaming_ivf_ingest(stream, path, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    try:
+        write_ivf_index(emb.filter(F.col("vec_id") % 5 != 0), path, n_clusters=8)
+        stage(0, batches[0])
+        stage(1, batches[1])
+        run_stream()  # processes b0, b1; then the maintenance window
+        store = spark.read.parquet(path)
+        if not store.count() > n_ids:
+            raise AssertionError(
+                "changed re-sends must leave stale duplicate vectors"
+            )
+        compact_ivf_index(spark, path, replace_latest_by="vec_id")
+        store = spark.read.parquet(path)
+        if store.count() != n_ids or store.select(
+            "vec_id"
+        ).distinct().count() != n_ids:
+            raise AssertionError(
+                "replace-compaction must keep exactly one row per id"
+            )
+        if [
+            x for x in os.listdir(path + "__seq") if x.startswith("ingest=")
+        ] != ["ingest=__compacted__"]:
+            raise AssertionError(
+                "compaction must fold the seq registry into one "
+                "sentinel partition"
+            )
+        if not all(
+            os.listdir(os.path.join(path, c)) == ["ingest=__compacted__"]
+            for c in os.listdir(path)
+            if c.startswith("cell=")
+        ):
+            raise AssertionError("cells not collapsed to the sentinel")
+        stage(2, batches[2])
+        run_stream()  # resumes from the checkpoint: b2 only
+        n11 = emb.filter(F.col("vec_id") % 11 == 0).count()
+        store = spark.read.parquet(path)
+        if store.count() != n_ids + n11:
+            raise AssertionError(
+                "the post-resume re-send must append its versions "
+                "beside the compacted corpus"
+            )
+        # the resumed batch's seq must sit ABOVE the folded history
+        # (base=0, batch-0=1, batch-1=2 → batch-2=3)
+        if store.agg(F.max("ingest_seq")).first()[0] != 3:
+            raise AssertionError(
+                "the registry must hand the resumed batch the next "
+                "seq above the folded history"
+            )
+        qvec = [
+            float(x) + 0.25
+            for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+        ]
+        pre = probe_ivf_index(spark, path, qvec, k=10, n_probe=8).collect()
+        compact_ivf_index(spark, path, replace_latest_by="vec_id")
+        post = probe_ivf_index(spark, path, qvec, k=10, n_probe=8).collect()
         rows = [("pre", r.vec_id, r.cosine) for r in pre] + [
             ("post", r.vec_id, r.cosine) for r in post
         ]
@@ -13470,6 +13852,268 @@ def frame_compact_replace_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("int").alias("shared_frames"))
         .filter(F.col("shared_frames") >= 4)
     )
+
+
+@query(
+    "streaming_frame_span_check",
+    # the same quarter-corpus video-pairs closed form as
+    # frame_compact_replace_check: the final state IS the true corpus
+    _VIDEO_PAIRS_SQL.replace(
+        "FROM documents", "FROM documents WHERE doc_id % 8 < 2"
+    ),
+)
+def streaming_frame_span_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A VIDEO-FRAME INGEST STREAM THAT SPANS A REPLACE-COMPACTION
+    (r13, VERDICT r12 #1 — the media member of the span-cert family,
+    running the REAL blob decode through
+    streaming_media_near_dup_ingest(modality='video')). Two poison
+    families on the quarter corpus (ids ≡ 0,1 mod 8): (b0) every
+    stream arrives with doc_id%3==0 streams carrying an extra
+    per-doc-unique junk frame 'x<id>' and %5==0 streams 'y<id>' (junk
+    frames embed the id so they can match nothing); (b1) the %3
+    streams re-sent TRUE — a strict SUBSET of the stored hash set,
+    exactly the changed-re-send class the per-id count identity
+    detects — recorded in the ``_mv`` manifest. STOP;
+    io.compact_ingest_index(replace_latest_by='doc_id'); RESUME FROM
+    THE SAME CHECKPOINT with (b2) the %5 streams re-sent TRUE, a
+    subset change detected AGAINST THE COMPACTED store (the %15 ids,
+    already true since b1, must be classified unchanged and dropped).
+    The containment consumer (distinct-frame-hash equi-join, ≥4
+    shared) served through streaming.read_state_latest must equal
+    multimodal_video_near_dup_pairs' closed form on the TRUE quarter
+    corpus; a second replace-compaction must leave the raw store
+    row-for-row equal to frame_stream_dhash over the true streams and
+    the identical consumer output."""
+    import glob  # noqa: PLC0415
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from chicago_crime_spark_ml_spark.operators.multimodal import (
+        frame_stream_dhash,
+        synthesize_netpbm_stream_blobs,
+    )
+    from chicago_crime_spark_ml_spark.sources.io import (
+        compact_ingest_index,
+    )
+    from chicago_crime_spark_ml_spark.streaming import (
+        read_state_latest,
+        streaming_media_near_dup_ingest,
+    )
+
+    docs = _doc_ids(spark, sf_dir).filter(F.col("doc_id") % 8 < 2)
+    g = F.floor(F.col("doc_id") / F.lit(2))
+    is_a = F.col("doc_id") % 3 == 0
+    is_b = F.col("doc_id") % 5 == 0
+
+    def frame_of(lbl):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda r: F.transform(
+                F.sequence(F.lit(0), F.lit(17)),
+                lambda c: F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("_", g, lbl, r, c)), 1, 2
+                    ),
+                    16,
+                    10,
+                ).cast("int"),
+            ),
+        )
+
+    def frames_expr(junk_a: bool, junk_b: bool):
+        base = F.transform(
+            F.sequence(F.lit(0), F.lit(5)),
+            lambda fi: F.transform(
+                F.sequence(F.lit(0), F.lit(15)),
+                lambda r: F.transform(
+                    F.sequence(F.lit(0), F.lit(17)),
+                    lambda c: F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    "_",
+                                    g,
+                                    F.when(
+                                        (F.col("doc_id") % 2 == 1)
+                                        & (fi == 5),
+                                        F.lit("z"),
+                                    ).otherwise(fi.cast("string")),
+                                    r,
+                                    c,
+                                )
+                            ),
+                            1,
+                            2,
+                        ),
+                        16,
+                        10,
+                    ).cast("int"),
+                ),
+            ),
+        )
+        out = base
+        if junk_a:
+            jx = frame_of(
+                F.concat(F.lit("x"), F.col("doc_id").cast("string"))
+            )
+            out = F.when(is_a, F.concat(out, F.array(jx))).otherwise(out)
+        if junk_b:
+            jy = frame_of(
+                F.concat(F.lit("y"), F.col("doc_id").cast("string"))
+            )
+            out = F.when(is_b, F.concat(out, F.array(jy))).otherwise(out)
+        return out
+
+    def blobs_of(frame_docs: DataFrame) -> DataFrame:
+        return synthesize_netpbm_stream_blobs(frame_docs)
+
+    sig_of = lambda frame_docs: (  # noqa: E731
+        frame_stream_dhash(blobs_of(frame_docs))
+        .select("doc_id", "dhash")
+        .distinct()
+    )
+    batches = (
+        blobs_of(docs.select("doc_id", frames_expr(True, True).alias("frames"))),
+        blobs_of(
+            docs.filter(is_a).select(
+                "doc_id", frames_expr(False, False).alias("frames")
+            )
+        ),
+        blobs_of(
+            docs.filter(is_b).select(
+                "doc_id", frames_expr(False, False).alias("frames")
+            )
+        ),
+    )
+    root = tempfile.mkdtemp(prefix="stream_frame_span_")
+    src = os.path.join(root, "src")
+    idx_path = os.path.join(root, "frames")
+    ckpt = os.path.join(root, "ckpt")
+    os.makedirs(src)
+
+    def stage(i: int, frame: DataFrame) -> None:
+        tmp = os.path.join(root, f"stage{i}")
+        frame.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"b{i}.parquet")
+        shutil.copyfile(part, dst)
+        t = 1_600_000_000 + i * 1_000
+        os.utime(dst, (t, t))
+
+    def run_stream() -> None:
+        stream = (
+            spark.readStream.schema("doc_id BIGINT, blob BINARY")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = streaming_media_near_dup_ingest(
+            stream,
+            idx_path,
+            os.path.join(root, "pairs"),
+            ckpt,
+            modality="video",
+            min_shared=4,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    def phase(n_rows: int, multi: bool, label: str) -> None:
+        n = spark.read.parquet(idx_path).count()
+        mv_dir = os.path.join(idx_path, "_mv")
+        mv_rows = (
+            spark.read.parquet(mv_dir).count()
+            if os.path.isdir(mv_dir)
+            else None
+        )
+        if multi and not (n > n_rows and mv_rows):
+            raise AssertionError(
+                f"{label}: expected stale duplicate frame rows + "
+                f"non-empty manifest, got rows={n} mv={mv_rows}"
+            )
+        if not multi and not (
+            n == n_rows
+            and mv_rows is None
+            and [
+                x
+                for x in os.listdir(idx_path)
+                if x.startswith("batch_id=")
+            ]
+            == ["batch_id=-1"]
+        ):
+            raise AssertionError(
+                f"{label}: expected latest-only rows under batch_id=-1 "
+                f"with the manifest retired, got rows={n} mv={mv_rows}"
+            )
+
+    def consume(idx: DataFrame) -> DataFrame:
+        a = idx.select(F.col("doc_id").alias("id_a"), "dhash")
+        b = idx.select(F.col("doc_id").alias("id_b"), "dhash")
+        return (
+            a.join(b, "dhash")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).cast("int").alias("shared_frames"))
+            .filter(F.col("shared_frames") >= 4)
+        )
+
+    try:
+        want_idx = sig_of(
+            docs.select("doc_id", frames_expr(False, False).alias("frames"))
+        ).localCheckpoint(eager=True)
+        n_rows = want_idx.count()
+        # after the FIRST compaction the %5-only docs' latest version
+        # is still the poisoned one — one extra (junk-y) hash row each
+        n_b_only = docs.filter(is_b & ~is_a).count()
+        stage(0, batches[0])
+        stage(1, batches[1])
+        run_stream()  # processes b0, b1; then the maintenance window
+        phase(n_rows, multi=True, label="pre-compaction")
+        compact_ingest_index(spark, idx_path, replace_latest_by="doc_id")
+        phase(n_rows + n_b_only, multi=False, label="post-compaction")
+        stage(2, batches[2])
+        run_stream()  # resumes from the checkpoint: b2 only
+        phase(n_rows, multi=True, label="post-resume")
+        # the %15 ids were already true after b1 — the resumed batch
+        # must classify them unchanged (dropped, not re-emitted)
+        resent = spark.read.parquet(
+            os.path.join(idx_path, "_mv")
+        ).select("doc_id").distinct()
+        if resent.filter(F.col("doc_id") % 3 == 0).count() != 0:
+            raise AssertionError(
+                "already-true %15 streams must not be re-emitted"
+            )
+        served_idx = read_state_latest(
+            spark,
+            idx_path,
+            "doc_id",
+            ["doc_id", "dhash"],
+            "doc_id long, dhash string",
+        ).localCheckpoint(eager=True)
+        served = {
+            (r.id_a, r.id_b, r.shared_frames)
+            for r in consume(served_idx).collect()
+        }
+        compact_ingest_index(spark, idx_path, replace_latest_by="doc_id")
+        phase(n_rows, multi=False, label="final compaction")
+        idx = spark.read.parquet(idx_path).drop("batch_id")
+        if idx.exceptAll(want_idx).count() + want_idx.exceptAll(idx).count():
+            raise AssertionError(
+                "the twice-compacted frame store must equal a rebuild "
+                "over the latest streams"
+            )
+        out = consume(idx).localCheckpoint(eager=True)  # before rmtree
+        if {
+            (r.id_a, r.id_b, r.shared_frames) for r in out.collect()
+        } != served:
+            raise AssertionError(
+                "latest-wins serving and the compacted rebuild disagree"
+            )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
 
 
 @query(

@@ -487,6 +487,7 @@ def streaming_near_dup_ingest(
     n: int = 3,
     num_hashes: int = 8,
     seed: int = 42,
+    band_width: int = 1,
     query_name: str = "near_dup_ingest",
 ):
     """Continuous-ingestion near-dup detection: the streaming form of
@@ -547,6 +548,7 @@ def streaming_near_dup_ingest(
             n=n,
             num_hashes=num_hashes,
             seed=seed,
+            band_width=band_width,
             return_resent=True,
         )
         delta_rows = delta_rows.localCheckpoint(eager=True)
