@@ -427,6 +427,48 @@ def connected_components(
     return labels
 
 
+def near_dup_star_edges(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_members_per_component: int | None = None,
+) -> DataFrame:
+    """BOUNDED-OUTPUT near-dup listing (r13, VERDICT r12 #4): the
+    all-pairs-within-family form every near-dup query emits is itself
+    superlinear in family size — the r12 sf1 sweep measured the
+    simhash PAIR OUTPUT growing ×30 on ×10 data because dup families
+    accumulate members, and at 100 TB the m² listing of a hot family
+    is the scale-killer even under a perfect plan. This contracts the
+    pair graph to its connected components
+    (:func:`connected_components`) and emits one STAR EDGE per member
+    — (rep_id, member_id) with rep the component's minimum id, the
+    canonical keep-this-one representative — so the output is O(docs
+    in any family), not O(pairs), while still identifying every
+    family exactly (the star spans the same components as the full
+    pair set). ``max_members_per_component`` additionally caps the
+    listing per family to the smallest ``k`` member ids (deterministic
+    — the triage-UI form; the representative assignment itself is
+    uncapped and exact). The full pair listing remains available from
+    the underlying pair operators when the quadratic output is the
+    point. Cost: the CC rounds are join+min-agg shuffles keyed on node
+    id; the cap is a per-component window whose sort is linear in the
+    family being capped."""
+    labels = connected_components(pairs, src=src, dst=dst)
+    star = labels.filter(F.col("node") != F.col("label")).select(
+        F.col("label").alias("rep_id"), F.col("node").alias("member_id")
+    )
+    if max_members_per_component is not None:
+        from pyspark.sql import Window  # noqa: PLC0415
+
+        w = Window.partitionBy("rep_id").orderBy("member_id")
+        star = (
+            star.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= int(max_members_per_component))
+            .drop("_rn")
+        )
+    return star
+
+
 def connected_components_delta(
     labels: DataFrame,
     new_edges: DataFrame,

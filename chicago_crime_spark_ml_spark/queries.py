@@ -2397,6 +2397,54 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "simhash_dedup_star_edges",
+    f"""
+    WITH RECURSIVE {_simhash_cte()},
+    prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+    edges AS (SELECT id_a AS a, id_b AS b FROM prs
+              UNION ALL SELECT id_b, id_a FROM prs),
+    reach(src, dst) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+    comp AS (SELECT src AS node, least(src, min(dst)) AS label
+             FROM reach GROUP BY src),
+    star AS (SELECT CAST(label AS BIGINT) AS rep_id,
+                    CAST(node AS BIGINT) AS member_id
+             FROM comp WHERE node <> label),
+    ranked AS (SELECT rep_id, member_id,
+                      row_number() OVER (PARTITION BY rep_id
+                                         ORDER BY member_id) AS rn
+               FROM star)
+    SELECT rep_id, member_id FROM ranked WHERE rn <= 5
+    """,
+)
+def simhash_dedup_star_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BOUNDED-OUTPUT form of simhash near-dup detection (r13,
+    VERDICT r12 #4): the full pair listing (simhash_near_dups) grows
+    quadratically within dup families — the r12 sf1 sweep measured its
+    output ×30 on ×10 data, making the listing itself the scale
+    bottleneck at 100 TB. Here the Hamming-≤3 pair graph contracts to
+    connected components and each family lists only its canonical
+    representative (min id) with its 5 smallest member ids — output
+    O(min(family, 5)) per family regardless of family size, exact and
+    deterministic. The oracle replays the same SimHash, the all-pairs
+    Hamming scan (the banded join provably equals it at ≤3 bits — the
+    simhash_near_dups pigeonhole contract), a recursive-CTE transitive
+    closure, and the identical row_number cap."""
+    from chicago_crime_spark_ml_spark.operators.dedup import (
+        near_dup_star_edges,
+        simhash_hamming_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = simhash_hamming_pairs(d, max_hamming=3).select("id_a", "id_b")
+    return near_dup_star_edges(pairs, max_members_per_component=5)
+
+
+@query(
     "minhash_lsh_near_dups",
     f"WITH {_NGRAM_JACCARD_CTES} SELECT id_a, id_b, jaccard FROM jac",
 )
