@@ -553,7 +553,10 @@ def write_ivf_index(
     """Materialize the IVF index the way ann_ivf_topk's docstring
     promises: cell assignments written as parquet PARTITIONED BY cell
     (each k-means cell is its own directory), centroids as a tiny
-    sidecar parquet at ``<path>__centers``. A probe then reads only the
+    in-store ``<path>/_centers`` parquet (underscore-prefixed →
+    invisible to the store's own reads, and carried ATOMICALLY by
+    every rename-aside swap; legacy ``<path>__centers`` sidecars are
+    still readable — read_ivf_centers). A probe then reads only the
     ``n_probe`` matching directories — directory-level partition
     pruning, no scan of the other cells — which is the difference
     between an ANN lookup and a corpus scan at 100 TB. Build cost is
@@ -620,19 +623,75 @@ def _kmeans_base_assign(df, n_clusters, vec_col, id_col, seed):
     return assigned, centers, vecs
 
 
-def _write_ivf_sidecars(spark, path: str, centers) -> None:
-    """Write the ``__centers`` sidecar and reset the ``__seq`` registry
-    for a fresh base build: a full (re)build supersedes every earlier
-    delta, so the version order restarts at 0 (iid duplicates the id
-    inside the file — see _SEQ_REG_SCHEMA)."""
+# The centroids live INSIDE the store directory under an underscore-
+# prefixed name (r13 review): partition discovery skips "_"-prefixed
+# paths, so the store's own parquet reads never see them, and every
+# rename-aside swap (rebuild, compaction) moves the data and the
+# centroids it was clustered with ATOMICALLY — with the old external
+# `<path>__centers` sidecar there was a window between the data swap
+# and the sidecar write where a concurrent probe ranked the NEW cell
+# partitioning with the OLD centroids, pruning to the wrong cell
+# directories and silently missing true neighbors. Same trick as the
+# streaming stores' _mv manifest.
+_CENTERS_DIRNAME = "_centers"
+
+
+def _centers_path(path: str) -> str:
+    return path.rstrip("/") + "/" + _CENTERS_DIRNAME
+
+
+def read_ivf_centers(spark, path: str):
+    """Read an IVF store's centroids: the in-store ``_centers``
+    directory (r13 layout — atomic with every swap), falling back to
+    the legacy external ``<path>__centers`` sidecar for stores written
+    by earlier builds. A store with neither raises the centers read's
+    own missing-path AnalysisException — a missing index is a real
+    error for every centroid consumer (frozen-centroid assignment is
+    meaningless without centroids). Existence probe is driver-local
+    os.path, same LOCAL-FILESYSTEM-ONLY stance as the swap helpers."""
+    import os  # noqa: PLC0415
+
+    inside = _centers_path(path)
+    if os.path.exists(inside):
+        return spark.read.parquet(inside)
+    return spark.read.parquet(path.rstrip("/") + "__centers")
+
+
+def _write_centers(spark, dir_path: str, centers) -> None:
+    """Write the centroids INSIDE ``dir_path`` (store or staging dir —
+    writing into staging is what makes a rebuild's swap atomic for
+    data + centroids together)."""
     spark.createDataFrame(
         centers, "cell INT, center ARRAY<DOUBLE>"
-    ).coalesce(1).write.mode("overwrite").parquet(path + "__centers")
+    ).coalesce(1).write.mode("overwrite").parquet(_centers_path(dir_path))
+
+
+def _reset_seq_registry(spark, path: str) -> None:
+    """Reset the ``__seq`` registry for a fresh base build: a full
+    (re)build supersedes every earlier delta, so the version order
+    restarts at 0 (iid duplicates the id inside the file — see
+    _SEQ_REG_SCHEMA). Crash window (rebuild: after the data swap,
+    before this reset) is benign: stale registry seqs are all ≥ 1, so
+    a post-crash delta still stamps ABOVE the new base's 0, and
+    replays of pre-rebuild ingest ids are out of contract anyway —
+    unlike stale centroids, which is why only the registry stays an
+    external sidecar."""
     spark.createDataFrame(
         [(0, "base", "base")], "seq LONG, iid STRING, ingest STRING"
     ).coalesce(1).write.mode("overwrite").partitionBy("ingest").parquet(
         path + "__seq"
     )
+
+
+def _write_ivf_sidecars(spark, path: str, centers) -> None:
+    """Centers (in-store) + registry reset for a fresh base build at
+    ``path``; retires a stale legacy external ``__centers`` sidecar so
+    the fallback read can never resurrect superseded centroids."""
+    import shutil  # noqa: PLC0415
+
+    _write_centers(spark, path, centers)
+    _reset_seq_registry(spark, path)
+    shutil.rmtree(path.rstrip("/") + "__centers", ignore_errors=True)
 
 
 def rebuild_ivf_index(
@@ -658,15 +717,19 @@ def rebuild_ivf_index(
     ``__centers`` sidecar and a reset ``__seq`` registry. Afterwards
     probes, deltas, and replace-compaction all operate normally.
 
-    Crash contract: the data swap itself is crash-safe, but the
-    sidecars are separate directories with no cross-directory
-    transaction (bare parquet) — a crash between the swap and the
-    sidecar writes leaves new cells probed with the old centroids.
-    The whole job is idempotent (a pure function of ``latest_df``):
-    RERUN IT after any crash. Works on a healthy store too — it is
-    simply write_ivf_index with a crash-safe swap instead of an
-    in-place overwrite (which has a window where the store is absent
-    and a concurrent probe reads an EMPTY index)."""
+    Crash contract: the centroids are written INTO the staging
+    directory (in-store ``_centers`` layout, r13 review), so the swap
+    exposes the re-clustered cells and the centroids they were fit
+    with ATOMICALLY — no window where a concurrent probe ranks the new
+    cell partitioning with the old centroids (the old external-sidecar
+    layout had exactly that wrong-answer window on EVERY run, not just
+    crashes). Only the ``__seq`` registry reset remains post-swap; its
+    crash window is benign (see _reset_seq_registry). The whole job is
+    idempotent (a pure function of ``latest_df``): RERUN IT after any
+    crash. Works on a healthy store too — it is simply write_ivf_index
+    with a crash-safe swap instead of an in-place overwrite (which has
+    a window where the store is absent and a concurrent probe reads an
+    EMPTY index)."""
     from chicago_crime_spark_ml_spark.sources.io import (  # noqa: PLC0415
         commit_compaction_swap,
         recover_compaction_swap,
@@ -677,17 +740,22 @@ def rebuild_ivf_index(
         latest_df, n_clusters, vec_col, id_col, seed
     )
     import os as _os  # noqa: PLC0415
+    import shutil as _shutil  # noqa: PLC0415
 
     staging = path.rstrip("/") + "__compacting"
     assigned.write.mode("overwrite").partitionBy("cell", "ingest").parquet(
         staging
     )
     vecs.unpersist()
+    _write_centers(spark, staging, centers)
     if _os.path.exists(path.rstrip("/")):
         commit_compaction_swap(path, staging)
     else:
         _os.rename(staging, path.rstrip("/"))
-    _write_ivf_sidecars(spark, path, centers)
+    _reset_seq_registry(spark, path)
+    # retire a legacy external sidecar so the fallback read can never
+    # resurrect the pre-rebuild centroids
+    _shutil.rmtree(path.rstrip("/") + "__centers", ignore_errors=True)
 
 
 def assign_to_centroids(
@@ -753,11 +821,21 @@ def _read_seq_registry(spark, reg_path: str):
     _SEQ_REG_SCHEMA) plus an ``ingest_id`` column normalized across
     layouts — ``iid`` where a file carries it (r13 writes, compacted
     sentinel partitions), the partition value otherwise. None when the
-    registry doesn't exist (pre-registry store)."""
+    registry doesn't exist (pre-registry store).
+
+    Heals a crashed registry fold FIRST (r13 review): between the
+    fold's two renames the registry sits at ``__seq__old`` — without
+    the restore this read returns None, so _next_ingest_seq would hand
+    out a colliding seq AND probe_ivf_index's mixed-store detection
+    would miss the registry and probe a mixed store as pure-legacy
+    (surfacing superseded versions). Centralizing the heal here covers
+    every registry consumer; one driver-local os.path.exists."""
     from chicago_crime_spark_ml_spark.sources.io import (  # noqa: PLC0415
+        recover_compaction_swap,
         try_read_parquet,
     )
 
+    recover_compaction_swap(reg_path)
     reg = try_read_parquet(spark, reg_path, schema=_SEQ_REG_SCHEMA)
     if reg is None:
         return None
@@ -789,15 +867,10 @@ def _next_ingest_seq(spark, path: str, ingest_id: str) -> int:
     collapsed '0123'/'123'). Single-writer per index (the streaming
     sink's foreachBatch serialization), same contract as the store
     itself."""
-    from chicago_crime_spark_ml_spark.sources.io import (  # noqa: PLC0415
-        recover_compaction_swap,
-    )
-
     reg_path = path + "__seq"
-    # heal a registry-compaction crash (r13): between the swap's two
-    # renames the registry is absent, and reading None here would hand
-    # this ingest seq 1 — colliding with history. Cheap os.path probe.
-    recover_compaction_swap(reg_path)
+    # a registry-compaction crash (fold mid-swap) would hand this
+    # ingest seq 1 — colliding with history; _read_seq_registry's
+    # centralized recovery preamble restores the registry first
     reg = _read_seq_registry(spark, reg_path)
     seq = None
     if reg is not None:
@@ -831,7 +904,7 @@ def ivf_index_delta(
 ) -> DataFrame:
     """Incremental IVF maintenance — the EMBEDDING twin of the text/
     image/video delta indexes: assign ONLY the delta vectors to the
-    index's frozen centroids (read from the ``__centers`` sidecar,
+    index's frozen centroids (read via read_ivf_centers,
     broadcast — bounded) and land them in the (cell, ingest)
     partitioned layout, so :func:`probe_ivf_index` sees new vectors
     immediately with zero refit and zero rewrite of existing cells.
@@ -868,7 +941,17 @@ def ivf_index_delta(
             f"ingest_id {ingest_id!r} must match [A-Za-z0-9._-]+ (it "
             "names a partition directory and a seq-registry partition)"
         )
-    centers = spark.read.parquet(path + "__centers")
+    from chicago_crime_spark_ml_spark.sources.io import (  # noqa: PLC0415
+        recover_compaction_swap,
+    )
+
+    # heal a crashed store compaction first (r13 review): writing this
+    # delta into a store whose data sits at `<path>__old` would
+    # re-create the live directory, and the next compaction's recovery
+    # preamble would then delete `__old` as garbage — losing the whole
+    # compacted history. Same rule as the streaming state reads.
+    recover_compaction_swap(path)
+    centers = read_ivf_centers(spark, path)
     # registered BEFORE the data write: a replay that crashed between
     # registration and the row write re-reads the SAME seq
     seq = _next_ingest_seq(spark, path, str(ingest_id))
@@ -942,8 +1025,13 @@ def compact_ivf_index(
     target_file_rows)`` so probing one cell still fans out across
     executors instead of reading one giant file serially. The swap
     is the shared crash-safe rename-aside (io.commit_compaction_swap;
-    recovery preamble repairs any prior crash). The ``__centers``
-    sidecar is not touched. Replays of pre-compaction ingest ids are
+    recovery preamble repairs any prior crash); an in-store
+    ``_centers`` directory (r13 layout) is copied into staging first
+    so the swap carries data + centroids together, and rows WITHOUT a
+    recorded ``ingest_seq`` keep their original ingest partition
+    (file-merge only) — collapsing them to the sentinel would erase
+    the legacy-multi version signal the probe and the replace refusal
+    both depend on (r13 review). Replays of pre-compaction ingest ids are
     out of contract once compacted (same rule as compact_ingest_index:
     the stream's checkpoint is already past them); a replayed id
     lands as a fresh partition and DUPLICATES its vectors (recall
@@ -1011,17 +1099,51 @@ def compact_ivf_index(
     # the split is deterministic and layout-schema-agnostic
     data_cols = [c for c in df.columns if c not in ("cell", "ingest")]
     salt = F.pmod(F.xxhash64(*data_cols), F.lit(files_per_cell))
+    # The sentinel only ever covers rows whose version order is
+    # RECORDED (r13 review): rows without an ingest_seq keep their
+    # original ingest partition through plain compaction. Collapsing
+    # them too would erase the only remaining version signal — after a
+    # plain compaction of a mixed store holding two pre-seq versions of
+    # one id, probe_ivf_index's legacy-multi detection
+    # (countDistinct(ingest) over null-seq rows) would read 1 and
+    # silently tie-break by cosine, and replace-compaction's refusal
+    # would stop firing and keep BOTH versions forever. Preserving the
+    # partitions keeps both guards working; the file-merge benefit is
+    # intact (each preserved partition still collapses to
+    # files_per_cell files) and the preserved directory count is
+    # bounded by the finite pre-seq history. Fully-stamped stores (the
+    # r12+ writers, and every replace-compaction output — its coalesce
+    # stamps all rows) collapse to the sentinel alone, as before.
+    if "ingest_seq" in df.columns:
+        new_ingest = F.when(
+            F.col("ingest_seq").isNull(), F.col("ingest")
+        ).otherwise(F.lit(COMPACTED_INGEST))
+    else:
+        # pure-legacy store: no version order recorded anywhere — keep
+        # every ingest partition, merge files only
+        new_ingest = F.col("ingest")
     out = (
-        df.drop("ingest")
+        df.withColumn("_ing", new_ingest)
+        .drop("ingest")
+        .withColumnRenamed("_ing", "ingest")
         .withColumn("_salt", salt)
         .repartition(n, "cell", "_salt")
         .drop("_salt")
-        .withColumn("ingest", F.lit(COMPACTED_INGEST))
     )
     staging = path.rstrip("/") + "__compacting"
     out.write.mode("overwrite").partitionBy("cell", "ingest").parquet(
         staging
     )
+    import os as _os  # noqa: PLC0415
+    import shutil as _shutil  # noqa: PLC0415
+
+    # carry the in-store centroids through the swap (r13 layout): the
+    # cells are unchanged by compaction, so the centroids are too —
+    # losing the _centers directory in the swap would orphan the store
+    # from every probe. Legacy external sidecars are outside the store
+    # directory and survive the swap untouched.
+    if _os.path.exists(_centers_path(path)):
+        _shutil.copytree(_centers_path(path), _centers_path(staging))
     commit_compaction_swap(path, staging)
     # Registry compaction (r13, VERDICT r12 #8): the __seq registry
     # grows one `ingest=<id>` directory per ingest ever seen and is
@@ -1073,7 +1195,7 @@ def ivf_drift_metric(
     vector shuffle. The pure-arithmetic twin (deterministic codebook,
     closed-form oracle) is the registered ivf_staleness_drift query;
     this operates on real k-means indexes."""
-    centers = spark.read.parquet(path + "__centers")
+    centers = read_ivf_centers(spark, path)
     idx = spark.read.parquet(path).select(
         F.col(id_col), F.col("v").alias("_v"), F.lit(False).alias("_delta")
     )
@@ -1166,8 +1288,16 @@ def probe_ivf_index(
     by construction."""
     import numpy as np  # noqa: PLC0415
 
+    from chicago_crime_spark_ml_spark.sources.io import (  # noqa: PLC0415
+        recover_compaction_swap,
+    )
+
+    # heal a crashed compaction/rebuild swap so the probe reads the
+    # restored store instead of erroring on a missing path (r13
+    # review; one driver-local os.path.exists)
+    recover_compaction_swap(path)
     q = np.asarray(list(query_vec), dtype=float)
-    centers = spark.read.parquet(path + "__centers").collect()
+    centers = read_ivf_centers(spark, path).collect()
     sims = {
         r.cell: float(
             np.dot(q, r.center)

@@ -3843,6 +3843,80 @@ def streaming_lexical_ingest_check(
     return out
 
 
+# Shared harness of the four stream-spans-a-compaction certs (r13
+# review: previously copy-pasted per cert — a fix to the staging/mtime
+# or layout-assert logic had to land in four places or the certs
+# silently drifted apart).
+
+
+def _stage_span_batch(root: str, src: str, i: int, frame: DataFrame) -> None:
+    """Stage micro-batch ``i`` as a single parquet file in the stream
+    source directory with a strictly increasing mtime, so the file
+    source's ``maxFilesPerTrigger=1`` delivers the batches in order."""
+    import glob  # noqa: PLC0415
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
+    tmp = os.path.join(root, f"stage{i}")
+    frame.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    dst = os.path.join(src, f"b{i}.parquet")
+    shutil.copyfile(part, dst)
+    t = 1_600_000_000 + i * 1_000
+    os.utime(dst, (t, t))
+
+
+def _drain_stream(q) -> None:
+    """Run a StreamingQuery until every staged file is processed, then
+    stop it — the span certs' stop-the-stream maintenance boundary."""
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def _assert_span_phase(
+    spark: SparkSession,
+    store_path: str,
+    n_rows: int,
+    multi: bool,
+    label: str,
+) -> None:
+    """Pin a span cert's store layout between phases: ``multi=True`` →
+    stale duplicate rows present (count above the latest-only ``n_rows``)
+    and a non-empty ``_mv`` manifest; ``multi=False`` → exactly
+    ``n_rows`` latest-only rows under the single reserved
+    ``batch_id=-1`` partition with the manifest retired by the swap."""
+    import os  # noqa: PLC0415
+
+    n = spark.read.parquet(store_path).count()
+    mv_dir = os.path.join(store_path, "_mv")
+    mv_rows = (
+        spark.read.parquet(mv_dir).count()
+        if os.path.isdir(mv_dir)
+        else None
+    )
+    if multi and not (n > n_rows and mv_rows):
+        raise AssertionError(
+            f"{label}: expected stale duplicate rows + non-empty "
+            f"manifest, got rows={n} mv={mv_rows}"
+        )
+    if not multi and not (
+        n == n_rows
+        and mv_rows is None
+        and [
+            x
+            for x in os.listdir(store_path)
+            if x.startswith("batch_id=")
+        ]
+        == ["batch_id=-1"]
+    ):
+        raise AssertionError(
+            f"{label}: expected latest-only rows under batch_id=-1 "
+            f"with the manifest retired, got rows={n} mv={mv_rows}"
+        )
+
+
 @query(
     "streaming_compaction_span_check",
     # the BM25 closed form over the even-id half corpus this cert
@@ -3880,7 +3954,6 @@ def streaming_compaction_span_check(
     return the identical rows. In-query raises pin the layout at each
     phase: duplicates + non-empty manifest before each compaction,
     exactly one ``batch_id=-1`` directory and NO manifest after."""
-    import glob  # noqa: PLC0415
     import os  # noqa: PLC0415
     import shutil  # noqa: PLC0415
     import tempfile  # noqa: PLC0415
@@ -3925,65 +3998,29 @@ def streaming_compaction_span_check(
     ckpt = os.path.join(root, "ckpt")
     os.makedirs(src)
 
-    def stage(i: int, frame: DataFrame) -> None:
-        tmp = os.path.join(root, f"stage{i}")
-        frame.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-        dst = os.path.join(src, f"b{i}.parquet")
-        shutil.copyfile(part, dst)
-        t = 1_600_000_000 + i * 1_000
-        os.utime(dst, (t, t))
-
     def run_stream() -> None:
         stream = (
             spark.readStream.schema("doc_id BIGINT, text STRING")
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
-        q = streaming_lexical_ingest(stream, post_path, dlen_path, ckpt)
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        _drain_stream(
+            streaming_lexical_ingest(stream, post_path, dlen_path, ckpt)
+        )
 
     def phase(n_docs: int, multi: bool, label: str) -> None:
-        n = spark.read.parquet(dlen_path).count()
-        mv_dir = os.path.join(dlen_path, "_mv")
-        mv_rows = (
-            spark.read.parquet(mv_dir).count()
-            if os.path.isdir(mv_dir)
-            else None
-        )
-        if multi and not (n > n_docs and mv_rows):
-            raise AssertionError(
-                f"{label}: expected stale duplicates + non-empty "
-                f"manifest, got rows={n} mv={mv_rows}"
-            )
-        if not multi and not (
-            n == n_docs
-            and mv_rows is None
-            and [
-                x
-                for x in os.listdir(dlen_path)
-                if x.startswith("batch_id=")
-            ]
-            == ["batch_id=-1"]
-        ):
-            raise AssertionError(
-                f"{label}: expected latest-only rows under batch_id=-1 "
-                f"with the manifest retired, got rows={n} mv={mv_rows}"
-            )
+        _assert_span_phase(spark, dlen_path, n_docs, multi, label)
 
     try:
         n_docs = d.count()
-        stage(0, batches[0])
-        stage(1, batches[1])
+        _stage_span_batch(root, src, 0, batches[0])
+        _stage_span_batch(root, src, 1, batches[1])
         run_stream()  # processes b0, b1; then the maintenance window
         phase(n_docs, multi=True, label="pre-compaction")
         for pth in (post_path, dlen_path):
             compact_ingest_index(spark, pth, replace_latest_by="doc_id")
         phase(n_docs, multi=False, label="post-compaction")
-        stage(2, batches[2])
+        _stage_span_batch(root, src, 2, batches[2])
         run_stream()  # resumes from the checkpoint: b2 only
         phase(n_docs, multi=True, label="post-resume")
 
@@ -4067,7 +4104,6 @@ def streaming_lsh_span_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     red row means arithmetic, not banding luck. In-query raises pin
     the layout at each phase — duplicates + non-empty manifest before
     each compaction, exactly one sentinel directory after."""
-    import glob  # noqa: PLC0415
     import os  # noqa: PLC0415
     import shutil  # noqa: PLC0415
     import tempfile  # noqa: PLC0415
@@ -4111,74 +4147,38 @@ def streaming_lsh_span_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(root, "ckpt")
     os.makedirs(src)
 
-    def stage(i: int, frame: DataFrame) -> None:
-        tmp = os.path.join(root, f"stage{i}")
-        frame.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-        dst = os.path.join(src, f"b{i}.parquet")
-        shutil.copyfile(part, dst)
-        t = 1_600_000_000 + i * 1_000
-        os.utime(dst, (t, t))
-
     def run_stream() -> None:
         stream = (
             spark.readStream.schema("doc_id BIGINT, text STRING")
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
-        q = streaming_near_dup_ingest(
-            stream,
-            idx_path,
-            os.path.join(root, "pairs"),
-            ckpt,
-            num_hashes=32,
-            band_width=2,
+        _drain_stream(
+            streaming_near_dup_ingest(
+                stream,
+                idx_path,
+                os.path.join(root, "pairs"),
+                ckpt,
+                num_hashes=32,
+                band_width=2,
+            )
         )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
 
     def phase(n_rows: int, multi: bool, label: str) -> None:
-        n = spark.read.parquet(idx_path).count()
-        mv_dir = os.path.join(idx_path, "_mv")
-        mv_rows = (
-            spark.read.parquet(mv_dir).count()
-            if os.path.isdir(mv_dir)
-            else None
-        )
-        if multi and not (n > n_rows and mv_rows):
-            raise AssertionError(
-                f"{label}: expected stale duplicate band rows + "
-                f"non-empty manifest, got rows={n} mv={mv_rows}"
-            )
-        if not multi and not (
-            n == n_rows
-            and mv_rows is None
-            and [
-                x
-                for x in os.listdir(idx_path)
-                if x.startswith("batch_id=")
-            ]
-            == ["batch_id=-1"]
-        ):
-            raise AssertionError(
-                f"{label}: expected latest-only rows under batch_id=-1 "
-                f"with the manifest retired, got rows={n} mv={mv_rows}"
-            )
+        _assert_span_phase(spark, idx_path, n_rows, multi, label)
 
     try:
         want_idx = lsh_band_index(
             d, num_hashes=32, band_width=2
         ).localCheckpoint(eager=True)
         n_rows = want_idx.count()
-        stage(0, batches[0])
-        stage(1, batches[1])
+        _stage_span_batch(root, src, 0, batches[0])
+        _stage_span_batch(root, src, 1, batches[1])
         run_stream()  # processes b0, b1; then the maintenance window
         phase(n_rows, multi=True, label="pre-compaction")
         compact_ingest_index(spark, idx_path, replace_latest_by="doc_id")
         phase(n_rows, multi=False, label="post-compaction")
-        stage(2, batches[2])
+        _stage_span_batch(root, src, 2, batches[2])
         run_stream()  # resumes from the checkpoint: b2 only
         phase(n_rows, multi=True, label="post-resume")
         # r13: fold the fresh manifest into its sentinel pointer
@@ -7655,7 +7655,6 @@ def streaming_ivf_span_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     %7 for the %77 ids; the query vector is vec 0's newest, %77,
     version) — is cell-layout-independent and the k-means fit drops
     out of the oracle."""
-    import glob  # noqa: PLC0415
     import os  # noqa: PLC0415
     import shutil  # noqa: PLC0415
     import tempfile  # noqa: PLC0415
@@ -7692,31 +7691,18 @@ def streaming_ivf_span_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(root, "ckpt")
     os.makedirs(src)
 
-    def stage(i: int, frame: DataFrame) -> None:
-        tmp = os.path.join(root, f"stage{i}")
-        frame.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-        dst = os.path.join(src, f"b{i}.parquet")
-        shutil.copyfile(part, dst)
-        t = 1_600_000_000 + i * 1_000
-        os.utime(dst, (t, t))
-
     def run_stream() -> None:
         stream = (
             spark.readStream.schema("vec_id BIGINT, embedding ARRAY<DOUBLE>")
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
-        q = streaming_ivf_ingest(stream, path, ckpt)
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        _drain_stream(streaming_ivf_ingest(stream, path, ckpt))
 
     try:
         write_ivf_index(emb.filter(F.col("vec_id") % 5 != 0), path, n_clusters=8)
-        stage(0, batches[0])
-        stage(1, batches[1])
+        _stage_span_batch(root, src, 0, batches[0])
+        _stage_span_batch(root, src, 1, batches[1])
         run_stream()  # processes b0, b1; then the maintenance window
         store = spark.read.parquet(path)
         if not store.count() > n_ids:
@@ -7744,7 +7730,7 @@ def streaming_ivf_span_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             if c.startswith("cell=")
         ):
             raise AssertionError("cells not collapsed to the sentinel")
-        stage(2, batches[2])
+        _stage_span_batch(root, src, 2, batches[2])
         run_stream()  # resumes from the checkpoint: b2 only
         n11 = emb.filter(F.col("vec_id") % 11 == 0).count()
         store = spark.read.parquet(path)
@@ -13932,7 +13918,6 @@ def streaming_frame_span_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus; a second replace-compaction must leave the raw store
     row-for-row equal to frame_stream_dhash over the true streams and
     the identical consumer output."""
-    import glob  # noqa: PLC0415
     import os  # noqa: PLC0415
     import shutil  # noqa: PLC0415
     import tempfile  # noqa: PLC0415
@@ -14040,61 +14025,25 @@ def streaming_frame_span_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(root, "ckpt")
     os.makedirs(src)
 
-    def stage(i: int, frame: DataFrame) -> None:
-        tmp = os.path.join(root, f"stage{i}")
-        frame.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-        dst = os.path.join(src, f"b{i}.parquet")
-        shutil.copyfile(part, dst)
-        t = 1_600_000_000 + i * 1_000
-        os.utime(dst, (t, t))
-
     def run_stream() -> None:
         stream = (
             spark.readStream.schema("doc_id BIGINT, blob BINARY")
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
-        q = streaming_media_near_dup_ingest(
-            stream,
-            idx_path,
-            os.path.join(root, "pairs"),
-            ckpt,
-            modality="video",
-            min_shared=4,
+        _drain_stream(
+            streaming_media_near_dup_ingest(
+                stream,
+                idx_path,
+                os.path.join(root, "pairs"),
+                ckpt,
+                modality="video",
+                min_shared=4,
+            )
         )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
 
     def phase(n_rows: int, multi: bool, label: str) -> None:
-        n = spark.read.parquet(idx_path).count()
-        mv_dir = os.path.join(idx_path, "_mv")
-        mv_rows = (
-            spark.read.parquet(mv_dir).count()
-            if os.path.isdir(mv_dir)
-            else None
-        )
-        if multi and not (n > n_rows and mv_rows):
-            raise AssertionError(
-                f"{label}: expected stale duplicate frame rows + "
-                f"non-empty manifest, got rows={n} mv={mv_rows}"
-            )
-        if not multi and not (
-            n == n_rows
-            and mv_rows is None
-            and [
-                x
-                for x in os.listdir(idx_path)
-                if x.startswith("batch_id=")
-            ]
-            == ["batch_id=-1"]
-        ):
-            raise AssertionError(
-                f"{label}: expected latest-only rows under batch_id=-1 "
-                f"with the manifest retired, got rows={n} mv={mv_rows}"
-            )
+        _assert_span_phase(spark, idx_path, n_rows, multi, label)
 
     def consume(idx: DataFrame) -> DataFrame:
         a = idx.select(F.col("doc_id").alias("id_a"), "dhash")
@@ -14115,13 +14064,13 @@ def streaming_frame_span_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         # after the FIRST compaction the %5-only docs' latest version
         # is still the poisoned one — one extra (junk-y) hash row each
         n_b_only = docs.filter(is_b & ~is_a).count()
-        stage(0, batches[0])
-        stage(1, batches[1])
+        _stage_span_batch(root, src, 0, batches[0])
+        _stage_span_batch(root, src, 1, batches[1])
         run_stream()  # processes b0, b1; then the maintenance window
         phase(n_rows, multi=True, label="pre-compaction")
         compact_ingest_index(spark, idx_path, replace_latest_by="doc_id")
         phase(n_rows + n_b_only, multi=False, label="post-compaction")
-        stage(2, batches[2])
+        _stage_span_batch(root, src, 2, batches[2])
         run_stream()  # resumes from the checkpoint: b2 only
         phase(n_rows, multi=True, label="post-resume")
         # the %15 ids were already true after b1 — the resumed batch

@@ -247,11 +247,28 @@ def _read_state_excluding_batch(
     exactly the rows the replay was supposed to guarantee. Filtering
     out the current batch partition makes the replay recompute the
     identical output and overwrite it with itself. Missing store →
-    empty frame (try_read_parquet's error-class probe)."""
+    empty frame (try_read_parquet's error-class probe).
+
+    HEALS a crashed compaction swap first (r13 review): if a
+    compaction died between its two renames, the store directory is
+    absent and ``<path>__old`` holds the data — without the heal this
+    read maps the missing store to the EMPTY frame, the delta op
+    classifies the whole batch as new, and the batch write re-creates
+    the store directory, so the NEXT compaction's recovery preamble
+    sees live+old both present and deletes ``__old`` as garbage —
+    permanent loss of the entire compacted history. Every read path
+    into a swap-maintained store must therefore restore first; the
+    probe is one driver-local os.path.exists. (A serving read racing
+    a LIVE maintenance swap can at worst restore the store under the
+    compactor's feet, failing the compactor's staging rename with the
+    data intact — a retryable error, never loss; compaction is
+    contracted to the stopped-stream maintenance slot anyway.)"""
     from chicago_crime_spark_ml_spark.sources.io import (  # noqa: PLC0415
+        recover_compaction_swap,
         try_read_parquet,
     )
 
+    recover_compaction_swap(path)
     df = try_read_parquet(spark, path)
     if df is None:
         return spark.createDataFrame([], schema)
@@ -306,10 +323,24 @@ def _write_multiversion_manifest(
     (the checkpoint hasn't committed, the sink reruns whole, and the
     reader excludes the replaying batch from BOTH files). Bare
     parquet has no cross-file transaction; a table format gives the
-    atomic version — same caveat as the compaction swap."""
+    atomic version — same caveat as the compaction swap.
+
+    Heals a crashed manifest self-compaction first (r13 review): a
+    compact_mv_manifest crash between its renames leaves the pointers
+    in ``_mv__old`` with ``_mv`` absent — writing a fresh partition
+    here would re-create ``_mv``, and the next fold's recovery
+    preamble would then delete ``__old`` as post-swap garbage,
+    permanently orphaning every pre-crash pointer (the affected ids
+    would serve v1 ∪ v2 forever). Restoring first makes this write
+    land inside the restored history instead."""
+    from chicago_crime_spark_ml_spark.sources.io import (  # noqa: PLC0415
+        recover_compaction_swap,
+    )
+
     rows = resent_ids.select(id_col).distinct().coalesce(1)
     if rows.isEmpty():
         return
+    recover_compaction_swap(_mv_path(path))
     rows.write.mode("overwrite").parquet(
         f"{_mv_path(path)}/batch_id={batch_id}"
     )
@@ -367,6 +398,7 @@ def _read_state_latest_by(
         schema + ", batch_id bigint",
     )
     from chicago_crime_spark_ml_spark.sources.io import (  # noqa: PLC0415
+        recover_compaction_swap,
         try_read_parquet,
     )
 
@@ -375,6 +407,12 @@ def _read_state_latest_by(
     # sentinel partition, while per-batch partitions written since are
     # id-only — footer sampling could hide either column. The manifest
     # is tiny by construction, so the all-footers merge is free.
+    # Heal first (r13 review): after a crashed manifest fold the
+    # pointers sit in `_mv__old` — reading None here would serve every
+    # multi-version id as v1 ∪ v2 (and a revert-to-v1 re-send would
+    # read as unchanged and never re-emit). Same preamble as the store
+    # read above; one os.path.exists.
+    recover_compaction_swap(_mv_path(path))
     mv_raw = try_read_parquet(spark, _mv_path(path), mergeSchema="true")
     if mv_raw is None:
         return df.select(*cols)

@@ -1750,3 +1750,65 @@ def test_compact_mv_manifest_folds_listing_and_preserves_reads(
     # id 1's pointer aimed at its own excluded partition — the id reads
     # as absent, so the delta op re-emits it as new (self-healing)
     assert {(r.doc_id, r.term) for r in read(5).collect()} == {(2, "w3")}
+
+
+def test_crashed_swaps_heal_on_read_and_write_paths(spark, tmp_path):
+    """r13 review: a compaction/fold crash between the swap's two
+    renames leaves the live directory absent and the data at
+    ``<dir>__old`` — the NEXT read or write must restore it first.
+    Without the heal, latest-wins reads see no manifest and serve
+    v1 ∪ v2; worse, a sink write would re-create the live dir, so the
+    next recovery preamble would delete the renamed-aside history as
+    post-swap garbage — permanent loss. Same rule for the store
+    directory itself (a crashed store compaction + the empty-frame
+    fallback re-classifies the whole corpus as new)."""
+    import os
+
+    from chicago_crime_spark_ml_spark.sources.io import mv_manifest_path
+    from chicago_crime_spark_ml_spark.streaming import (
+        _read_state_latest_by,
+        _write_multiversion_manifest,
+    )
+
+    path = str(tmp_path / "heal_store")
+    for bid, term in [(0, "v0"), (1, "v1")]:
+        spark.createDataFrame(
+            [(1, term)], "doc_id BIGINT, term STRING"
+        ).write.mode("overwrite").parquet(f"{path}/batch_id={bid}")
+    _write_multiversion_manifest(
+        spark.createDataFrame([(1,)], "doc_id BIGINT"), path, 1, "doc_id"
+    )
+
+    def read(bid=99):
+        return {
+            (r.doc_id, r.term)
+            for r in _read_state_latest_by(
+                spark, path, bid, "doc_id",
+                ["doc_id", "term"], "doc_id bigint, term string",
+            ).collect()
+        }
+
+    assert read() == {(1, "v1")}
+    mv_dir = mv_manifest_path(path)
+    # crashed manifest fold: pointers renamed aside, _mv absent — the
+    # reader must heal and still resolve latest, not serve v0 ∪ v1
+    os.rename(mv_dir, mv_dir + "__old")
+    assert read() == {(1, "v1")}
+    assert os.path.exists(mv_dir) and not os.path.exists(mv_dir + "__old")
+    # crashed fold followed by a WRITE: the writer restores first, so
+    # its new row joins the restored history instead of orphaning it
+    os.rename(mv_dir, mv_dir + "__old")
+    spark.createDataFrame(
+        [(1, "v2")], "doc_id BIGINT, term STRING"
+    ).write.mode("overwrite").parquet(f"{path}/batch_id=2")
+    _write_multiversion_manifest(
+        spark.createDataFrame([(1,)], "doc_id BIGINT"), path, 2, "doc_id"
+    )
+    assert not os.path.exists(mv_dir + "__old")
+    assert read() == {(1, "v2")}
+    # crashed STORE compaction swap: the whole store (manifest inside)
+    # renamed aside — the next read restores it instead of mapping the
+    # missing path to the empty frame
+    os.rename(path, path + "__old")
+    assert read() == {(1, "v2")}
+    assert os.path.exists(path) and not os.path.exists(path + "__old")

@@ -1085,9 +1085,13 @@ def test_ivf_index_delta_append_and_probe(spark, emb, tmp_path):
     # legitimately land in either cell (ADVICE r8 tolerance contract)
     import numpy as np
 
+    from chicago_crime_spark_ml_spark.operators.similarity import (
+        read_ivf_centers,
+    )
+
     centers_np = {
         r.cell: np.array(r.center)
-        for r in spark.read.parquet(path + "__centers").collect()
+        for r in read_ivf_centers(spark, path).collect()
     }
     vecs_np = {
         r.vec_id: np.array([float(x) for x in r.embedding])
@@ -1117,7 +1121,7 @@ def test_ivf_index_delta_append_and_probe(spark, emb, tmp_path):
     top = probe_ivf_index(spark, path, qvec, k=3, n_probe=3).collect()
     assert top[0].vec_id == some_id and top[0].cosine == 1.0
     # assign_to_centroids ties break on lowest cell (struct-min order)
-    centers = spark.read.parquet(path + "__centers")
+    centers = read_ivf_centers(spark, path)
     two = assign_to_centroids(delta.limit(2), centers)
     assert two.count() == 2
 
@@ -1591,16 +1595,27 @@ def _build_legacy_multi_ivf(spark, emb, path):
 
     from chicago_crime_spark_ml_spark.operators.similarity import (
         ivf_index_delta,
+        read_ivf_centers,
         write_ivf_index,
     )
 
     base = emb.filter(F.col("vec_id") % 5 != 0)
     write_ivf_index(base, path, n_clusters=4)
     legacy = spark.read.parquet(path).drop("ingest_seq").localCheckpoint()
+    # period-correct legacy layout: the pre-r13 EXTERNAL `__centers`
+    # sidecar (the rmtree below also deletes the in-store _centers the
+    # current writer produces — a real pre-r13 store never had one)
+    centers_rows = [
+        (int(r.cell), [float(x) for x in r.center])
+        for r in read_ivf_centers(spark, path).collect()
+    ]
     shutil.rmtree(path)
     legacy.write.mode("overwrite").partitionBy("cell", "ingest").parquet(
         path
     )
+    spark.createDataFrame(
+        centers_rows, "cell INT, center ARRAY<DOUBLE>"
+    ).coalesce(1).write.mode("overwrite").parquet(path + "__centers")
     v2 = (
         legacy.filter(F.col("vec_id") % 7 == 0)
         .withColumn("v", F.transform("v", lambda x: x + F.lit(0.5)))
@@ -1756,3 +1771,146 @@ def test_probe_surfaces_all_versions_of_legacy_multi_ids(
     # the query id itself is ambiguous: its original version must
     # surface at cosine 1.0 alongside its shifted twin
     assert 1.0 in [r.cosine for r in rows if r.vec_id == 7]
+
+
+def test_plain_compaction_preserves_legacy_multi_version_signal(
+    spark, emb, tmp_path
+):
+    """r13 review: plain small-files compaction must NOT collapse rows
+    without a recorded ingest_seq into the sentinel partition — doing
+    so erases the countDistinct(ingest)-over-null-seq signal, after
+    which the probe would tie-break unordered versions by cosine and
+    replace-compaction would stop refusing and keep BOTH versions
+    forever. The sentinel only ever covers rows whose version order is
+    recorded; unordered rows keep their partitions (file-merge only)."""
+    from collections import Counter
+
+    import pytest
+
+    from chicago_crime_spark_ml_spark.operators.similarity import (
+        compact_ivf_index,
+        probe_ivf_index,
+    )
+
+    path = str(tmp_path / "ivf_plain_legacy")
+    _build_legacy_multi_ivf(spark, emb, path)
+    compact_ivf_index(spark, path)
+    # the probe still surfaces BOTH pre-seq versions of an ambiguous id
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]
+    ]
+    rows = probe_ivf_index(
+        spark, path, qvec, k=10_000, n_probe=4
+    ).collect()
+    counts = Counter(r.vec_id for r in rows)
+    assert counts[7] == 2, counts[7]
+    # stamped ids still resolve to exactly one latest row
+    some_stamped = emb.filter(F.col("vec_id") % 5 == 0).first()["vec_id"]
+    assert counts[some_stamped] == 1
+    # and replace-compaction still refuses the unordered versions
+    with pytest.raises(ValueError, match="never recorded"):
+        compact_ivf_index(spark, path, replace_latest_by="vec_id")
+
+
+def test_probe_dedup_survives_crashed_registry_fold(spark, emb, tmp_path):
+    """r13 review: the __seq registry read heals a crashed registry
+    fold for EVERY consumer — a probe on a mixed store during the
+    crash window would otherwise miss the registry, skip the
+    mergeSchema re-read, and surface superseded versions; and
+    _next_ingest_seq would hand out a colliding seq."""
+    import os
+
+    from chicago_crime_spark_ml_spark.operators.similarity import (
+        _next_ingest_seq,
+        ivf_index_delta,
+        probe_ivf_index,
+        write_ivf_index,
+    )
+
+    path = str(tmp_path / "ivf_reg_heal")
+    write_ivf_index(emb.filter(F.col("vec_id") % 5 != 0), path, n_clusters=4)
+    # force a PRE-seq data layout for the base rows so the cheap read
+    # can hide ingest_seq (mixed-store shape), keeping the r13 centers
+    import shutil
+
+    legacy = spark.read.parquet(path).drop("ingest_seq").localCheckpoint()
+    for d in os.listdir(path):
+        if d.startswith("cell="):
+            shutil.rmtree(os.path.join(path, d))
+    legacy.write.mode("append").partitionBy("cell", "ingest").parquet(path)
+    changed = emb.filter(F.col("vec_id") == 2).withColumn(
+        "embedding",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: x + F.lit(2.0),
+        ),
+    )
+    ivf_index_delta(spark, path, changed, ingest_id="m1")
+    reg = path + "__seq"
+    # crashed fold: registry renamed aside — the probe must heal it,
+    # detect the mixed store, and resolve id 2 to its m1 version
+    os.rename(reg, reg + "__old")
+    q2 = [
+        float(x) + 2.0
+        for x in emb.filter(F.col("vec_id") == 2).first()["embedding"]
+    ]
+    top = probe_ivf_index(spark, path, q2, k=1, n_probe=4).first()
+    assert (top.vec_id, top.cosine) == (2, 1.0)
+    assert os.path.exists(reg) and not os.path.exists(reg + "__old")
+    # crashed fold again: seq assignment heals too — a NEW ingest
+    # continues above history instead of reusing m1's seq
+    os.rename(reg, reg + "__old")
+    assert _next_ingest_seq(spark, path, "m2") == 2
+
+
+def test_ivf_centers_live_in_store_and_swaps_are_atomic(
+    spark, emb, tmp_path
+):
+    """r13 review: the centroids live INSIDE the store (``_centers``),
+    written into staging BEFORE the rebuild swap — so no window exists
+    where a concurrent probe ranks the new cell partitioning with the
+    old centroids. Compaction carries them through its swap; legacy
+    external ``__centers`` sidecars still read (fallback), and a
+    rebuild retires them."""
+    import os
+
+    from chicago_crime_spark_ml_spark.operators.similarity import (
+        compact_ivf_index,
+        probe_ivf_index,
+        rebuild_ivf_index,
+        write_ivf_index,
+    )
+
+    path = str(tmp_path / "ivf_atomic")
+    write_ivf_index(emb, path, n_clusters=4)
+    assert os.path.isdir(os.path.join(path, "_centers"))
+    assert not os.path.exists(path + "__centers")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 1).first()["embedding"]
+    ]
+
+    def top1():
+        r = probe_ivf_index(spark, path, qvec, k=1, n_probe=4).first()
+        return (r.vec_id, r.cosine)
+
+    assert top1() == (1, 1.0)
+    # compaction must carry the in-store centers through its swap
+    compact_ivf_index(spark, path)
+    assert os.path.isdir(os.path.join(path, "_centers"))
+    assert top1() == (1, 1.0)
+    # a crashed swap (store renamed aside) heals on the next probe
+    os.rename(path, path + "__old")
+    assert top1() == (1, 1.0)
+    assert os.path.exists(path) and not os.path.exists(path + "__old")
+    # rebuild over a LEGACY external-sidecar store migrates the layout
+    legacy = str(tmp_path / "ivf_atomic_legacy")
+    _build_legacy_multi_ivf(spark, emb, legacy)
+    assert os.path.exists(legacy + "__centers")
+    latest = emb
+    rebuild_ivf_index(spark, legacy, latest, n_clusters=4)
+    assert os.path.isdir(os.path.join(legacy, "_centers"))
+    assert not os.path.exists(legacy + "__centers")
+    r = probe_ivf_index(spark, legacy, qvec, k=1, n_probe=4).first()
+    assert (r.vec_id, r.cosine) == (1, 1.0)
