@@ -35,7 +35,12 @@ from pyspark.sql import functions as F
 from chicago_crime_spark_ml_spark.operators.text import (
     parallelize_narrow_scan as _parallelize_narrow_scan,
 )
-from chicago_crime_spark_ml_spark.operators.text import shingles_expr, tokens_expr
+from chicago_crime_spark_ml_spark.operators.text import (
+    shingles_expr,
+    shingles_sql,
+    tokens_expr,
+    tokens_sql,
+)
 
 SIMHASH_BITS = 60  # 15 hex chars of md5 → fits a signed 64-bit int
 
@@ -567,12 +572,14 @@ def _hashed_shingle_sets(
        the module docstring), and derives n_shingles/the non-empty
        filter from the stored array — O(1) against materialized data.
     """
-    base = df.select(
-        F.col(id_col),
-        F.transform(
-            shingles_expr(tokens_expr(text_col), n),
-            lambda s: F.xxhash64(s),
-        ).alias("hshingles"),
+    # Expression tree generated as ONE SQL string (one parse round-trip)
+    # instead of per-node Column calls — identical analyzed plan, ~0.5 s
+    # less single-threaded driver time per construction (r13-opt; the
+    # add_simhash Py4J lesson applied here).
+    sh = shingles_sql(tokens_sql(text_col), n)
+    base = df.selectExpr(
+        f"`{id_col}`",
+        f"transform({sh}, s -> xxhash64(s)) AS hshingles",
     ).localCheckpoint(eager=True)
     return base.select(
         F.col(id_col),
@@ -613,24 +620,24 @@ def _minhash_bands(
     J≈0.05) at the price of 2× hash evaluations; compensate recall by
     doubling bands (b=32, r=2 ⇒ miss (1−J²)^32 ≤ 6.3e-15 at J ≥ 0.8 —
     three orders STRONGER than the r5 16×1 contract)."""
-    def one_min(k: int):
-        # NB: the seed must be captured via this factory scope, NOT a
-        # `lambda h, k=k:` default argument — PySpark introspects the
-        # lambda's arity and treats a two-parameter lambda as the
-        # (element, index) form of transform(), silently binding k to the
-        # ELEMENT INDEX and collapsing every band to one position-seeded
-        # hash (caught by the sf0.1 oracle sweep: high-J pairs missed).
-        return F.array_min(
-            F.transform("hshingles", lambda h: F.xxhash64(h, F.lit(seed + k)))
-        )
+    # The 32-band × width-2 tree is ~1,000 expression nodes; built with
+    # Column operators it cost ~1 s of Py4J round-trips per query
+    # construction (profiled r13-opt). Generated as one SQL string it
+    # parses in a single round-trip — identical analyzed plan. The int
+    # literal `seed + k` stays IntegerType in SQL exactly as F.lit did,
+    # so every xxhash64 value (and thus the whole bucket space, and the
+    # incremental-index contract) is bit-identical to the Column form.
+    def one_min(k: int) -> str:
+        return f"array_min(transform(hshingles, h -> xxhash64(h, {seed + k})))"
 
-    def band_bucket(i: int):
+    def band_bucket(i: int) -> str:
         mins = [one_min(i * band_width + j) for j in range(band_width)]
-        return mins[0] if band_width == 1 else F.xxhash64(*mins)
+        return mins[0] if band_width == 1 else f"xxhash64({', '.join(mins)})"
 
-    buckets = F.array(*[band_bucket(i) for i in range(num_hashes)])
+    buckets = ", ".join(band_bucket(i) for i in range(num_hashes))
     return sets.select(
-        F.col(id_col), F.posexplode(buckets).alias("band", "bucket")
+        F.col(id_col),
+        F.posexplode(F.expr(f"array({buckets})")).alias("band", "bucket"),
     )
 
 

@@ -873,12 +873,21 @@ def interpolate_time_gaps(
 def _range_partitioned_with_pid(
     df: DataFrame, cols: Sequence[Column], n: int
 ) -> DataFrame:
-    """Lazy range-partitioned frame with its partition id stamped as
+    """Range-partitioned frame with its partition id stamped as
     __pid — split out of global_rank so plan tests can assert the
     rangepartitioning exchange directly (global_rank eagerly
     checkpoints this frame, which truncates lineage and hides the
-    exchange from the final plan)."""
-    return df.repartitionByRange(n, *cols).withColumn(
+    exchange from the final plan).
+
+    The INPUT is materialized first (r13-opt): RangePartitioner
+    samples its bounds by running a separate job over the child plan,
+    so a lazy input executes its whole lineage TWICE — once for the
+    bounds sample, once for the real shuffle. global_rank's inputs are
+    aggregation rollups whose lineage includes the full fact scan
+    (2 passes over orders at 100 TB); sampling a materialized rollup
+    reads back only the small stored frame. Same bounds, same ranks."""
+    src = df.localCheckpoint(eager=True)
+    return src.repartitionByRange(n, *cols).withColumn(
         "__pid", F.spark_partition_id()
     )
 

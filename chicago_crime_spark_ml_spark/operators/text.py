@@ -45,6 +45,32 @@ def let_expr(value: Column, body) -> Column:
     return F.transform(F.array(value), body)[0]
 
 
+def tokens_sql(text_col: str, lowercase: bool = False) -> str:
+    """SQL-string twin of :func:`tokens_expr` — same expression tree,
+    built as one parse instead of per-node Py4J calls. The Column-API
+    builders cost one driver↔JVM round-trip per expression node
+    (~0.4–1.5 ms each); for the shingle/minhash trees that is ~1 s of
+    single-threaded driver time PER QUERY CONSTRUCTION, independent of
+    cluster size (the add_simhash lesson, applied to the rest of the
+    text family in r13-opt). ``F.expr`` parses the whole tree in ONE
+    round-trip; the analyzed plan is identical."""
+    c = f"trim(`{text_col}`)"
+    if lowercase:
+        c = f"lower({c})"
+    return f"split({c}, '\\\\s+')"
+
+
+def shingles_sql(tokens: str, n: int = 3) -> str:
+    """SQL-string twin of :func:`shingles_expr` (same let-binding via
+    transform-over-single-element-array, same short-doc guard)."""
+    body = (
+        f"CASE WHEN size(t) >= {n} THEN array_distinct(transform("
+        f"sequence(0, size(t) - {n}), i -> concat_ws(' ', slice(t, i + 1, {n}))))"
+        f" ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    return f"transform(array({tokens}), t -> {body})[0]"
+
+
 def parallelize_narrow_scan(df: DataFrame) -> DataFrame:
     """Spread a low-partition input across the cluster before heavy
     per-row map work (shingling, per-token hashing, per-char-gram md5).
@@ -260,22 +286,26 @@ def tfidf_top_terms(
     division hazards). Ranking uses the ROUNDED score with the term as
     tiebreaker, so ordering is total and engine-independent.
 
-    Shuffle discipline: one shuffle keyed on (doc, term) for TF, one on
-    term for DF, a term-keyed join back, and the per-doc top-k window on
-    the doc key. The DF table is vocabulary-sized — sublinear in corpus
-    size but unbounded, so it carries NO broadcast hint: Catalyst
-    broadcasts it while small and co-partitions on term beyond. The
-    corpus size N arrives via a broadcast 1-row cross join, not a
-    driver-side count — the whole computation stays one lazy plan.
+    Shuffle discipline: one shuffle keyed on (doc, term) for TF, then
+    DF as a count-over-window on term (r13-opt — the former
+    groupBy(term) + join-back evaluated the whole tokenize→explode→TF
+    pipeline once per join branch and shuffled it on term twice; the
+    window evaluates it once and shuffles once, same rows out), and the
+    per-doc top-k window on the doc key. The corpus size N arrives via
+    a broadcast 1-row cross join, not a driver-side count — the whole
+    computation stays one lazy plan.
     """
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
     toks = df.select(
         F.col(id_col), F.explode(tokens_expr(text_col, lowercase=True)).alias("term")
     )
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = df.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(dfreq, "term")
+        tf.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
         .crossJoin(F.broadcast(n))
         .withColumn(
             "tfidf",
@@ -321,17 +351,31 @@ def bm25_search(
     order. Corpus stats (N, avgdl) ride in on broadcast 1-row frames;
     the df table is vocabulary-of-query-sized → broadcast join.
     """
+    # Tokenize ONCE (r13-opt): the former lazy DAG evaluated the
+    # tokenize→explode pipeline three times (doclen branch, stats
+    # branch, query-term TF branch) because concurrently-consumed lazy
+    # subtrees are never deduped. The per-doc term-frequency table is
+    # materialized once (eager localCheckpoint, the engine's standard
+    # collapse barrier) and every corpus statistic derives from it:
+    # dl = Σ_term tf (the dl-identity the lexical index also uses),
+    # n_docs = |rows of doclen|, total_dl = Σ dl. Identical values.
     toks = df.select(
         F.col(id_col),
         F.explode(tokens_expr(text_col, lowercase=True)).alias("term"),
     )
-    doclen = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    tf_all = (
+        toks.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    doclen = tf_all.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     stats = doclen.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("total_dl"),
     )
-    qtoks = toks.filter(F.col("term").isin([t.lower() for t in query_terms]))
-    tf = qtoks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tf_all.filter(
+        F.col("term").isin([t.lower() for t in query_terms])
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     avgdl = F.col("total_dl") / F.col("n_docs")
     idf = F.log(
@@ -844,8 +888,16 @@ def excise_duplicated_spans(
             "rk", F.row_number().over(w_h)
         ).filter(F.col("rk") >= 2)
     else:
-        counts = e.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
-        marked_dups = e.join(counts, "h").filter(F.col("cnt") >= 2)
+        # count-over-window, not groupBy+join-back: the join form
+        # evaluates the md5 window-hash pipeline TWICE (once per join
+        # branch — concurrently materializing subtrees are never deduped)
+        # and shuffles e twice on h. One window pass hashes each window
+        # once and shuffles once — same rows out (every row sees its
+        # hash's full count), ~2× less work on the dominant stage
+        # (r13-opt; plan diff: 3 Exchanges + SMJ → 1 Exchange + Window).
+        marked_dups = e.withColumn(
+            "cnt", F.count(F.lit(1)).over(Window.partitionBy("h"))
+        ).filter(F.col("cnt") >= 2)
     dup_starts = marked_dups.select(id_col, "s").localCheckpoint(eager=True)
     dup_docs = dup_starts.select(id_col).distinct()
 
@@ -1623,14 +1675,15 @@ def duplicated_span_profile(
     Shape for 100 TB: one map-only pass builds the window hashes
     (md5[:15hex]→bigint, the engine's cross-engine hash idiom; the
     token array is referenced once via a single explode, so the split
-    is never CollapseProject-duplicated), then ONE hash-keyed count agg
-    and a join-back that reuses the same hash partitioning, then the
+    is never CollapseProject-duplicated), then ONE hash-keyed
+    count-over-window pass (each window row sees its hash's corpus
+    count without a second evaluation of the hash pipeline), then the
     per-doc rollup. Window multiplicity is kept (NOT array_distinct):
     a doc repeating its own 8-gram twice has a duplicated span. Windows
     hash to 60-bit values — at 2^30 windows the collision-born false
     dup rate is ~2^-30·n, negligible against real boilerplate rates.
-    n_spans falls out of the join-back row count (every hash matches
-    its own count), so the token array is evaluated exactly once."""
+    n_spans falls out of the window-pass row count (every window row
+    carries its count), so the token array is evaluated exactly once."""
 
     e = df.select(
         F.col(id_col),
@@ -1638,10 +1691,18 @@ def duplicated_span_profile(
             let_expr(tokens_expr(text_col), lambda t: _window_hash_expr(t, k))
         ).alias("h"),
     )
-    counts = e.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+    # count-over-window instead of groupBy+join-back (r13-opt): the join
+    # form evaluated the md5 window-hash pipeline once per branch and
+    # shuffled e twice on h; the window hashes each window once and
+    # shuffles once. Same rows (each window row sees its hash's corpus
+    # count); plan diff: 3 Exchanges + SortMergeJoin → 1 Exchange + Window.
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    marked = e.withColumn(
+        "cnt", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    )
     return (
-        e.join(counts, "h")
-        .groupBy(id_col)
+        marked.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_spans"),
             F.sum(F.when(F.col("cnt") >= 2, 1).otherwise(0)).alias(

@@ -3135,12 +3135,19 @@ def nations_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     direction — a 6-table join with a disjunctive cross-table predicate.
     Both nation copies are hint-broadcast (fixed 25 rows); supplier
     scales with SF so it carries NO hint (Catalyst broadcasts it while
-    small, shuffles beyond the threshold). The remaining
-    shuffles are lineitem⋈orders⋈customer on their keys. The OR predicate
+    small, shuffles beyond the threshold). The OR predicate
     can only be applied after both nation names are attached — but each
     nation join itself is pre-filtered to the two nations, so the fact
     rows that survive the broadcast joins are already ~2/N of the table
-    before the disjunction runs."""
+    before the disjunction runs.
+
+    Join ORDER (r13-opt, guide §2.3/§3): reduce BEFORE the big shuffle.
+    The nation filters are attached to supplier and customer first, so
+    lineitem⋈supplier and orders⋈customer each drop ~(N−2)/N of their
+    fact rows BEFORE the l_orderkey/o_orderkey exchange — the one
+    shuffle that moves real volume now carries ~2/N of each side,
+    instead of joining the two full facts and filtering afterwards
+    (inner joins commute; the oracle certifies identical output)."""
     two = ["NATION_1", "NATION_2"]
     l = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
@@ -3151,12 +3158,12 @@ def nations_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")))
     n2 = F.broadcast(n.select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")))
+    s1 = s.join(n1, s["s_nationkey"] == F.col("n1_key"))
+    c2 = c.join(n2, c["c_nationkey"] == F.col("n2_key"))
     return (
-        l.join(o, l["l_orderkey"] == o["o_orderkey"])
-        .join(c, o["o_custkey"] == c["c_custkey"])
-        .join(n2, c["c_nationkey"] == F.col("n2_key"))
-        .join(s, l["l_suppkey"] == s["s_suppkey"])
-        .join(n1, s["s_nationkey"] == F.col("n1_key"))
+        l.join(s1, l["l_suppkey"] == s["s_suppkey"])
+        .join(o.join(c2, o["o_custkey"] == c["c_custkey"]),
+              l["l_orderkey"] == o["o_orderkey"])
         .filter(
             ((F.col("supp_nation") == two[0]) & (F.col("cust_nation") == two[1]))
             | ((F.col("supp_nation") == two[1]) & (F.col("cust_nation") == two[0]))
