@@ -829,6 +829,22 @@ def _window_hash_expr(t: Column, k: int) -> Column:
     ).otherwise(F.array().cast("array<bigint>"))
 
 
+def _window_hashes_sql(text_col: str, k: int) -> str:
+    """SQL-string twin of ``let_expr(tokens_expr(text_col), t ->
+    _window_hash_expr(t, k))`` — the full tokenize→window-hash tree as
+    ONE parseable string (r13-opt: the Column form cost ~0.3 s of
+    per-node Py4J round-trips per query construction; identical
+    analyzed plan, fingerprint-verified)."""
+    body = (
+        f"CASE WHEN size(t) >= {k} THEN transform("
+        f"sequence(1, size(t) - {k - 1}), "
+        f"i -> CAST(conv(substring(md5(concat_ws(' ', slice(t, i, {k}))), "
+        f"1, 15), 16, 10) AS BIGINT)) "
+        f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
+    )
+    return f"transform(array({tokens_sql(text_col)}), t -> {body})[0]"
+
+
 def excise_duplicated_spans(
     df: DataFrame,
     text_col: str = "text",
@@ -876,11 +892,9 @@ def excise_duplicated_spans(
         raise ValueError(f"keep must be 'none' or 'first', got {keep!r}")
     from pyspark.sql import Window  # noqa: PLC0415
 
-    e = df.select(
-        F.col(id_col),
-        F.posexplode(
-            let_expr(tokens_expr(text_col), lambda t: _window_hash_expr(t, k))
-        ).alias("p", "h"),
+    e = df.selectExpr(
+        f"`{id_col}`",
+        f"posexplode({_window_hashes_sql(text_col, k)}) AS (p, h)",
     ).select(id_col, (F.col("p") + 1).alias("s"), "h")
     if keep == "first":
         w_h = Window.partitionBy("h").orderBy(id_col, "s")
@@ -954,15 +968,11 @@ def excise_duplicated_spans(
 
     untouched = (
         df.join(dup_docs, id_col, "left_anti")
-        .select(
-            F.col(id_col),
-            let_expr(
-                tokens_expr(text_col),
-                lambda w: F.struct(
-                    F.array_join(w, " ").alias("text"),
-                    F.size(w).cast("long").alias("n_tokens"),
-                ),
-            ).alias("st"),
+        .selectExpr(
+            f"`{id_col}`",
+            f"transform(array({tokens_sql(text_col)}), w -> struct("
+            f"array_join(w, ' ') AS text, "
+            f"CAST(size(w) AS BIGINT) AS n_tokens))[0] AS st",
         )
         .select(
             id_col,
@@ -1685,11 +1695,9 @@ def duplicated_span_profile(
     n_spans falls out of the window-pass row count (every window row
     carries its count), so the token array is evaluated exactly once."""
 
-    e = df.select(
-        F.col(id_col),
-        F.explode(
-            let_expr(tokens_expr(text_col), lambda t: _window_hash_expr(t, k))
-        ).alias("h"),
+    e = df.selectExpr(
+        f"`{id_col}`",
+        f"explode({_window_hashes_sql(text_col, k)}) AS h",
     )
     # count-over-window instead of groupBy+join-back (r13-opt): the join
     # form evaluated the md5 window-hash pipeline once per branch and

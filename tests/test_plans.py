@@ -458,7 +458,13 @@ EXCHANGE_BUDGET = [
     ("customer_order_count_feature", 2),
     ("local_supplier_volume", 4),
     ("orders_above_customer_avg", 1),
-    ("nations_trade_volume", 6),
+    # 7 since the r13-opt join reorder: +1 BROADCAST exchange (the
+    # nation-filtered supplier/customer dims are now built as their own
+    # broadcast sides) in exchange for the orderkey sort-merge join's
+    # two data-carrying shuffles moving ~2/N of each fact instead of
+    # the full tables — broadcast exchanges ship dim-sized bytes,
+    # so the budget counts them but the shuffle volume went DOWN
+    ("nations_trade_volume", 7),
     ("embedding_vector_stats", 0),
     ("customer_30d_spend", 1),
     ("customer_running_revenue", 1),
