@@ -126,25 +126,39 @@ _STATS_TIER_NUDGE = [
 # rewrites + 14 _doc_ids fan-outs — earned green r8 rows on the new
 # impls and dropped off).
 _REWRITTEN_GREENS = [
-    # (all nine r12 names earned green r12 rows on the new impls and
-    # dropped; r13 entries below)
-    # r13: the __seq registry moved to explicit-schema reads + an iid
-    # data column, compact_ivf_index now folds the registry into one
-    # sentinel partition, and probe_ivf_index's latest-wins agg gained
-    # the legacy-multi passthrough — the probe/delta/compaction paths
-    # these certify are rewritten
-    "ivf_compaction_check",
-    "ivf_compact_replace_check",
-    "ann_ivf_recall_check",
-    "ivf_delta_assignment_check",
-    # r13: plain compaction gained the verify_single_version_by data
-    # guard and this cert now exercises it
-    "streaming_lexical_ingest_check",
-    # r13: the latest-wins manifest read moved to mergeSchema +
-    # latest_bid pointers (manifest self-compaction) — the readers
-    # these certify are rewritten
-    "streaming_cluster_maintenance_check",
-    "streaming_compaction_span_check",
+    # (the seven r13 build-prefix names — ivf_* and streaming_* certs —
+    # earned green r13 rows on the new impls and dropped; the r13-opt /
+    # r14 optimization-rewritten paths below have no driver row on the
+    # code that now ships: VERDICT r13 #5 requires fronting them)
+    # r13-opt kept in r14: shingle/minhash-band expression trees
+    # generated as single SQL strings (dedup.py)
+    "minhash_lsh_near_dups",
+    "ngram_jaccard_near_dups",
+    # r13-opt kept in r14: bm25 tokenizes once into a materialized
+    # (id, term, tf) table (text.py)
+    "bm25_search_top10",
+    "bm25_incremental_search",
+    # r14: count-over-window reverted to aggregate+join-back; the span
+    # family also keeps the r13 SQL-string window-hash generation
+    "doc_tfidf_top_terms",
+    "tfidf_incremental_top_terms",
+    "doc_duplicated_span_fraction",
+    "doc_span_excision",
+    "doc_span_excision_keep_first",
+    "doc_span_excision_fixpoint",
+    # r14: range-partitioned rank/cumsum family moved to
+    # persist-around-materialization (relational.py) — every consumer
+    # of _materialized_range_partitioned is rewritten code
+    "customer_revenue_global_rank",
+    "corpus_shard_assignment",
+    "customer_rfm_segments",
+    "customer_revenue_gini",
+    "revenue_lorenz_points",
+    "spearman_qty_price",
+    "order_value_ks_two_sample",
+    "event_lateness_profile",
+    # r14: left-deep filters-first join chain
+    "nations_trade_volume",
 ]
 
 

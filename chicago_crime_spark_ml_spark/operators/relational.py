@@ -7,6 +7,7 @@ declarative. Scale notes per operator where they matter.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Mapping, Sequence
 from functools import reduce
 
@@ -873,22 +874,59 @@ def interpolate_time_gaps(
 def _range_partitioned_with_pid(
     df: DataFrame, cols: Sequence[Column], n: int
 ) -> DataFrame:
-    """Range-partitioned frame with its partition id stamped as
+    """LAZY range-partitioned frame with its partition id stamped as
     __pid — split out of global_rank so plan tests can assert the
     rangepartitioning exchange directly (global_rank eagerly
     checkpoints this frame, which truncates lineage and hides the
     exchange from the final plan).
 
-    The INPUT is materialized first (r13-opt): RangePartitioner
-    samples its bounds by running a separate job over the child plan,
-    so a lazy input executes its whole lineage TWICE — once for the
-    bounds sample, once for the real shuffle. global_rank's inputs are
-    aggregation rollups whose lineage includes the full fact scan
-    (2 passes over orders at 100 TB); sampling a materialized rollup
-    reads back only the small stored frame. Same bounds, same ranks."""
-    src = df.localCheckpoint(eager=True)
-    return src.repartitionByRange(n, *cols).withColumn(
+    The input-double-execution concern (RangePartitioner samples its
+    bounds in a separate job over the child plan, so a lazy input's
+    lineage runs twice — once for the sample, once for the shuffle) is
+    handled in ``_materialized_range_partitioned``, which keeps the
+    input lazy by default and offers an env-gated eager option for
+    genuinely expensive lineages — see its docstring. r13-opt instead
+    unconditionally ``localCheckpoint``-ed the input here, which added
+    a whole extra materialization job per call, ran Spark jobs at
+    plan-construction time (breaking the analysis-only contract of
+    plan capture), and leaked session-lifetime checkpoint blocks — the
+    driver bench measured customer_revenue_global_rank 0.835→1.325 s
+    for it (PERF_r13); reverted r14."""
+    return df.repartitionByRange(n, *cols).withColumn(
         "__pid", F.spark_partition_id()
+    )
+
+
+def _materialized_range_partitioned(
+    df: DataFrame, cols: Sequence[Column], n: int
+) -> DataFrame:
+    """Eagerly materialized range-partitioned frame with __pid — the
+    shared entry of global_rank / global_cumsum / global_cummax.
+
+    The output ``localCheckpoint`` freezes the sampled range boundaries
+    in stored data so the counts pass and the value pass provably see
+    the same partitioning (two separate executions could legally
+    re-sample different bounds — see global_rank's docstring for the
+    cluster caveats).
+
+    The INPUT is lazy by default — the r14 revert of the r13 eager
+    input-localCheckpoint, which added a whole materialization job per
+    call, leaked session-lifetime checkpoint blocks, ran Spark jobs at
+    plan-construction time, and lost on the driver bench
+    (customer_revenue_global_rank 0.835→1.325 s, PERF_r13; an
+    input-``persist`` alternative measured even worse here — +1.0 s —
+    because cached subplans execute without AQE partition coalescing,
+    so the rollup materializes at full shuffle-partition width).
+    RangePartitioner's bounds-sampling job does re-run the input
+    lineage (one extra pass over the rollup's fact scan); on a real
+    cluster where that lineage is a 100 TB fact pass, set
+    ``SPARK_GRAFT_RANK_EAGER_INPUT=1`` to materialize the rollup once
+    and sample the stored frame instead — the r13 trade, now opt-in
+    with the bench-scale default being the measured winner."""
+    if os.environ.get("SPARK_GRAFT_RANK_EAGER_INPUT", "") == "1":
+        df = df.localCheckpoint(eager=True)
+    return _range_partitioned_with_pid(df, cols, n).localCheckpoint(
+        eager=True
     )
 
 
@@ -955,9 +993,7 @@ def _global_rank_with_total(
     n = num_partitions or df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions"
     )
-    part = _range_partitioned_with_pid(df, cols, int(n)).localCheckpoint(
-        eager=True
-    )
+    part = _materialized_range_partitioned(df, cols, int(n))
     sizes = {
         r["__pid"]: r["cnt"]
         for r in part.groupBy("__pid").agg(
@@ -1068,9 +1104,7 @@ def global_cumsum(
     n = num_partitions or df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions"
     )
-    part = _range_partitioned_with_pid(df, cols, int(n)).localCheckpoint(
-        eager=True
-    )
+    part = _materialized_range_partitioned(df, cols, int(n))
     totals_rows = (
         part.groupBy("__pid")
         .agg(
@@ -1142,9 +1176,7 @@ def global_cummax(
     n = num_partitions or df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions"
     )
-    part = _range_partitioned_with_pid(df, cols, int(n)).localCheckpoint(
-        eager=True
-    )
+    part = _materialized_range_partitioned(df, cols, int(n))
     maxes = {
         r["__pid"]: r["m"]
         for r in part.groupBy("__pid")

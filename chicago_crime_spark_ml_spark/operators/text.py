@@ -286,26 +286,30 @@ def tfidf_top_terms(
     division hazards). Ranking uses the ROUNDED score with the term as
     tiebreaker, so ordering is total and engine-independent.
 
-    Shuffle discipline: one shuffle keyed on (doc, term) for TF, then
-    DF as a count-over-window on term (r13-opt — the former
-    groupBy(term) + join-back evaluated the whole tokenize→explode→TF
-    pipeline once per join branch and shuffled it on term twice; the
-    window evaluates it once and shuffles once, same rows out), and the
-    per-doc top-k window on the doc key. The corpus size N arrives via
-    a broadcast 1-row cross join, not a driver-side count — the whole
-    computation stays one lazy plan.
-    """
-    from pyspark.sql.window import Window  # noqa: PLC0415
+    Shuffle discipline: one shuffle keyed on (doc, term) for TF, one on
+    term for DF, a term-keyed join back, and the per-doc top-k window on
+    the doc key. The DF table is vocabulary-sized — sublinear in corpus
+    size but unbounded, so it carries NO broadcast hint: Catalyst
+    broadcasts it while small and co-partitions on term beyond. The
+    corpus size N arrives via a broadcast 1-row cross join, not a
+    driver-side count — the whole computation stays one lazy plan.
 
+    r14 note: r13 replaced the DF join-back with count-over-window on
+    term to avoid re-evaluating the tokenize pipeline per join branch;
+    the driver bench measured it −29% (PERF_r13: 0.882→1.240 s — the
+    join-back's DF side is small enough to broadcast, while the window
+    costs a full Exchange+Sort on term), and at 100 TB a stopword term
+    is a hot key that a window cannot split (AQE skew handling is
+    joins-only, guide §2.5). Reverted to the aggregate+join form.
+    """
     toks = df.select(
         F.col(id_col), F.explode(tokens_expr(text_col, lowercase=True)).alias("term")
     )
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = df.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.withColumn(
-            "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
-        )
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n))
         .withColumn(
             "tfidf",
@@ -902,16 +906,18 @@ def excise_duplicated_spans(
             "rk", F.row_number().over(w_h)
         ).filter(F.col("rk") >= 2)
     else:
-        # count-over-window, not groupBy+join-back: the join form
-        # evaluates the md5 window-hash pipeline TWICE (once per join
-        # branch — concurrently materializing subtrees are never deduped)
-        # and shuffles e twice on h. One window pass hashes each window
-        # once and shuffles once — same rows out (every row sees its
-        # hash's full count), ~2× less work on the dominant stage
-        # (r13-opt; plan diff: 3 Exchanges + SMJ → 1 Exchange + Window).
-        marked_dups = e.withColumn(
-            "cnt", F.count(F.lit(1)).over(Window.partitionBy("h"))
-        ).filter(F.col("cnt") >= 2)
+        # groupBy+join-back, NOT count-over-window (r14 revert of the
+        # r13 rewrite): the window form avoids the second evaluation of
+        # the md5 window-hash pipeline, but it replaces a partial-agg +
+        # (broadcastable) join with a full Exchange+Sort on h, lost
+        # −43% on the driver bench (PERF_r13: 1.321→2.316 s), and at
+        # 100 TB a hot boilerplate span lands entirely in ONE window
+        # partition with no remedy — AQE skew-join splitting applies to
+        # joins only, never to windows (guide §2.5), so the join form
+        # is also the safe shape at scale. Map-side partial aggregation
+        # shrinks the counts shuffle to one row per distinct hash.
+        counts = e.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+        marked_dups = e.join(counts, "h").filter(F.col("cnt") >= 2)
     dup_starts = marked_dups.select(id_col, "s").localCheckpoint(eager=True)
     dup_docs = dup_starts.select(id_col).distinct()
 
@@ -1685,32 +1691,29 @@ def duplicated_span_profile(
     Shape for 100 TB: one map-only pass builds the window hashes
     (md5[:15hex]→bigint, the engine's cross-engine hash idiom; the
     token array is referenced once via a single explode, so the split
-    is never CollapseProject-duplicated), then ONE hash-keyed
-    count-over-window pass (each window row sees its hash's corpus
-    count without a second evaluation of the hash pipeline), then the
-    per-doc rollup. Window multiplicity is kept (NOT array_distinct):
-    a doc repeating its own 8-gram twice has a duplicated span. Windows
-    hash to 60-bit values — at 2^30 windows the collision-born false
-    dup rate is ~2^-30·n, negligible against real boilerplate rates.
-    n_spans falls out of the window-pass row count (every window row
-    carries its count), so the token array is evaluated exactly once."""
+    is never CollapseProject-duplicated), then ONE hash-keyed count agg
+    (map-side partial aggregation — one row per distinct hash crosses
+    the wire) and a join-back that reuses the same hash partitioning,
+    then the per-doc rollup. Window multiplicity is kept (NOT
+    array_distinct): a doc repeating its own 8-gram twice has a
+    duplicated span. Windows hash to 60-bit values — at 2^30 windows
+    the collision-born false dup rate is ~2^-30·n, negligible against
+    real boilerplate rates. n_spans falls out of the join-back row
+    count (every hash matches its own count). r14 note: the r13
+    count-over-window form (one evaluation of the hash pipeline, but a
+    full Exchange+Sort on h) lost on the driver bench and concentrates
+    any hot boilerplate hash in one un-splittable window partition at
+    scale — AQE skew handling covers joins only (guide §2.5) — so the
+    agg+join-back shape is kept deliberately."""
 
     e = df.selectExpr(
         f"`{id_col}`",
         f"explode({_window_hashes_sql(text_col, k)}) AS h",
     )
-    # count-over-window instead of groupBy+join-back (r13-opt): the join
-    # form evaluated the md5 window-hash pipeline once per branch and
-    # shuffled e twice on h; the window hashes each window once and
-    # shuffles once. Same rows (each window row sees its hash's corpus
-    # count); plan diff: 3 Exchanges + SortMergeJoin → 1 Exchange + Window.
-    from pyspark.sql import Window  # noqa: PLC0415
-
-    marked = e.withColumn(
-        "cnt", F.count(F.lit(1)).over(Window.partitionBy("h"))
-    )
+    counts = e.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
     return (
-        marked.groupBy(id_col)
+        e.join(counts, "h")
+        .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_spans"),
             F.sum(F.when(F.col("cnt") >= 2, 1).otherwise(0)).alias(

@@ -3141,13 +3141,25 @@ def nations_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows that survive the broadcast joins are already ~2/N of the table
     before the disjunction runs.
 
-    Join ORDER (r13-opt, guide §2.3/§3): reduce BEFORE the big shuffle.
-    The nation filters are attached to supplier and customer first, so
-    lineitem⋈supplier and orders⋈customer each drop ~(N−2)/N of their
-    fact rows BEFORE the l_orderkey/o_orderkey exchange — the one
-    shuffle that moves real volume now carries ~2/N of each side,
-    instead of joining the two full facts and filtering afterwards
-    (inner joins commute; the oracle certifies identical output)."""
+    Join ORDER (r14, guide §2.3/§3): a LEFT-DEEP chain over BASE tables
+    only — l ⋈ s ⋈ n1 ⋈ o ⋈ c ⋈ n2 — with the pre-filtered nation
+    joins attached immediately after their dim. The inner n1 join drops
+    ~(N−2)/N of the lineitem rows right after the supplier join, BEFORE
+    the orderkey join — the r13 filters-first insight kept. What r14
+    abandons is r13's bushy (o ⋈ (c ⋈ n2)) subtree: without CBO stats a
+    join OUTPUT gets a product size estimate, which pushed the reduced
+    customer side past the broadcast threshold and planted
+    SortMergeJoins/ShuffledHashJoins + 2 data-carrying Exchanges at
+    bench scale (driver measured 0.667→1.258 s — VERDICT r13 #2). With
+    every join's right side a base table (correctly estimated from
+    parquet size) or a hint-broadcast nation, the whole chain plans as
+    broadcast joins at bench scale, exactly the pre-r13 shape; at
+    100 TB, where supplier/customer outgrow the threshold, the shuffle
+    joins still see the lineitem side nation-reduced before the
+    orderkey exchange. The orders side is only reduced AFTER its
+    orderkey join (the price of staying left-deep — pre-reducing it is
+    exactly the bushy shape that broke bench-scale planning; inner
+    joins commute, the oracle certifies identical output)."""
     two = ["NATION_1", "NATION_2"]
     l = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
@@ -3158,12 +3170,12 @@ def nations_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")))
     n2 = F.broadcast(n.select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")))
-    s1 = s.join(n1, s["s_nationkey"] == F.col("n1_key"))
-    c2 = c.join(n2, c["c_nationkey"] == F.col("n2_key"))
     return (
-        l.join(s1, l["l_suppkey"] == s["s_suppkey"])
-        .join(o.join(c2, o["o_custkey"] == c["c_custkey"]),
-              l["l_orderkey"] == o["o_orderkey"])
+        l.join(s, l["l_suppkey"] == s["s_suppkey"])
+        .join(n1, s["s_nationkey"] == F.col("n1_key"))
+        .join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n2, c["c_nationkey"] == F.col("n2_key"))
         .filter(
             ((F.col("supp_nation") == two[0]) & (F.col("cust_nation") == two[1]))
             | ((F.col("supp_nation") == two[1]) & (F.col("cust_nation") == two[0]))

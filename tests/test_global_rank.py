@@ -385,3 +385,42 @@ def test_global_cumsum_multi_weight_one_pass(spark):
     assert {(r.v, r.ca, r.cb) for r in got.collect()} == {
         (r.v, r.ca, r.cb) for r in want.collect()
     }
+
+
+def test_rank_input_lazy_by_default_and_not_persisted(spark):
+    # r14 (VERDICT r13 #3/#5): the r13 eager input-localCheckpoint is
+    # reverted — constructing a rank over a lazy input must leave the
+    # input unpersisted (no session-lifetime storage accumulates per
+    # rank/ntile/cumsum call) and produce exactly the same ranks.
+    from pyspark import StorageLevel
+
+    df = spark.range(0, 1000, 1, 4).select(
+        (F.col("id") % 7).alias("v"), F.col("id").alias("uid")
+    )
+    out = global_rank(df, ["v", "uid"], out_col="rnk", num_partitions=4)
+    assert df.storageLevel == StorageLevel.NONE
+    assert out.count() == 1000
+
+
+def test_rank_eager_input_env_gate_same_ranks(spark, monkeypatch):
+    # the 100 TB escape hatch: SPARK_GRAFT_RANK_EAGER_INPUT=1
+    # materializes the input once so the bounds-sampling job reads the
+    # stored rollup instead of re-running the full lineage. Ranks must
+    # be bit-identical either way.
+    df = spark.range(0, 2000, 1, 8).select(
+        (F.col("id") % 13).alias("v"), F.col("id").alias("uid")
+    )
+    want = {
+        (r.uid, r.rnk)
+        for r in global_rank(
+            df, ["v", "uid"], out_col="rnk", num_partitions=8
+        ).collect()
+    }
+    monkeypatch.setenv("SPARK_GRAFT_RANK_EAGER_INPUT", "1")
+    got = {
+        (r.uid, r.rnk)
+        for r in global_rank(
+            df, ["v", "uid"], out_col="rnk", num_partitions=8
+        ).collect()
+    }
+    assert got == want

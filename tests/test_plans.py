@@ -458,13 +458,13 @@ EXCHANGE_BUDGET = [
     ("customer_order_count_feature", 2),
     ("local_supplier_volume", 4),
     ("orders_above_customer_avg", 1),
-    # 7 since the r13-opt join reorder: +1 BROADCAST exchange (the
-    # nation-filtered supplier/customer dims are now built as their own
-    # broadcast sides) in exchange for the orderkey sort-merge join's
-    # two data-carrying shuffles moving ~2/N of each fact instead of
-    # the full tables — broadcast exchanges ship dim-sized bytes,
-    # so the budget counts them but the shuffle volume went DOWN
-    ("nations_trade_volume", 7),
+    # back to 6 in r14: the r13 bushy (o⋈c2) subtree planted 2
+    # SortMergeJoins + 2 data-carrying Exchanges at bench scale (its
+    # join-output size estimate broke broadcast eligibility — driver
+    # measured 0.667→1.258 s); the r14 left-deep chain keeps the
+    # filters-first order with every join broadcast-planned at sf0.1,
+    # exactly the pre-r13 exchange count
+    ("nations_trade_volume", 6),
     ("embedding_vector_stats", 0),
     ("customer_30d_spend", 1),
     ("customer_running_revenue", 1),

@@ -1,13 +1,14 @@
-"""Capture .explain("formatted") output for named queries to plans/r13/.
+"""Capture .explain("formatted") output for named queries to plans/<round>/.
 
 Usage: python tools/capture_plans.py <suffix> [name ...]
-  suffix: "before" or "after" — file becomes plans/r13/<name>_<suffix>.txt
+  suffix: "before" or "after" — file becomes plans/$SPARK_GRAFT_PLAN_ROUND/<name>_<suffix>.txt
+  (round dir defaults to r14)
   With no names, captures every bench.py HEADLINE query.
 
 Analysis-only (no execution): the formatted plan is what the judge
 checks optimization claims against. With AQE on, this is the initial
 plan (isFinalPlan=false) — join-strategy/coalesce decisions made at
-runtime are documented in OPTIMIZATION_r13.md where they differ.
+runtime are documented in the round report where they differ.
 """
 
 from __future__ import annotations
@@ -28,7 +29,9 @@ def main() -> None:
 
     suffix = sys.argv[1]
     names = sys.argv[2:] or HEADLINE
-    out_dir = os.path.join(REPO, "plans", "r13")
+    out_dir = os.path.join(
+        REPO, "plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r14")
+    )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("capture-plans")
     for name in names:
