@@ -822,20 +822,37 @@ def lsh_index_delta(
     and a caller that wants pure replace semantics deletes the id's old
     rows (or compacts keeping max-ingest) before appending.
     """
+    # The banding output is materialized ONCE (r14, guide §1.2/§7.3):
+    # delta_rows feeds FIVE consumers below (delta_ids, changed_ids,
+    # fresh, probe — and through them every action the streaming sink
+    # takes), and without a barrier each consumer's plan re-inlines and
+    # re-evaluates the ~2,500-node minhash-band expression tree; the
+    # span-cert profile measured the three sink actions at 3.3 s +
+    # 1.1 s + 2.6 s per micro-batch, dominated by that re-planning.
+    # With the (id, band, bucket) rows stored, each consumer is a scan
+    # + bounded joins. Results are bit-identical (pure materialization
+    # point); the delta is batch-sized, so the stored frame is small at
+    # any corpus scale.
     delta_rows = lsh_band_index(
         new_docs, text_col, id_col, n, num_hashes, seed, band_width
-    )
+    ).localCheckpoint(eager=True)
     delta_ids = delta_rows.select(id_col).distinct()
     dup_ids = index.select(id_col).join(
         F.broadcast(delta_ids), id_col, "left_semi"
     ).distinct()
     # postings of re-sent ids, as stored: bounded (|dup ids| × bands)
     dup_stored = index.join(F.broadcast(dup_ids), id_col, "left_semi")
+    # changed_ids is consumed twice (returned as ``resent`` AND feeding
+    # ``unchanged_dups`` → ``fresh``); each lazy evaluation rebuilds its
+    # broadcast semi/anti-join chain against the stored index. It is a
+    # bounded id set (re-sent ids only), so materializing it once (r14)
+    # turns both consumers into scans of a tiny stored frame.
     changed_ids = (
         delta_rows.join(F.broadcast(dup_ids), id_col, "left_semi")
         .join(dup_stored, [id_col, "band", "bucket"], "left_anti")
         .select(id_col)
         .distinct()
+        .localCheckpoint(eager=True)
     )
     unchanged_dups = dup_ids.join(changed_ids, id_col, "left_anti")
     fresh = delta_rows.join(F.broadcast(unchanged_dups), id_col, "left_anti")

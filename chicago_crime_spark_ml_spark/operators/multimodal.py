@@ -567,11 +567,16 @@ def dhash_index_delta(
         F.broadcast(delta_ids), id_col, "left_semi"
     ).distinct()
     dup_stored = index.join(F.broadcast(dup_ids), id_col, "left_semi")
+    # materialized once (r14): changed_ids is consumed as ``resent``
+    # AND inside fresh's anti-join chain — lazy, the broadcast-join
+    # chain against the stored index re-evaluates per consumer; the
+    # set is bounded by the re-sent ids, so the stored frame is tiny
     changed_ids = (
         delta_rows.join(F.broadcast(dup_ids), id_col, "left_semi")
         .join(dup_stored, [id_col, "band", "byte"], "left_anti")
         .select(id_col)
         .distinct()
+        .localCheckpoint(eager=True)
     )
     unchanged_dups = dup_ids.join(changed_ids, id_col, "left_anti")
     fresh = delta_rows.join(
@@ -1016,7 +1021,13 @@ def frame_index_delta(
         .filter(F.col("_n_delta") != F.col("_n_stored"))
         .select(id_col)
     )
-    changed_ids = changed_by_row.unionByName(changed_by_count).distinct()
+    # materialized once (r14): same double-consumption as
+    # dhash_index_delta — resent return + fresh's anti-join
+    changed_ids = (
+        changed_by_row.unionByName(changed_by_count)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     unchanged_dups = dup_ids.join(changed_ids, id_col, "left_anti")
     fresh = d.join(F.broadcast(unchanged_dups), id_col, "left_anti")
     both = index.select(id_col, "dhash").unionByName(fresh)

@@ -64,21 +64,38 @@ def _canon(rows, cols):
 
 def test_sql_surface_parity(spark, sf_dir):
     register_tables(spark, sf_dir)
-    portable, diverged, no_parse = [], [], []
-    for name, sql in ORACLE.items():
+
+    def check(item):
+        # one (name, status) verdict per oracle — same logic as the
+        # original serial loop, verbatim
+        name, sql = item
         try:
             sdf = spark.sql(sql)
             srows = [tuple(r) for r in sdf.collect()]
         except Exception:  # noqa: BLE001 — duck-only syntax, expected
-            no_parse.append(name)
-            continue
+            return name, "no_parse"
         ddf = QUERIES[name](spark, sf_dir)
         drows = [tuple(r) for r in ddf.collect()]
         same_cols = sorted(sdf.columns) == sorted(ddf.columns)
         if same_cols and _canon(srows, sdf.columns) == _canon(drows, ddf.columns):
-            portable.append(name)
-        else:
-            diverged.append(name)
+            return name, "portable"
+        return name, "diverged"
+
+    # ~300 queries x 2 collects over sf0.001 leave a 32-core local
+    # cluster almost idle when run serially — this was the suite's
+    # single slowest test at 245 s. Spark schedules concurrent actions
+    # from driver threads natively (optimization guide §2.6, overlap
+    # independent jobs); 6 in flight cuts the wall to the long pole.
+    # The per-query check and the assertions below are byte-identical
+    # to the serial form.
+    from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
+    portable, diverged, no_parse = [], [], []
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        for name, status in pool.map(check, list(ORACLE.items())):
+            {"portable": portable, "diverged": diverged, "no_parse": no_parse}[
+                status
+            ].append(name)
 
     unexpected = set(diverged) - KNOWN_DIALECT_DIVERGENCES
     assert not unexpected, (

@@ -31,6 +31,49 @@ def emb(spark, sf_dir):
     return load_table(spark, sf_dir, "embeddings").persist()
 
 
+# Shared base IVF stores (r14 suite-runtime cut, VERDICT r13 #1:
+# shared fixtures WITHOUT weakening what the tests certify): seven
+# tests each rebuilt the identical store — one seeded KMeans fit +
+# partitioned write (~10 s) of the same deterministic input — before
+# mutating it. The base is built once per module; every consumer takes
+# a PRIVATE copy (shutil.copytree) and mutates only that, so test
+# isolation and every certified property are unchanged: a copied base
+# is byte-equal in content to a fresh build (write_ivf_index is a pure
+# function of (input, k, seed) — the append/probe test already relied
+# on that determinism by comparing a refit model's assignments against
+# the store's).
+
+
+def _copy_ivf_store(src: str, tmp_path, name: str) -> str:
+    import shutil  # noqa: PLC0415
+
+    dst = str(tmp_path / name)
+    shutil.copytree(src, dst)
+    return dst
+
+
+def _ivf_base(emb, tmp_path_factory, k: int) -> str:
+    from chicago_crime_spark_ml_spark.operators.similarity import (  # noqa: PLC0415
+        write_ivf_index,
+    )
+
+    path = str(tmp_path_factory.mktemp("ivf_base") / f"old_k{k}")
+    write_ivf_index(
+        emb.filter(F.col("vec_id") % 5 != 0), path, n_clusters=k
+    )
+    return path
+
+
+@pytest.fixture(scope="module")
+def ivf_base_old8(emb, tmp_path_factory):
+    return _ivf_base(emb, tmp_path_factory, 8)
+
+
+@pytest.fixture(scope="module")
+def ivf_base_old4(emb, tmp_path_factory):
+    return _ivf_base(emb, tmp_path_factory, 4)
+
+
 @pytest.fixture(scope="module")
 def exact_pairs(docs):
     return {
@@ -1041,7 +1084,7 @@ def test_bpe_batched_equals_sequential(spark, docs):
     )
 
 
-def test_ivf_index_delta_append_and_probe(spark, emb, tmp_path):
+def test_ivf_index_delta_append_and_probe(spark, emb, tmp_path, ivf_base_old8):
     """Incremental IVF: delta vectors assigned to FROZEN centroids must
     match KMeansModel.transform's assignment exactly, the append must
     land in the cell-partitioned layout, and a probe after the append
@@ -1058,8 +1101,7 @@ def test_ivf_index_delta_append_and_probe(spark, emb, tmp_path):
 
     old = emb.filter(F.col("vec_id") % 5 != 0)
     delta = emb.filter(F.col("vec_id") % 5 == 0)
-    path = str(tmp_path / "ivf_delta_index")
-    write_ivf_index(old, path, n_clusters=8)
+    path = _copy_ivf_store(ivf_base_old8, tmp_path, "ivf_delta_index")
 
     # ground truth: refit-free assignment via MLlib on the same centers
     from pyspark.ml.clustering import KMeans
@@ -1126,7 +1168,9 @@ def test_ivf_index_delta_append_and_probe(spark, emb, tmp_path):
     assert two.count() == 2
 
 
-def test_ivf_drift_metric_trips_on_shifted_delta(spark, emb, tmp_path):
+def test_ivf_drift_metric_trips_on_shifted_delta(
+    spark, emb, tmp_path, ivf_base_old8
+):
     """The staleness signal on a REAL materialized index: a delta drawn
     from the indexed distribution reads drift ~1 (no rebuild); a delta
     shifted far outside every cell trips rebuild_recommended."""
@@ -1137,10 +1181,8 @@ def test_ivf_drift_metric_trips_on_shifted_delta(spark, emb, tmp_path):
         write_ivf_index,
     )
 
-    old = emb.filter(F.col("vec_id") % 5 != 0)
     delta = emb.filter(F.col("vec_id") % 5 == 0)
-    path = str(tmp_path / "ivf_drift_index")
-    write_ivf_index(old, path, n_clusters=8)
+    path = _copy_ivf_store(ivf_base_old8, tmp_path, "ivf_drift_index")
 
     same = ivf_drift_metric(spark, path, delta).collect()[0]
     assert same.n_delta > 0 and same.n_index > 0
@@ -1344,7 +1386,7 @@ def test_ivf_drift_metric_degenerate_index_guard(spark, tmp_path):
     assert far.drift_ratio is not None and far.drift_ratio > 1e6
 
 
-def test_compact_ivf_index_files_per_cell(spark, emb, tmp_path):
+def test_compact_ivf_index_files_per_cell(spark, emb, tmp_path, ivf_base_old4):
     """IVF compaction must preserve probe results while collapsing the
     per-ingest accumulation; files_per_cell splits big cells across
     that many files so a probed cell still reads in parallel."""
@@ -1360,9 +1402,7 @@ def test_compact_ivf_index_files_per_cell(spark, emb, tmp_path):
         write_ivf_index,
     )
 
-    old = emb.filter(F.col("vec_id") % 5 != 0)
-    path = str(tmp_path / "ivf_fpc")
-    write_ivf_index(old, path, n_clusters=4)
+    path = _copy_ivf_store(ivf_base_old4, tmp_path, "ivf_fpc")
     for i in range(2):
         ivf_index_delta(
             spark,
@@ -1411,7 +1451,7 @@ def test_compact_ivf_index_files_per_cell(spark, emb, tmp_path):
             )
 
 
-def test_ivf_replace_semantics(spark, emb, tmp_path):
+def test_ivf_replace_semantics(spark, emb, tmp_path, ivf_base_old4):
     """r12 (VERDICT r11 #1/#2): a changed re-sent vec_id resolves to
     its newest version at probe time (per-id max ingest_seq within the
     probed cells) and is physically dropped by
@@ -1430,8 +1470,7 @@ def test_ivf_replace_semantics(spark, emb, tmp_path):
     )
 
     old = emb.filter(F.col("vec_id") % 5 != 0)
-    path = str(tmp_path / "ivf_replace")
-    write_ivf_index(old, path, n_clusters=4)
+    path = _copy_ivf_store(ivf_base_old4, tmp_path, "ivf_replace")
     ivf_index_delta(
         spark, path, emb.filter(F.col("vec_id") % 5 == 0), ingest_id="z9"
     )
@@ -1583,7 +1622,7 @@ def test_lexical_index_delta_replay_and_changed_content(spark):
     assert cp.count() == 3 and cl.count() == 1
 
 
-def _build_legacy_multi_ivf(spark, emb, path):
+def _build_legacy_multi_ivf(spark, emb, path, base_store=None):
     """Construct the store state r12's replace-compaction refuses: a
     MIXED IVF store whose pre-``ingest_seq`` rows hold TWO versions of
     the vec_id%7==0 base ids (ingest 'base' and 'old2' — order never
@@ -1599,8 +1638,14 @@ def _build_legacy_multi_ivf(spark, emb, path):
         write_ivf_index,
     )
 
-    base = emb.filter(F.col("vec_id") % 5 != 0)
-    write_ivf_index(base, path, n_clusters=4)
+    # base_store (r14): copy the module-scoped deterministic base
+    # instead of re-running the identical seeded KMeans fit per caller
+    if base_store:
+        shutil.copytree(base_store, path)
+    else:
+        write_ivf_index(
+            emb.filter(F.col("vec_id") % 5 != 0), path, n_clusters=4
+        )
     legacy = spark.read.parquet(path).drop("ingest_seq").localCheckpoint()
     # period-correct legacy layout: the pre-r13 EXTERNAL `__centers`
     # sidecar (the rmtree below also deletes the in-store _centers the
@@ -1637,7 +1682,9 @@ def _build_legacy_multi_ivf(spark, emb, path):
     )
 
 
-def test_seq_registry_opaque_ids_survive_and_compact(spark, emb, tmp_path):
+def test_seq_registry_opaque_ids_survive_and_compact(
+    spark, emb, tmp_path, ivf_base_old4
+):
     """ADVICE r12: the __seq registry must treat ingest ids as OPAQUE
     strings end to end — partition-type inference collapses '0123' and
     '123' to the integer 123, letting a replay of one reuse the other's
@@ -1656,10 +1703,7 @@ def test_seq_registry_opaque_ids_survive_and_compact(spark, emb, tmp_path):
         write_ivf_index,
     )
 
-    path = str(tmp_path / "ivf_seq_reg")
-    write_ivf_index(
-        emb.filter(F.col("vec_id") % 5 != 0), path, n_clusters=4
-    )
+    path = _copy_ivf_store(ivf_base_old4, tmp_path, "ivf_seq_reg")
     d = emb.filter(F.col("vec_id") % 5 == 0)
     ivf_index_delta(
         spark, path, d.filter(F.col("vec_id") % 2 == 0), ingest_id="0123"
@@ -1690,7 +1734,7 @@ def test_seq_registry_opaque_ids_survive_and_compact(spark, emb, tmp_path):
 
 
 def test_rebuild_ivf_index_migrates_refused_legacy_multi_store(
-    spark, emb, tmp_path
+    spark, emb, tmp_path, ivf_base_old4
 ):
     """VERDICT r12 #2: a store holding two pre-ingest_seq versions of
     one id is REFUSED by replace-compaction (their order was never
@@ -1706,7 +1750,7 @@ def test_rebuild_ivf_index_migrates_refused_legacy_multi_store(
     )
 
     path = str(tmp_path / "ivf_legacy_multi")
-    latest = _build_legacy_multi_ivf(spark, emb, path)
+    latest = _build_legacy_multi_ivf(spark, emb, path, ivf_base_old4)
     with pytest.raises(ValueError, match="pre-ingest_seq"):
         compact_ivf_index(spark, path, replace_latest_by="vec_id")
     rebuild_ivf_index(spark, path, latest, n_clusters=4)
@@ -1731,7 +1775,7 @@ def test_rebuild_ivf_index_migrates_refused_legacy_multi_store(
 
 
 def test_probe_surfaces_all_versions_of_legacy_multi_ids(
-    spark, emb, tmp_path
+    spark, emb, tmp_path, ivf_base_old4
 ):
     """ADVICE r12: the probe must AGREE with compaction on stores it
     can detect as legacy-multi — where no version order exists it
@@ -1745,7 +1789,7 @@ def test_probe_surfaces_all_versions_of_legacy_multi_ids(
     )
 
     path = str(tmp_path / "ivf_legacy_probe")
-    _build_legacy_multi_ivf(spark, emb, path)
+    _build_legacy_multi_ivf(spark, emb, path, ivf_base_old4)
     qvec = [
         float(x)
         for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]
@@ -1774,7 +1818,7 @@ def test_probe_surfaces_all_versions_of_legacy_multi_ids(
 
 
 def test_plain_compaction_preserves_legacy_multi_version_signal(
-    spark, emb, tmp_path
+    spark, emb, tmp_path, ivf_base_old4
 ):
     """r13 review: plain small-files compaction must NOT collapse rows
     without a recorded ingest_seq into the sentinel partition — doing
@@ -1793,7 +1837,7 @@ def test_plain_compaction_preserves_legacy_multi_version_signal(
     )
 
     path = str(tmp_path / "ivf_plain_legacy")
-    _build_legacy_multi_ivf(spark, emb, path)
+    _build_legacy_multi_ivf(spark, emb, path, ivf_base_old4)
     compact_ivf_index(spark, path)
     # the probe still surfaces BOTH pre-seq versions of an ambiguous id
     qvec = [
@@ -1813,7 +1857,9 @@ def test_plain_compaction_preserves_legacy_multi_version_signal(
         compact_ivf_index(spark, path, replace_latest_by="vec_id")
 
 
-def test_probe_dedup_survives_crashed_registry_fold(spark, emb, tmp_path):
+def test_probe_dedup_survives_crashed_registry_fold(
+    spark, emb, tmp_path, ivf_base_old4
+):
     """r13 review: the __seq registry read heals a crashed registry
     fold for EVERY consumer — a probe on a mixed store during the
     crash window would otherwise miss the registry, skip the
@@ -1828,8 +1874,7 @@ def test_probe_dedup_survives_crashed_registry_fold(spark, emb, tmp_path):
         write_ivf_index,
     )
 
-    path = str(tmp_path / "ivf_reg_heal")
-    write_ivf_index(emb.filter(F.col("vec_id") % 5 != 0), path, n_clusters=4)
+    path = _copy_ivf_store(ivf_base_old4, tmp_path, "ivf_reg_heal")
     # force a PRE-seq data layout for the base rows so the cheap read
     # can hide ingest_seq (mixed-store shape), keeping the r13 centers
     import shutil
@@ -1865,7 +1910,7 @@ def test_probe_dedup_survives_crashed_registry_fold(spark, emb, tmp_path):
 
 
 def test_ivf_centers_live_in_store_and_swaps_are_atomic(
-    spark, emb, tmp_path
+    spark, emb, tmp_path, ivf_base_old4
 ):
     """r13 review: the centroids live INSIDE the store (``_centers``),
     written into staging BEFORE the rebuild swap — so no window exists
@@ -1906,7 +1951,7 @@ def test_ivf_centers_live_in_store_and_swaps_are_atomic(
     assert os.path.exists(path) and not os.path.exists(path + "__old")
     # rebuild over a LEGACY external-sidecar store migrates the layout
     legacy = str(tmp_path / "ivf_atomic_legacy")
-    _build_legacy_multi_ivf(spark, emb, legacy)
+    _build_legacy_multi_ivf(spark, emb, legacy, ivf_base_old4)
     assert os.path.exists(legacy + "__centers")
     latest = emb
     rebuild_ivf_index(spark, legacy, latest, n_clusters=4)
